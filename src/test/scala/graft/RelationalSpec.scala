@@ -1,0 +1,107 @@
+package graft
+
+import graft.meta.UniqueNames
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+object SparkTestSession {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
+}
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("every registered query runs and returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("q01 aggregates are internally consistent") {
+    val rows = SparkEntry.queries("q01_pricing_summary")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("count_order") > 0)
+      assert(r.getAs[java.math.BigDecimal]("sum_base_price").signum > 0)
+    }
+  }
+
+  test("q05 prefix join children strictly extend parents") {
+    SparkEntry.queries("q05_prefix_join")(spark, sf).collect().foreach { r =>
+      val child = r.getAs[String]("child_unique")
+      assert(child.contains(".&["))
+    }
+  }
+
+  test("q15 rollup grand total equals sum of region subtotals") {
+    val rows = SparkEntry.queries("q15_rollup")(spark, sf).collect()
+    val grand = rows.filter(_.getAs[Int]("lvl") == 2).map(_.getAs[Double]("sum_qty")).sum
+    val regions = rows.filter(_.getAs[Int]("lvl") == 1).map(_.getAs[Double]("sum_qty")).sum
+    val leaves = rows.filter(_.getAs[Int]("lvl") == 0).map(_.getAs[Double]("sum_qty")).sum
+    assert(math.abs(grand - regions) < 1e-6 && math.abs(grand - leaves) < 1e-6)
+  }
+}
+
+class UniqueNamesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("depth counts key parts") {
+    val df = Seq(
+      "[D].[H].&[1]" -> 1,
+      "[D].[H].[L].&[1].&[2]" -> 2,
+      "[D].[H].[L].&[a].&[b].&[c]" -> 3
+    ).toDF("u", "expected")
+    val got = df.select(UniqueNames.depth($"u").as("d"), $"expected").collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("parentByPrefix strips exactly one key part; null at depth 1") {
+    val df = Seq("[D].[H].&[1].&[2]", "[D].[H].&[1]").toDF("u")
+    val got = df.select(UniqueNames.parentByPrefix($"u")).collect()
+    assert(got(0).getString(0) == "[D].[H].&[1]")
+    assert(got(1).isNullAt(0))
+  }
+
+  test("levelNameSegment present only for new-cube names") {
+    val df = Seq("[D].[H].[Lvl].&[1]", "[D].[H].&[1]").toDF("u")
+    val got = df.select(UniqueNames.levelNameSegment($"u")).collect()
+    assert(got(0).getString(0) == "Lvl")
+    assert(got(1).isNullAt(0))
+  }
+
+  test("property: oldCube names round-trip depth and lastKey") {
+    val keyGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val keysGen = Gen.nonEmptyListOf(keyGen).map(_.take(5))
+    val params = org.scalacheck.Gen.Parameters.default
+    val samples = (0 until 40).flatMap(i =>
+      keysGen(params, org.scalacheck.rng.Seed(i.toLong))).filter(_.nonEmpty)
+    assert(samples.size >= 20)
+    val names = samples.map(keys => ("[D].[H]" + keys.map(k => s".&[$k]").mkString, keys))
+    val df = names.map(_._1).toDF("u")
+    val rows = df.select($"u", UniqueNames.depth($"u"), UniqueNames.lastKey($"u"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getString(2))).toMap
+    names.foreach { case (name, keys) =>
+      val (d, lk) = rows(name)
+      assert(d == keys.size, s"depth($name)")
+      assert(lk == keys.last, s"lastKey($name)")
+    }
+  }
+
+  test("parseRanges handles singletons, ranges, dedup, sort") {
+    assert(UniqueNames.parseRanges("1,3,5-10") == Seq(1, 3, 5, 6, 7, 8, 9, 10))
+    assert(UniqueNames.parseRanges("10-12, 11, 2") == Seq(2, 10, 11, 12))
+    assert(UniqueNames.parseRanges("7") == Seq(7))
+  }
+}
