@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.mdx.MdxLowerer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** MDX-subset queries (SURVEY.md §2.9) run end-to-end through the
+  * parser → analyzer → lowerer, each hash-matched against a DuckDB oracle
+  * expressing the identical relational semantics.
+  *
+  * Scale notes: every lowered plan is filter → (broadcast) dim joins →
+  * partial+final hash agg on a handful of keys — the 100 TB shape is a
+  * map-side-combined shuffle of a few hundred groups. The NON-EMPTY-off
+  * path builds the member cross product dim-side (tiny) and left-joins the
+  * aggregated fact, never the raw fact.
+  */
+object MdxQueries {
+
+  private def mdx(q: String): (SparkSession, String) => DataFrame =
+    (s, d) => MdxLowerer.run(s, d, q)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Hier.Level.MEMBERS axis + measure set (ref `olap_service.py:424-427`).
+    "q30_mdx_nation_revenue" -> mdx(
+      """SELECT {[Measures].[sum_disc_price], [Measures].[count_order]} ON COLUMNS,
+        | NON EMPTY [Customer].[Geo].[Nation].MEMBERS ON ROWS
+        |FROM [Sales]""".stripMargin),
+
+    // CROSSJOIN + set literal + WHERE slicer (ref `:1392-1397`, `:235-247`).
+    "q31_mdx_crossjoin_slicer" -> mdx(
+      """SELECT {[Measures].[sum_qty]} ON COLUMNS,
+        | NON EMPTY CROSSJOIN([Customer].[Geo].[Region].MEMBERS,
+        |   {[Part].[ByBrand].[Brand].&[Brand#12], [Part].[ByBrand].[Brand].&[Brand#23]}) ON ROWS
+        |FROM [Sales]
+        |WHERE ([Time].[OrderDate].[Year].&[1996])""".stripMargin),
+
+    // Levels(n) positional addressing + [Measures].AllMembers
+    // (ref `:1273-1276`, `actions_runner.py:229`).
+    "q32_mdx_levels_allmeasures" -> mdx(
+      """SELECT [Measures].AllMembers ON COLUMNS,
+        | NON EMPTY [Customer].[Geo].Levels(1).MEMBERS ON ROWS
+        |FROM [Sales]""".stripMargin),
+
+    // NON EMPTY off: full member cross product with nulls kept (SURVEY §7.4).
+    // The nullable measure goes out as double: both engines' NULL then
+    // canonicalizes identically through the driver's pandas compare.
+    "q33_mdx_nonempty_off" -> ((s: SparkSession, d: String) =>
+      MdxLowerer.run(s, d,
+        """SELECT {[Measures].[sum_qty]} ON COLUMNS,
+          | CROSSJOIN([Customer].[Geo].[Nation].MEMBERS,
+          |   {[Part].[ByBrand].[Brand].&[Brand#5], [Part].[ByBrand].[Brand].&[Brand#17],
+          |    [Part].[ByBrand].[Brand].&[Brand#29]}) ON ROWS
+          |FROM [Sales]""".stripMargin)
+        .withColumn("sum_qty", org.apache.spark.sql.functions.col("sum_qty").cast("double"))),
+
+    // DIMENSION PROPERTIES: ancestor captions as extra columns (ref `:1399-1408`).
+    "q34_mdx_properties" -> mdx(
+      """SELECT {[Measures].[sum_disc_price]} ON COLUMNS,
+        | NON EMPTY [Customer].[Geo].[Nation].MEMBERS
+        |   DIMENSION PROPERTIES [Customer].[Geo].[Region] ON ROWS
+        |FROM [Sales]""".stripMargin),
+
+    // Multi-member slicer tuple `WHERE (m1 AND m2)` (ref `actions_runner.py:235-247`).
+    "q35_mdx_slicer_tuple" -> mdx(
+      """SELECT {[Measures].[sum_qty], [Measures].[count_order]} ON COLUMNS,
+        | NON EMPTY [Part].[ByBrand].[Brand].MEMBERS ON ROWS
+        |FROM [Sales]
+        |WHERE ([Customer].[Geo].[Region].&[2] AND [Time].[OrderDate].[Year].&[1997])""".stripMargin),
+
+    // Month drill with Year property; Hier.MEMBERS leaf enumeration.
+    "q36_mdx_month_drill" -> mdx(
+      """SELECT {[Measures].[sum_base_price]} ON COLUMNS,
+        | NON EMPTY [Time].[OrderDate].[Month].MEMBERS
+        |   DIMENSION PROPERTIES [Time].[OrderDate].[Year] ON ROWS
+        |FROM [Sales]""".stripMargin),
+
+    // Second geography (supplier side) with aliased dim columns.
+    "q37_mdx_supplier_nation" -> mdx(
+      """SELECT {[Measures].[count_order]} ON COLUMNS,
+        | NON EMPTY [Supplier].[Geo].[Nation].MEMBERS ON ROWS
+        |FROM [Sales]""".stripMargin)
+  )
+
+  private val factJoin =
+    """FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q30_mdx_nation_revenue" ->
+      s"""SELECT n_name AS nation,
+         |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+         |  count(*) AS count_order
+         |$factJoin
+         |GROUP BY r_regionkey, n_nationkey, n_name
+         |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "q31_mdx_crossjoin_slicer" ->
+      s"""SELECT r_name AS region, p_brand AS brand,
+         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+         |$factJoin
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand IN ('Brand#12', 'Brand#23')
+         |  AND year(o_orderdate) = 1996
+         |GROUP BY r_regionkey, r_name, p_brand
+         |ORDER BY r_regionkey, p_brand""".stripMargin,
+
+    "q32_mdx_levels_allmeasures" ->
+      s"""SELECT r_name AS region,
+         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+         |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+         |  count(*) AS count_order
+         |$factJoin
+         |GROUP BY r_regionkey, r_name
+         |ORDER BY r_regionkey""".stripMargin,
+
+    "q33_mdx_nonempty_off" ->
+      s"""WITH members_nation AS (
+         |  SELECT r_regionkey, n_nationkey, n_name
+         |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+         |members_brand AS (
+         |  SELECT DISTINCT p_brand FROM part
+         |  WHERE p_brand IN ('Brand#5', 'Brand#17', 'Brand#29')),
+         |agg AS (
+         |  SELECT r_regionkey, n_nationkey, p_brand,
+         |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+         |  $factJoin
+         |  JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand IN ('Brand#5', 'Brand#17', 'Brand#29')
+         |  GROUP BY r_regionkey, n_nationkey, p_brand)
+         |SELECT m.n_name AS nation, b.p_brand AS brand,
+         |       CAST(a.sum_qty AS DOUBLE) AS sum_qty
+         |FROM members_nation m CROSS JOIN members_brand b
+         |LEFT JOIN agg a ON a.r_regionkey = m.r_regionkey
+         |  AND a.n_nationkey = m.n_nationkey AND a.p_brand = b.p_brand
+         |ORDER BY m.r_regionkey, m.n_nationkey, b.p_brand""".stripMargin,
+
+    "q34_mdx_properties" ->
+      s"""SELECT r_name AS region, n_name AS nation,
+         |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price
+         |$factJoin
+         |GROUP BY r_regionkey, n_nationkey, r_name, n_name
+         |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "q35_mdx_slicer_tuple" ->
+      s"""SELECT p_brand AS brand,
+         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         |  count(*) AS count_order
+         |$factJoin
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE r_regionkey = 2 AND year(o_orderdate) = 1997
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin,
+
+    "q36_mdx_month_drill" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(month(o_orderdate) AS INT) AS order_month,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q37_mdx_supplier_nation" ->
+      """SELECT n_name AS supp_nation, count(*) AS count_order
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |GROUP BY n_nationkey, n_name
+        |ORDER BY n_nationkey""".stripMargin
+  )
+}
