@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the correctness baseline, and an
+  * LSH-bucketed variant as the 100 TB scale path (BASELINE.json surface).
+  *
+  * Determinism design: embeddings are quantized to integers
+  * (`floor(x*1000)`), so dot products and norms are exact BIGINT
+  * arithmetic that any engine reproduces bit-for-bit. Ranking uses the
+  * IEEE-exact `dot / sqrt(na*nb)` on those exact integers (identical on
+  * every IEEE-754 engine) with an id tie-break; thresholds are integer
+  * cross-multiplications — no float appears in any output column.
+  *
+  * Scale notes: brute-force is O(Q×N) with Q small (a broadcast of the
+  * query set against a partitioned scan — embarrassingly parallel, no
+  * shuffle until the per-query top-k, which TakeOrdered handles).
+  * The LSH variant buckets both sides on an 8-bit hyperplane signature:
+  * the join becomes an equi-join on `bucket`, turning O(Q×N) into
+  * O(Q×N/2^b) — the same banding idea that makes 100 TB ANN tractable.
+  */
+object Similarity {
+
+  /** Quantize a float embedding to exact integer coordinates. The cast to
+    * double BEFORE the multiply matters: float math could round across an
+    * integer boundary differently than an oracle computing in double. */
+  def quantize(emb: Column, scale: Int = 1000): Column =
+    transform(emb, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Squared L2 norm of a quantized vector. */
+  def normQ(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic ±1 hyperplane weights, derived from md5 so any engine
+    * can rebuild them: weight(plane, dim) = +1 iff the first hex digit of
+    * md5("plane_dim") has its high bit set. */
+  def hyperplaneWeights(nPlanes: Int, dims: Int): Seq[Seq[Int]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { p =>
+      (0 until dims).map { i =>
+        val hex = digest.digest(s"${p}_$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (hex.charAt(0) >= '8') 1 else -1
+      }
+    }
+  }
+
+  /** 8-bit LSH bucket signature ('0'/'1' chars) of a quantized vector
+    * under the shared hyperplanes. */
+  def lshBucket(q: Column, planes: Seq[Seq[Int]]): Column = {
+    val bits = planes.map { w =>
+      val wArr = array(w.map(lit(_)): _*)
+      val proj = aggregate(zip_with(q, wArr, (x, ww) => x * ww), lit(0L), (acc, v) => acc + v)
+      when(proj >= 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** Brute-force cosine top-k: every query vector against all candidates
+    * (self excluded). Output (query_id, rank, vec_id, dot) — `dot` exact. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, embCol: String,
+                     isQuery: Column, k: Int = 5): DataFrame = {
+    val q = emb.select(col(idCol).as("query_id"), quantize(col(embCol)).as("qv"))
+      .where(isQuery)
+    val c = emb.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dotQ(col("qv"), col("cv")).as("dot"),
+        normQ(col("qv")).as("nq"), normQ(col("cv")).as("nc"))
+      .withColumn("cos",
+        col("dot").cast("double") / sqrt(col("nq").cast("double") * col("nc").cast("double")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dot"))
+  }
+
+  /** LSH-bucketed ANN: candidates restricted to the query's bucket. Same
+    * output shape as brute force (recall traded for the 2^b fan-in cut). */
+  def lshTopK(emb: DataFrame, idCol: String, embCol: String,
+              isQuery: Column, k: Int = 3, nPlanes: Int = 8): DataFrame = {
+    val dims = 64 // TESTDATA embedding dimensionality
+    val planes = hyperplaneWeights(nPlanes, dims)
+    val withB = emb.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes))
+    val q = withB.where(isQuery)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("bucket"))
+    val scored = withB.join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dotQ(col("qqv"), col("qv")).as("dot"),
+        normQ(col("qqv")).as("nq"), normQ(col("qv")).as("nc"))
+      .withColumn("cos",
+        col("dot").cast("double") / sqrt(col("nq").cast("double") * col("nc").cast("double")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dot"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= numT/denT within a
+    * blocking key (label), integer cross-multiplied:
+    * cos >= t  <=>  dot > 0 && dot² * denT² >= numT² * na * nb. */
+  def nearDupPairs(emb: DataFrame, idCol: String, embCol: String,
+                   blockCol: String, numT: Int = 3, denT: Int = 10): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      quantize(col(embCol)).as("qv"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        dotQ(col("a.qv"), col("b.qv")).as("dot"),
+        normQ(col("a.qv")).as("na"), normQ(col("b.qv")).as("nb"))
+    pairs.where(col("dot") > 0 &&
+        col("dot").cast("decimal(38,0)") * col("dot").cast("decimal(38,0)") * lit(denT * denT) >=
+          lit(numT * numT) * col("na").cast("decimal(38,0)") * col("nb").cast("decimal(38,0)"))
+      .select(col("vec_a"), col("vec_b"), col("dot"))
+  }
+}

@@ -1,0 +1,306 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators (BASELINE.json north star): dedup
+  * family, similarity search, text analysis, multimodal plumbing — each
+  * with a DuckDB oracle reproducing the exact same arithmetic (md5-based
+  * hashes, integer-quantized vectors, integer thresholds; see the ext/
+  * Scaladocs for the determinism rules).
+  */
+object ExtQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: hash-groupBy on normalized content (one shuffle on a
+    // 32-byte key at any scale).
+    "q22_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("content_hash")),
+
+    // MinHash(8) + LSH banding (4 bands × 2): candidates only for docs
+    // colliding in a band; verified against the full signature.
+    "q23_dedup_minhash_lsh" -> ((s, d) => {
+      val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", 8)
+      Dedup.lshCandidatePairs(sigs, 8, 2)
+        .where(col("n_agree") >= 4)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Exact bigram-Jaccard >= 0.2, gram-bucketed join (no O(n²) scan).
+    "q24_dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 2, 1, 5)
+        .orderBy("doc_a", "doc_b")),
+
+    // 32-bit SimHash near-dup clusters (single groupBy on the signature).
+    "q25_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashClusters(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("simhash")),
+
+    // Embedding near-dup pairs: cosine >= 0.3 within label blocks,
+    // integer-exact threshold.
+    "q26_embed_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", "label", 3, 10)
+        .orderBy("vec_a", "vec_b")),
+
+    // Brute-force cosine top-5 for query vectors (vec_id < 10).
+    "q27_ann_brute_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") < 10, 5).orderBy("query_id", "rank")),
+
+    // LSH-bucketed ANN top-3 (8 md5-derived hyperplanes).
+    "q28_ann_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") < 10, 3, 8).orderBy("query_id", "rank")),
+
+    // Language-ID heuristic: stopword hits per language, priority argmax.
+    "q40_text_langid" -> ((s, d) =>
+      TextAnalysis.withLangId(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("lang"), col("lang_detected"),
+          col("s_en"), col("s_es"), col("s_de"), col("s_fr"))
+        .orderBy("doc_id")),
+
+    // Integer-exact quality scoring (diversity − stopword density).
+    "q41_text_quality" -> ((s, d) =>
+      TextAnalysis.withQuality(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_uniq"), col("n_stop"),
+          col("quality"))
+        .orderBy("doc_id")),
+
+    // Token counting (whitespace + regex-subword) + canonical fingerprint.
+    "q42_text_tokens" -> ((s, d) => {
+      val norm = TextAnalysis.normalize(col("text"))
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          size(TextAnalysis.tokens(norm)).as("n_ws_tokens"),
+          TextAnalysis.regexTokenCount(norm).cast("int").as("n_subword"),
+          length(norm).as("n_chars_norm"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal decode plumbing: binary payload -> typed features
+    // (decode arithmetic is the documented stub; plumbing is real).
+    "q43_multimodal_decode" -> ((s, d) =>
+      Multimodal.decode(s, Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .toDF().orderBy("media_id")),
+
+    // Frame sampling: every 4th frame index, map-side explode.
+    "q44_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.decode(s, Multimodal.mediaFromDocuments(Tables.documents(s, d))), 4)
+        .groupBy("media_id", "n_frames")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("media_id"))
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Shared normalization + tokenization (mirrors TextAnalysis.normalize/
+    * tokens). */
+  private val normSql = "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')"
+  private val tokCte =
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split($normSql, ' '), x -> len(x) > 0) t
+       |  FROM documents)""".stripMargin
+
+  /** Distinct word-bigram shingles per doc via zipped unnest. */
+  private val shingleCtes =
+    s"""$tokCte,
+       |u AS (SELECT doc_id, t, unnest(t) w, generate_subscripts(t, 1) i FROM tok),
+       |shl AS (SELECT doc_id, list(DISTINCT w || ' ' || t[i+1]) sl
+       |        FROM u WHERE i < len(t) GROUP BY doc_id)""".stripMargin
+
+  private def minhashSigSql: String = {
+    val hs = (0 until 8).map(p =>
+      s"list_min(list_transform(sl, s -> md5('$p|' || s))) h$p").mkString(",\n    ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc, $b band, h${2 * b} || h${2 * b + 1} bkey FROM sig").mkString("\n  UNION ALL ")
+    val agree = (0 until 8).map(p =>
+      s"CASE WHEN sa.h$p = sb.h$p THEN 1 ELSE 0 END").mkString(" + ")
+    s"""$shingleCtes,
+       |sig AS (SELECT doc_id doc,
+       |    $hs
+       |  FROM shl WHERE len(sl) > 0),
+       |bands AS (
+       |  $bands),
+       |cand AS (SELECT DISTINCT a.doc da, b.doc db
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc)
+       |SELECT da AS doc_a, db AS doc_b, CAST($agree AS INT) AS n_agree
+       |FROM cand JOIN sig sa ON da = sa.doc JOIN sig sb ON db = sb.doc
+       |WHERE $agree >= 4
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private def simhashSql: String = {
+    val bits = (1 to 32).map(j =>
+      s"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN substr(h,$j,1) >= '8' THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""$tokCte,
+       |th AS (SELECT doc_id, list_transform(t, x -> md5(x)) th FROM tok),
+       |sh AS (SELECT doc_id, $bits AS simhash FROM th)
+       |SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc
+       |FROM sh GROUP BY simhash HAVING count(*) > 1
+       |ORDER BY simhash""".stripMargin
+  }
+
+  /** Quantized embeddings + exact integer norms (mirrors
+    * Similarity.quantize/normQ). */
+  private val qeCtes =
+    """WITH qe AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+      |  FROM embeddings),
+      |nrm AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) n
+      |        FROM qe)""".stripMargin
+
+  private def langIdSql: String = {
+    val langs = TextAnalysis.langStopwords
+    val scores = langs.map { case (l, sw) =>
+      val inList = sw.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(t, x -> x IN ($inList))) AS INT) s_$l"
+    }.mkString(",\n    ")
+    val names = langs.map(_._1)
+    val detect = names.zipWithIndex.map { case (l, i) =>
+      val earlier = names.take(i).map(o => s"s_$l > s_$o")
+      val later = names.drop(i + 1).map(o => s"s_$l >= s_$o")
+      val conds = (earlier ++ later :+ s"s_$l > 0").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n    ")
+    s"""$tokCte,
+       |sc AS (SELECT doc_id, lang,
+       |    $scores
+       |  FROM tok JOIN documents USING (doc_id))
+       |SELECT doc_id, lang,
+       |  CASE $detect ELSE 'und' END AS lang_detected,
+       |  s_en, s_es, s_de, s_fr
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q22_dedup_exact" ->
+      s"""SELECT md5($normSql) AS content_hash, min(doc_id) AS canonical_id,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q23_dedup_minhash_lsh" -> minhashSigSql,
+
+    "q24_dedup_ngram_jaccard" ->
+      s"""$shingleCtes,
+         |sh AS (SELECT DISTINCT doc_id, w || ' ' || t[i+1] s FROM u WHERE i < len(t)),
+         |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, i AS n_inter, ca.n AS n_a, cb.n AS n_b
+         |FROM inter
+         |JOIN cnt ca ON doc_a = ca.doc_id
+         |JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE 5 * i >= 1 * (ca.n + cb.n - i)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q25_dedup_simhash" -> simhashSql,
+
+    "q26_embed_neardup" ->
+      s"""$qeCtes,
+         |pr AS (SELECT a.vec_id va, b.vec_id vb,
+         |         CAST(list_dot_product(a.q, b.q) AS BIGINT) dot
+         |       FROM qe a JOIN qe b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT va AS vec_a, vb AS vec_b, dot
+         |FROM pr JOIN nrm na ON va = na.vec_id JOIN nrm nb ON vb = nb.vec_id
+         |WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 100 >= 9 * CAST(na.n AS HUGEINT) * nb.n
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q27_ann_brute_topk" ->
+      s"""$qeCtes,
+         |sc AS (SELECT q.vec_id query_id, c.vec_id vec_id,
+         |         CAST(list_dot_product(q.q, c.q) AS BIGINT) dot,
+         |         nq.n nq, nc.n nc
+         |       FROM qe q
+         |       JOIN qe c ON c.vec_id <> q.vec_id
+         |       JOIN nrm nq ON q.vec_id = nq.vec_id
+         |       JOIN nrm nc ON c.vec_id = nc.vec_id
+         |       WHERE q.vec_id < 10),
+         |r AS (SELECT query_id, vec_id, dot,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+         |                   vec_id) rank
+         |      FROM sc)
+         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dot
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q28_ann_lsh_topk" ->
+      s"""$qeCtes,
+         |wt AS (SELECT p.p, i.i,
+         |         CASE WHEN substr(md5(p.p || '_' || i.i), 1, 1) >= '8' THEN 1 ELSE -1 END w
+         |       FROM generate_series(0, 7) p(p), generate_series(0, 63) i(i)),
+         |qv AS (SELECT vec_id, unnest(q) x, generate_subscripts(q, 1) - 1 i FROM qe),
+         |proj AS (SELECT vec_id, p, sum(x * w) s
+         |         FROM qv JOIN wt ON qv.i = wt.i GROUP BY 1, 2),
+         |bk AS (SELECT vec_id,
+         |         string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) bucket
+         |       FROM proj GROUP BY vec_id),
+         |sc AS (SELECT q.vec_id query_id, c.vec_id vec_id,
+         |         CAST(list_dot_product(qq.q, cq.q) AS BIGINT) dot,
+         |         nq.n nq, nc.n nc
+         |       FROM bk q
+         |       JOIN bk c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |       JOIN qe qq ON q.vec_id = qq.vec_id
+         |       JOIN qe cq ON c.vec_id = cq.vec_id
+         |       JOIN nrm nq ON q.vec_id = nq.vec_id
+         |       JOIN nrm nc ON c.vec_id = nc.vec_id
+         |       WHERE q.vec_id < 10),
+         |r AS (SELECT query_id, vec_id, dot,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+         |                   vec_id) rank
+         |      FROM sc)
+         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dot
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q40_text_langid" -> langIdSql,
+
+    "q41_text_quality" ->
+      s"""$tokCte
+         |SELECT doc_id,
+         |  CAST(len(t) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS INT) AS n_uniq,
+         |  CAST(len(list_filter(t, x -> x IN (${TextAnalysis.langStopwords
+             .flatMap(_._2).map(w => s"'$w'").mkString(", ")}))) AS INT) AS n_stop,
+         |  CAST(CASE WHEN len(t) > 0
+         |    THEN (100 * len(list_distinct(t))) // len(t)
+         |         - (50 * len(list_filter(t, x -> x IN (${TextAnalysis.langStopwords
+             .flatMap(_._2).map(w => s"'$w'").mkString(", ")})))) // len(t)
+         |    ELSE 0 END AS BIGINT) AS quality
+         |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "q42_text_tokens" ->
+      s"""$tokCte
+         |SELECT doc_id,
+         |  CAST(len(t) AS INT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all($normSql, '[a-z]+|[0-9]+')) AS INT) AS n_subword,
+         |  CAST(length($normSql) AS INT) AS n_chars_norm,
+         |  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
+         |FROM tok JOIN documents USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q43_multimodal_decode" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  CAST(length(text) AS BIGINT) AS byte_len,
+        |  CAST(length(text) % 640 AS INT) AS width,
+        |  CAST((length(text) * 7) % 480 AS INT) AS height,
+        |  CAST(length(text) // 256 + 1 AS INT) AS n_frames,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q44_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(length(text) // 256 + 1 AS INT) AS n_frames,
+        |  CAST((length(text) // 256) // 4 + 1 AS BIGINT) AS n_sampled
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("shingles: distinct bigrams; empty below n tokens") {
+    val df = Seq("a b c a b", "solo", "").toDF("text")
+    val got = df.select(Dedup.shingles(col("text"))).collect()
+      .map(_.getSeq[String](0).sorted)
+    assert(got(0) == Seq("a b", "b c", "c a"))
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
+
+  test("exact dedup groups partition the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val groups = Dedup.exactGroups(docs, "text", "doc_id")
+    assert(groups.agg(sum("n_docs")).as[Long].head() == docs.count())
+  }
+
+  test("minhash signature agreement is 8/8 for identical shingle sets") {
+    val df = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "totally different words here")).toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(df, "text", "doc_id", 8), 8, 2).collect()
+    val p12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(p12.exists(_.getInt(2) == 8))
+  }
+
+  test("ngram jaccard finds the planted near-dups and respects threshold") {
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, sf), "text", "doc_id", 2, 1, 5)
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (i, na, nb) = (r.getAs[Long]("n_inter"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(5 * i >= na + nb - i)
+      assert(i <= math.min(na, nb))
+    }
+  }
+
+  test("simhash is order-insensitive-ish: identical docs share signatures") {
+    val df = Seq("alpha beta gamma", "alpha beta gamma").toDF("text")
+    val sh = df.select(Dedup.simhash(col("text"))).collect().map(_.getString(0))
+    assert(sh(0) == sh(1) && sh(0).length == 32 && sh(0).forall(c => c == '0' || c == '1'))
+  }
+
+  test("brute-force top-k returns k ranked rows per query") {
+    val res = Similarity.bruteForceTopK(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", col("vec_id") < 10, 5)
+      .groupBy("query_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      .collect()
+    assert(res.length == 10)
+    res.foreach(r => assert(r.getAs[Long]("n") == 5 && r.getAs[Int]("mx") == 5))
+  }
+
+  test("lsh top-k candidates come from the query's own bucket (recall <= brute)") {
+    val lsh = Similarity.lshTopK(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", col("vec_id") < 10, 3).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach(r => assert(r.getAs[Int]("rank") <= 3))
+  }
+
+  test("hyperplane weights are deterministic and balanced-ish") {
+    val w1 = Similarity.hyperplaneWeights(8, 64)
+    val w2 = Similarity.hyperplaneWeights(8, 64)
+    assert(w1 == w2)
+    assert(w1.flatten.forall(v => v == 1 || v == -1))
+    val plus = w1.flatten.count(_ == 1)
+    assert(plus > 150 && plus < 350) // ~half of 512
+  }
+
+  test("langId detects stopword-bearing text and falls back to und") {
+    val df = Seq("the cat is on the mat", "xyzzy plugh").toDF("text")
+    val got = TextAnalysis.withLangId(df, "text").select("lang_detected")
+      .collect().map(_.getString(0))
+    assert(got(0) == "en" && got(1) == "und")
+  }
+
+  test("quality score is bounded by construction") {
+    TextAnalysis.withQuality(Tables.documents(spark, sf), "text")
+      .select("quality").collect()
+      .foreach(r => assert(r.getLong(0) >= -50 && r.getLong(0) <= 100))
+  }
+
+  test("fingerprint is word-order invariant") {
+    val df = Seq("b a c", "c b a").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("multimodal decode round-trips payload length and frame sampling") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+    val dec = Multimodal.decode(spark, media)
+    val row = dec.filter(_.media_id == 0L).head()
+    assert(row.byte_len > 0 && row.checksum.length == 32)
+    val sampled = Multimodal.sampleFrames(dec, 4)
+      .where(col("media_id") === 0).count()
+    assert(sampled == (row.n_frames + 3) / 4)
+  }
+}
