@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.defs ++
       graft.queries.MdxQueries.defs ++
-      graft.queries.ExtQueries.defs
+      graft.queries.ExtQueries.defs ++
+      graft.queries.EventQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.MdxQueries.oracles ++
-      graft.queries.ExtQueries.oracles
+      graft.queries.ExtQueries.oracles ++
+      graft.queries.EventQueries.oracles
 }

@@ -1,0 +1,47 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Export sinks (SURVEY.md §2.1 S6/S8/S10): CSV, JSON, parquet append
+  * with dedup — plus the control-char scrub the reference applies before
+  * exporting (R6/F8).
+  *
+  * Scale rule: `coalesce(1)` is EXPORT-ONLY (interactive downloads, like
+  * the reference's result CSVs); engine-path writes stay partitioned.
+  */
+object Sinks {
+
+  /** F8 illegal-character scrub applied to all string columns
+    * (ref `scanner/DGIS_SCAN_2_stable.py:446,667`). */
+  def scrubbed(df: DataFrame): DataFrame =
+    df.schema.fields.filter(_.dataType.typeName == "string").foldLeft(df) {
+      (d, f) => d.withColumn(f.name,
+        regexp_replace(col(f.name), "[\\x00-\\x1F\\x7F]", ""))
+    }
+
+  /** Single-file CSV export with header (S6). */
+  def csvExport(df: DataFrame, path: String): Unit =
+    scrubbed(df).coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+
+  /** JSON lines export (S10). */
+  def jsonExport(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+
+  /** Partitioned parquet append with upsert-by-key semantics (S8: the
+    * Postgres ON CONFLICT analogue — existing keys are replaced by the
+    * incoming batch; at scale this is a Delta MERGE). */
+  def upsertParquet(df: DataFrame, path: String, keyCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val merged =
+      try {
+        val existing = spark.read.parquet(path)
+        existing.join(df.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti").unionByName(df)
+      } catch { case _: Throwable => df }
+    val tmp = path + "_tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+}

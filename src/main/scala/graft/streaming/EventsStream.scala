@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table (SURVEY.md §2.10
+  * Q5 — extension per BASELINE.json; the reference itself is batch/async
+  * only).
+  *
+  * Scale notes: watermark + tumbling window = bounded state; dedup keys
+  * expire with the watermark; sessionization state is per-user and
+  * emitted+dropped on event-time timeout — all three are the canonical
+  * unbounded-stream patterns that survive 100 TB/day ingest.
+  */
+/** Per-user open-session accumulator (flatMapGroupsWithState state). Kept
+  * top-level and public: Spark's state encoder codegen needs accessible
+  * constructor + accessors. Times in MICROseconds — `Timestamp.getTime`
+  * alone would truncate to ms and diverge from the batch twin. */
+final case class SessionState(startUs: Long, endUs: Long, n: Long)
+
+object EventsStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+
+  /** File-based event stream of the driver parquet fixture. The file
+    * source needs a directory; when the fixture is a single parquet FILE
+    * (pandas-written testdata) it is exposed through a symlinked temp dir. */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val streamDir =
+      if (src.isDirectory) src.getPath
+      else {
+        val d = java.nio.file.Files.createTempDirectory("events_stream")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve("events.parquet"), src.toPath.toAbsolutePath)
+        d.toString
+      }
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(batchSchema).parquet(streamDir)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Tumbling 1 h windowed counts/sums with a 1 h watermark — streaming
+    * twin of the batch q19_events_window. */
+  def windowedStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  /** Exactly-once-per-event-id dedup within the watermark horizon. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id", "ts")
+
+  /** Gap-based sessionization (30 min idle closes a session) with
+    * per-user state and event-time timeout. Sessions are emitted once
+    * closed (by a later event or by watermark passage). */
+  private def toUs(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+
+  private def fromUs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapMinutes: Int = 30): Dataset[Session] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, fromUs(s.startUs), fromUs(s.endUs), s.n))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = toUs(e.ts)
+              cur match {
+                case Some(s) if t - s.endUs <= gapUs =>
+                  cur = Some(s.copy(endUs = math.max(s.endUs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, fromUs(s.startUs), fromUs(s.endUs), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.endUs + gapUs) / 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

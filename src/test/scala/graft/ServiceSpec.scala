@@ -1,0 +1,110 @@
+package graft
+
+import graft.model.MemberCatalog
+import graft.ops.MemberOps
+import graft.service.{JobService, QueryService}
+import graft.sink.Sinks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ServiceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+  import QueryService._
+
+  test("buildMdx renders the reference builder's shape") {
+    val mdx = QueryService.buildMdx(QueryRequest(
+      cube = "Sales",
+      measures = Seq("sum_qty", "count_order"),
+      rows = Seq(
+        RowSpec("[Customer]", "[Customer].[Geo]", "Nation"),
+        RowSpec("[Part]", "[Part].[ByBrand]", "Brand")),
+      filters = Seq(FilterSpec(Seq("[Time].[OrderDate].[Year].&[1996]")))))
+    assert(mdx ==
+      "SELECT {[Measures].[sum_qty], [Measures].[count_order]} ON COLUMNS, " +
+        "NON EMPTY CROSSJOIN([Customer].[Geo].[Nation].MEMBERS, [Part].[ByBrand].[Brand].MEMBERS) ON ROWS " +
+        "FROM [Sales] WHERE ([Time].[OrderDate].[Year].&[1996])")
+  }
+
+  test("executeForGrid returns AG-Grid-shaped results") {
+    val res = QueryService.executeForGrid(spark, sf, QueryRequest(
+      "Sales", Seq("count_order"),
+      Seq(RowSpec("[Customer]", "[Customer].[Geo]", "Region"))))
+    assert(res.columns.map(_.field) == Seq("region", "count_order"))
+    assert(res.rowCount == 5 && res.rows.size == 5)
+    assert(res.rows.head.contains("region"))
+  }
+
+  test("job lifecycle: PENDING -> COMPLETED with result; bad MDX -> FAILED") {
+    val root = java.nio.file.Files.createTempDirectory("graft_jobs").toString
+    val good = JobService.submit(spark, root, "SALES",
+      "SELECT {[Measures].[count_order]} ON COLUMNS, NON EMPTY [Customer].[Geo].[Region].MEMBERS ON ROWS FROM [Sales]")
+    val bad = JobService.submit(spark, root, "SALES",
+      "SELECT {[Measures].[nope]} ON COLUMNS FROM [Sales]")
+    assert(JobService.status(spark, root, good).get.status == JobService.Pending)
+    val n = JobService.runPending(spark, root, sf)
+    assert(n == 2)
+    val g = JobService.status(spark, root, good).get
+    assert(g.status == JobService.Completed && g.duration_seconds > 0)
+    assert(JobService.result(spark, root, good).count() == 5)
+    val b = JobService.status(spark, root, bad).get
+    assert(b.status == JobService.Failed && b.error_message.contains("unknown measure"))
+  }
+
+  test("member search is case/accent-insensitive") {
+    import spark.implicits._
+    val m = Seq(("Águila Real", "[D].[H].&[1]"), ("zorro", "[D].[H].&[2]"))
+      .toDF("MIEMBRO_CAPTION", "MIEMBRO_UNIQUE_NAME")
+    assert(MemberOps.search(m, "aguila").count() == 1)
+    assert(MemberOps.search(m, "ZORRO").count() == 1)
+    assert(MemberOps.search(m, "nada").count() == 0)
+  }
+
+  test("keyset pagination pages without overlap") {
+    val members = MemberCatalog.members(spark, sf)
+      .where(col("JERARQUIA") === "[Customer].[Geo]")
+    val p1 = MemberOps.keysetPage(members, None, None, 10).collect()
+    val last = p1.last
+    val p2 = MemberOps.keysetPage(members,
+      Some(last.getAs[String]("MIEMBRO_CAPTION")),
+      Some(last.getAs[String]("MIEMBRO_UNIQUE_NAME")), 10).collect()
+    val ids1 = p1.map(_.getAs[String]("MIEMBRO_UNIQUE_NAME")).toSet
+    val ids2 = p2.map(_.getAs[String]("MIEMBRO_UNIQUE_NAME")).toSet
+    assert(p1.length == 10 && p2.nonEmpty && ids1.intersect(ids2).isEmpty)
+  }
+
+  test("childrenOf works on both new (parent col) and old (prefix) cubes") {
+    val members = MemberCatalog.members(spark, sf)
+    val newKids = MemberOps.childrenOf(members, "[Customer].[Geo].[Region].&[2]")
+    assert(newKids.count() == 5) // 5 nations per region
+    val oldKids = MemberOps.childrenOf(members, "[Customer].[GeoOld].&[2]")
+    assert(oldKids.count() == 5)
+  }
+
+  test("estimateResultSize multiplies level counts and warns over 100k") {
+    val members = MemberCatalog.members(spark, sf)
+    val small = MemberOps.estimateResultSize(members,
+      Seq(("[Customer].[Geo]", 1), ("[Customer].[Geo]", 2)))
+    assert(small.estimatedRows == 5L * 25L && !small.warn)
+    val big = MemberOps.estimateResultSize(members,
+      Seq(("[DIM VARIABLES].[Apartado y Variable]", 2),
+        ("[DIM VARIABLES].[Apartado y Variable]", 2),
+        ("[DIM VARIABLES].[Apartado y Variable]", 2)))
+    assert(big.warn == (big.estimatedRows > 100000))
+  }
+
+  test("sinks: scrub, csv export, upsert parquet") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val dirty = Seq(("ab", 1L), ("ok", 2L)).toDF("s", "k")
+    val clean = Sinks.scrubbed(dirty).collect().map(_.getString(0)).sorted
+    assert(clean.toSeq == Seq("ab", "ok"))
+    Sinks.csvExport(dirty, s"$dir/csv")
+    assert(spark.read.option("header", "true").csv(s"$dir/csv").count() == 2)
+    Sinks.upsertParquet(Seq((1L, "v1")).toDF("k", "v"), s"$dir/up", Seq("k"))
+    Sinks.upsertParquet(Seq((1L, "v2"), (2L, "w")).toDF("k", "v"), s"$dir/up", Seq("k"))
+    val up = spark.read.parquet(s"$dir/up").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(up == Map(1L -> "v2", 2L -> "w"))
+  }
+}

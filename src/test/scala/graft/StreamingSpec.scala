@@ -1,0 +1,64 @@
+package graft
+
+import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def runAvailableNow(df: org.apache.spark.sql.DataFrame, name: String,
+                              mode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+  }
+
+  test("streaming windowed stats equal the batch aggregation (complete mode)") {
+    val stream = EventsStream.windowedStats(EventsStream.readEvents(spark, sf))
+    runAvailableNow(stream, "win_stats", OutputMode.Complete())
+    val streamed = spark.table("win_stats")
+      .select(col("hour"), col("event_type"), col("n"), col("total_value"))
+      .collect().map(_.toString).sorted
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,6)")).as("total_value"))
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty && (streamed sameElements batch))
+  }
+
+  test("streaming dedup drops same-batch duplicate event ids") {
+    val dir = java.nio.file.Files.createTempDirectory("dup_events").toString
+    val ev = Tables.events(spark, sf).limit(50)
+    ev.union(ev).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val deduped = EventsStream.dedupEvents(EventsStream.readEvents(spark, dir))
+    runAvailableNow(deduped, "dedup_ev", OutputMode.Append())
+    assert(spark.table("dedup_ev").count() == 50)
+  }
+
+  test("streaming sessionization closes every session except each user's last") {
+    val sessions = EventsStream.sessionize(spark,
+      EventsStream.readEvents(spark, sf))
+    runAvailableNow(sessions.toDF(), "sessions", OutputMode.Append())
+    val streamed = spark.table("sessions")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toString).toSet
+    val batch = SparkEntry.queries("q45_events_sessionize")(spark, sf)
+    val all = batch
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toString).toSet
+    // Sessions closed by a successor event must stream out; the per-user
+    // final session may or may not close depending on the watermark
+    // timeout batch — so: nonFinal ⊆ streamed ⊆ all.
+    val lastPerUser = batch.groupBy("user_id").agg(max("session_id").as("last_sid"))
+    val nonFinal = batch.join(lastPerUser, Seq("user_id"))
+      .where(col("session_id") < col("last_sid"))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toString).toSet
+    assert(streamed.nonEmpty)
+    assert(nonFinal.subsetOf(streamed), "a successor-closed session did not stream out")
+    assert(streamed.subsetOf(all), "streamed a session the batch twin does not have")
+  }
+}
