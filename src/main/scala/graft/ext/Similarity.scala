@@ -111,13 +111,35 @@ object Similarity {
     * cos >= t  <=>  dot > 0 && dot² * denT² >= numT² * na * nb. */
   def nearDupPairs(emb: DataFrame, idCol: String, embCol: String,
                    blockCol: String, numT: Int = 3, denT: Int = 10): DataFrame = {
-    val e = emb.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      quantize(col(embCol)).as("qv"))
+    import emb.sparkSession.implicits._
+    // Quantize through a typed map: a SerializeFromObject boundary stops
+    // Catalyst re-evaluating the (interpreted) transform() lambda once
+    // per PAIR inside the self-join — it runs once per VECTOR.
+    val e = emb.select(col(idCol).cast("long").as("id"),
+        col(blockCol).cast("long").as("blk"), col(embCol).as("v"))
+      .as[(Long, Long, Array[Float])]
+      .map { case (id, blk, v) =>
+        (id, blk, v.map(x => math.floor(x.toDouble * 1000).toLong))
+      }
+      .toDF("id", "blk", "qv")
+    // The dot/norm inner loop runs typed over primitive arrays: Spark's
+    // higher-order zip_with/aggregate are interpreted per element, and on
+    // |block|² pairs that interpreter overhead dominates (benched ~10× on
+    // sf0.1). Exact same BIGINT arithmetic.
     val pairs = e.as("a").join(e.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
-        dotQ(col("a.qv"), col("b.qv")).as("dot"),
-        normQ(col("a.qv")).as("na"), normQ(col("b.qv")).as("nb"))
+        col("a.qv").as("qa"), col("b.qv").as("qb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (ida, idb, qa, qb) =>
+        var i = 0; var dot = 0L; var na = 0L; var nb = 0L
+        while (i < qa.length) {
+          val x = qa(i); val y = qb(i)
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        (ida, idb, dot, na, nb)
+      }
+      .toDF("vec_a", "vec_b", "dot", "na", "nb")
     pairs.where(col("dot") > 0 &&
         col("dot").cast("decimal(38,0)") * col("dot").cast("decimal(38,0)") * lit(denT * denT) >=
           lit(numT * numT) * col("na").cast("decimal(38,0)") * col("nb").cast("decimal(38,0)"))

@@ -30,9 +30,11 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // Exact bigram-Jaccard >= 0.2, gram-bucketed join (no O(n²) scan).
+    // Exact bigram-Jaccard >= 0.2; strategy auto-picked on gram
+    // dictionary size (bucketed join for open vocab, bitset-popcount for
+    // dense small-vocab corpora like this fixture).
     "q24_dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id", 2, 1, 5)
+      Dedup.ngramJaccardPairsAuto(Tables.documents(s, d), "text", "doc_id", 2, 1, 5)
         .orderBy("doc_a", "doc_b")),
 
     // 32-bit SimHash near-dup clusters (single groupBy on the signature).
