@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Relational.defs ++
       graft.queries.MdxQueries.defs ++
       graft.queries.ExtQueries.defs ++
-      graft.queries.EventQueries.defs
+      graft.queries.EventQueries.defs ++
+      graft.queries.MetaQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.MdxQueries.oracles ++
       graft.queries.ExtQueries.oracles ++
-      graft.queries.EventQueries.oracles
+      graft.queries.EventQueries.oracles ++
+      graft.queries.MetaQueries.oracles
 }

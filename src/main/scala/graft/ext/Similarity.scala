@@ -30,13 +30,13 @@ object Similarity {
   def quantize(emb: Column, scale: Int = 1000): Column =
     transform(emb, x => floor(x.cast("double") * scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the native
+    * codegen expression (graft.functions.ArrayDotLong). */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    org.apache.spark.sql.functions.call_function("graft_dot", a, b)
 
   /** Squared L2 norm of a quantized vector. */
-  def normQ(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+  def normQ(a: Column): Column = dotQ(a, a)
 
   /** Deterministic ±1 hyperplane weights, derived from md5 so any engine
     * can rebuild them: weight(plane, dim) = +1 iff the first hex digit of
@@ -67,6 +67,7 @@ object Similarity {
     * (self excluded). Output (query_id, rank, vec_id, dot) — `dot` exact. */
   def bruteForceTopK(emb: DataFrame, idCol: String, embCol: String,
                      isQuery: Column, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val q = emb.select(col(idCol).as("query_id"), quantize(col(embCol)).as("qv"))
       .where(isQuery)
     val c = emb.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("cv"))
@@ -87,6 +88,7 @@ object Similarity {
     * output shape as brute force (recall traded for the 2^b fan-in cut). */
   def lshTopK(emb: DataFrame, idCol: String, embCol: String,
               isQuery: Column, k: Int = 3, nPlanes: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val dims = 64 // TESTDATA embedding dimensionality
     val planes = hyperplaneWeights(nPlanes, dims)
     val withB = emb.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("qv"))

@@ -1,0 +1,71 @@
+package graft
+
+import graft.ext.Similarity
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that matter at 100 TB must
+  * hold in the actual plans, not just in comments. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("q02: dimension joins are broadcast, not shuffled") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q01/q16: column pruning reaches the scan (no full-width read)") {
+    val p = plan("q16_orders_by_year")
+    assert(p.contains("ReadSchema: struct<o_totalprice:double,o_orderdate:timestamp"),
+      s"scan reads more than the 2 needed columns:\n$p")
+  }
+
+  test("MDX lowering emits broadcast joins and partial aggregation") {
+    val p = plan("q30_mdx_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), s"no partial (map-side) aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("MDX attaches only referenced join units (no part/supplier scan)") {
+    val p = plan("q30_mdx_nation_revenue")
+    assert(!p.contains("part.parquet") && !p.contains("supplier.parquet"),
+      s"unreferenced dimension scanned:\n$p")
+  }
+
+  test("top-k lowers to TakeOrdered, not a full sort") {
+    val p = plan("q08_topk_longest")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("graft_dot is a codegen'd native expression and matches the HOF form") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L)),
+      (Array(-2L, 0L, 7L), Array(3L, 9L, -1L))).toDF("a", "b")
+    val native = df.select(Similarity.dotQ(col("a"), col("b"))).collect().map(_.getLong(0))
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), (s, v) => s + v))
+      .collect().map(_.getLong(0))
+    assert(native.toSeq == hof.toSeq && native.toSeq == Seq(32L, -13L))
+    val p = df.select(Similarity.dotQ(col("a"), col("b"))).queryExecution.executedPlan
+    assert(p.toString.contains("graft_dot"))
+  }
+
+  test("ANN plans broadcast the query side against the candidate scan") {
+    val p = plan("q27_ann_brute_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
