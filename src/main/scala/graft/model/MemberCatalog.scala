@@ -138,6 +138,24 @@ object MemberCatalog {
       .reduce(_.unionByName(_))
   }
 
+  /** S5: member-cache CSV source (FIXTURES.md §1; ref
+    * `scanner/DGIS_SCAN_2_stable.py:707-714`, `backend/mock_service.py:23-35`).
+    * Column-presence tolerant like every reference consumer: optional
+    * columns absent from old-cube fixtures come back as typed nulls. */
+  def fromCsv(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(path)
+    val typed = Seq(
+      "NIVEL_NUMERO" -> "int", "CHILDREN_CARDINALITY" -> "int",
+      "MIEMBRO_ORDINAL" -> "int")
+    val withAll = cols.foldLeft(raw) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast("string"))
+    }
+    typed.foldLeft(withAll) { case (df, (c, t)) =>
+      df.withColumn(c, col(c).cast(t))
+    }.select(cols.map(col): _*)
+  }
+
   /** DuckDB SQL producing the identical catalog from the same parquet
     * tables — the shared CTE prefix for every member-catalog oracle. */
   val oracleCte: String =

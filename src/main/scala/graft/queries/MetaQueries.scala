@@ -38,7 +38,14 @@ object MetaQueries {
         .reduce(_.unionByName(_))
         .select(col("jerarquia"), col("level_depth"), col("level_name"))
         .orderBy(col("jerarquia"), col("level_depth"))
-    })
+    }),
+
+    // get_apartados rows: depth-1 Variables members with display index
+    // (W1) and child counts — the golden-response projection
+    // (ref `backend/olap_service.py:153-194`).
+    "q52_apartados" -> ((s, d) =>
+      graft.service.ApartadosService.apartadoRows(MemberCatalog.members(s, d))
+        .orderBy(col("id")))
   )
 
   /** The static-rowset oracle is a VALUES literal generated from the same
@@ -76,6 +83,17 @@ object MetaQueries {
       inferOracle("[Customer].[Geo]", "1") + ",\n" +
       inferOracle("[Customer].[GeoOld]", "2") + "\n" +
       """SELECT * FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
-        |ORDER BY jerarquia, level_depth""".stripMargin)
+        |ORDER BY jerarquia, level_depth""".stripMargin),
+
+    "q52_apartados" -> (MemberCatalog.oracleCte +
+      """SELECT CAST(row_number() OVER (ORDER BY MIEMBRO_CAPTION, MIEMBRO_UNIQUE_NAME) AS INT) AS id,
+        |  MIEMBRO_CAPTION AS caption,
+        |  MIEMBRO_UNIQUE_NAME AS unique_name,
+        |  CHILDREN_CARDINALITY AS variables_count
+        |FROM members
+        |WHERE (upper(JERARQUIA) LIKE '%APARTADO%' OR upper(DIMENSION) LIKE '%VARIABLES%')
+        |  AND len(string_split(MIEMBRO_UNIQUE_NAME, '.&[')) - 1 = 1
+        |  AND MIEMBRO_CAPTION <> 'All'
+        |ORDER BY id""".stripMargin)
   )
 }

@@ -13,7 +13,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object QueryService {
 
-  final case class RowSpec(dimension: String, hierarchy: String, level: String)
+  /** Row-axis spec: explicit level name ("new cube") or positional
+    * `levelNumber` fallback when level names are unknown ("old cube" —
+    * the X2 `Levels(n)` branch, ref `olap_service.py:432-453`). */
+  final case class RowSpec(dimension: String, hierarchy: String,
+      level: String = "", levelNumber: Option[Int] = None)
   final case class FilterSpec(memberUniqueNames: Seq[String])
   final case class QueryRequest(
       cube: String,
@@ -32,7 +36,13 @@ object QueryService {
     * same right-fold CROSSJOIN shape, `mdxBuilder.ts:33-39`). */
   def buildMdx(req: QueryRequest): String = {
     val cols = req.measures.map(m => s"[Measures].[$m]").mkString("{", ", ", "}")
-    val rowSets = req.rows.map(r => s"${r.hierarchy}.[${r.level}].MEMBERS")
+    val rowSets = req.rows.map { r =>
+      if (r.level.nonEmpty) s"${r.hierarchy}.[${r.level}].MEMBERS"
+      else r.levelNumber match {
+        case Some(n) => s"${r.hierarchy}.Levels($n).MEMBERS"
+        case None => s"${r.hierarchy}.MEMBERS"
+      }
+    }
     val rowsClause = rowSets match {
       case Nil => ""
       case sets =>
@@ -47,8 +57,17 @@ object QueryService {
     s"SELECT $cols ON COLUMNS$rowsClause FROM [${req.cube}]$slicer"
   }
 
-  def execute(spark: SparkSession, sfDir: String, req: QueryRequest): DataFrame =
+  def execute(spark: SparkSession, sfDir: String, req: QueryRequest): DataFrame = {
+    // P13 guard on every identifier that reaches the MDX text.
+    (req.cube +: (req.measures ++ req.rows.flatMap(r =>
+        Seq(r.dimension, r.hierarchy, r.level)))).foreach { ident =>
+      graft.ops.Validators.validateQueryText(ident) match {
+        case Left(err) => throw new IllegalArgumentException(s"invalid input: $err")
+        case Right(_) => ()
+      }
+    }
     MdxLowerer.run(spark, sfDir, buildMdx(req), SalesCube.registry)
+  }
 
   /** Execute and encode as the AG-Grid result shape. Driver-side collect
     * is intentional: this is the interactive API (bounded pages), not the
