@@ -50,6 +50,8 @@ object GraftSession {
     val s = SparkSession.builder()
       .master(s"local[$threads]")
       .appName(app)
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .config("spark.sql.shuffle.partitions", threads.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -131,7 +131,22 @@ object SalesCube {
     )
   )
 
+  /** Old-generation cube: the same fact but addressed through a
+    * no-level-segment hierarchy with synthesized `"Nivel N"` names (the
+    * X1 fallback taxonomy; ref `scanner/DGIS_SCAN_2_stable.py:722-743`).
+    * Member literals resolve by key depth, levels by `Levels(n)`. */
+  val oldCube: CubeDef = cube.copy(
+    name = "SalesOld",
+    hierarchies = Seq(
+      cube.hierarchies.head.copy(
+        hier = "[Customer].[GeoOld]",
+        levels = Seq(
+          LevelDef("Nivel 1", 1, "region", Seq("r_regionkey"), "r_name"),
+          LevelDef("Nivel 2", 2, "nation", Seq("r_regionkey", "n_nationkey"), "n_name"))),
+      cube.hierarchies(2)) // keep [Time].[OrderDate] for slicers
+  )
+
   /** Cube registry (catalog -> cube; ref cube-name lookup
     * `scanner/DGIS_SCAN_2_stable.py:1366-1376`). */
-  val registry: Map[String, CubeDef] = Map("Sales" -> cube)
+  val registry: Map[String, CubeDef] = Map("Sales" -> cube, "SalesOld" -> oldCube)
 }

@@ -32,8 +32,21 @@ object MemberCatalog {
     "NIVEL_NUMERO", "MIEMBRO_CAPTION", "MIEMBRO_UNIQUE_NAME",
     "PARENT_UNIQUE_NAME", "CHILDREN_CARDINALITY", "MIEMBRO_ORDINAL")
 
+  /** Session-lifetime cache of the member catalog — the Spark analogue of
+    * the reference's member-cache CSV (§4 "member-catalog disk cache";
+    * ref `scanner/DGIS_SCAN_2_stable.py:681-714`). Dimension-sized by
+    * contract (~1.7 M rows in the reference), so MEMORY_AND_DISK persist
+    * is safe and every downstream query skips the 6-branch derivation. */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  def members(spark: SparkSession, sfDir: String): DataFrame =
+    cache.getOrElseUpdate((System.identityHashCode(spark), sfDir),
+      build(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Full synthesized member catalog (all hierarchies, both variants). */
-  def members(spark: SparkSession, sfDir: String): DataFrame = {
+  def build(spark: SparkSession, sfDir: String): DataFrame = {
     val region = Tables.region(spark, sfDir)
     val nation = Tables.nation(spark, sfDir)
     val part   = Tables.part(spark, sfDir)

@@ -78,7 +78,16 @@ object MdxQueries {
     "q37_mdx_supplier_nation" -> mdx(
       """SELECT {[Measures].[count_order]} ON COLUMNS,
         | NON EMPTY [Supplier].[Geo].[Nation].MEMBERS ON ROWS
-        |FROM [Sales]""".stripMargin)
+        |FROM [Sales]""".stripMargin),
+
+    // Old-cube addressing: positional Levels(n), depth-resolved slicer
+    // member with no level segment, synthesized "Nivel N" level names
+    // (the X1/X2 fallback path; ref `:722-743,1269-1276`).
+    "q38_mdx_oldcube" -> mdx(
+      """SELECT {[Measures].[sum_qty], [Measures].[count_order]} ON COLUMNS,
+        | NON EMPTY [Customer].[GeoOld].Levels(2).MEMBERS ON ROWS
+        |FROM [SalesOld]
+        |WHERE ([Customer].[GeoOld].&[2].&[7])""".stripMargin)
   )
 
   private val factJoin =
@@ -169,6 +178,15 @@ object MdxQueries {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation   ON s_nationkey = n_nationkey
         |GROUP BY n_nationkey, n_name
-        |ORDER BY n_nationkey""".stripMargin
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q38_mdx_oldcube" ->
+      s"""SELECT n_name AS nation,
+         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         |  count(*) AS count_order
+         |$factJoin
+         |WHERE r_regionkey = 2 AND n_nationkey = 7
+         |GROUP BY r_regionkey, n_nationkey, n_name
+         |ORDER BY r_regionkey, n_nationkey""".stripMargin
   )
 }

@@ -18,15 +18,17 @@ object MetaQueries {
     "q50_dmv_levels" -> ((s, d) => {
       Dmv.registerAll(s, d)
       s.sql(
-        """SELECT l.LEVEL_UNIQUE_NAME AS level_unique_name,
+        """SELECT l.CUBE_NAME         AS cube_name,
+          |       l.LEVEL_UNIQUE_NAME AS level_unique_name,
           |       l.LEVEL_CAPTION     AS level_caption,
           |       l.LEVEL_NUMBER      AS level_number,
           |       h.HIERARCHY_NAME    AS hierarchy_name
           |FROM MDSCHEMA_LEVELS l
           |JOIN MDSCHEMA_HIERARCHIES h
           |  ON l.HIERARCHY_UNIQUE_NAME = h.HIERARCHY_UNIQUE_NAME
+          | AND l.CUBE_NAME = h.CUBE_NAME
           |WHERE h.HIERARCHY_IS_VISIBLE AND l.LEVEL_NUMBER > 0
-          |ORDER BY level_unique_name""".stripMargin)
+          |ORDER BY cube_name, level_unique_name""".stripMargin)
     }),
 
     // X1: infer the level taxonomy of a new-generation hierarchy
@@ -54,12 +56,12 @@ object MetaQueries {
     val rows = SalesCube.registry.values.toSeq.flatMap(c =>
       c.hierarchies.flatMap(h => h.levels.map { l =>
         val hname = h.hier.split("\\.").last.stripPrefix("[").stripSuffix("]")
-        s"('${h.hier}.[${l.name}]', '${l.name}', ${l.number}, '$hname')"
+        s"('${c.name}', '${h.hier}.[${l.name}]', '${l.name}', ${l.number}, '$hname')"
       }))
     s"""SELECT * FROM (VALUES
        |  ${rows.mkString(",\n  ")})
-       |t(level_unique_name, level_caption, level_number, hierarchy_name)
-       |ORDER BY level_unique_name""".stripMargin
+       |t(cube_name, level_unique_name, level_caption, level_number, hierarchy_name)
+       |ORDER BY cube_name, level_unique_name""".stripMargin
   }
 
   private def levelSegRe = """^\[[^\]]*\]\.\[[^\]]*\]\.\[([^\]]*)\]\.&\["""
