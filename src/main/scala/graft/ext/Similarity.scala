@@ -108,6 +108,48 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("dot"))
   }
 
+  /** IVF (inverted-file) ANN: vectors are partitioned into `nlist` cells
+    * by nearest centroid; a query probes its `nprobe` closest cells and
+    * ranks only their members. The classic trade: recall vs a 2-3
+    * order-of-magnitude candidate cut — at 100 TB the cell assignment is
+    * a partitioning key and each probe is a partition-pruned scan.
+    *
+    * Centroids here are the `nlist` lowest-id vectors (deterministic —
+    * any engine reproduces the structure exactly; a production build
+    * would k-means them, which only changes centroid quality, not the
+    * operator shape). */
+  def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
+              isQuery: Column, k: Int = 3, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("qv"))
+    val cent = e.orderBy("vec_id").limit(nlist)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    def cellScores(src: DataFrame): DataFrame =
+      src.crossJoin(broadcast(cent))
+        .select(src("vec_id"), src("qv"), col("cid"),
+          (dotQ(col("qv"), col("cv")).cast("double") /
+            sqrt(normQ(col("qv")).cast("double") * normQ(col("cv")).cast("double")))
+            .as("ccos"))
+    val byCell = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cid"))
+    val assignment = cellScores(e)
+      .withColumn("rn", row_number().over(byCell)).where(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("cid"))
+    val probes = cellScores(e.where(isQuery))
+      .withColumn("rn", row_number().over(byCell)).where(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("cid"))
+    val scored = probes.join(assignment, Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dotQ(col("qqv"), col("qv")).as("dot"),
+        normQ(col("qqv")).as("nq"), normQ(col("qv")).as("nc"))
+      .withColumn("cos",
+        col("dot").cast("double") / sqrt(col("nq").cast("double") * col("nc").cast("double")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dot"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= numT/denT within a
     * blocking key (label), integer cross-multiplied:
     * cos >= t  <=>  dot > 0 && dot² * denT² >= numT² * na * nb. */

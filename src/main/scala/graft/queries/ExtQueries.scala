@@ -58,6 +58,11 @@ object ExtQueries {
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         col("vec_id") < 10, 3, 8).orderBy("query_id", "rank")),
 
+    // IVF ANN top-3: 16 deterministic centroids, 2 probed cells.
+    "q29_ann_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") < 10, 3, 16, 2).orderBy("query_id", "rank")),
+
     // Language-ID heuristic: stopword hits per language, priority argmax.
     "q40_text_langid" -> ((s, d) =>
       TextAnalysis.withLangId(Tables.documents(s, d), "text")
@@ -261,6 +266,39 @@ object ExtQueries {
          |          ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
          |                   vec_id) rank
          |      FROM sc)
+         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dot
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q29_ann_ivf_topk" ->
+      s"""$qeCtes,
+         |cent AS (SELECT vec_id cid, q cv FROM qe ORDER BY vec_id LIMIT 16),
+         |cn AS (SELECT cid, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) n
+         |       FROM cent),
+         |asg0 AS (SELECT e.vec_id, c.cid,
+         |    CAST(list_dot_product(e.q, c.cv) AS DOUBLE)
+         |      / sqrt(CAST(ne.n AS DOUBLE) * CAST(cn.n AS DOUBLE)) ccos
+         |  FROM qe e CROSS JOIN cent c
+         |  JOIN nrm ne ON e.vec_id = ne.vec_id
+         |  JOIN cn ON c.cid = cn.cid),
+         |asg AS (SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn
+         |    FROM asg0) WHERE rn = 1),
+         |probes AS (SELECT vec_id query_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn
+         |    FROM asg0 WHERE vec_id < 10) WHERE rn <= 2),
+         |sc AS (SELECT p.query_id, a.vec_id,
+         |    CAST(list_dot_product(qq.q, cq.q) AS BIGINT) dot, nq.n nq, nc.n nc
+         |  FROM probes p
+         |  JOIN asg a ON p.cid = a.cid AND a.vec_id <> p.query_id
+         |  JOIN qe qq ON p.query_id = qq.vec_id
+         |  JOIN qe cq ON a.vec_id = cq.vec_id
+         |  JOIN nrm nq ON p.query_id = nq.vec_id
+         |  JOIN nrm nc ON a.vec_id = nc.vec_id),
+         |r AS (SELECT query_id, vec_id, dot,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+         |               vec_id) rank
+         |  FROM sc)
          |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dot
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
