@@ -108,3 +108,19 @@ class ServiceSpec extends AnyFunSuite {
     assert(up == Map(1L -> "v2", 2L -> "w"))
   }
 }
+
+class CatalogCacheSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("disk-tier cache round-trips with checksum validation; corruption detected") {
+    val dir = java.nio.file.Files.createTempDirectory("cat_cache").toString
+    val members = graft.model.MemberCatalog.members(spark, sf)
+    val sum = graft.model.CatalogCache.write(members, s"$dir/members")
+    val back = graft.model.CatalogCache.readValidated(spark, s"$dir/members", sum)
+    assert(back.count() == members.count())
+    // stale-checksum path (the reference's refresh trigger)
+    assertThrows[IllegalStateException](
+      graft.model.CatalogCache.readValidated(spark, s"$dir/members", sum + 1))
+  }
+}
