@@ -102,3 +102,33 @@ class ExtSpec extends AnyFunSuite {
     assert(sampled == (row.n_frames + 3) / 4)
   }
 }
+
+/** Cross-strategy equivalence: alternate implementations of the same
+  * operator must produce identical rows. */
+class StrategyEquivalenceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("sparse (gram-bucketed join) and dense (bitset) jaccard agree") {
+    val docs = Tables.documents(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val sparse = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 2, 1, 5)
+      .collect().map(key).sortBy(t => (t._1, t._2))
+    val dense = Dedup.ngramJaccardPairsDense(docs, "text", "doc_id", 2, 1, 5)
+      .collect().map(key).sortBy(t => (t._1, t._2))
+    assert(sparse.nonEmpty && (sparse sameElements dense))
+  }
+
+  test("simhash column form and explode-aggregate cluster form agree") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val perDoc = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clustered = Dedup.simhashClusters(docs, "text", "doc_id").collect()
+    clustered.foreach { r =>
+      val sig = r.getString(0)
+      val minDoc = r.getLong(2)
+      assert(perDoc(minDoc) == sig, s"cluster signature mismatch for doc $minDoc")
+    }
+  }
+}
