@@ -23,6 +23,22 @@ object ApartadosService {
         col("CHILDREN_CARDINALITY").as("variables_count"))
   }
 
+  /** `/variables?apartados=1,3,5-10` (ref `backend/api_server.py:189-215`):
+    * parse the range selection (X3), resolve the selected apartados by
+    * display index, and return their variables via the parent-child join
+    * (J1), accumulated like the reference's concat loop (U1). */
+  def variablesFor(members: DataFrame, apartadoRanges: String): DataFrame = {
+    val ids = graft.ops.Validators.parseRanges(apartadoRanges)
+    val selected = apartadoRows(members).where(col("id").isin(ids: _*))
+      .select(col("unique_name").as("parent_unique"), col("caption").as("apartado"))
+    MemberOps.variables(members)
+      .join(broadcast(selected),
+        col("PARENT_UNIQUE_NAME") === col("parent_unique"))
+      .select(col("apartado"), col("MIEMBRO_CAPTION").as("variable"),
+        col("MIEMBRO_UNIQUE_NAME").as("unique_name"))
+      .orderBy(col("apartado"), col("unique_name"))
+  }
+
   /** The JSON action envelope, reproduced from the member table. */
   def envelope(members: DataFrame, requestId: String, dimension: String): String = {
     val rows = apartadoRows(members).orderBy(col("id")).collect().map { r =>

@@ -124,3 +124,19 @@ class CatalogCacheSpec extends AnyFunSuite {
       graft.model.CatalogCache.readValidated(spark, s"$dir/members", sum + 1))
   }
 }
+
+class ApartadosServiceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("variablesFor resolves range selections to parent-child variables") {
+    val members = MemberCatalog.members(spark, sf)
+    val aps = graft.service.ApartadosService.apartadoRows(members).collect()
+    val v13 = graft.service.ApartadosService.variablesFor(members, "1,3").collect()
+    val expected = aps.filter(r => Set(1, 3)(r.getAs[Int]("id")))
+      .map(_.getAs[Int]("variables_count").toLong).sum
+    assert(v13.length.toLong == expected)
+    val all = graft.service.ApartadosService.variablesFor(members, s"1-${aps.length}")
+    assert(all.count() == aps.map(_.getAs[Int]("variables_count").toLong).sum)
+  }
+}
