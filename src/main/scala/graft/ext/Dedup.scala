@@ -4,7 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard
-  * (BASELINE.json training-data-pipeline surface).
+  * (BASELINE.json training-data-pipeline surface). Algorithms follow the
+  * standard public literature: Broder's min-wise hashing (1997) with
+  * banded LSH (Indyk–Motwani 1998; Leskovec/Rajaraman/Ullman, "Mining of
+  * Massive Datasets" ch. 3), and Charikar's SimHash (2002).
   *
   * Engine-portability rule: every hash is md5-hex-string based so a SQL
   * oracle (DuckDB) reproduces signatures bit-for-bit; min/argmax over hex

@@ -5,8 +5,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`Array[Float]`):
-  * brute-force cosine top-k as the correctness baseline, and an
-  * LSH-bucketed variant as the 100 TB scale path (BASELINE.json surface).
+  * brute-force cosine top-k as the correctness baseline, plus the two
+  * standard scale paths — random-hyperplane LSH bucketing (Charikar
+  * 2002) and IVF cell probing (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", 2011 — the coarse-quantizer half, without
+  * PQ codes) (BASELINE.json surface).
   *
   * Determinism design: embeddings are quantized to integers
   * (`floor(x*1000)`), so dot products and norms are exact BIGINT

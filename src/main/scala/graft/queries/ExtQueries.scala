@@ -24,7 +24,11 @@ object ExtQueries {
     // MinHash(8) + LSH banding (4 bands × 2): candidates only for docs
     // colliding in a band; verified against the full signature.
     "q23_dedup_minhash_lsh" -> ((s, d) => {
+      // The signature table is materialized once and joined three times
+      // (bands a/b + verification) — at scale it would be a persisted
+      // doc-count-sized table, so persist mirrors the real pipeline.
       val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", 8)
+        .persist()
       Dedup.lshCandidatePairs(sigs, 8, 2)
         .where(col("n_agree") >= 4)
         .orderBy("doc_a", "doc_b")
