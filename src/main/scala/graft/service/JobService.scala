@@ -2,7 +2,9 @@ package graft.service
 
 import graft.mdx.MdxLowerer
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** Async job lifecycle mirroring the reference's jobs table
   * (`database/migrations/002_jobs_table.sql:5-14`: id, catalog_code,
@@ -10,11 +12,17 @@ import org.apache.spark.sql.functions._
   * error, created/updated timestamps) and its runner state machine
   * (`backend/db_runner.py:26-103`).
   *
-  * Storage is a parquet job-state table (at scale: Delta + MERGE for the
-  * status transitions; parquet overwrite keeps this environment
-  * dependency-free — the transition protocol is identical). Result
-  * payloads are written as per-job parquet (the JSONB analogue), keyed by
-  * job id like the reference's request-id-keyed relay files.
+  * Storage is an APPEND-ONLY event log: submissions and status
+  * transitions are immutable parquet appends; the current state of a job
+  * is its latest event (window-latest per id). This is the scalable
+  * twin of the reference's `UPDATE jobs SET status=...` — at 100 TB
+  * concurrency you never rewrite a state file, you append and compact
+  * (Delta MERGE being the managed form). Results are per-job parquet,
+  * keyed like the reference's request-id-keyed relay files.
+  *
+  * Two runners drive PENDING jobs: the batch `runPending` loop and a
+  * Structured Streaming `streamingRunner` (`readStream` over the
+  * submission log + `foreachBatch` — SURVEY §2.10 Q2's streaming form).
   */
 object JobService {
 
@@ -23,44 +31,57 @@ object JobService {
       error_message: String, duration_seconds: Double,
       created_at: java.sql.Timestamp, updated_at: java.sql.Timestamp)
 
+  private final case class JobEvent(
+      id: String, catalog_code: String, mdx_query: String, status: String,
+      error_message: String, duration_seconds: Double,
+      event_at: java.sql.Timestamp, seq: Long)
+
   val Pending = "PENDING"; val Running = "RUNNING"
   val Completed = "COMPLETED"; val Failed = "FAILED"
 
-  private def jobsPath(root: String) = s"$root/jobs"
+  private def eventsPath(root: String) = s"$root/job_events"
   private def resultPath(root: String, id: String) = s"$root/results/$id"
+  private val seqGen = new java.util.concurrent.atomic.AtomicLong()
 
-  def readJobs(spark: SparkSession, root: String): DataFrame = {
+  private def appendEvent(spark: SparkSession, root: String, e: JobEvent): Unit = {
     import spark.implicits._
-    try spark.read.parquet(jobsPath(root))
-    catch { case _: Throwable => Seq.empty[Job].toDF() }
+    Seq(e).toDF().coalesce(1).write.mode(SaveMode.Append).parquet(eventsPath(root))
   }
 
-  /** Submit: append a PENDING row, return the job id (Q1). */
+  private def events(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    try spark.read.parquet(eventsPath(root))
+    catch { case _: Throwable => Seq.empty[JobEvent].toDF() }
+  }
+
+  /** Submit: append a PENDING event, return the job id (Q1). */
   def submit(spark: SparkSession, root: String, catalogCode: String,
              mdx: String): String = {
-    import spark.implicits._
     val id = java.util.UUID.randomUUID().toString
     val now = new java.sql.Timestamp(System.currentTimeMillis())
-    val row = Seq(Job(id, catalogCode, mdx, Pending, "", 0.0, now, now)).toDF()
-    row.write.mode(SaveMode.Append).parquet(jobsPath(root))
+    appendEvent(spark, root,
+      JobEvent(id, catalogCode, mdx, Pending, "", 0.0, now, seqGen.incrementAndGet()))
     id
   }
 
-  private def transition(spark: SparkSession, root: String, id: String,
+  private def transition(spark: SparkSession, root: String, job: Job,
                          status: String, error: String = "",
                          duration: Double = 0.0): Unit = {
     val now = new java.sql.Timestamp(System.currentTimeMillis())
-    val updated = readJobs(spark, root)
-      .withColumn("status", when(col("id") === id, lit(status)).otherwise(col("status")))
-      .withColumn("error_message",
-        when(col("id") === id, lit(error)).otherwise(col("error_message")))
-      .withColumn("duration_seconds",
-        when(col("id") === id, lit(duration)).otherwise(col("duration_seconds")))
-      .withColumn("updated_at", when(col("id") === id, lit(now)).otherwise(col("updated_at")))
-    val rows = updated.collect() // job table is driver-small by contract
-    import spark.implicits._
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), updated.schema)
-      .write.mode(SaveMode.Overwrite).parquet(jobsPath(root))
+    appendEvent(spark, root, JobEvent(job.id, job.catalog_code, job.mdx_query,
+      status, error, duration, now, seqGen.incrementAndGet()))
+  }
+
+  /** Current state: latest event per job id. */
+  def readJobs(spark: SparkSession, root: String): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(desc("seq"), desc("event_at"))
+    events(spark, root)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("created_at", min(col("event_at")).over(Window.partitionBy(col("id"))))
+      .where(col("rn") === 1)
+      .select(col("id"), col("catalog_code"), col("mdx_query"), col("status"),
+        col("error_message"), col("duration_seconds"), col("created_at"),
+        col("event_at").as("updated_at"))
   }
 
   /** Poll (Q3): current status row for a job id. */
@@ -69,28 +90,59 @@ object JobService {
     readJobs(spark, root).where(col("id") === id).as[Job].collect().headOption
   }
 
-  /** Runner loop body (Q2): claim PENDING jobs, execute the MDX, write the
-    * result parquet, transition to COMPLETED/FAILED with duration. */
+  private def executeOne(spark: SparkSession, root: String, sfDir: String,
+                         job: Job): Unit = {
+    transition(spark, root, job, Running)
+    val t0 = System.nanoTime()
+    try {
+      MdxLowerer.run(spark, sfDir, job.mdx_query)
+        .write.mode(SaveMode.Overwrite).parquet(resultPath(root, job.id))
+      transition(spark, root, job, Completed,
+        duration = (System.nanoTime() - t0) / 1e9)
+    } catch {
+      case e: Exception =>
+        transition(spark, root, job, Failed,
+          error = Option(e.getMessage).getOrElse(e.getClass.getName).take(500),
+          duration = (System.nanoTime() - t0) / 1e9)
+    }
+  }
+
+  /** Batch runner loop body (Q2): claim and execute PENDING jobs. */
   def runPending(spark: SparkSession, root: String, sfDir: String): Int = {
     import spark.implicits._
     val pending = readJobs(spark, root).where(col("status") === Pending)
-      .select("id", "mdx_query").as[(String, String)].collect()
-    pending.foreach { case (id, mdx) =>
-      transition(spark, root, id, Running)
-      val t0 = System.nanoTime()
-      try {
-        MdxLowerer.run(spark, sfDir, mdx)
-          .write.mode(SaveMode.Overwrite).parquet(resultPath(root, id))
-        transition(spark, root, id, Completed,
-          duration = (System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Exception =>
-          transition(spark, root, id, Failed,
-            error = Option(e.getMessage).getOrElse(e.getClass.getName).take(500),
-            duration = (System.nanoTime() - t0) / 1e9)
-      }
-    }
+      .as[Job].collect()
+    pending.foreach(executeOne(spark, root, sfDir, _))
     pending.length
+  }
+
+  /** Streaming runner (Q2, streaming form): watches the submission log
+    * and executes each new PENDING job via foreachBatch. Returns the
+    * started query; AvailableNow drains the backlog and stops. */
+  def streamingRunner(spark: SparkSession, root: String, sfDir: String,
+                      availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val schema = {
+      Seq.empty[JobEvent].toDF().schema
+    }
+    val stream = spark.readStream.schema(schema).parquet(eventsPath(root))
+      .where(col("status") === Pending)
+    val writer = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Re-check current state: an already-driven job is not re-run even
+        // if its PENDING event arrives late in this microbatch.
+        val ids = batch.select("id").distinct().as[String].collect()
+        if (ids.nonEmpty) {
+          val current = readJobs(spark, root)
+            .where(col("id").isin(ids.toSeq: _*) && col("status") === Pending)
+            .as[Job].collect()
+          current.foreach(executeOne(spark, root, sfDir, _))
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$root/runner_checkpoint")
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
   /** Completed-job result (the JSONB payload analogue). */

@@ -140,3 +140,27 @@ class ApartadosServiceSpec extends AnyFunSuite {
     assert(all.count() == aps.map(_.getAs[Int]("variables_count").toLong).sum)
   }
 }
+
+class StreamingJobRunnerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("streaming runner drains the submission backlog via foreachBatch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sjobs").toString
+    val good = JobService.submit(spark, root, "SALES",
+      "SELECT {[Measures].[sum_qty]} ON COLUMNS, NON EMPTY [Customer].[Geo].[Region].MEMBERS ON ROWS FROM [Sales]")
+    val bad = JobService.submit(spark, root, "SALES",
+      "SELECT {[Measures].[nope]} ON COLUMNS FROM [Sales]")
+    val q = JobService.streamingRunner(spark, root, sf)
+    q.awaitTermination(180000)
+    assert(JobService.status(spark, root, good).get.status == JobService.Completed)
+    assert(JobService.result(spark, root, good).count() == 5)
+    assert(JobService.status(spark, root, bad).get.status == JobService.Failed)
+    // idempotence: a second drain finds nothing PENDING
+    val q2 = JobService.streamingRunner(spark, root, sf)
+    q2.awaitTermination(60000)
+    assert(JobService.readJobs(spark, root)
+      .where(org.apache.spark.sql.functions.col("status") === JobService.Pending)
+      .count() == 0)
+  }
+}
