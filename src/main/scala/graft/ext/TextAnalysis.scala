@@ -74,4 +74,27 @@ object TextAnalysis {
     * set — robust to word order, engine-portable. */
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(normalize(text)))), " ").cast("binary"))
+
+  /** Karp–Rabin rolling-hash fingerprint over character 5-grams: per
+    * position i, g(i) = Σ_j ascii(c_{i+j})·31^j (exact BIGINT — max
+    * ~1.2e8, no modulus needed, so any engine reproduces it); the doc
+    * fingerprint is (n_grams, min g, max g) — the 1-minhash of the gram
+    * hash stream plus its range. Pure codegen'd scalar expressions after
+    * a position explode. */
+  def rollingHashFingerprint(df: DataFrame, textCol: String,
+                             idCol: String): DataFrame = {
+    val k = 5
+    val powers = (0 until k).map(j => math.pow(31, j).toLong)
+    val gram = powers.zipWithIndex
+      .map { case (p, j) => s"$p * ascii(substr(norm, i + $j, 1))" }
+      .mkString(" + ")
+    df.select(col(idCol).as("doc"), normalize(col(textCol)).as("norm"))
+      .where(length(col("norm")) >= k)
+      .select(col("doc"), col("norm"),
+        explode(sequence(lit(1), length(col("norm")) - (k - 1))).as("i"))
+      .selectExpr("doc", s"CAST($gram AS BIGINT) AS g")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_grams"), min(col("g")).as("min_hash"),
+        max(col("g")).as("max_hash"))
+  }
 }

@@ -70,6 +70,23 @@ object Dmv {
         "MEASURE_AGGREGATOR", "MEASURE_IS_VISIBLE", "CUBE_NAME")
   }
 
+  /** MDSCHEMA_PROPERTIES: one member property per ancestor level of each
+    * non-root level (the DIMENSION PROPERTIES targets; FIXTURES.md §2). */
+  def mdschemaProperties(spark: SparkSession,
+                         reg: Map[String, CubeDef] = SalesCube.registry): DataFrame = {
+    import spark.implicits._
+    cubesOf(reg).flatMap(c => c.hierarchies.flatMap(h =>
+      h.levels.flatMap(l => h.levels.filter(_.number < l.number).map(anc =>
+        (c.name, h.dim, s"${h.hier}.[${l.name}]", anc.name, anc.name)))))
+      .toDF("CUBE_NAME", "DIMENSION_UNIQUE_NAME", "LEVEL_UNIQUE_NAME",
+        "PROPERTY_NAME", "PROPERTY_CAPTION")
+  }
+
+  /** P12 + main-cube rule: first cube whose name has no `$` prefix
+    * (ref `scanner/DGIS_SCAN_2_stable.py:1371-1374`). */
+  def mainCube(cubeNames: Seq[String]): Option[String] =
+    cubeNames.filterNot(_.startsWith("$")).sorted.headOption
+
   /** MDSCHEMA_MEMBERS over the member catalog (English column names; the
     * cache-CSV Spanish names live in MemberCatalog, P2 rename). */
   def mdschemaMembers(spark: SparkSession, sfDir: String): DataFrame =
@@ -93,6 +110,7 @@ object Dmv {
     mdschemaHierarchies(spark).createOrReplaceTempView("MDSCHEMA_HIERARCHIES")
     mdschemaLevels(spark).createOrReplaceTempView("MDSCHEMA_LEVELS")
     mdschemaMeasures(spark).createOrReplaceTempView("MDSCHEMA_MEASURES")
+    mdschemaProperties(spark).createOrReplaceTempView("MDSCHEMA_PROPERTIES")
     mdschemaMembers(spark, sfDir).createOrReplaceTempView("MDSCHEMA_MEMBERS")
   }
 

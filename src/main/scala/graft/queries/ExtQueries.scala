@@ -93,6 +93,11 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Karp-Rabin rolling-hash fingerprint over char 5-grams.
+    "q47_text_rollinghash" -> ((s, d) =>
+      TextAnalysis.rollingHashFingerprint(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc")),
+
     // Multimodal decode plumbing: binary payload -> typed features
     // (decode arithmetic is the documented stub; plumbing is real).
     "q43_multimodal_decode" -> ((s, d) =>
@@ -331,6 +336,17 @@ object ExtQueries {
          |  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
          |FROM tok JOIN documents USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q47_text_rollinghash" -> {
+      val gram = (0 until 5).map(j =>
+        s"${math.pow(31, j).toLong} * ascii(substr(norm, i + $j, 1))").mkString(" + ")
+      s"""WITH n AS (SELECT doc_id AS doc, $normSql AS norm FROM documents),
+         |g AS (SELECT doc, CAST($gram AS BIGINT) g
+         |      FROM n, LATERAL (SELECT unnest(generate_series(1, length(norm) - 4)) AS i) s
+         |      WHERE length(norm) >= 5)
+         |SELECT doc, count(*) AS n_grams, min(g) AS min_hash, max(g) AS max_hash
+         |FROM g GROUP BY doc ORDER BY doc""".stripMargin
+    },
 
     "q43_multimodal_decode" ->
       """SELECT doc_id AS media_id, 'image' AS kind,

@@ -83,3 +83,32 @@ class GoldenSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("nation", "sum_qty"))
   }
 }
+
+class DmvExtrasSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("MDSCHEMA_PROPERTIES lists one property per ancestor level") {
+    val p = graft.meta.Dmv.mdschemaProperties(spark).collect()
+    assert(p.nonEmpty)
+    // Sales [Customer].[Geo].[Nation] has exactly one ancestor: Region
+    val nation = p.filter(r =>
+      r.getAs[String]("LEVEL_UNIQUE_NAME") == "[Customer].[Geo].[Nation]" &&
+        r.getAs[String]("CUBE_NAME") == "Sales")
+    assert(nation.map(_.getAs[String]("PROPERTY_NAME")).toSeq == Seq("Region"))
+  }
+
+  test("main-cube rule skips $-prefixed system cubes (P12)") {
+    assert(graft.meta.Dmv.mainCube(Seq("$system", "Ventas", "Alpha")) == Some("Alpha"))
+    assert(graft.meta.Dmv.mainCube(Seq("$a", "$b")).isEmpty)
+  }
+
+  test("rolling-hash fingerprint is shift-sensitive but content-deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdefgh"), (2L, "abcdefgh"), (3L, "habcdefg")).toDF("doc_id", "text")
+    val rows = graft.ext.TextAnalysis.rollingHashFingerprint(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(1L) == rows(2L))            // same content, same fingerprint
+    assert(rows(1L)._1 == 4)                // 8 chars -> 4 5-grams
+    assert(rows(1L) != rows(3L))            // rotation changes the gram set
+  }
+}
