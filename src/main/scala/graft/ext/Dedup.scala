@@ -48,7 +48,9 @@ object Dedup {
     df.select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
       .as[(Long, String)]
       .flatMap { case (doc, text) =>
-        val toks = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        // Locale.ROOT: default-locale lowercasing (e.g. tr-TR dotless ı)
+        // would diverge from SQL lower() and every oracle.
+        val toks = text.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9 ]", " ")
           .split(" ").filter(_.nonEmpty)
         if (toks.length < n) Iterator.empty
         else toks.sliding(n).map(_.mkString(" ")).toSet.iterator.map((s: String) => (doc, s))
@@ -112,13 +114,16 @@ object Dedup {
     * vote sum, where a token votes +1 iff hex digit j of its md5 has its
     * high bit set. One md5 per token, reused across all 32 bits. */
   def simhash(text: Column): Column = {
-    val tokHashes = transform(TextAnalysis.tokens(TextAnalysis.normalize(text)), t => md5(t.cast("binary")))
+    val toks = TextAnalysis.tokens(TextAnalysis.normalize(text))
+    val tokHashes = transform(toks, t => md5(t.cast("binary")))
     val bits = (1 to 32).map { j =>
       val votes = aggregate(tokHashes, lit(0),
         (acc, h) => acc + when(substring(h, j, 1) >= "8", 1).otherwise(-1))
       when(votes >= 0, "1").otherwise("0")
     }
-    concat(bits: _*)
+    // Zero-token docs: all-'0' by convention (matches the SQL-oracle form
+    // where the empty vote sum is NULL -> CASE ELSE '0').
+    when(size(toks) === 0, lit("0" * 32)).otherwise(concat(bits: _*))
   }
 
   /** SimHash near-dup clusters: signatures shared by more than one doc.
@@ -134,8 +139,14 @@ object Dedup {
       sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1)).as(s"v$j")
     }
     val bits = (1 to 32).map(j => when(col(s"v$j") >= 0, "1").otherwise("0"))
-    tok.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
+    val nonEmpty = tok.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
       .select(col("doc"), concat(bits: _*).as("simhash"))
+    // Zero-token docs vanish in the explode; re-add them with the
+    // all-'0' convention so both Scala forms and the oracle agree.
+    val empties = df
+      .where(size(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))) === 0)
+      .select(col(idCol).as("doc"), lit("0" * 32).as("simhash"))
+    nonEmpty.unionByName(empties)
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("min_doc"))
       .where(col("n_docs") > 1)
@@ -150,10 +161,12 @@ object Dedup {
   def ngramJaccardPairsAuto(df: DataFrame, textCol: String, idCol: String,
                             n: Int = 2, numJ: Int = 1, denJ: Int = 5,
                             denseVocabLimit: Int = 1 << 16): DataFrame = {
-    val nGrams = shingleRows(df, textCol, idCol, n)
-      .select(countDistinct(col("s"))).head().getLong(0)
-    if (nGrams <= denseVocabLimit) ngramJaccardPairsDense(df, textCol, idCol, n, numJ, denJ)
-    else ngramJaccardPairs(df, textCol, idCol, n, numJ, denJ)
+    // Shingle once, persist, dispatch — the dictionary-size probe and the
+    // chosen strategy share the same materialized (doc, shingle) rows.
+    val sh = shingleRows(df, textCol, idCol, n).persist()
+    val nGrams = sh.select(countDistinct(col("s"))).head().getLong(0)
+    if (nGrams <= denseVocabLimit) denseFromShingles(sh, numJ, denJ)
+    else sparseFromShingles(sh, numJ, denJ)
   }
 
   /** Dense-corpus exact Jaccard: dictionary-encode grams to bit indexes,
@@ -163,12 +176,15 @@ object Dedup {
     * zero shuffle and ~20 ops per pair — for small-vocab corpora this
     * beats the join by >10×; it is NOT the path for unbounded vocab. */
   def ngramJaccardPairsDense(df: DataFrame, textCol: String, idCol: String,
-                             n: Int = 2, numJ: Int = 1, denJ: Int = 5): DataFrame = {
-    val spark = df.sparkSession
+                             n: Int = 2, numJ: Int = 1, denJ: Int = 5): DataFrame =
+    denseFromShingles(shingleRows(df, textCol, idCol, n), numJ, denJ)
+
+  private def denseFromShingles(shRows: DataFrame, numJ: Int, denJ: Int): DataFrame = {
+    val spark = shRows.sparkSession
     import spark.implicits._
     // One pass: gram postings -> per-doc bitset, collected once (doc-count
     // × vocab/8 bytes; at unbounded scale this becomes block-partitioned).
-    val postings = shingleRows(df, textCol, idCol, n)
+    val postings = shRows
       .groupBy(col("doc")).agg(collect_list(col("s")).as("sl"))
       .as[(Long, Seq[String])].collect()
     val dict = postings.iterator.flatMap(_._2).toSet.toArray.sorted.zipWithIndex.toMap
@@ -205,8 +221,10 @@ object Dedup {
     * Gram-bucketed join (only docs sharing a shingle pair up), integer
     * cross-multiplied threshold — no float division anywhere. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 2, numJ: Int = 1, denJ: Int = 5): DataFrame = {
-    val shStr = shingleRows(df, textCol, idCol, n)
+                        n: Int = 2, numJ: Int = 1, denJ: Int = 5): DataFrame =
+    sparseFromShingles(shingleRows(df, textCol, idCol, n), numJ, denJ)
+
+  private def sparseFromShingles(shStr: DataFrame, numJ: Int, denJ: Int): DataFrame = {
     // Dictionary-encode grams to ints before the bucketed self-join: the
     // join produces one row per shared-gram pair, so key width dominates
     // its cost. The dictionary is distinct-gram-sized (vocabulary², tiny

@@ -82,10 +82,12 @@ object Dmv {
         "PROPERTY_NAME", "PROPERTY_CAPTION")
   }
 
-  /** P12 + main-cube rule: first cube whose name has no `$` prefix
-    * (ref `scanner/DGIS_SCAN_2_stable.py:1371-1374`). */
+  /** P12 + main-cube rule: FIRST cube (in rowset order, like the
+    * reference's `candidates[0]`) whose name has no `$` prefix
+    * (ref `scanner/DGIS_SCAN_2_stable.py:1371-1374`,
+    * `backend/actions_runner.py:321-329`). */
   def mainCube(cubeNames: Seq[String]): Option[String] =
-    cubeNames.filterNot(_.startsWith("$")).sorted.headOption
+    cubeNames.find(!_.startsWith("$"))
 
   /** MDSCHEMA_MEMBERS over the member catalog (English column names; the
     * cache-CSV Spanish names live in MemberCatalog, P2 rename). */

@@ -18,7 +18,8 @@ object Validators {
     forbiddenMarkers.find(s.contains) match {
       case Some(m) => Left(s"forbidden sequence '$m'")
       case None =>
-        forbiddenWords.find(w => upper.matches(s".*\\b$w\\b.*")) match {
+        // (?s): '.' must cross newlines or "ok\nDROP ..." bypasses the guard
+        forbiddenWords.find(w => upper.matches(s"(?s).*\\b$w\\b.*")) match {
           case Some(w) => Left(s"forbidden keyword '$w'")
           case None => Right(s)
         }

@@ -38,7 +38,7 @@ object Relational {
         .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
           sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
@@ -230,7 +230,7 @@ object Relational {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
         .select(
           col("r_name").as("region"), col("n_name").as("nation"),
           col("sum_qty"),
@@ -312,7 +312,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
         |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
         |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
         |  count(*) AS count_order
@@ -431,7 +431,8 @@ object Relational {
         |ORDER BY unique_name""".stripMargin),
 
     "q15_rollup" ->
-      """SELECT r_name AS region, n_name AS nation, sum(l_quantity) AS sum_qty,
+      """SELECT r_name AS region, n_name AS nation,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
         |  CASE WHEN r_name IS NULL THEN 2 WHEN n_name IS NULL THEN 1 ELSE 0 END AS lvl
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey

@@ -74,7 +74,10 @@ object JobService {
 
   /** Current state: latest event per job id. */
   def readJobs(spark: SparkSession, root: String): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(desc("seq"), desc("event_at"))
+    // Wall-clock first: the per-JVM seq only breaks same-millisecond ties
+    // within one process — a restarted runner's counter restarts at 0, so
+    // seq must never dominate cross-process ordering.
+    val w = Window.partitionBy(col("id")).orderBy(desc("event_at"), desc("seq"))
     events(spark, root)
       .withColumn("rn", row_number().over(w))
       .withColumn("created_at", min(col("event_at")).over(Window.partitionBy(col("id"))))

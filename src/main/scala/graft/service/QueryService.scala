@@ -59,8 +59,9 @@ object QueryService {
 
   def execute(spark: SparkSession, sfDir: String, req: QueryRequest): DataFrame = {
     // P13 guard on every identifier that reaches the MDX text.
-    (req.cube +: (req.measures ++ req.rows.flatMap(r =>
-        Seq(r.dimension, r.hierarchy, r.level)))).foreach { ident =>
+    (req.cube +: (req.measures ++
+        req.rows.flatMap(r => Seq(r.dimension, r.hierarchy, r.level)) ++
+        req.filters.flatMap(_.memberUniqueNames))).foreach { ident =>
       graft.ops.Validators.validateQueryText(ident) match {
         case Left(err) => throw new IllegalArgumentException(s"invalid input: $err")
         case Right(_) => ()

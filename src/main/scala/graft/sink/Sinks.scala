@@ -34,14 +34,19 @@ object Sinks {
     * incoming batch; at scale this is a Delta MERGE). */
   def upsertParquet(df: DataFrame, path: String, keyCols: Seq[String]): Unit = {
     val spark = df.sparkSession
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Only a genuinely absent target means "first write": any OTHER read
+    // failure must propagate — swallowing it would overwrite (lose) the
+    // existing dataset with just the incoming batch.
     val merged =
-      try {
-        val existing = spark.read.parquet(path)
-        existing.join(df.select(keyCols.map(col): _*).distinct(),
-          keyCols, "left_anti").unionByName(df)
-      } catch { case _: Throwable => df }
+      if (!fs.exists(target)) df
+      else spark.read.parquet(path)
+        .join(df.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+        .unionByName(df)
     val tmp = path + "_tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 }

@@ -96,7 +96,11 @@ object EventsStream {
               val t = toUs(e.ts)
               cur match {
                 case Some(s) if t - s.endUs <= gapUs =>
-                  cur = Some(s.copy(endUs = math.max(s.endUs, t), n = s.n + 1))
+                  // A late in-watermark event may predate the open
+                  // session's start — extend both ends, like the batch
+                  // twin's global sort would.
+                  cur = Some(s.copy(startUs = math.min(s.startUs, t),
+                    endUs = math.max(s.endUs, t), n = s.n + 1))
                 case Some(s) =>
                   closed ::= Session(userId, fromUs(s.startUs), fromUs(s.endUs), s.n)
                   cur = Some(SessionState(t, t, 1))

@@ -97,8 +97,8 @@ class DmvExtrasSpec extends AnyFunSuite {
     assert(nation.map(_.getAs[String]("PROPERTY_NAME")).toSeq == Seq("Region"))
   }
 
-  test("main-cube rule skips $-prefixed system cubes (P12)") {
-    assert(graft.meta.Dmv.mainCube(Seq("$system", "Ventas", "Alpha")) == Some("Alpha"))
+  test("main-cube rule takes the FIRST non-$ cube in rowset order (P12)") {
+    assert(graft.meta.Dmv.mainCube(Seq("$system", "Ventas", "Alpha")) == Some("Ventas"))
     assert(graft.meta.Dmv.mainCube(Seq("$a", "$b")).isEmpty)
   }
 

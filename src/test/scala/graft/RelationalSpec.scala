@@ -46,10 +46,9 @@ class RelationalSpec extends AnyFunSuite {
 
   test("q15 rollup grand total equals sum of region subtotals") {
     val rows = SparkEntry.queries("q15_rollup")(spark, sf).collect()
-    val grand = rows.filter(_.getAs[Int]("lvl") == 2).map(_.getAs[Double]("sum_qty")).sum
-    val regions = rows.filter(_.getAs[Int]("lvl") == 1).map(_.getAs[Double]("sum_qty")).sum
-    val leaves = rows.filter(_.getAs[Int]("lvl") == 0).map(_.getAs[Double]("sum_qty")).sum
-    assert(math.abs(grand - regions) < 1e-6 && math.abs(grand - leaves) < 1e-6)
+    def total(lvl: Int): BigDecimal = rows.filter(_.getAs[Int]("lvl") == lvl)
+      .map(r => BigDecimal(r.getAs[java.math.BigDecimal]("sum_qty"))).sum
+    assert(total(2) == total(1) && total(2) == total(0))
   }
 }
 
