@@ -126,12 +126,11 @@ object Dedup {
     when(size(toks) === 0, lit("0" * 32)).otherwise(concat(bits: _*))
   }
 
-  /** SimHash near-dup clusters: signatures shared by more than one doc.
-    *
-    * Explode-based twin of [[simhash]] (same bits): one codegen'd md5 per
-    * token, 32 conditional-sum aggregates, then the signature string —
-    * instead of 32 interpreted aggregate-over-array expressions per row. */
-  def simhashClusters(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  /** Per-doc 32-bit SimHash signatures — explode-based twin of [[simhash]]
+    * (same bits): one codegen'd md5 per token, 32 conditional-sum
+    * aggregates, then the signature string — instead of 32 interpreted
+    * aggregate-over-array expressions per row. */
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc"),
       explode(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))).as("t"))
       .select(col("doc"), md5(col("t").cast("binary")).as("h"))
@@ -147,9 +146,54 @@ object Dedup {
       .where(size(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))) === 0)
       .select(col(idCol).as("doc"), lit("0" * 32).as("simhash"))
     nonEmpty.unionByName(empties)
+  }
+
+  /** SimHash near-dup clusters: signatures shared by more than one doc. */
+  def simhashClusters(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhashSignatures(df, textCol, idCol)
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("min_doc"))
       .where(col("n_docs") > 1)
+
+  /** SimHash near-dup PAIRS within Hamming distance <= maxDist (the
+    * standard SimHash protocol, Manku/Jain/Sarma WWW'07): pigeonhole the
+    * 32-bit signature into maxDist+1 bands — any pair within maxDist must
+    * agree on at least one full band — candidate via band equi-join, then
+    * verify the exact bit distance. Shuffle is bounded to band keys, so
+    * the O(n²) bit comparison never materializes. */
+  def simhashHammingPairs(df: DataFrame, textCol: String, idCol: String,
+                          maxDist: Int = 2): DataFrame = {
+    val sigs = simhashSignatures(df, textCol, idCol)
+    val nBands = maxDist + 1
+    val bounds = bandBounds(32, nBands)
+    val bandStructs = bounds.zipWithIndex.map { case ((start, len), b) =>
+      struct(lit(b).as("band"), substring(col("simhash"), start, len).as("bkey"))
+    }
+    val bands = sigs.select(col("doc"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc"), col("simhash"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("a.simhash").as("sig_a"),
+        col("b.doc").as("doc_b"), col("b.simhash").as("sig_b"))
+      .distinct()
+    val hamming = (1 to 32)
+      .map(j => when(substring(col("sig_a"), j, 1) =!= substring(col("sig_b"), j, 1), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    cand.select(col("doc_a"), col("doc_b"), hamming.cast("int").as("hamming"))
+      .where(col("hamming") <= maxDist)
+  }
+
+  /** Split `total` bit positions into `n` contiguous (1-based start, len)
+    * bands, earlier bands one longer when it doesn't divide evenly. */
+  def bandBounds(total: Int, n: Int): Seq[(Int, Int)] = {
+    val base = total / n
+    val extra = total % n
+    val lens = (0 until n).map(i => base + (if (i < extra) 1 else 0))
+    lens.scanLeft(1)(_ + _).zip(lens).map { case (start, len) => (start, len) }
   }
 
   /** Exact n-gram Jaccard pairs above a rational threshold numJ/denJ:

@@ -46,6 +46,12 @@ object ExtQueries {
       Dedup.simhashClusters(Tables.documents(s, d), "text", "doc_id")
         .orderBy("simhash")),
 
+    // SimHash near-dup PAIRS within Hamming distance 2 (pigeonhole
+    // banding -> candidate equi-join -> exact bit-distance verify).
+    "q48_simhash_hamming" -> ((s, d) =>
+      Dedup.simhashHammingPairs(Tables.documents(s, d), "text", "doc_id", 2)
+        .orderBy("doc_a", "doc_b")),
+
     // Embedding near-dup pairs: cosine >= 0.3 within label blocks,
     // integer-exact threshold.
     "q26_embed_neardup" -> ((s, d) =>
@@ -152,16 +158,38 @@ object ExtQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  private def simhashSql: String = {
+  /** Per-doc simhash CTE shared by the cluster and hamming-pair oracles. */
+  private def simhashSigCtes: String = {
     val bits = (1 to 32).map(j =>
       s"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN substr(h,$j,1) >= '8' THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END")
       .mkString(" || ")
     s"""$tokCte,
        |th AS (SELECT doc_id, list_transform(t, x -> md5(x)) th FROM tok),
-       |sh AS (SELECT doc_id, $bits AS simhash FROM th)
+       |sh AS (SELECT doc_id, $bits AS simhash FROM th)""".stripMargin
+  }
+
+  private def simhashSql: String =
+    s"""$simhashSigCtes
        |SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc
        |FROM sh GROUP BY simhash HAVING count(*) > 1
        |ORDER BY simhash""".stripMargin
+
+  private def simhashHammingSql: String = {
+    val bounds = graft.ext.Dedup.bandBounds(32, 3)
+    val bands = bounds.zipWithIndex.map { case ((start, len), b) =>
+      s"SELECT doc_id, simhash, $b band, substr(simhash, $start, $len) bkey FROM sh"
+    }.mkString("\n  UNION ALL ")
+    val hamming = (1 to 32).map(j =>
+      s"CASE WHEN substr(sa,$j,1) <> substr(sb,$j,1) THEN 1 ELSE 0 END").mkString(" + ")
+    s"""$simhashSigCtes,
+       |bands AS (
+       |  $bands),
+       |cand AS (SELECT DISTINCT a.doc_id da, a.simhash sa, b.doc_id db, b.simhash sb
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |h AS (SELECT da AS doc_a, db AS doc_b, CAST($hamming AS INT) AS hamming FROM cand)
+       |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Quantized embeddings + exact integer norms (mirrors
@@ -220,6 +248,8 @@ object ExtQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q25_dedup_simhash" -> simhashSql,
+
+    "q48_simhash_hamming" -> simhashHammingSql,
 
     "q26_embed_neardup" ->
       s"""$qeCtes,
