@@ -163,26 +163,42 @@ object Dedup {
     * the O(n²) bit comparison never materializes. */
   def simhashHammingPairs(df: DataFrame, textCol: String, idCol: String,
                           maxDist: Int = 2): DataFrame = {
-    val sigs = simhashSignatures(df, textCol, idCol)
+    // Persisted: the signature aggregation feeds both self-join sides.
+    val sigs = simhashSignatures(df, textCol, idCol).persist()
     val nBands = maxDist + 1
     val bounds = bandBounds(32, nBands)
     val bandStructs = bounds.zipWithIndex.map { case ((start, len), b) =>
       struct(lit(b).as("band"), substring(col("simhash"), start, len).as("bkey"))
     }
+    // Integer form of the signature (computed once per doc-band row, not
+    // per candidate pair): Hamming becomes one bit_count(xor) instead of
+    // 32 substring comparisons per pair.
     val bands = sigs.select(col("doc"), col("simhash"),
+        conv(col("simhash"), 2, 10).cast("long").as("sigi"),
         explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc"), col("simhash"), col("bk.band").as("band"),
-        col("bk.bkey").as("bkey"))
+      .select(col("doc"), col("simhash"), col("sigi"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // Leftmost-band dedup: a near-identical pair collides in SEVERAL
+    // bands; instead of a shuffle-distinct over the multiplied candidate
+    // stream, keep a pair only in its first agreeing band (all earlier
+    // bands must differ) — a pure filter, same pair set.
+    val leftmost = bounds.indices.reverse.foldLeft(lit(false)) { (els, b) =>
+      val earlierDiffer = (0 until b).map { e =>
+        val (st, ln) = bounds(e)
+        substring(col("sig_a"), st, ln) =!= substring(col("sig_b"), st, ln)
+      }.foldLeft(lit(true))(_ && _)
+      when(col("band") === b, earlierDiffer).otherwise(els)
+    }
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("a.simhash").as("sig_a"),
-        col("b.doc").as("doc_b"), col("b.simhash").as("sig_b"))
-      .distinct()
-    val hamming = (1 to 32)
-      .map(j => when(substring(col("sig_a"), j, 1) =!= substring(col("sig_b"), j, 1), 1)
-        .otherwise(0))
-      .reduce(_ + _)
+      .select(col("a.band").as("band"),
+        col("a.doc").as("doc_a"), col("a.simhash").as("sig_a"),
+        col("a.sigi").as("sigi_a"),
+        col("b.doc").as("doc_b"), col("b.simhash").as("sig_b"),
+        col("b.sigi").as("sigi_b"))
+      .where(leftmost)
+    val hamming = bit_count(col("sigi_a").bitwiseXOR(col("sigi_b")))
     cand.select(col("doc_a"), col("doc_b"), hamming.cast("int").as("hamming"))
       .where(col("hamming") <= maxDist)
   }
