@@ -36,7 +36,10 @@ object MdxLowerer {
   def run(spark: SparkSession, sfDir: String, mdx: String,
           registry: Map[String, CubeDef] = SalesCube.registry,
           aliasMap: Map[String, String] = Map.empty): DataFrame =
-    lower(spark, sfDir, MdxParser.parse(mdx), registry, aliasMap)
+    // Measures aggregate decimal-exact internally; the final projection goes
+    // out as double (graft.queries.Parity conventions — driver-hash parity).
+    graft.queries.Parity.outputDoubles(
+      lower(spark, sfDir, MdxParser.parse(mdx), registry, aliasMap))
 
   def lower(spark: SparkSession, sfDir: String, sel0: MdxSelect,
             registry: Map[String, CubeDef], aliasMap: Map[String, String]): DataFrame = {

@@ -31,6 +31,7 @@ object EventQueries {
           max(col("ts")).as("session_end"),
           sum(col("value").cast("decimal(18,6)")).as("total_value"))
         .orderBy(col("user_id"), col("session_id"))
+        .transform(Parity.outputDoubles)
     }),
 
     // F18 JSON decode: parse the props payload, aggregate per event type.
@@ -64,7 +65,7 @@ object EventQueries {
         |  FROM s)
         |SELECT user_id, CAST(sid AS BIGINT) AS session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end,
-        |  sum(CAST(value AS DECIMAL(18,6))) AS total_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q46_events_json" ->

@@ -42,16 +42,14 @@ object MdxQueries {
         |FROM [Sales]""".stripMargin),
 
     // NON EMPTY off: full member cross product with nulls kept (SURVEY §7.4).
-    // The nullable measure goes out as double: both engines' NULL then
-    // canonicalizes identically through the driver's pandas compare.
-    "q33_mdx_nonempty_off" -> ((s: SparkSession, d: String) =>
-      MdxLowerer.run(s, d,
-        """SELECT {[Measures].[sum_qty]} ON COLUMNS,
-          | CROSSJOIN([Customer].[Geo].[Nation].MEMBERS,
-          |   {[Part].[ByBrand].[Brand].&[Brand#5], [Part].[ByBrand].[Brand].&[Brand#17],
-          |    [Part].[ByBrand].[Brand].&[Brand#29]}) ON ROWS
-          |FROM [Sales]""".stripMargin)
-        .withColumn("sum_qty", org.apache.spark.sql.functions.col("sum_qty").cast("double"))),
+    // The nullable measure goes out as double (lowerer-wide Parity cast):
+    // both engines' NULL then canonicalizes identically in the driver compare.
+    "q33_mdx_nonempty_off" -> mdx(
+      """SELECT {[Measures].[sum_qty]} ON COLUMNS,
+        | CROSSJOIN([Customer].[Geo].[Nation].MEMBERS,
+        |   {[Part].[ByBrand].[Brand].&[Brand#5], [Part].[ByBrand].[Brand].&[Brand#17],
+        |    [Part].[ByBrand].[Brand].&[Brand#29]}) ON ROWS
+        |FROM [Sales]""".stripMargin),
 
     // DIMENSION PROPERTIES: ancestor captions as extra columns (ref `:1399-1408`).
     "q34_mdx_properties" -> mdx(
@@ -100,7 +98,7 @@ object MdxQueries {
   val oracles: Map[String, String] = Map(
     "q30_mdx_nation_revenue" ->
       s"""SELECT n_name AS nation,
-         |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
          |  count(*) AS count_order
          |$factJoin
          |GROUP BY r_regionkey, n_nationkey, n_name
@@ -108,7 +106,7 @@ object MdxQueries {
 
     "q31_mdx_crossjoin_slicer" ->
       s"""SELECT r_name AS region, p_brand AS brand,
-         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          |$factJoin
          |JOIN part ON l_partkey = p_partkey
          |WHERE p_brand IN ('Brand#12', 'Brand#23')
@@ -118,9 +116,9 @@ object MdxQueries {
 
     "q32_mdx_levels_allmeasures" ->
       s"""SELECT r_name AS region,
-         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-         |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-         |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
          |  count(*) AS count_order
          |$factJoin
          |GROUP BY r_regionkey, r_name
@@ -149,14 +147,14 @@ object MdxQueries {
 
     "q34_mdx_properties" ->
       s"""SELECT r_name AS region, n_name AS nation,
-         |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price
          |$factJoin
          |GROUP BY r_regionkey, n_nationkey, r_name, n_name
          |ORDER BY r_regionkey, n_nationkey""".stripMargin,
 
     "q35_mdx_slicer_tuple" ->
       s"""SELECT p_brand AS brand,
-         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          |  count(*) AS count_order
          |$factJoin
          |JOIN part ON l_partkey = p_partkey
@@ -167,7 +165,7 @@ object MdxQueries {
     "q36_mdx_month_drill" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
         |  CAST(month(o_orderdate) AS INT) AS order_month,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
@@ -182,7 +180,7 @@ object MdxQueries {
 
     "q38_mdx_oldcube" ->
       s"""SELECT n_name AS nation,
-         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          |  count(*) AS count_order
          |$factJoin
          |WHERE r_regionkey = 2 AND n_nationkey = 7

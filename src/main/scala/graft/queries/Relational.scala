@@ -34,7 +34,7 @@ object Relational {
     // (ref MEASURE_AGGREGATOR `backend/olap_service.py:110`).
     // Scale: partial hash agg map-side; 6-group output. Filter pushed to scan.
     "q01_pricing_summary" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      Parity.outputDoubles(Tables.lineitem(s, d)
         .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -44,7 +44,7 @@ object Relational {
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")))
     }),
 
     // J3 star join + A1: fact ⋈ 4 dims. Dims broadcast (region/nation tiny,
@@ -57,7 +57,7 @@ object Relational {
       val c  = Tables.customer(s, d)
       val n  = Tables.nation(s, d)
       val r  = Tables.region(s, d)
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      Parity.outputDoubles(li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -67,7 +67,7 @@ object Relational {
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
           .as("revenue"))
         .select(col("n_name").as("nation"), col("revenue"))
-        .orderBy(desc("revenue"), col("nation"))
+        .orderBy(desc("revenue"), col("nation")))
     }),
 
     // P3/P4/P6/P9/P10/P11: equality, inequality, case-insensitive contains,
@@ -225,7 +225,7 @@ object Relational {
       val c  = Tables.customer(s, d)
       val n  = Tables.nation(s, d)
       val r  = Tables.region(s, d)
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      Parity.outputDoubles(li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -236,16 +236,16 @@ object Relational {
           col("sum_qty"),
           when(col("r_name").isNull, 2).when(col("n_name").isNull, 1)
             .otherwise(0).as("lvl"))
-        .orderBy(col("lvl"), col("region"), col("nation"))
+        .orderBy(col("lvl"), col("region"), col("nation")))
     }),
 
     // F13 date parts + A1 over orders.
     "q16_orders_by_year" -> ((s, d) => {
-      Tables.orders(s, d)
+      Parity.outputDoubles(Tables.orders(s, d)
         .groupBy(year(col("o_orderdate")).as("order_year"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("total_price"))
-        .orderBy(col("order_year"))
+        .orderBy(col("order_year")))
     }),
 
     // F14/X4 checksum hash (md5 — deterministic across engines).
@@ -269,12 +269,12 @@ object Relational {
     // Streaming batch-equivalent: tumbling 1 h window over events
     // (Q5; the streaming form lives in graft.streaming.EventsStream).
     "q19_events_window" -> ((s, d) => {
-      Tables.events(s, d)
+      Parity.outputDoubles(Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).as("total_value"))
-        .orderBy(col("hour"), col("event_type"))
+        .orderBy(col("hour"), col("event_type")))
     }),
 
     // F12 NaN/inf → null sanitize (ref `backend/olap_service.py:326-334`).
@@ -312,9 +312,9 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -323,7 +323,7 @@ object Relational {
 
     "q02_revenue_by_nation" ->
       """SELECT n_name AS nation,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -432,7 +432,7 @@ object Relational {
 
     "q15_rollup" ->
       """SELECT r_name AS region, n_name AS nation,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CASE WHEN r_name IS NULL THEN 2 WHEN n_name IS NULL THEN 1 ELSE 0 END AS lvl
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -444,7 +444,7 @@ object Relational {
 
     "q16_orders_by_year" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS order_year, count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q17_hash_md5" -> (mcte +
@@ -460,7 +460,7 @@ object Relational {
 
     "q19_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS total_value
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q20_sanitize" ->

@@ -33,7 +33,8 @@ class RelationalSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q01_pricing_summary")(spark, sf).collect()
     rows.foreach { r =>
       assert(r.getAs[Long]("count_order") > 0)
-      assert(r.getAs[java.math.BigDecimal]("sum_base_price").signum > 0)
+      // Measures go out as double (Parity.outputDoubles driver-hash rule).
+      assert(r.getAs[Double]("sum_base_price") > 0)
     }
   }
 
@@ -46,8 +47,10 @@ class RelationalSpec extends AnyFunSuite {
 
   test("q15 rollup grand total equals sum of region subtotals") {
     val rows = SparkEntry.queries("q15_rollup")(spark, sf).collect()
+    // sum_qty is a double holding an exact 2-dp decimal (quantities are
+    // integers; well under 2^53) so BigDecimal-per-element sums are exact.
     def total(lvl: Int): BigDecimal = rows.filter(_.getAs[Int]("lvl") == lvl)
-      .map(r => BigDecimal(r.getAs[java.math.BigDecimal]("sum_qty"))).sum
+      .map(r => BigDecimal(r.getAs[Double]("sum_qty"))).sum
     assert(total(2) == total(1) && total(2) == total(0))
   }
 }

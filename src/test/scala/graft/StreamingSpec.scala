@@ -42,8 +42,11 @@ class StreamingSpec extends AnyFunSuite {
     val sessions = EventsStream.sessionize(spark,
       EventsStream.readEvents(spark, sf))
     runAvailableNow(sessions.toDF(), "sessions", OutputMode.Append())
+    // The batch twin emits Parity-cast TIMESTAMP_NTZ columns; cast the
+    // streamed (tz-aware) timestamps the same way before row-compare.
     val streamed = spark.table("sessions")
-      .select("user_id", "session_start", "session_end", "n_events")
+      .select(col("user_id"), col("session_start").cast("timestamp_ntz"),
+        col("session_end").cast("timestamp_ntz"), col("n_events"))
       .collect().map(_.toString).toSet
     val batch = SparkEntry.queries("q45_events_sessionize")(spark, sf)
     val all = batch
