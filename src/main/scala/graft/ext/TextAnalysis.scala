@@ -79,22 +79,41 @@ object TextAnalysis {
     * position i, g(i) = Σ_j ascii(c_{i+j})·31^j (exact BIGINT — max
     * ~1.2e8, no modulus needed, so any engine reproduces it); the doc
     * fingerprint is (n_grams, min g, max g) — the 1-minhash of the gram
-    * hash stream plus its range. Pure codegen'd scalar expressions after
-    * a position explode. */
+    * hash stream plus its range.
+    *
+    * Implemented as a typed map (the shingleRows pattern): one row in, one
+    * row out, zero shuffle, the whole doc scanned once in a tight JVM
+    * loop. The expression form — explode over positions + scalar gram —
+    * duplicates the full `norm` string into every positional row, an
+    * O(len²)-bytes pipeline that benched 8.5 s at sf0.1 vs <1 s here.
+    * Normalization matches [[normalize]] exactly (Locale.ROOT, ASCII-only
+    * output, so charAt == SQL ascii()). */
   def rollingHashFingerprint(df: DataFrame, textCol: String,
                              idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val k = 5
-    val powers = (0 until k).map(j => math.pow(31, j).toLong)
-    val gram = powers.zipWithIndex
-      .map { case (p, j) => s"$p * ascii(substr(norm, i + $j, 1))" }
-      .mkString(" + ")
-    df.select(col(idCol).as("doc"), normalize(col(textCol)).as("norm"))
-      .where(length(col("norm")) >= k)
-      .select(col("doc"), col("norm"),
-        explode(sequence(lit(1), length(col("norm")) - (k - 1))).as("i"))
-      .selectExpr("doc", s"CAST($gram AS BIGINT) AS g")
-      .groupBy(col("doc"))
-      .agg(count(lit(1)).as("n_grams"), min(col("g")).as("min_hash"),
-        max(col("g")).as("max_hash"))
+    df.select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (doc, text) =>
+        val norm = text.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("[^a-z0-9 ]", " ")
+        val n = norm.length
+        if (n < k) Iterator.empty
+        else {
+          var minH = Long.MaxValue
+          var maxH = Long.MinValue
+          var i = 0
+          while (i + k <= n) {
+            var g = 0L; var p = 1L; var j = 0
+            while (j < k) { g += p * norm.charAt(i + j).toLong; p *= 31; j += 1 }
+            if (g < minH) minH = g
+            if (g > maxH) maxH = g
+            i += 1
+          }
+          Iterator((doc, (n - k + 1).toLong, minH, maxH))
+        }
+      }
+      .toDF("doc", "n_grams", "min_hash", "max_hash")
   }
 }
