@@ -22,6 +22,7 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => -1L }
+        finally graft.ops.TransientCache.releaseAll()
         name -> (System.nanoTime() - t0) / 1e9
       }
     }

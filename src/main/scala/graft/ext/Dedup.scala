@@ -163,8 +163,9 @@ object Dedup {
     * the O(n²) bit comparison never materializes. */
   def simhashHammingPairs(df: DataFrame, textCol: String, idCol: String,
                           maxDist: Int = 2): DataFrame = {
-    // Persisted: the signature aggregation feeds both self-join sides.
-    val sigs = simhashSignatures(df, textCol, idCol).persist()
+    // Persisted (TransientCache: caller releases after materializing):
+    // the signature aggregation feeds both self-join sides.
+    val sigs = graft.ops.TransientCache.persist(simhashSignatures(df, textCol, idCol))
     val nBands = maxDist + 1
     val bounds = bandBounds(32, nBands)
     val bandStructs = bounds.zipWithIndex.map { case ((start, len), b) =>
@@ -220,12 +221,20 @@ object Dedup {
     * other and the bucketed join degenerates to |corpus|² × |grams|. */
   def ngramJaccardPairsAuto(df: DataFrame, textCol: String, idCol: String,
                             n: Int = 2, numJ: Int = 1, denJ: Int = 5,
-                            denseVocabLimit: Int = 1 << 16): DataFrame = {
-    // Shingle once, persist, dispatch — the dictionary-size probe and the
-    // chosen strategy share the same materialized (doc, shingle) rows.
-    val sh = shingleRows(df, textCol, idCol, n).persist()
-    val nGrams = sh.select(countDistinct(col("s"))).head().getLong(0)
-    if (nGrams <= denseVocabLimit) denseFromShingles(sh, numJ, denJ)
+                            denseVocabLimit: Int = 1 << 16,
+                            denseDocLimit: Long = 1L << 16): DataFrame = {
+    // Shingle once, persist (TransientCache — caller releases), dispatch:
+    // the size probe and the chosen strategy share the same materialized
+    // (doc, shingle) rows. The dense path collects doc-count × vocab/8
+    // bytes of bitsets to the driver, so it is gated on BOTH dictionary
+    // size AND document count — a 100 TB corpus with a tiny vocabulary
+    // must still take the sparse bucketed join, never a driver collect.
+    val sh = graft.ops.TransientCache.persist(shingleRows(df, textCol, idCol, n))
+    val probe = sh.select(countDistinct(col("s")).as("ng"),
+      countDistinct(col("doc")).as("nd")).head()
+    val (nGrams, nDocs) = (probe.getLong(0), probe.getLong(1))
+    if (nGrams <= denseVocabLimit && nDocs <= denseDocLimit)
+      denseFromShingles(sh, numJ, denJ)
     else sparseFromShingles(sh, numJ, denJ)
   }
 

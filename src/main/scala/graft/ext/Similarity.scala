@@ -155,28 +155,51 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: cosine >= numT/denT within a
     * blocking key (label), integer cross-multiplied:
-    * cos >= t  <=>  dot > 0 && dot² * denT² >= numT² * na * nb. */
+    * cos >= t  <=>  dot > 0 && dot² * denT² >= numT² * na * nb.
+    *
+    * Skew guard: a blocking key shared by n vectors produces n² pairs in
+    * ONE join task (the key must colocate), so a skewed block serializes
+    * the whole stage. Blocks larger than `skewBlockLimit` take a salted
+    * path — the a-side keeps one salt from its id, the b-side replicates
+    * into all `nSalts` — splitting each oversized block's pair work into
+    * `nSalts` independent tasks. Every pair still forms exactly once
+    * (b-row replica `rep` matches only its partner's single salt), so the
+    * output is identical to the plain path. */
   def nearDupPairs(emb: DataFrame, idCol: String, embCol: String,
-                   blockCol: String, numT: Int = 3, denT: Int = 10): DataFrame = {
+                   blockCol: String, numT: Int = 3, denT: Int = 10,
+                   skewBlockLimit: Long = 1L << 14, nSalts: Int = 32): DataFrame = {
     import emb.sparkSession.implicits._
     // Quantize through a typed map: a SerializeFromObject boundary stops
     // Catalyst re-evaluating the (interpreted) transform() lambda once
     // per PAIR inside the self-join — it runs once per VECTOR.
-    val e = emb.select(col(idCol).cast("long").as("id"),
+    val e0 = emb.select(col(idCol).cast("long").as("id"),
         col(blockCol).cast("long").as("blk"), col(embCol).as("v"))
       .as[(Long, Long, Array[Float])]
       .map { case (id, blk, v) =>
         (id, blk, v.map(x => math.floor(x.toDouble * 1000).toLong))
       }
       .toDF("id", "blk", "qv")
+    val e = graft.ops.TransientCache.persist(
+      e0.join(e0.groupBy(col("blk")).agg(count(lit(1)).as("blk_n")), "blk"))
+    val small = e.where(col("blk_n") <= skewBlockLimit)
+    val big = e.where(col("blk_n") > skewBlockLimit)
+    val plainPairs = small.as("a").join(small.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        col("a.qv").as("qa"), col("b.qv").as("qb"))
+    val bigA = big.withColumn("salt", pmod(hash(col("id")), lit(nSalts)))
+    val bigB = big.withColumn("salt",
+      explode(array((0 until nSalts).map(lit(_)): _*)))
+    val saltedPairs = bigA.as("a").join(bigB.as("b"),
+        col("a.blk") === col("b.blk") && col("a.salt") === col("b.salt") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        col("a.qv").as("qa"), col("b.qv").as("qb"))
     // The dot/norm inner loop runs typed over primitive arrays: Spark's
     // higher-order zip_with/aggregate are interpreted per element, and on
     // |block|² pairs that interpreter overhead dominates (benched ~10× on
     // sf0.1). Exact same BIGINT arithmetic.
-    val pairs = e.as("a").join(e.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
-        col("a.qv").as("qa"), col("b.qv").as("qb"))
+    val pairs = plainPairs.unionByName(saltedPairs)
       .as[(Long, Long, Array[Long], Array[Long])]
       .map { case (ida, idb, qa, qb) =>
         var i = 0; var dot = 0L; var na = 0L; var nb = 0L

@@ -26,9 +26,10 @@ object ExtQueries {
     "q23_dedup_minhash_lsh" -> ((s, d) => {
       // The signature table is materialized once and joined three times
       // (bands a/b + verification) — at scale it would be a persisted
-      // doc-count-sized table, so persist mirrors the real pipeline.
-      val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", 8)
-        .persist()
+      // doc-count-sized table. TransientCache: the runner unpersists it
+      // after materializing, so repeated runs don't accumulate blocks.
+      val sigs = graft.ops.TransientCache.persist(
+        Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", 8))
       Dedup.lshCandidatePairs(sigs, 8, 2)
         .where(col("n_agree") >= 4)
         .orderBy("doc_a", "doc_b")

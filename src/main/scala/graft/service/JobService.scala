@@ -95,6 +95,12 @@ object JobService {
 
   private def executeOne(spark: SparkSession, root: String, sfDir: String,
                          job: Job): Unit = {
+    // Best-effort claim (ref `backend/db_runner.py`'s atomic
+    // `UPDATE ... WHERE status='PENDING'`): re-read the job's CURRENT
+    // status right before running, so a second runner — or the batch loop
+    // racing the streaming runner — that already wrote RUNNING turns this
+    // call into a no-op instead of a duplicate execution.
+    if (!status(spark, root, job.id).map(_.status).contains(Pending)) return
     transition(spark, root, job, Running)
     val t0 = System.nanoTime()
     try {

@@ -120,6 +120,41 @@ class StrategyEquivalenceSpec extends AnyFunSuite {
     assert(sparse.nonEmpty && (sparse sameElements dense))
   }
 
+  test("jaccard auto-dispatch falls back to sparse when doc count exceeds the dense limit") {
+    val docs = Tables.documents(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    // denseDocLimit=1 forces the sparse bucketed join even though the
+    // fixture vocabulary is tiny — the 100-TB-with-small-vocab case must
+    // never reach the dense path's driver collect.
+    val forced = Dedup.ngramJaccardPairsAuto(docs, "text", "doc_id", 2, 1, 5,
+        denseVocabLimit = 1 << 16, denseDocLimit = 1L)
+      .collect().map(key).sortBy(t => (t._1, t._2))
+    val auto = Dedup.ngramJaccardPairsAuto(docs, "text", "doc_id", 2, 1, 5)
+      .collect().map(key).sortBy(t => (t._1, t._2))
+    assert(forced.nonEmpty && (forced sameElements auto))
+    graft.ops.TransientCache.releaseAll()
+  }
+
+  test("near-dup salted skew path equals the plain blocked join") {
+    import spark.implicits._
+    // Skewed fixture: one giant label block (120 vectors) + small blocks.
+    val vecs = (0 until 150).map { i =>
+      val blk = if (i < 120) 0L else (i % 5 + 1).toLong
+      val v = Array.tabulate(8)(d => ((i % 7) + d).toFloat / 10f)
+      (i.toLong, blk, v)
+    }
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    def rows(skewLimit: Long) =
+      Similarity.nearDupPairs(df, "vec_id", "embedding", "label", 3, 10,
+          skewBlockLimit = skewLimit, nSalts = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val plain = rows(Long.MaxValue) // every block under the limit
+    val salted = rows(16)           // the 120-block takes the salted path
+    assert(plain.nonEmpty && (plain sameElements salted))
+    graft.ops.TransientCache.releaseAll()
+  }
+
   test("simhash column form and explode-aggregate cluster form agree") {
     val docs = Tables.documents(spark, sf).limit(100)
     val perDoc = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
