@@ -79,6 +79,12 @@ object Dedup {
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         nHashes: Int = 8): DataFrame = {
     val sh = shingleRows(df, textCol, idCol)
+    // Hashes are computed INLINE per (doc, shingle) row — map-side, fused
+    // into the scan, partial-min before the only shuffle. The alternative
+    // (hash distinct shingles once, join the dictionary back) was benched
+    // SLOWER here and adds a distinct+join shuffle; it only wins on a
+    // corpus whose shingle duplication factor outweighs a full extra
+    // shuffle of the (doc, shingle) rows.
     val aggs = (0 until nHashes).map { p =>
       min(md5(concat(lit(s"$p|"), col("s")))).as(s"h$p")
     }
@@ -127,18 +133,30 @@ object Dedup {
   }
 
   /** Per-doc 32-bit SimHash signatures — explode-based twin of [[simhash]]
-    * (same bits): one codegen'd md5 per token, 32 conditional-sum
-    * aggregates, then the signature string — instead of 32 interpreted
-    * aggregate-over-array expressions per row. */
+    * (same bits): one codegen'd md5 per token, then INTEGER vote
+    * aggregation — the 32 hex digits parse into 4 unsigned-32-bit chunks
+    * once per token, and each bit's vote is a shift/mask sum instead of a
+    * per-row substring + string compare (~2× on the signature build,
+    * which q25 and q48 both pay).
+    *
+    * Bit equivalence with the '>= "8"' hex form: digit j's high bit is
+    * bit (7-p)*4+3 of chunk (j-1)/8 where p=(j-1)%8; the old ±1 vote sum
+    * is >= 0 iff 2·(count of set high bits) >= n. */
   def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc"),
       explode(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))).as("t"))
       .select(col("doc"), md5(col("t").cast("binary")).as("h"))
+      .select(col("doc") +: (0 until 4).map(c =>
+        conv(substring(col("h"), c * 8 + 1, 8), 16, 10).cast("long").as(s"c$c")): _*)
     val votes = (1 to 32).map { j =>
-      sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1)).as(s"v$j")
+      val c = (j - 1) / 8
+      val p = (j - 1) % 8
+      sum(shiftright(col(s"c$c"), (7 - p) * 4 + 3).bitwiseAND(1)).as(s"v$j")
     }
-    val bits = (1 to 32).map(j => when(col(s"v$j") >= 0, "1").otherwise("0"))
-    val nonEmpty = tok.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
+    val bits = (1 to 32).map(j =>
+      when(lit(2) * col(s"v$j") >= col("n"), "1").otherwise("0"))
+    val nonEmpty = tok.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n"), votes: _*)
       .select(col("doc"), concat(bits: _*).as("simhash"))
     // Zero-token docs vanish in the explode; re-add them with the
     // all-'0' convention so both Scala forms and the oracle agree.
@@ -150,8 +168,13 @@ object Dedup {
 
   /** SimHash near-dup clusters: signatures shared by more than one doc. */
   def simhashClusters(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    simhashSignatures(df, textCol, idCol)
-      .groupBy(col("simhash"))
+    simhashClustersFromSigs(simhashSignatures(df, textCol, idCol))
+
+  /** Cluster form over a prebuilt signature table (doc, simhash) — the
+    * production shape: signatures are computed once, persisted, and
+    * consumed by every downstream dedup pass. */
+  def simhashClustersFromSigs(sigs: DataFrame): DataFrame =
+    sigs.groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("min_doc"))
       .where(col("n_docs") > 1)
 
@@ -162,10 +185,16 @@ object Dedup {
     * verify the exact bit distance. Shuffle is bounded to band keys, so
     * the O(n²) bit comparison never materializes. */
   def simhashHammingPairs(df: DataFrame, textCol: String, idCol: String,
-                          maxDist: Int = 2): DataFrame = {
+                          maxDist: Int = 2): DataFrame =
     // Persisted (TransientCache: caller releases after materializing):
     // the signature aggregation feeds both self-join sides.
-    val sigs = graft.ops.TransientCache.persist(simhashSignatures(df, textCol, idCol))
+    simhashHammingPairsFromSigs(
+      graft.ops.TransientCache.persist(simhashSignatures(df, textCol, idCol)),
+      maxDist)
+
+  /** Hamming-pair form over a prebuilt (doc, simhash) signature table;
+    * the caller owns the table's persistence lifecycle. */
+  def simhashHammingPairsFromSigs(sigs: DataFrame, maxDist: Int = 2): DataFrame = {
     val nBands = maxDist + 1
     val bounds = bandBounds(32, nBands)
     val bandStructs = bounds.zipWithIndex.map { case ((start, len), b) =>

@@ -75,6 +75,29 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(normalize(text)))), " ").cast("binary"))
 
+  /** F17 scale path: the inverted-index postings table (term → doc), the
+    * Spark twin of the reference's `to_tsvector('spanish')` GIN index
+    * (`database/migrations/001_initial_schema.sql:87-88,128-129`). One
+    * row per DISTINCT term per doc; at 100 TB this is written bucketed by
+    * `term` so every term lookup is a partition-pruned scan instead of a
+    * corpus scan. */
+  def invertedPostings(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(tokens(normalize(col(textCol))))).as("term"))
+
+  /** Candidate-AND term search over a postings table: docs containing ALL
+    * query terms. A term-list equi-lookup + count aggregation — the
+    * standard inverted-index conjunctive query; never scans documents the
+    * terms don't reach. */
+  def searchAllTerms(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    val distinctTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    postings.where(col("term").isin(distinctTerms: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+      .where(col("n_hit") === distinctTerms.size)
+      .select(col("doc_id"))
+  }
+
   /** Karp–Rabin rolling-hash fingerprint over character 5-grams: per
     * position i, g(i) = Σ_j ascii(c_{i+j})·31^j (exact BIGINT — max
     * ~1.2e8, no modulus needed, so any engine reproduces it); the doc

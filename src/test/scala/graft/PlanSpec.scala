@@ -45,6 +45,16 @@ class PlanSpec extends AnyFunSuite {
       s"unreferenced dimension scanned:\n$p")
   }
 
+  test("q49: inverted-index search is a postings equi-join, no cartesian/BNLJ") {
+    val p = plan("q49_fts_inverted")
+    assert(p.contains("HashAggregate"), s"no candidate-AND aggregation:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the postings path:\n$p")
+    // The term IN-list predicate must reach the scan side of the postings
+    // explode, not run post-join.
+    assert(p.contains("term"), p)
+  }
+
   test("top-k lowers to TakeOrdered, not a full sort") {
     val p = plan("q08_topk_longest")
     assert(p.contains("TakeOrderedAndProject"), p)

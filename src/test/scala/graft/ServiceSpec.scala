@@ -107,6 +107,27 @@ class ServiceSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(up == Map(1L -> "v2", 2L -> "w"))
   }
+
+  test("JDBC sink: staging MERGE updates matched keys and inserts new ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jdbc").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    graft.sink.JdbcSink.createMemberTables(url)
+    val b1 = Seq((1L, "one", 10L, 1), (2L, "two", 20L, 1))
+      .toDF("member_key", "caption", "region_key", "batch")
+    val b2 = Seq((2L, "two v2", 21L, 2), (3L, "three", 30L, 2))
+      .toDF("member_key", "caption", "region_key", "batch")
+    graft.sink.JdbcSink.upsertBatch(spark, url, b1)
+    graft.sink.JdbcSink.upsertBatch(spark, url, b2)
+    val got = graft.sink.JdbcSink.readTarget(spark, url).collect()
+      .map(r => r.getAs[Long]("member_key") ->
+        ((r.getAs[String]("caption"), r.getAs[Long]("region_key"), r.getAs[Int]("batch"))))
+      .toMap
+    assert(got == Map(
+      1L -> (("one", 10L, 1)),      // untouched by batch 2
+      2L -> (("two v2", 21L, 2)),   // MATCHED -> updated
+      3L -> (("three", 30L, 2))))   // NOT MATCHED -> inserted
+  }
 }
 
 class CatalogCacheSpec extends AnyFunSuite {
