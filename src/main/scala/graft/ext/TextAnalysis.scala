@@ -75,22 +75,39 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(normalize(text)))), " ").cast("binary"))
 
+  /** Spanish accent fold (á é í ó ú ü ñ → ascii, both cases) — the same
+    * fold the member-search surface applies (ops.MemberOps), here applied
+    * BEFORE tokenization so accented words index under their folded form.
+    * DuckDB twin: `translate(x, 'áéíóúüñÁÉÍÓÚÜÑ', 'aeiouunAEIOUUN')`. */
+  val accentFrom = "áéíóúüñÁÉÍÓÚÜÑ"
+  val accentTo = "aeiouunAEIOUUN"
+  def foldAccents(text: Column): Column = translate(text, accentFrom, accentTo)
+
+  /** JVM-side twin of [[foldAccents]] for folding query needles. */
+  def foldAccentsJvm(s: String): String =
+    s.map(c => accentFrom.indexOf(c.toInt) match {
+      case -1 => c
+      case i  => accentTo.charAt(i)
+    })
+
   /** F17 scale path: the inverted-index postings table (term → doc), the
-    * Spark twin of the reference's `to_tsvector('spanish')` GIN index
-    * (`database/migrations/001_initial_schema.sql:87-88,128-129`). One
-    * row per DISTINCT term per doc; at 100 TB this is written bucketed by
-    * `term` so every term lookup is a partition-pruned scan instead of a
-    * corpus scan. */
+    * Spark twin of the reference's Spanish `to_tsvector` GIN index
+    * (`database/migrations/001_initial_schema.sql:87-88,128-129`) —
+    * accent-folded like the reference's search surface (stemming is the
+    * documented divergence, SURVEY §7.4). One row per DISTINCT term per
+    * doc; at 100 TB this is written bucketed by `term` so every term
+    * lookup is a partition-pruned scan instead of a corpus scan. */
   def invertedPostings(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
-      explode(array_distinct(tokens(normalize(col(textCol))))).as("term"))
+      explode(array_distinct(tokens(normalize(foldAccents(col(textCol)))))).as("term"))
 
   /** Candidate-AND term search over a postings table: docs containing ALL
-    * query terms. A term-list equi-lookup + count aggregation — the
-    * standard inverted-index conjunctive query; never scans documents the
-    * terms don't reach. */
+    * query terms (case/accent-insensitive). A term-list equi-lookup +
+    * count aggregation — the standard inverted-index conjunctive query;
+    * never scans documents the terms don't reach. */
   def searchAllTerms(postings: DataFrame, terms: Seq[String]): DataFrame = {
-    val distinctTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val distinctTerms = terms
+      .map(t => foldAccentsJvm(t).toLowerCase(java.util.Locale.ROOT)).distinct
     postings.where(col("term").isin(distinctTerms: _*))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit"))

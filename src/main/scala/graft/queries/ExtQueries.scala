@@ -431,7 +431,12 @@ object ExtQueries {
         |FROM nation ORDER BY member_key""".stripMargin,
 
     "q49_fts_inverted" ->
-      s"""$tokCte,
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split(
+         |    regexp_replace(lower(translate(text,
+         |      '${TextAnalysis.accentFrom}', '${TextAnalysis.accentTo}')),
+         |      '[^a-z0-9 ]', ' ', 'g'), ' '), x -> len(x) > 0) t
+         |  FROM documents),
          |p AS (SELECT doc_id, unnest(list_distinct(t)) AS term FROM tok),
          |m AS (SELECT doc_id FROM p WHERE term IN ('spark', 'merge')
          |      GROUP BY doc_id HAVING count(*) = 2)

@@ -92,6 +92,21 @@ class ExtSpec extends AnyFunSuite {
     assert(fps(0) == fps(1))
   }
 
+  test("inverted-index search is case/accent-insensitive (Spanish surface)") {
+    val docs = Seq(
+      (1L, "la canción más bonita del año"),
+      (2L, "una cancion bonita cualquiera"),
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    val postings = TextAnalysis.invertedPostings(docs, "text", "doc_id")
+    // Accented needle matches both the accented and unaccented docs.
+    val hits = TextAnalysis.searchAllTerms(postings, Seq("CANCIÓN", "bonita"))
+      .collect().map(_.getLong(0)).sorted
+    assert(hits.toSeq == Seq(1L, 2L))
+    // Postings terms are folded: 'más' indexes as 'mas'.
+    val terms = postings.where(col("doc_id") === 1).collect().map(_.getString(1)).toSet
+    assert(terms.contains("mas") && terms.contains("cancion") && !terms.contains("más"))
+  }
+
   test("multimodal decode round-trips payload length and frame sampling") {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
     val dec = Multimodal.decode(spark, media)

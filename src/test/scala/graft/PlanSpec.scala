@@ -45,6 +45,15 @@ class PlanSpec extends AnyFunSuite {
       s"unreferenced dimension scanned:\n$p")
   }
 
+  test("q36/q31: no sort-merge join on a broadcastable dimension side") {
+    Seq("q36_mdx_month_drill", "q31_mdx_crossjoin_slicer").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: dims not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: sort-merge join where a broadcast was expected:\n$p")
+    }
+  }
+
   test("q49: inverted-index search is a postings equi-join, no cartesian/BNLJ") {
     val p = plan("q49_fts_inverted")
     assert(p.contains("HashAggregate"), s"no candidate-AND aggregation:\n$p")
