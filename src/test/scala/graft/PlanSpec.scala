@@ -83,6 +83,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toString.contains("graft_dot"))
   }
 
+  test("graft_dot registers via SparkSessionExtensions (deployment path)") {
+    // The spark.sql.extensions deployment path: session construction
+    // applies the builder to its function registry. The probe exercises
+    // that exact hook against a fresh registry (building a second real
+    // session in-JVM would share — and on stop, kill — the test context).
+    val names = org.apache.spark.sql.GraftExtensionsProbe
+      .registeredNames(new graft.functions.GraftExtensions)
+    assert(names.contains("graft_dot"))
+    // End-to-end SQL evaluation of the same builder's function.
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_dot(array(1L,2L,3L), array(4L,5L,6L)) v")
+      .collect().head.getLong(0) == 32L)
+  }
+
   test("ANN plans broadcast the query side against the candidate scan") {
     val p = plan("q27_ann_brute_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
