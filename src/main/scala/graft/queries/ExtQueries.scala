@@ -85,30 +85,27 @@ object ExtQueries {
         col("vec_id") < 10, 3, 16, 2).orderBy("query_id", "rank")),
 
     // Language-ID heuristic: stopword hits per language, priority argmax.
+    // q40–q42 all read from the one-pass typed token profile (scan-speed
+    // map; the column-HOF forms are the equivalence-tested slow twins).
     "q40_text_langid" -> ((s, d) =>
-      TextAnalysis.withLangId(Tables.documents(s, d), "text")
+      TextAnalysis.withTokenProfile(Tables.documents(s, d), "text")
         .select(col("doc_id"), col("lang"), col("lang_detected"),
           col("s_en"), col("s_es"), col("s_de"), col("s_fr"))
         .orderBy("doc_id")),
 
     // Integer-exact quality scoring (diversity − stopword density).
     "q41_text_quality" -> ((s, d) =>
-      TextAnalysis.withQuality(Tables.documents(s, d), "text")
+      TextAnalysis.withTokenProfile(Tables.documents(s, d), "text")
         .select(col("doc_id"), col("n_tokens"), col("n_uniq"), col("n_stop"),
           col("quality"))
         .orderBy("doc_id")),
 
     // Token counting (whitespace + regex-subword) + canonical fingerprint.
-    "q42_text_tokens" -> ((s, d) => {
-      val norm = TextAnalysis.normalize(col("text"))
-      Tables.documents(s, d).select(
-          col("doc_id"),
-          size(TextAnalysis.tokens(norm)).as("n_ws_tokens"),
-          TextAnalysis.regexTokenCount(norm).cast("int").as("n_subword"),
-          length(norm).as("n_chars_norm"),
-          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-        .orderBy("doc_id")
-    }),
+    "q42_text_tokens" -> ((s, d) =>
+      TextAnalysis.withTokenProfile(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("n_tokens").as("n_ws_tokens"),
+          col("n_subword"), col("n_chars_norm"), col("fingerprint"))
+        .orderBy("doc_id")),
 
     // Karp-Rabin rolling-hash fingerprint over char 5-grams.
     "q47_text_rollinghash" -> ((s, d) =>

@@ -170,6 +170,26 @@ class StrategyEquivalenceSpec extends AnyFunSuite {
     graft.ops.TransientCache.releaseAll()
   }
 
+  test("typed token profile equals the column-expression forms") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val typed = TextAnalysis.withTokenProfile(docs, "text")
+      .select("doc_id", "n_tokens", "n_uniq", "n_stop",
+        "s_en", "s_es", "s_de", "s_fr", "lang_detected", "quality",
+        "n_subword", "n_chars_norm", "fingerprint")
+      .collect().map(_.toString).sorted
+    val norm = TextAnalysis.normalize(col("text"))
+    val cols = TextAnalysis.withQuality(
+        TextAnalysis.withLangId(docs, "text"), "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq"), col("n_stop"),
+        col("s_en"), col("s_es"), col("s_de"), col("s_fr"), col("lang_detected"),
+        col("quality"),
+        TextAnalysis.regexTokenCount(norm).cast("int").as("n_subword"),
+        length(norm).as("n_chars_norm"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .collect().map(_.toString).sorted
+    assert(typed.nonEmpty && (typed sameElements cols))
+  }
+
   test("simhash column form and explode-aggregate cluster form agree") {
     val docs = Tables.documents(spark, sf).limit(100)
     val perDoc = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
