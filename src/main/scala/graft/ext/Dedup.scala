@@ -48,12 +48,13 @@ object Dedup {
     df.select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
       .as[(Long, String)]
       .flatMap { case (doc, text) =>
-        // Locale.ROOT: default-locale lowercasing (e.g. tr-TR dotless ı)
-        // would diverge from SQL lower() and every oracle.
-        val toks = text.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9 ]", " ")
-          .split(" ").filter(_.nonEmpty)
-        if (toks.length < n) Iterator.empty
-        else toks.sliding(n).map(_.mkString(" ")).toSet.iterator.map((s: String) => (doc, s))
+        if (text == null) Iterator.empty
+        else {
+          val toks = TextAnalysis.tokenizeJvm(TextAnalysis.normalizeJvm(text))
+          if (toks.length < n) Iterator.empty
+          else toks.sliding(n).map(_.mkString(" ")).toSet.iterator
+            .map((s: String) => (doc, s))
+        }
       }
       .toDF("doc", "s")
   }

@@ -172,13 +172,17 @@ object Similarity {
     // Quantize through a typed map: a SerializeFromObject boundary stops
     // Catalyst re-evaluating the (interpreted) transform() lambda once
     // per PAIR inside the self-join — it runs once per VECTOR.
-    val e0 = emb.select(col(idCol).cast("long").as("id"),
-        col(blockCol).cast("long").as("blk"), col(embCol).as("v"))
-      .as[(Long, Long, Array[Float])]
-      .map { case (id, blk, v) =>
-        (id, blk, v.map(x => math.floor(x.toDouble * 1000).toLong))
-      }
-      .toDF("id", "blk", "qv")
+    // Persist the quantized vectors BEFORE the block-count join: its two
+    // inputs have different shapes (no exchange reuse), so an unpersisted
+    // e0 would run the typed quantize pass over every embedding twice.
+    val e0 = graft.ops.TransientCache.persist(
+      emb.select(col(idCol).cast("long").as("id"),
+          col(blockCol).cast("long").as("blk"), col(embCol).as("v"))
+        .as[(Long, Long, Array[Float])]
+        .map { case (id, blk, v) =>
+          (id, blk, v.map(x => math.floor(x.toDouble * 1000).toLong))
+        }
+        .toDF("id", "blk", "qv"))
     val e = graft.ops.TransientCache.persist(
       e0.join(e0.groupBy(col("blk")).agg(count(lit(1)).as("blk_n")), "blk"))
     val small = e.where(col("blk_n") <= skewBlockLimit)

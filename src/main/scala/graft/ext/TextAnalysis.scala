@@ -21,6 +21,18 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
 
+  /** THE JVM twin of [[normalize]] — the single source of the
+    * parity-critical normalization contract every typed hot path
+    * (shingleRows, withTokenProfile, rollingHashFingerprint) shares with
+    * the SQL/oracle side. Locale.ROOT: default-locale lowercasing (e.g.
+    * tr-TR dotless ı) would diverge from SQL `lower()`. */
+  def normalizeJvm(text: String): String =
+    text.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9 ]", " ")
+
+  /** JVM twin of [[tokens]] over a normalized string. */
+  def tokenizeJvm(norm: String): Array[String] =
+    norm.split(" ").filter(_.nonEmpty)
+
   /** BPE-ish subword count: runs of letters / digits each count once
     * (a cheap proxy for byte-pair tokenizers). */
   def regexTokenCount(text: Column): Column =
@@ -102,13 +114,21 @@ object TextAnalysis {
       .add("n_chars_norm", IntegerType)
       .add("fingerprint", StringType)
     val subword = java.util.regex.Pattern.compile("[a-z]+|[0-9]+")
+    // NULL text must reproduce the column twins' null algebra, not crash:
+    // size/filter/length of NULL are NULL; lang detection's NULL
+    // conditions fall through every branch to 'und'; quality's
+    // when(NULL > 0) takes the otherwise(0) branch; md5(NULL) is NULL.
+    val nullStats: Seq[Any] =
+      Seq(null, null, null) ++ langNames.map(_ => null) ++
+        Seq("und", 0L, null, null, null)
     df.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val text = r.getString(textIdx)
-        val norm = text.toLowerCase(java.util.Locale.ROOT)
-          .replaceAll("[^a-z0-9 ]", " ")
-        val toks = norm.split(" ").filter(_.nonEmpty)
+        val text = if (r.isNullAt(textIdx)) null else r.getString(textIdx)
+        if (text == null) Row.fromSeq(r.toSeq ++ nullStats)
+        else {
+        val norm = normalizeJvm(text)
+        val toks = tokenizeJvm(norm)
         val nTokens = toks.length
         val nUniq = toks.distinct.length
         val nStop = toks.count(allStops.contains)
@@ -130,6 +150,7 @@ object TextAnalysis {
           .map("%02x".format(_)).mkString
         Row.fromSeq(r.toSeq ++ (Seq(nTokens, nUniq, nStop) ++
           scores.toSeq ++ Seq(detected, quality, nSub, norm.length, fp)))
+        }
       }
     }(Encoders.row(outSchema))
   }
@@ -163,15 +184,24 @@ object TextAnalysis {
   /** Candidate-AND term search over a postings table: docs containing ALL
     * query terms (case/accent-insensitive). A term-list equi-lookup +
     * count aggregation — the standard inverted-index conjunctive query;
-    * never scans documents the terms don't reach. */
+    * never scans documents the terms don't reach.
+    *
+    * Needles go through the SAME fold+normalize+tokenize pipeline as the
+    * postings (like `plainto_tsquery` on the reference side): a
+    * punctuated or multi-word needle ("canción!", "data base") resolves
+    * to its token terms instead of silently matching nothing. An empty
+    * term set is the vacuous conjunction — every posted doc matches. */
   def searchAllTerms(postings: DataFrame, terms: Seq[String]): DataFrame = {
     val distinctTerms = terms
-      .map(t => foldAccentsJvm(t).toLowerCase(java.util.Locale.ROOT)).distinct
-    postings.where(col("term").isin(distinctTerms: _*))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hit"))
-      .where(col("n_hit") === distinctTerms.size)
-      .select(col("doc_id"))
+      .flatMap(t => tokenizeJvm(normalizeJvm(foldAccentsJvm(t)))).distinct
+    if (distinctTerms.isEmpty)
+      postings.select(col("doc_id")).distinct()
+    else
+      postings.where(col("term").isin(distinctTerms: _*))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .where(col("n_hit") === distinctTerms.size)
+        .select(col("doc_id"))
   }
 
   /** Karp–Rabin rolling-hash fingerprint over character 5-grams: per
@@ -195,8 +225,11 @@ object TextAnalysis {
     df.select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
       .as[(Long, String)]
       .flatMap { case (doc, text) =>
-        val norm = text.toLowerCase(java.util.Locale.ROOT)
-          .replaceAll("[^a-z0-9 ]", " ")
+        // NULL text drops the row — the column form's where(length >= 5)
+        // on a NULL norm filtered it the same way.
+        if (text == null) Iterator.empty
+        else {
+        val norm = normalizeJvm(text)
         val n = norm.length
         if (n < k) Iterator.empty
         else {
@@ -211,6 +244,7 @@ object TextAnalysis {
             i += 1
           }
           Iterator((doc, (n - k + 1).toLong, minH, maxH))
+        }
         }
       }
       .toDF("doc", "n_grams", "min_hash", "max_hash")

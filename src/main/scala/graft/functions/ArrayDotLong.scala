@@ -68,16 +68,28 @@ case class ArrayDotLong(left: Expression, right: Expression)
 }
 
 /** Session registration for graft's native functions (usable both via
-  * `GraftFunctions.register(spark)` and SQL `graft_dot(a, b)`). */
+  * `GraftFunctions.register(spark)` and SQL `graft_dot(a, b)`). The
+  * (identifier, info, builder) triples are shared with the
+  * `spark.sql.extensions` path (GraftExtensions) so the two deployment
+  * modes can't drift. */
 object GraftFunctions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDotLong].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2)
+          throw new IllegalArgumentException(
+            s"graft_dot expects 2 arguments, got ${children.size}")
+        ArrayDotLong(children.head, children(1))
+      }))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier("graft_dot")
-    if (!registry.functionExists(id)) {
-      registry.registerFunction(
-        id,
-        new ExpressionInfo(classOf[ArrayDotLong].getName, "graft_dot"),
-        (children: Seq[Expression]) => ArrayDotLong(children.head, children(1)))
+    functions.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, info, builder)
     }
   }
 }

@@ -1,8 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** `SparkSessionExtensions` entry point — the deployment-grade way to ship
   * graft's native functions into ANY session of a cluster, including ones
@@ -17,10 +15,6 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * built AFTER the conf is set).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[ArrayDotLong].getName, "graft_dot"),
-      (children: Seq[Expression]) => ArrayDotLong(children.head, children(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
 }

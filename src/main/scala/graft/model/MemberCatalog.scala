@@ -37,19 +37,9 @@ object MemberCatalog {
     * ref `scanner/DGIS_SCAN_2_stable.py:681-714`). Dimension-sized by
     * contract (~1.7 M rows in the reference), so MEMORY_AND_DISK persist
     * is safe and every downstream query skips the 6-branch derivation. */
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  def members(spark: SparkSession, sfDir: String): DataFrame = {
-    // Keyed by the session INSTANCE (identity hashes can be reused after
-    // GC and would let a new session hit a DataFrame bound to a stopped
-    // one); entries of stopped sessions are evicted on access so the map
-    // never serves — or pins — a dead session.
-    cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
-    cache.getOrElseUpdate((spark, sfDir),
-      build(spark, sfDir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+  def members(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(spark, s"members:$sfDir")(
+      build(spark, sfDir))
 
   /** Full synthesized member catalog (all hierarchies, both variants). */
   def build(spark: SparkSession, sfDir: String): DataFrame = {

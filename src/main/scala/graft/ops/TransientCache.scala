@@ -19,22 +19,38 @@ import org.apache.spark.sql.DataFrame
   */
 object TransientCache {
 
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  // Thread-scoped: a query's operator persists and its owner's releaseAll
+  // happen on the same driver thread. A JVM-global queue would let
+  // concurrent owners (parallel test suites, a future multi-tenant
+  // service) unpersist each other's in-flight intermediates — harmless
+  // for correctness (recompute) but a silent perf cliff.
+  private val live = new ThreadLocal[java.util.ArrayDeque[DataFrame]] {
+    override def initialValue() = new java.util.ArrayDeque[DataFrame]()
+  }
 
-  /** Persist `df` and register it for the next [[releaseAll]]. */
+  /** Persist `df` and register it for this thread's next [[releaseAll]]. */
   def persist(df: DataFrame): DataFrame = {
     df.persist()
-    live.add(df)
+    live.get.add(df)
     df
   }
 
-  /** Unpersist (non-blocking) everything registered since the last call. */
+  /** Track an already-materialized cached Dataset (e.g. a localCheckpoint)
+    * for this thread's next [[releaseAll]] without re-persisting it. */
+  def track(df: DataFrame): DataFrame = {
+    live.get.add(df)
+    df
+  }
+
+  /** Unpersist (non-blocking) everything this thread registered since its
+    * last call. */
   def releaseAll(): Unit = {
-    var df = live.poll()
+    val q = live.get
+    var df = q.poll()
     while (df != null) {
       try df.unpersist(blocking = false)
       catch { case _: Throwable => () } // session may already be stopped
-      df = live.poll()
+      df = q.poll()
     }
   }
 }

@@ -131,9 +131,19 @@ object ExtQueries {
           lit(2).as("batch"))
       graft.sink.JdbcSink.upsertBatch(s, url, batch1)
       graft.sink.JdbcSink.upsertBatch(s, url, batch2)
-      graft.sink.JdbcSink.readTarget(s, url)
-        .select(col("member_key"), col("caption"), col("region_key"), col("batch"))
-        .orderBy(col("member_key"))
+      // Materialize the read-back eagerly (localCheckpoint, released by
+      // the runner via TransientCache), then shut the per-invocation
+      // embedded database down and delete its directory — repeated
+      // invocations in one JVM must not accumulate live Derby engines or
+      // orphaned temp dirs. (At real scale the read-back would be a
+      // partitioned JDBC read of a durable warehouse table, not a temp DB.)
+      val back = graft.ops.TransientCache.track(
+        graft.sink.JdbcSink.readTarget(s, url)
+          .select(col("member_key"), col("caption"), col("region_key"), col("batch"))
+          .orderBy(col("member_key"))
+          .localCheckpoint(true))
+      graft.sink.JdbcSink.shutdownAndDelete(dir)
+      back
     }),
 
     // F17 scale path: inverted-index conjunctive search (postings

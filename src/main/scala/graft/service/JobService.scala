@@ -99,7 +99,13 @@ object JobService {
     // `UPDATE ... WHERE status='PENDING'`): re-read the job's CURRENT
     // status right before running, so a second runner — or the batch loop
     // racing the streaming runner — that already wrote RUNNING turns this
-    // call into a no-op instead of a duplicate execution.
+    // call into a no-op instead of a duplicate execution. Cost: one
+    // filtered log read per claim (O(log size) — acceptable for a
+    // driver-side job queue; a deployment partitioning job_events by id
+    // makes this a partition-pruned read). The window remains
+    // check-then-append, so it narrows the race rather than eliminating
+    // it — eliminating it needs a storage layer with conditional writes
+    // (the reference's UPDATE..WHERE, or Delta's txn log).
     if (!status(spark, root, job.id).map(_.status).contains(Pending)) return
     transition(spark, root, job, Running)
     val t0 = System.nanoTime()

@@ -65,6 +65,19 @@ object JdbcSink {
         |  VALUES (s.member_key, s.caption, s.region_key, s.batch)""".stripMargin))
   }
 
+  /** Shut down the embedded database rooted at `dir` and remove its
+    * files. Derby signals a successful single-db shutdown with
+    * SQLException 08006 — expected, swallowed. */
+  def shutdownAndDelete(dir: String): Unit = {
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:$dir/db;shutdown=true")
+    catch { case _: java.sql.SQLException => () }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+  }
+
   /** Read the target table back as a DataFrame. Derby reports SQL
     * identifiers uppercased; fold them back to lower_snake_case so the
     * round-trip schema matches what was written (and any oracle). */

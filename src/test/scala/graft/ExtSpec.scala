@@ -107,6 +107,33 @@ class ExtSpec extends AnyFunSuite {
     assert(terms.contains("mas") && terms.contains("cancion") && !terms.contains("más"))
   }
 
+  test("typed token ops tolerate NULL text like their column twins") {
+    val df = Seq((1L, "the cat sat"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val prof = TextAnalysis.withTokenProfile(df, "text")
+      .where(col("doc_id") === 2).collect().head
+    assert(prof.isNullAt(prof.fieldIndex("n_tokens")))
+    assert(prof.getAs[String]("lang_detected") == "und")
+    assert(prof.getAs[Long]("quality") == 0L)
+    assert(prof.isNullAt(prof.fieldIndex("fingerprint")))
+    // NULL rows drop from the row-producing ops (the column forms'
+    // where(length(NULL)>=k) / explode(NULL) did the same).
+    assert(TextAnalysis.rollingHashFingerprint(df, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(Dedup.shingleRows(df, "text", "doc_id")
+      .select("doc").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("search needles go through the postings normalization (punctuation, multi-word)") {
+    val df = Seq((1L, "the data base holds cats"), (2L, "no match")).toDF("doc_id", "text")
+    val postings = TextAnalysis.invertedPostings(df, "text", "doc_id")
+    def hits(terms: String*) =
+      TextAnalysis.searchAllTerms(postings, terms).collect().map(_.getLong(0)).sorted.toSeq
+    assert(hits("cats!") == Seq(1L))            // punctuation stripped
+    assert(hits("data base") == Seq(1L))        // multi-word -> AND of tokens
+    assert(hits() == Seq(1L, 2L))               // vacuous conjunction
+  }
+
   test("multimodal decode round-trips payload length and frame sampling") {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
     val dec = Multimodal.decode(spark, media)
