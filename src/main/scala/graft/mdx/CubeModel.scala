@@ -44,12 +44,28 @@ final case class HierarchyDef(
 
 final case class MeasureDef(name: String, aggregator: String, agg: Column)
 
+/** Aggregate-navigator definition: a pre-aggregated table of the fact at
+  * `grainCols` (level keys + captions of the covered hierarchies, i.e.
+  * the cube's addressable base grain), built once per session and rolled
+  * up by every query whose referenced columns fit the grain — the SSAS
+  * aggregation-design trick (ref aggregation usage
+  * `backend/olap_service.py:346-430` pivots always re-query; a cube
+  * engine pre-aggregates). At 100 TB this is THE scan-elimination lever:
+  * the fact is touched once per session/build, every pivot reads a
+  * dimension-bounded table (|nations|×|brands|×|months|, ~52 k rows),
+  * invariant to fact growth. SUM/COUNT measures re-aggregate exactly
+  * (decimal sums of sums; counts sum). Queries referencing hierarchies
+  * outside `units`/`grainCols` (supplier geo, part leaf) fall back to
+  * the raw-fact path automatically. */
+final case class PreAggDef(units: Seq[String], grainCols: Seq[String])
+
 final case class CubeDef(
     name: String,
     fact: (SparkSession, String) => DataFrame,
     joinUnits: Seq[JoinUnit],
     hierarchies: Seq[HierarchyDef],
-    measures: Seq[MeasureDef]) {
+    measures: Seq[MeasureDef],
+    preAgg: Option[PreAggDef] = None) {
   def hierarchy(dim: String, hier: String): Option[HierarchyDef] =
     hierarchies.find(h =>
       h.dim.equalsIgnoreCase(dim) && h.hier.equalsIgnoreCase(hier))
@@ -128,7 +144,14 @@ object SalesCube {
       MeasureDef("sum_disc_price", "SUM",
         sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))),
       MeasureDef("count_order", "COUNT", count(lit(1)))
-    )
+    ),
+    // Base grain: customer-geo × part-brand × order year/month (and their
+    // captions). Part LEAF (p_partkey) is deliberately excluded — leaf
+    // grain would approach fact cardinality; leaf queries fall back.
+    preAgg = Some(PreAggDef(
+      units = Seq("orders", "custgeo", "part", "orderdate"),
+      grainCols = Seq("r_regionkey", "r_name", "n_nationkey", "n_name",
+        "p_brand", "order_year", "order_month")))
   )
 
   /** Old-generation cube: the same fact but addressed through a
@@ -137,6 +160,9 @@ object SalesCube {
     * Member literals resolve by key depth, levels by `Levels(n)`. */
   val oldCube: CubeDef = cube.copy(
     name = "SalesOld",
+    // No pre-agg: the legacy cube serves one addressing-compat query;
+    // building a second session pre-agg would cost more than it saves.
+    preAgg = None,
     hierarchies = Seq(
       cube.hierarchies.head.copy(
         hier = "[Customer].[GeoOld]",

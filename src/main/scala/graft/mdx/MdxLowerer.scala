@@ -66,7 +66,31 @@ object MdxLowerer {
     // Attach exactly the join units the referenced hierarchies need.
     val wantedUnits = (axisDims.map(_.h) ++ slicer.map(_._1) ++ props.map(_.h))
       .flatMap(_.units).distinct
-    val fact0 = attachUnits(spark, sfDir, cube, wantedUnits)
+
+    // Aggregate navigation: when every referenced column fits the cube's
+    // pre-aggregated base grain and every measure re-aggregates (SUM /
+    // COUNT partials sum exactly), serve the query by rolling up the
+    // session-materialized pre-agg instead of re-scanning the fact —
+    // the pivot cost becomes dimension-bounded, invariant to fact size.
+    val referencedCols = (
+      axisDims.flatMap(ad => ad.level.keyCols :+ ad.level.captionCol) ++
+        slicer.toSeq.flatMap(_._2.keyCols) ++
+        props.flatMap(p => p.level.keyCols :+ p.level.captionCol)).distinct
+    val navigated = cube.preAgg.filter { pa =>
+      wantedUnits.forall(pa.units.contains) &&
+        referencedCols.forall(pa.grainCols.contains) &&
+        measures.forall(m => m.aggregator == "SUM" || m.aggregator == "COUNT")
+    }
+    val fact0 = navigated match {
+      case Some(pa) => preAggTable(spark, sfDir, cube, pa)
+      case None     => attachUnits(spark, sfDir, cube, wantedUnits)
+    }
+    // Measure expressions over the chosen source: raw-fact aggregators,
+    // or exact partial re-aggregation over the pre-agg's measure columns.
+    val mAgg: MeasureDef => Column = navigated match {
+      case Some(_) => m => sum(col(m.name))
+      case None    => m => m.agg
+    }
 
     // Slicer + axis member-set predicates (filter before join/agg — Catalyst
     // pushes these to the scan where possible).
@@ -75,8 +99,8 @@ object MdxLowerer {
     val fact = preds.foldLeft(fact0)(_.where(_))
 
     if (axisDims.isEmpty) // measures-only: single global totals row
-      return fact.groupBy().agg(measures.head.agg.as(measures.head.name),
-        measures.tail.map(m => m.agg.as(m.name)): _*)
+      return fact.groupBy().agg(mAgg(measures.head).as(measures.head.name),
+        measures.tail.map(m => mAgg(m).as(m.name)): _*)
 
     val propsFor: Map[String, Seq[PropRef]] =
       props.groupBy(_.h.hier).view.mapValues(_.sortBy(_.level.number)).toMap.withDefaultValue(Nil)
@@ -95,8 +119,8 @@ object MdxLowerer {
       val grouped =
         if (measures.nonEmpty)
           fact.groupBy(groupCols.map(col): _*)
-            .agg(measures.head.agg.as(measures.head.name),
-              measures.tail.map(m => m.agg.as(m.name)): _*)
+            .agg(mAgg(measures.head).as(measures.head.name),
+              measures.tail.map(m => mAgg(m).as(m.name)): _*)
         else fact.select(groupCols.map(col): _*).distinct()
       grouped.orderBy(keyCols.map(col): _*).select(outCols: _*)
     } else {
@@ -111,8 +135,8 @@ object MdxLowerer {
       val aggd =
         if (measures.nonEmpty)
           fact.groupBy(keyCols.map(col): _*)
-            .agg(measures.head.agg.as(measures.head.name),
-              measures.tail.map(m => m.agg.as(m.name)): _*)
+            .agg(mAgg(measures.head).as(measures.head.name),
+              measures.tail.map(m => mAgg(m).as(m.name)): _*)
         else fact.select(keyCols.map(col): _*).distinct()
       cross.join(aggd, keyCols, "left")
         .orderBy(keyCols.map(col): _*)
@@ -228,6 +252,18 @@ object MdxLowerer {
       throw MdxAnalysisException(s"property ${p.render} must be an ancestor level")
     PropRef(h, lvl)
   }
+
+  /** Session-materialized pre-aggregate of the cube's fact at the base
+    * grain (one fact scan per session; every navigated pivot rolls up
+    * this dimension-bounded table). */
+  private def preAggTable(spark: SparkSession, sfDir: String,
+                          cube: CubeDef, pa: PreAggDef): DataFrame =
+    graft.ops.SessionCache.getOrBuild(spark, s"preagg:${cube.name}:$sfDir") {
+      attachUnits(spark, sfDir, cube, pa.units)
+        .groupBy(pa.grainCols.map(col): _*)
+        .agg(cube.measures.head.agg.as(cube.measures.head.name),
+          cube.measures.tail.map(m => m.agg.as(m.name)): _*)
+    }
 
   /** Attach join units once each, honoring `requires` ordering. */
   private def attachUnits(spark: SparkSession, sfDir: String, cube: CubeDef,

@@ -32,16 +32,24 @@ class PlanSpec extends AnyFunSuite {
       s"scan reads more than the 2 needed columns:\n$p")
   }
 
-  test("MDX lowering emits broadcast joins and partial aggregation") {
+  test("MDX navigated queries roll up the session pre-aggregate, not the fact") {
     val p = plan("q30_mdx_nation_revenue")
-    assert(p.contains("BroadcastHashJoin"), p)
+    // Aggregate navigation: the plan reads the cached base-grain table
+    // (InMemoryRelation) and re-aggregates — partial agg still map-side.
+    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+      s"q30 not served from the pre-aggregate:\n$p")
     assert(p.contains("partial_"), s"no partial (map-side) aggregation:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("MDX attaches only referenced join units (no part/supplier scan)") {
-    val p = plan("q30_mdx_nation_revenue")
-    assert(!p.contains("part.parquet") && !p.contains("supplier.parquet"),
+  test("MDX non-navigated path attaches only referenced join units + broadcasts") {
+    // Supplier geo is outside the pre-agg grain -> raw-fact path: only
+    // the suppgeo unit's scans, dims broadcast, no unreferenced tables.
+    val p = plan("q37_mdx_supplier_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), s"no partial (map-side) aggregation:\n$p")
+    assert(!p.contains("part.parquet") && !p.contains("orders.parquet") &&
+      !p.contains("customer.parquet"),
       s"unreferenced dimension scanned:\n$p")
   }
 
