@@ -17,7 +17,18 @@ object SessionCache {
 
   def getOrBuild(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
-    cache.getOrElseUpdate((spark, key),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cache.get((spark, key)) match {
+      case Some(df) => df
+      case None =>
+        // Not getOrElseUpdate: TrieMap may evaluate the builder in two
+        // racing threads and only store one — the loser's persist would
+        // leak cached blocks for the session lifetime. Build, race via
+        // putIfAbsent, unpersist the loser.
+        val built = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cache.putIfAbsent((spark, key), built) match {
+          case Some(winner) => built.unpersist(blocking = false); winner
+          case None => built
+        }
+    }
   }
 }
