@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.MdxQueries.defs ++
       graft.queries.ExtQueries.defs ++
       graft.queries.EventQueries.defs ++
-      graft.queries.MetaQueries.defs
+      graft.queries.MetaQueries.defs ++
+      graft.queries.PipelineQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.MdxQueries.oracles ++
       graft.queries.ExtQueries.oracles ++
       graft.queries.EventQueries.oracles ++
-      graft.queries.MetaQueries.oracles
+      graft.queries.MetaQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 }

@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over the inverted-index postings table — the
+  * ranking layer on top of [[TextAnalysis.invertedPostings]] (the
+  * reference ranks its Spanish FTS hits with Postgres `ts_rank`,
+  * `backend/olap_service.py` search endpoints; BM25 is the standard
+  * public formulation — Robertson & Zaragoza, "The Probabilistic
+  * Relevance Framework: BM25 and Beyond", 2009; the idf form below is
+  * Lucene's `log(1 + (N - df + 0.5)/(df + 0.5))`, strictly positive).
+  *
+  * Scale design (100 TB): scoring touches ONLY the postings of the query
+  * terms — a term-pruned scan (bucketed-by-term postings make it a
+  * partition-pruned lookup), never the corpus. Document lengths and the
+  * per-term document frequencies are tiny aggregates broadcast to the
+  * candidate rows; the final top-k is a TakeOrdered, not a full sort.
+  *
+  * Engine parity: scores are computed in double with an EXPLICITLY
+  * PARENTHESIZED expression mirrored in the oracle SQL (every IEEE op is
+  * correctly rounded, so an identical expression tree yields identical
+  * doubles; `ln` is the one library-dependent op), then quantized to
+  * `floor(score * 1000)` so a sub-ulp `ln` divergence cannot flip the
+  * hash; per-term partial scores are summed in FIXED term order via
+  * conditional aggregation, never a data-ordered float sum. */
+object Ranking {
+
+  /** Postings with term frequency: one row per (term, doc) with its
+    * occurrence count, accent-folded and normalized like
+    * [[TextAnalysis.invertedPostings]]. */
+  def postingsWithTf(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalize(
+          TextAnalysis.foldAccents(col(textCol))))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("tf"))
+
+  /** Per-doc token count under the same tokenization. */
+  def docLengths(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      size(TextAnalysis.tokens(TextAnalysis.normalize(
+        TextAnalysis.foldAccents(col(textCol))))).as("dl"))
+
+  /** BM25(k1=1.2, b=0.75) per-(doc, term) partial score column. Mirrors
+    * the oracle's expression token-for-token. */
+  private def partialScore(n: Column, df: Column, tf: Column, dl: Column,
+                           avgdl: Column): Column = {
+    val idf = log(lit(1.0) +
+      (n.cast("double") - df.cast("double") + lit(0.5)) /
+        (df.cast("double") + lit(0.5)))
+    val tfPart = (tf.cast("double") * lit(2.2)) /
+      (tf.cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * dl.cast("double") / avgdl))
+    idf * tfPart
+  }
+
+  /** Top-k docs for a disjunctive (OR) term query, ranked by quantized
+    * BM25. Output: (doc_id, score_q, rank); score_q = floor(1000·score).
+    * Term needles go through the same fold/normalize pipeline as the
+    * postings. */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               terms: Seq[String], k: Int): DataFrame = {
+    val queryTerms = terms.flatMap(t => TextAnalysis.tokenizeJvm(
+      TextAnalysis.normalizeJvm(TextAnalysis.foldAccentsJvm(t)))).distinct
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val post = postingsWithTf(docs, textCol, idCol)
+    val dl = docLengths(docs, textCol, idCol)
+    // Corpus stats: one tiny agg row, broadcast onto every candidate.
+    val stats = dl.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("tot_dl"))
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_corpus").cast("double"))
+    val dfT = post.where(col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val cand = post.where(col("term").isin(queryTerms: _*))
+      .join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("sc", partialScore(col("n_corpus"), col("df_t"),
+        col("tf"), col("dl"), col("avgdl")))
+    // Fixed-order sum of the per-term partials (each agg sees <= 1 row per
+    // doc): float addition stays order-deterministic on both engines.
+    val termAggs = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("sc"))).as(s"sc_$i")
+    }
+    val total = queryTerms.indices
+      .map(i => coalesce(col(s"sc_$i"), lit(0.0)))
+      .reduceLeft[Column](_ + _)
+    val scored = cand.groupBy(col("doc_id"))
+      .agg(termAggs.head, termAggs.tail: _*)
+      .withColumn("score_q", floor(total * lit(1000.0)).cast("bigint"))
+    import org.apache.spark.sql.expressions.Window
+    // orderBy+limit lowers to TakeOrderedAndProject (per-partition top-k +
+    // driver merge — scale-safe); the row_number window then runs over the
+    // k surviving rows only, never the full candidate set.
+    scored.orderBy(col("score_q").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_q").desc, col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("score_q"), col("rank"))
+  }
+}

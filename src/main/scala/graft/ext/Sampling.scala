@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and data-mixing operators for training-corpus
+  * assembly — the "sample X% of language L / balance sources to a token
+  * budget" stage every large-scale pipeline runs after dedup and quality
+  * filtering (no counterpart in the reference; standard practice per the
+  * public corpus papers — e.g. the C4/Pile/ROOTS pipeline descriptions).
+  *
+  * Determinism: membership is a pure function of the row's id — a uniform
+  * [0,1) draw derived from `md5(id)` — never `rand()`. Re-runs, retries
+  * and the SQL oracle all select the SAME rows; at 100 TB this is what
+  * makes a sampled corpus reproducible and auditable. Map-side only: the
+  * filter carries zero shuffle and composes with scan pruning.
+  *
+  * Engine parity: the draw is the first 8 hex chars of the md5, compared
+  * LEXICOGRAPHICALLY against a per-stratum 8-hex threshold — fixed-width
+  * lowercase hex compares identically to the integer it encodes, so any
+  * engine with md5() reproduces membership bit-for-bit (no float
+  * arithmetic anywhere). */
+object Sampling {
+
+  /** rate ∈ [0,1] → 8-hex-digit threshold string; the draw keeps a row
+    * iff draw < threshold, i.e. P(keep) = floor(rate·2^32)/2^32. */
+  def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate out of range: $rate")
+    val t = math.min((rate * 4294967296.0).toLong, 0xffffffffL)
+    f"$t%08x"
+  }
+
+  /** The uniform draw column: first 8 hex chars of md5 of the stringified
+    * id. SQL twin: `substr(md5(CAST(id AS VARCHAR)), 1, 8)`. */
+  def draw(idCol: Column): Column =
+    substring(md5(idCol.cast("string").cast("binary")), 1, 8)
+
+  /** Stratified Bernoulli sample: per-stratum rates with a default for
+    * unlisted strata. Returns the input rows that survive, plus the
+    * `draw` and `threshold` columns for auditability. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Seq[(String, Double)],
+                       defaultRate: Double): DataFrame = {
+    val thr = rates.foldRight(lit(hexThreshold(defaultRate)): Column) {
+      case ((stratum, rate), els) =>
+        when(col(strataCol) === stratum, lit(hexThreshold(rate))).otherwise(els)
+    }
+    df.withColumn("draw", draw(col(idCol)))
+      .withColumn("threshold", thr)
+      .where(col("draw") < col("threshold"))
+  }
+
+  /** Token-budget mixing plan: per (stratum, source) cell — document and
+    * token counts, the cell's share of the corpus in ppm, and the
+    * deterministic per-cell sampling rate (ppm) that downsamples every
+    * cell to its equal share of `budgetTokens` (cells under budget keep
+    * everything: rate = 1e6). Integer arithmetic throughout — exact on
+    * any engine. `tokensCol` is a precomputed per-doc token count. */
+  def mixingPlan(df: DataFrame, strataCol: String, sourceCol: String,
+                 tokensCol: String, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(col(strataCol), col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("n_tokens"))
+    val everything = Window.partitionBy()
+    cells
+      .withColumn("total_tokens", sum(col("n_tokens")).over(everything))
+      .withColumn("n_cells", count(lit(1)).over(everything))
+      // `div` = exact integral division; the ppm numerator goes through
+      // DECIMAL(38,0) so a 100 TB corpus (~1e13 tokens × 1e6) cannot
+      // overflow the ANSI bigint product (DuckDB twin: HUGEINT).
+      .withColumn("share_ppm", expr(
+        "CASE WHEN total_tokens = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_tokens) div total_tokens AS BIGINT) END"))
+      .withColumn("cell_budget", expr(s"$budgetTokens div n_cells"))
+      // An all-empty cell (0 tokens) is trivially under budget: keep all.
+      .withColumn("sample_rate_ppm", expr(
+        "CASE WHEN n_tokens = 0 THEN CAST(1000000 AS BIGINT) ELSE " +
+          "least(CAST(1000000 AS BIGINT), " +
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * cell_budget) div n_tokens AS BIGINT)) END"))
+      .select(col(strataCol), col(sourceCol), col("n_docs"), col("n_tokens"),
+        col("share_ppm"), col("cell_budget"), col("sample_rate_ppm"))
+  }
+}

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
 object ExtQueries {
 
   /** Shared per-session simhash signature table over `documents` —
-    * computed once, consumed by q25 (clusters) and q48 (Hamming pairs). */
-  private def simhashSigs(s: SparkSession, d: String): DataFrame =
+    * computed once, consumed by q25 (clusters), q48 (Hamming pairs) and
+    * q54 (connected components over the pair graph). */
+  private[queries] def simhashSigs(s: SparkSession, d: String): DataFrame =
     graft.ops.SessionCache.getOrBuild(s, s"simhash_sigs:$d")(
       Dedup.simhashSignatures(Tables.documents(s, d), "text", "doc_id"))
 
@@ -175,8 +176,8 @@ object ExtQueries {
 
   /** Shared normalization + tokenization (mirrors TextAnalysis.normalize/
     * tokens). */
-  private val normSql = "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')"
-  private val tokCte =
+  private[queries] val normSql = "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')"
+  private[queries] val tokCte =
     s"""WITH tok AS (
        |  SELECT doc_id, list_filter(string_split($normSql, ' '), x -> len(x) > 0) t
        |  FROM documents)""".stripMargin
@@ -211,7 +212,7 @@ object ExtQueries {
   }
 
   /** Per-doc simhash CTE shared by the cluster and hamming-pair oracles. */
-  private def simhashSigCtes: String = {
+  private[queries] def simhashSigCtes: String = {
     val bits = (1 to 32).map(j =>
       s"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN substr(h,$j,1) >= '8' THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END")
       .mkString(" || ")
@@ -226,7 +227,10 @@ object ExtQueries {
        |FROM sh GROUP BY simhash HAVING count(*) > 1
        |ORDER BY simhash""".stripMargin
 
-  private def simhashHammingSql: String = {
+  /** CTE chain ending in `hp(doc_a, doc_b, hamming)` = the verified
+    * Hamming-distance-<=2 pair set — shared by the q48 pair oracle and the
+    * q54 connected-components oracle. */
+  private[queries] def simhashHammingCtes: String = {
     val bounds = graft.ext.Dedup.bandBounds(32, 3)
     val bands = bounds.zipWithIndex.map { case ((start, len), b) =>
       s"SELECT doc_id, simhash, $b band, substr(simhash, $start, $len) bkey FROM sh"
@@ -239,10 +243,14 @@ object ExtQueries {
        |cand AS (SELECT DISTINCT a.doc_id da, a.simhash sa, b.doc_id db, b.simhash sb
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |h AS (SELECT da AS doc_a, db AS doc_b, CAST($hamming AS INT) AS hamming FROM cand)
-       |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 2
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |h AS (SELECT da AS doc_a, db AS doc_b, CAST($hamming AS INT) AS hamming FROM cand),
+       |hp AS (SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 2)""".stripMargin
   }
+
+  private def simhashHammingSql: String =
+    s"""$simhashHammingCtes
+       |SELECT doc_a, doc_b, hamming FROM hp
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Quantized embeddings + exact integer norms (mirrors
     * Similarity.quantize/normQ). */

@@ -1,0 +1,234 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Components, Dedup, Ranking, Sampling, TextAnalysis}
+import graft.ops.{AsOfJoin, RangeJoin}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-3 pipeline operators: the temporal-join and corpus-assembly
+  * surface a 100 TB training-data pipeline needs BETWEEN the per-doc
+  * operators (dedup, quality, similarity — ExtQueries) and the final
+  * corpus: as-of / range joins over the event stream, near-dup pair
+  * graphs collapsed to components, ranked retrieval, deterministic
+  * sampling, token-budget mixing, and exact distribution stats. Every
+  * query is DuckDB-oracle-gated like the rest of the registry.
+  */
+object PipelineQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Point-in-time attribution: each purchase joined to the user's most
+    // recent click at-or-before it (AsOfJoin: union + one shuffle + one
+    // window pass — no per-key pair blow-up).
+    "q53_events_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      AsOfJoin.asOfInner(purchases, clicks, "user_id", "ts",
+          Seq("event_id", "ts", "value"), "event_id", "click_")
+        .orderBy(col("event_id"))
+        .transform(Parity.outputDoubles)
+    }),
+
+    // Near-dup pair graph -> document clusters: connected components
+    // (min-label propagation) over the q48 SimHash Hamming pairs, from
+    // the same shared per-session signature table.
+    "q54_dedup_components" -> ((s, d) => {
+      val pairs = Dedup.simhashHammingPairsFromSigs(ExtQueries.simhashSigs(s, d), 2)
+      Components.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("comp").as("component"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25-ranked disjunctive retrieval over the inverted index (the
+    // ranking layer above q49's conjunctive candidate lookup).
+    "q55_fts_bm25" -> ((s, d) =>
+      Ranking.bm25TopK(Tables.documents(s, d), "text", "doc_id",
+        Seq("spark", "merge"), 10)
+        .orderBy(col("rank"))),
+
+    // Deterministic stratified Bernoulli sample: md5-draw vs per-language
+    // hex thresholds (en 1/2, es 1/4, de 1/8, fr 3/4, default 1/16) —
+    // reproducible membership, zero shuffle.
+    "q56_sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
+          Seq("en" -> 0.5, "es" -> 0.25, "de" -> 0.125, "fr" -> 0.75), 0.0625)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("draw"), col("threshold"))
+        .orderBy(col("doc_id"))),
+
+    // Exact per-language doc-length distribution: min/max/avg + exact
+    // interpolated quantiles at binary-exact fractions (.25/.5/.75/.875 —
+    // every interpolation op is exact in IEEE double, so any engine
+    // reproduces the same bits).
+    "q57_doc_length_stats" -> ((s, d) =>
+      Tables.documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          (sum(col("n_chars")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_chars"),
+          expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.875D))").as("p"))
+        .select(col("lang"), col("n_docs"), col("min_chars"), col("max_chars"),
+          col("avg_chars"),
+          element_at(col("p"), 1).as("p25"), element_at(col("p"), 2).as("p50"),
+          element_at(col("p"), 3).as("p75"), element_at(col("p"), 4).as("p875"))
+        .orderBy(col("lang"))),
+
+    // Token-budget mixing plan per (lang, source) cell — integer-exact
+    // shares and per-cell deterministic sampling rates (ppm).
+    "q58_mixing_plan" -> ((s, d) => {
+      val prof = TextAnalysis.withTokenProfile(Tables.documents(s, d), "text")
+        .select(col("lang"), col("source"), col("n_tokens"))
+      Sampling.mixingPlan(prof, "lang", "source", "n_tokens", 50000L)
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // Bounded-window range join: purchases within one hour AFTER each
+    // click by the same user (bucket-banded equi-join, no theta-join
+    // pair blow-up), aggregated per click.
+    "q59_click_conversions" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      RangeJoin.pairsWithinAfter(clicks, purchases, "user_id", "ts", "ts",
+          3600000000L, Seq("value"), "p_")
+        .groupBy(col("event_id"), col("user_id"), col("ts"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("p_value").cast("decimal(18,6)")).as("purchase_value"))
+        .orderBy(col("event_id"))
+        .transform(Parity.outputDoubles)
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Accent-folded tokenization CTE (mirrors Ranking.postingsWithTf's
+    * fold+normalize+tokenize; q49's pipeline). */
+  private val tokfCte =
+    s"""WITH tokf AS (
+       |  SELECT doc_id, list_filter(string_split(
+       |    regexp_replace(lower(translate(text,
+       |      '${TextAnalysis.accentFrom}', '${TextAnalysis.accentTo}')),
+       |      '[^a-z0-9 ]', ' ', 'g'), ' '), x -> len(x) > 0) t
+       |  FROM documents)""".stripMargin
+
+  private def bm25Sql(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val fixedSum = terms.map(t =>
+      s"COALESCE(sum(CASE WHEN term = '$t' THEN sc END), CAST(0.0 AS DOUBLE))")
+      .mkString("\n    + ")
+    s"""$tokfCte,
+       |post AS (SELECT doc_id, unnest(t) term FROM tokf),
+       |tf AS (SELECT term, doc_id, count(*) tf
+       |       FROM post WHERE term IN ($inList) GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, len(t) dl FROM tokf),
+       |stats AS (SELECT count(*) n_corpus, sum(dl) tot_dl,
+       |            CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) avgdl
+       |          FROM dl),
+       |dft AS (SELECT term, count(*) df_t FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.term,
+       |    ln(CAST(1.0 AS DOUBLE) +
+       |       (CAST(n_corpus AS DOUBLE) - CAST(df_t AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |       / (CAST(df_t AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |    * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+       |       / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+       |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))) sc
+       |  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN stats),
+       |tot AS (SELECT doc_id,
+       |    $fixedSum s
+       |  FROM sc GROUP BY doc_id),
+       |q AS (SELECT doc_id, CAST(floor(s * CAST(1000.0 AS DOUBLE)) AS BIGINT) score_q FROM tot)
+       |SELECT doc_id, score_q,
+       |  CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank
+       |FROM q QUALIFY rank <= $k ORDER BY rank""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+
+    "q53_events_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id, p.user_id, p.ts, p.value,
+        |        c.event_id click_event_id, c.ts click_ts, c.value click_value,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |          ORDER BY c.ts DESC, c.event_id DESC) rn
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |        AND epoch_us(CAST(c.ts AS TIMESTAMP)) <= epoch_us(CAST(p.ts AS TIMESTAMP)))
+        |SELECT event_id, user_id, ts, value,
+        |  click_event_id, click_ts, click_value
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q54_dedup_components" ->
+      s"""WITH RECURSIVE ${ExtQueries.simhashHammingCtes.stripPrefix("WITH ")},
+         |e AS (SELECT doc_a a, doc_b b FROM hp
+         |      UNION SELECT doc_b, doc_a FROM hp),
+         |r AS (SELECT a AS node, a AS reach FROM e
+         |      UNION
+         |      SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a)
+         |SELECT node AS doc_id, min(reach) AS component
+         |FROM r GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "q55_fts_bm25" -> bm25Sql(Seq("spark", "merge"), 10),
+
+    "q56_sample_stratified" ->
+      """WITH s AS (SELECT doc_id, lang, source,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) draw,
+        |    CASE lang WHEN 'en' THEN '80000000' WHEN 'es' THEN '40000000'
+        |      WHEN 'de' THEN '20000000' WHEN 'fr' THEN 'c0000000'
+        |      ELSE '10000000' END threshold
+        |  FROM documents)
+        |SELECT doc_id, lang, source, draw, threshold
+        |FROM s WHERE draw < threshold ORDER BY doc_id""".stripMargin,
+
+    "q57_doc_length_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75,
+        |  quantile_cont(n_chars, 0.875) AS p875
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q58_mixing_plan" ->
+      s"""${ExtQueries.tokCte},
+         |dlen AS (SELECT doc_id, len(t) n_tok FROM tok),
+         |cells AS (SELECT lang, source, count(*) n_docs,
+         |            CAST(sum(n_tok) AS BIGINT) n_tokens
+         |          FROM dlen JOIN documents USING (doc_id) GROUP BY 1, 2),
+         |w AS (SELECT *, sum(n_tokens) OVER () total_tokens,
+         |        count(*) OVER () n_cells
+         |      FROM cells)
+         |SELECT lang, source, n_docs, n_tokens,
+         |  CASE WHEN total_tokens = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST((CAST(1000000 AS HUGEINT) * n_tokens) // total_tokens AS BIGINT)
+         |  END AS share_ppm,
+         |  CAST(50000 // n_cells AS BIGINT) AS cell_budget,
+         |  CASE WHEN n_tokens = 0 THEN CAST(1000000 AS BIGINT)
+         |    ELSE least(CAST(1000000 AS BIGINT),
+         |      CAST((CAST(1000000 AS HUGEINT) * (50000 // n_cells)) // n_tokens AS BIGINT))
+         |  END AS sample_rate_ppm
+         |FROM w ORDER BY lang, source""".stripMargin,
+
+    "q59_click_conversions" ->
+      """WITH c AS (SELECT event_id, user_id, ts,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) lt
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) rt, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+        |FROM c JOIN p ON p.user_id = c.user_id
+        |  AND p.rt > c.lt AND p.rt <= c.lt + 3600000000
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+  )
+}

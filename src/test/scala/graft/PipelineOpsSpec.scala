@@ -1,0 +1,133 @@
+package graft
+
+import graft.ext.{Components, Ranking, Sampling}
+import graft.ops.{AsOfJoin, RangeJoin}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit semantics for the round-3 pipeline operators (as-of join, range
+  * join, connected components, BM25, deterministic sampling) — edge cases
+  * the sf-level oracle queries don't isolate: tie instants, window
+  * boundaries, multi-hop components, empty inputs. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("asOf: picks latest at-or-before; equal-time right included; ties -> max id") {
+    import spark.implicits._
+    val left = Seq((100L, 1L, ts(50)), (101L, 1L, ts(10)), (102L, 2L, ts(5)))
+      .toDF("event_id", "user_id", "t")
+    val right = Seq(
+      (1L, 1L, ts(10), "at"),     // exactly at left 101's instant -> matches it
+      (2L, 1L, ts(40), "before"),
+      (3L, 1L, ts(40), "before_dup"), // same instant as id 2 -> greater id wins
+      (4L, 1L, ts(60), "after"),  // after left 100 -> never matched by it
+      (5L, 3L, ts(1), "other_key"))
+      .toDF("rid", "user_id", "t", "tag")
+    val got = AsOfJoin.asOfLeft(left, right, "user_id", "t",
+        Seq("rid", "tag"), "rid")
+      .orderBy("event_id")
+      .collect()
+    assert(got.length == 3)
+    // left 100 @50: latest right <= 50 is the tie pair @40 -> rid 3 wins
+    assert(got(0).getAs[Long]("r_rid") == 3L &&
+      got(0).getAs[String]("r_tag") == "before_dup")
+    // left 101 @10: right @10 matches (at-or-before)
+    assert(got(1).getAs[Long]("r_rid") == 1L)
+    // left 102 key 2: no right rows -> NULL in left variant
+    assert(got(2).isNullAt(got(2).fieldIndex("r_rid")))
+    // inner variant drops the unmatched row
+    val inner = AsOfJoin.asOfInner(left, right, "user_id", "t",
+      Seq("rid", "tag"), "rid")
+    assert(inner.count() == 2)
+  }
+
+  test("rangeJoin: strictly-after exclusive start, inclusive end, bucket straddle") {
+    import spark.implicits._
+    val w = 10L * 1000000L // 10 s window in micros
+    val left = Seq((1L, 1L, ts(95))).toDF("lid", "k", "t") // bucket straddle: 95 -> [95,105]
+    val right = Seq(
+      (10L, 1L, ts(95)),   // == left t: excluded (strict >)
+      (11L, 1L, ts(96)),   // in window, same bucket (9)
+      (12L, 1L, ts(105)),  // == left t + w: included (inclusive end), bucket 10
+      (13L, 1L, ts(106)),  // past window
+      (14L, 2L, ts(96)))   // wrong key
+      .toDF("rid", "k", "t")
+    val got = RangeJoin.pairsWithinAfter(left, right, "k", "t", "t", w, Seq("rid"))
+      .select("r_rid").as[Long].collect().sorted
+    assert(got.toSeq == Seq(11L, 12L))
+  }
+
+  test("connectedComponents: multi-hop chain + separate cliques -> min labels") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 round) and clique 10-11-12
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val got = Components.connectedComponents(edges, "a", "b")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    val sizes = Components.componentSizes(
+        Components.connectedComponents(edges, "a", "b"))
+      .orderBy("comp").as[(Long, Long, Long)].collect().toSeq
+    assert(sizes == Seq((1L, 4L, 1L), (10L, 3L, 10L)))
+    graft.ops.TransientCache.releaseAll()
+  }
+
+  test("bm25: more matching occurrences in a shorter doc ranks higher; fold applies") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark engine"),
+      (2L, "spark appears once in this considerably longer document text body"),
+      (3L, "nothing relevant here at all"),
+      (4L, "Spárk accented")) // fold: Spárk -> spark
+      .toDF("doc_id", "text")
+    val got = Ranking.bm25TopK(docs, "text", "doc_id", Seq("spárk"), 10)
+      .orderBy("rank").collect()
+    val ids = got.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids.head == 1L)          // highest tf, short doc
+    assert(ids.toSet == Set(1L, 2L, 4L)) // doc 3 never scores
+    assert(got.forall(_.getAs[Long]("score_q") > 0))
+  }
+
+  test("sampling: thresholds exact; rate 0 keeps nothing, rate 1 keeps all") {
+    assert(Sampling.hexThreshold(0.5) == "80000000")
+    assert(Sampling.hexThreshold(0.75) == "c0000000")
+    assert(Sampling.hexThreshold(0.0) == "00000000")
+    assert(Sampling.hexThreshold(1.0) == "ffffffff")
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    val none = Sampling.stratifiedSample(df, "id", "stratum",
+      Seq("a" -> 0.0, "b" -> 0.0), 0.0)
+    assert(none.count() == 0)
+    val all = Sampling.stratifiedSample(df, "id", "stratum",
+      Seq("a" -> 1.0), 1.0)
+    assert(all.count() == 200)
+    // determinism: same call, same membership
+    val s1 = Sampling.stratifiedSample(df, "id", "stratum", Seq("a" -> 0.3), 0.6)
+      .select("id").as[Long].collect().sorted.toSeq
+    val s2 = Sampling.stratifiedSample(df, "id", "stratum", Seq("a" -> 0.3), 0.6)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(s1 == s2 && s1.nonEmpty)
+  }
+
+  test("mixingPlan: integer-exact shares; over-budget cells downsample, empty keep all") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "s0", 900L), ("en", "s0", 600L),  // cell 1500 tokens
+      ("de", "s1", 100L),                      // cell 100 tokens
+      ("zh", "s2", 0L))                        // empty cell
+      .toDF("lang", "source", "n_tokens")
+    val plan = Sampling.mixingPlan(df, "lang", "source", "n_tokens", 600L)
+      .orderBy("lang").collect()
+    val total = 1600L
+    val byLang = plan.map(r => r.getAs[String]("lang") -> r).toMap
+    assert(byLang("en").getAs[Long]("share_ppm") == 1000000L * 1500 / total)
+    assert(byLang("en").getAs[Long]("cell_budget") == 200L) // 600 div 3 cells
+    assert(byLang("en").getAs[Long]("sample_rate_ppm") == 1000000L * 200 / 1500)
+    assert(byLang("de").getAs[Long]("sample_rate_ppm") == 1000000L) // under budget
+    assert(byLang("zh").getAs[Long]("sample_rate_ppm") == 1000000L) // empty cell
+  }
+}
