@@ -17,8 +17,15 @@ object Bench {
     // InternalRow RDD executes every operator as written. n>=2 iterations
     // make first-run JIT/codegen noise visible; headline = warmed run.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // Optional comma-separated substring filter for iterating on a hot
+    // query without paying the full suite (dev-only; the driver ignores it).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val selected = only match {
+      case Some(pats) => SparkEntry.queries.filter { case (n, _) => pats.exists(n.contains) }
+      case None => SparkEntry.queries
+    }
     val perIter = (1 to iters).map { _ =>
-      SparkEntry.queries.map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => -1L }

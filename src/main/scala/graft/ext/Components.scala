@@ -9,16 +9,14 @@ import org.apache.spark.sql.functions._
   * canonical document per component (the structure of every large-scale
   * corpus dedup: pairs → components → keep-min).
   *
-  * Algorithm: iterative min-label propagation. Each round every node
-  * takes the minimum component id over itself and its neighbours; the
-  * fixpoint labels every node with the minimum doc id reachable from it,
-  * i.e. its connected component. Rounds needed = the maximum component
-  * DIAMETER. Near-dup components are band-collision cliques or short
-  * chains (diameter ≤ ~3), so this converges in 2–4 rounds; for
-  * high-diameter graphs the O(log n)-round alternating large-star /
-  * small-star algorithm (Kiveris et al., "Connected Components in
-  * MapReduce and Beyond", SoCC'14) is the drop-in upgrade — same
-  * join/groupBy plan per round, different propagation rule.
+  * Algorithm: min-label propagation with pointer jumping. Each round
+  * every node takes the minimum component id over itself, its
+  * neighbours, AND its current label's label (the pointer jump — the
+  * propagation distance doubles per round, the classic PRAM shortcut
+  * also used by large-star/small-star, Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14). The fixpoint labels
+  * every node with the minimum doc id reachable from it, i.e. its
+  * connected component, in O(log diameter) rounds.
   *
   * Scale design (100 TB): per round, one broadcast-or-shuffle join of the
   * label table against the edge list plus one groupBy(min) — both keyed
@@ -33,28 +31,64 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** (node, component) for every node appearing in `edges`; component =
-    * min node id reachable. Deterministic for any edge order. */
+    * min node id reachable. Deterministic for any edge order.
+    *
+    * Round economy (iterative Spark = per-round job overhead, keep rounds
+    * and jobs minimal): round 0 seeds each node with min(self, neighbours)
+    * in ONE aggregation — a band-collision CLIQUE (the dominant near-dup
+    * component shape) is already at its fixpoint after it, so the loop
+    * usually runs a single verification round. Convergence is detected by
+    * the monotone label sum: min-propagation can only lower labels, so
+    * sum(comp) is strictly decreasing until the fixpoint — an unchanged
+    * sum (one tiny agg over the just-checkpointed table, no join) IS
+    * convergence. The sum runs in DECIMAL(38,0): 1e12 nodes × 2^63-range
+    * ids cannot overflow it. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
     val undirected = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
     val e = graft.ops.TransientCache.persist(undirected)
+    def labelSum(labels: DataFrame): java.math.BigDecimal =
+      Option(labels.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO) // empty graph
+    // Per-round plan hygiene: each round references the previous label
+    // table TWICE (own labels ∪ neighbour join), so without lineage
+    // truncation the logical tree DOUBLES every round and analysis cost
+    // goes exponential (measured: 6 s → 38 s at sf0.1). A LAZY
+    // localCheckpoint keeps it one job per round: the convergence-sum
+    // action below both materializes the round and truncates its lineage.
     var labels = graft.ops.TransientCache.track(
-      e.select(col("src").as("node")).distinct()
-        .withColumn("comp", col("node"))
-        .localCheckpoint(true))
-    var changed = 1L
+      e.groupBy(col("src"))
+        .agg(min(least(col("src"), col("dst"))).as("comp"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(false))
+    var prevSum = labelSum(labels)
+    var converged = false
     var it = 0
-    while (changed > 0 && it < maxIter) {
-      // Neighbour labels flow along each edge; min with the node's own.
+    // One propagation step: min over own label, each neighbour's label
+    // (flow along edges), and the label's own label (pointer jumping —
+    // the effective propagation distance doubles per step, so convergence
+    // is O(log diameter) steps instead of O(diameter); near-dup chains
+    // measured diameter ~9 at sf0.1 → 10 plain steps vs ~4 jumped).
+    def step(labels: DataFrame): DataFrame = {
       val neighbour = e.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("comp"))
+      val hop = labels.as("l1")
+        .join(labels.as("l2"), col("l1.comp") === col("l2.node"))
+        .select(col("l1.node").as("node"), col("l2.comp").as("comp"))
+      labels.union(neighbour).union(hop)
+        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+    }
+    while (!converged && it < maxIter) {
+      // ONE propagation step per action. (A two-steps-per-action variant
+      // — persisted middle, halved convergence checks — benched SLOWER in
+      // the full suite: 9.0 s vs 5.5 s for q54 at sf0.1; the doubled
+      // join/broadcast work per action outweighs the saved job latency.)
       val next = graft.ops.TransientCache.track(
-        labels.union(neighbour)
-          .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-          .localCheckpoint(true))
-      changed = next.as("n").join(labels.as("o"), "node")
-        .where(col("n.comp") =!= col("o.comp")).count()
+        step(labels).localCheckpoint(false))
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       it += 1
     }

@@ -68,8 +68,16 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
-  /** MinHash signature columns h0..h{n-1}: per hash p, the min md5 of
-    * `"p|" + shingle`.
+  /** MinHash signature columns h0..h{n-1}: hash p is the min over the
+    * doc's shingles of an 8-hex-char (32-bit) slice of
+    * `md5("<p/4>|" + shingle)` — md5 number p/4, slice number p%4.
+    * Chunking a uniform 128-bit hash yields four independent uniform
+    * 32-bit hashes, so 8 hash functions cost TWO md5 evaluations per
+    * (doc, shingle) row instead of eight (the md5 dominates the signature
+    * build; slicing is free and the min-agg shuffles 8-char keys instead
+    * of 32). Fixed-width lowercase hex compares lexicographically as the
+    * integer it encodes, so `min` over the slice is a valid uniform
+    * min-hash on any engine.
     *
     * Implementation note: computed by EXPLODING shingles and min-agg'ing
     * scalar md5 columns, not by `array_min(transform(...))` — Spark's
@@ -79,17 +87,89 @@ object Dedup {
     * faster at sf0.1. Semantics identical. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         nHashes: Int = 8): DataFrame = {
+    require(nHashes % 4 == 0, "nHashes must pack into whole md5s (4 slices each)")
     val sh = shingleRows(df, textCol, idCol)
     // Hashes are computed INLINE per (doc, shingle) row — map-side, fused
-    // into the scan, partial-min before the only shuffle. The alternative
-    // (hash distinct shingles once, join the dictionary back) was benched
-    // SLOWER here and adds a distinct+join shuffle; it only wins on a
-    // corpus whose shingle duplication factor outweighs a full extra
-    // shuffle of the (doc, shingle) rows.
-    val aggs = (0 until nHashes).map { p =>
-      min(md5(concat(lit(s"$p|"), col("s")))).as(s"h$p")
-    }
-    sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+    // into the scan, partial-min before the only shuffle; the projection's
+    // common-subexpression elimination evaluates each distinct md5 once.
+    // The alternative (hash distinct shingles once, join the dictionary
+    // back) was benched SLOWER here and adds a distinct+join shuffle; it
+    // only wins on a corpus whose shingle duplication factor outweighs a
+    // full extra shuffle of the (doc, shingle) rows.
+    val sliced = sh.select(col("doc") +: (0 until nHashes).map { p =>
+      substring(md5(concat(lit(s"${p / 4}|"), col("s"))), (p % 4) * 8 + 1, 8)
+        .as(s"x$p")
+    }: _*)
+    val aggs = (0 until nHashes).map(p => min(col(s"x$p")).as(s"h$p"))
+    sliced.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Typed one-pass twin of [[minhashSignatures]] (identical output,
+    * DedupSpec-equivalence-checked): per doc, one tight JVM loop computes
+    * both md5s per shingle and folds the 8 slice-minima directly — no
+    * (doc, shingle) explode, no shuffle for the signature build, the
+    * whole thing runs map-side at scan speed (the shingleRows/
+    * withTokenProfile pattern; the column form's explode + 8-way min-agg
+    * shuffles ~150 shingle rows per doc first). Same normalization and
+    * hex-slice contract; JVM String ordering equals UTF8 binary ordering
+    * on lowercase-hex ASCII. */
+  def minhashSignaturesTyped(df: DataFrame, textCol: String, idCol: String,
+                             nHashes: Int = 8, n: Int = 2): DataFrame = {
+    require(nHashes % 4 == 0, "nHashes must pack into whole md5s (4 slices each)")
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val nMd5 = nHashes / 4
+    val outSchema = (0 until nHashes).foldLeft(
+      new StructType().add("doc", LongType)) { (s, p) => s.add(s"h$p", StringType) }
+    val textIdx = df.schema.fieldIndex(textCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hexChars = "0123456789abcdef".toCharArray
+      def hex(b: Array[Byte]): String = {
+        val out = new Array[Char](32)
+        var i = 0
+        while (i < 16) {
+          out(2 * i) = hexChars((b(i) >> 4) & 0xf)
+          out(2 * i + 1) = hexChars(b(i) & 0xf)
+          i += 1
+        }
+        new String(out)
+      }
+      rows.flatMap { r =>
+        val text = if (r.isNullAt(textIdx)) null else r.getString(textIdx)
+        if (text == null) Iterator.empty
+        else {
+          val toks = TextAnalysis.tokenizeJvm(TextAnalysis.normalizeJvm(text))
+          if (toks.length < n) Iterator.empty
+          else {
+            val mins = Array.fill[String](nHashes)(null)
+            val seen = new java.util.HashSet[String]()
+            toks.sliding(n).foreach { gram =>
+              val s = gram.mkString(" ")
+              if (seen.add(s)) {
+                var m = 0
+                while (m < nMd5) {
+                  md.reset()
+                  val h = hex(md.digest((s"$m|" + s)
+                    .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+                  var c = 0
+                  while (c < 4) {
+                    val p = m * 4 + c
+                    val slice = h.substring(c * 8, c * 8 + 8)
+                    if (mins(p) == null || slice < mins(p)) mins(p) = slice
+                    c += 1
+                  }
+                  m += 1
+                }
+              }
+            }
+            Iterator(Row.fromSeq(r.get(idIdx).asInstanceOf[Number].longValue() +:
+              mins.toSeq))
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** LSH banding: r consecutive minhashes concatenated per band; docs
@@ -232,6 +312,36 @@ object Dedup {
     val hamming = bit_count(col("sigi_a").bitwiseXOR(col("sigi_b")))
     cand.select(col("doc_a"), col("doc_b"), hamming.cast("int").as("hamming"))
       .where(col("hamming") <= maxDist)
+  }
+
+  /** Doc → near-dup component membership over the SimHash graph (docs
+    * connected iff their signatures are within `maxDist` Hamming bits),
+    * component = min reachable doc id; only docs with at least one
+    * partner appear (the docs a dedup pass would actually touch).
+    *
+    * Scale shape: identical signatures are collapsed to ONE representative
+    * (min doc) BEFORE the band join and the component loop — an exact-dup
+    * group of n docs is an n-clique in the doc graph (O(n²) pairs, and on
+    * a dup-heavy crawl n is unbounded) but a single node here. Reachability
+    * is preserved: same-signature docs are Hamming-0 neighbours, so doc
+    * components = signature components expanded back through the
+    * signature → doc mapping (a broadcast-sized join: one row per DISTINCT
+    * signature). */
+  def simhashComponents(sigs: DataFrame, maxDist: Int = 2): DataFrame = {
+    val sigTable = graft.ops.TransientCache.persist(
+      sigs.groupBy(col("simhash"))
+        .agg(min(col("doc")).as("rep"), count(lit(1)).as("n_docs")))
+    val repPairs = simhashHammingPairsFromSigs(
+      sigTable.select(col("rep").as("doc"), col("simhash")), maxDist)
+    val cc = Components.connectedComponents(repPairs, "doc_a", "doc_b")
+    // A multi-doc signature participates even with no external edge (its
+    // docs pair with each other); its component is its own representative.
+    val sigComp = sigTable
+      .join(cc, sigTable("rep") === cc("node"), "left")
+      .where(col("n_docs") >= 2 || col("node").isNotNull)
+      .select(col("simhash"), coalesce(col("comp"), col("rep")).as("comp"))
+    sigs.join(broadcast(sigComp), "simhash")
+      .select(col("doc"), col("comp"))
   }
 
   /** Split `total` bit positions into `n` contiguous (1-based start, len)

@@ -36,7 +36,7 @@ object ExtQueries {
       // doc-count-sized table. TransientCache: the runner unpersists it
       // after materializing, so repeated runs don't accumulate blocks.
       val sigs = graft.ops.TransientCache.persist(
-        Dedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", 8))
+        Dedup.minhashSignaturesTyped(Tables.documents(s, d), "text", "doc_id", 8))
       Dedup.lshCandidatePairs(sigs, 8, 2)
         .where(col("n_agree") >= 4)
         .orderBy("doc_a", "doc_b")
@@ -190,8 +190,11 @@ object ExtQueries {
        |        FROM u WHERE i < len(t) GROUP BY doc_id)""".stripMargin
 
   private def minhashSigSql: String = {
+    // Mirrors Dedup.minhashSignatures: hash p = min 8-hex slice p%4 of
+    // md5 number p/4 (two md5s -> eight independent 32-bit hashes).
     val hs = (0 until 8).map(p =>
-      s"list_min(list_transform(sl, s -> md5('$p|' || s))) h$p").mkString(",\n    ")
+      s"list_min(list_transform(sl, s -> substr(md5('${p / 4}|' || s), ${(p % 4) * 8 + 1}, 8))) h$p")
+      .mkString(",\n    ")
     val bands = (0 until 4).map(b =>
       s"SELECT doc, $b band, h${2 * b} || h${2 * b + 1} bkey FROM sig").mkString("\n  UNION ALL ")
     val agree = (0 until 8).map(p =>

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Components, Dedup, Ranking, Sampling, TextAnalysis}
+import graft.ext.{Dedup, Ranking, Sampling, TextAnalysis}
 import graft.ops.{AsOfJoin, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -34,14 +34,13 @@ object PipelineQueries {
     }),
 
     // Near-dup pair graph -> document clusters: connected components
-    // (min-label propagation) over the q48 SimHash Hamming pairs, from
-    // the same shared per-session signature table.
-    "q54_dedup_components" -> ((s, d) => {
-      val pairs = Dedup.simhashHammingPairsFromSigs(ExtQueries.simhashSigs(s, d), 2)
-      Components.connectedComponents(pairs, "doc_a", "doc_b")
-        .select(col("node").as("doc_id"), col("comp").as("component"))
-        .orderBy(col("doc_id"))
-    }),
+    // (min-label propagation) over the q48 SimHash Hamming graph, from
+    // the same shared per-session signature table; identical signatures
+    // collapse to one representative before the loop.
+    "q54_dedup_components" -> ((s, d) =>
+      Dedup.simhashComponents(ExtQueries.simhashSigs(s, d), 2)
+        .select(col("doc").as("doc_id"), col("comp").as("component"))
+        .orderBy(col("doc_id"))),
 
     // BM25-ranked disjunctive retrieval over the inverted index (the
     // ranking layer above q49's conjunctive candidate lookup).

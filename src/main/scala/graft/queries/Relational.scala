@@ -57,15 +57,22 @@ object Relational {
       val c  = Tables.customer(s, d)
       val n  = Tables.nation(s, d)
       val r  = Tables.region(s, d)
-      Parity.outputDoubles(li.join(o, col("l_orderkey") === col("o_orderkey"))
+      // Eager aggregation below the join (classic group-by push-down):
+      // the fact is pre-summed per order key BEFORE joining the
+      // dimensions, so the join and the rollup-side agg see one row per
+      // order instead of one per lineitem. Decimal partial sums keep the
+      // result bit-identical to the flat form.
+      val liAgg = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .as("rev_ok"))
+      Parity.outputDoubles(liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .where(col("r_name") === "ASIA")
         .groupBy(col("n_name"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .as("revenue"))
+        .agg(sum(col("rev_ok")).as("revenue"))
         .select(col("n_name").as("nation"), col("revenue"))
         .orderBy(desc("revenue"), col("nation")))
     }),
@@ -225,12 +232,17 @@ object Relational {
       val c  = Tables.customer(s, d)
       val n  = Tables.nation(s, d)
       val r  = Tables.region(s, d)
-      Parity.outputDoubles(li.join(o, col("l_orderkey") === col("o_orderkey"))
+      // Same eager-aggregation shape as q02: per-order partial sums flow
+      // into the rollup, so the grouping-set expansion triples 150 k
+      // pre-agg rows, not 600 k raw lineitems.
+      val liAgg = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty_ok"))
+      Parity.outputDoubles(liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .agg(sum(col("qty_ok")).as("sum_qty"))
         .select(
           col("r_name").as("region"), col("n_name").as("nation"),
           col("sum_qty"),

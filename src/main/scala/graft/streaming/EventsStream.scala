@@ -19,6 +19,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * alone would truncate to ms and diverge from the batch twin. */
 final case class SessionState(startUs: Long, endUs: Long, n: Long)
 
+/** Per-user latest-click state for streaming as-of attribution (times in
+  * µs, like [[SessionState]]). */
+final case class LastClick(tsUs: Long, id: Long, value: Double)
+
 object EventsStream {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -26,6 +30,12 @@ object EventsStream {
 
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Long)
+
+  final case class Attribution(event_id: Long, user_id: Long,
+                               ts: java.sql.Timestamp, value: Double,
+                               click_event_id: Long,
+                               click_ts: java.sql.Timestamp,
+                               click_value: Double)
 
   /** File-based event stream of the driver parquet fixture. The file
     * source needs a directory; when the fixture is a single parquet FILE
@@ -71,6 +81,49 @@ object EventsStream {
     val t = new java.sql.Timestamp(us / 1000)
     t.setNanos((us % 1000000L).toInt * 1000)
     t
+  }
+
+  /** Streaming twin of the batch as-of attribution (q53 /
+    * [[graft.ops.AsOfJoin]]): each purchase is attributed to the user's
+    * most recent click at-or-before it. Per-user state is ONE record (the
+    * latest click seen) — the streaming form of the as-of join needs no
+    * right-side buffering at all, because "latest at-or-before" is a
+    * running fold over the keyed stream; state is O(distinct users),
+    * never O(events). In-batch ordering mirrors the batch operator's
+    * window sort: (time, clicks-before-purchases, id) — a click AT the
+    * purchase instant attributes, equal-time clicks resolve to the max
+    * id. Events arriving across micro-batches later than an already-
+    * emitted purchase cannot retro-attribute it (the batch twin's global
+    * sort can) — the standard streaming-lateness caveat, same contract as
+    * [[sessionize]]'s watermark. */
+  def attributeClicks(spark: SparkSession, events: DataFrame): Dataset[Attribution] = {
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .where(col("event_type").isin("click", "purchase"))
+      .withWatermark("ts", "1 hour")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastClick, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, it, state: GroupState[LastClick]) =>
+          val sorted = it.toSeq.sortBy(e =>
+            (toUs(e.ts), if (e.event_type == "click") 0 else 1, e.event_id))
+          val out = Seq.newBuilder[Attribution]
+          var last = state.getOption
+          sorted.foreach { e =>
+            val t = toUs(e.ts)
+            if (e.event_type == "click") {
+              if (last.forall(s => s.tsUs < t || (s.tsUs == t && s.id < e.event_id)))
+                last = Some(LastClick(t, e.event_id, e.value))
+            } else last.foreach { s =>
+              out += Attribution(e.event_id, userId, e.ts, e.value,
+                s.id, fromUs(s.tsUs), s.value)
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
   }
 
   def sessionize(spark: SparkSession, events: DataFrame,

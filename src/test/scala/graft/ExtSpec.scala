@@ -31,6 +31,15 @@ class ExtSpec extends AnyFunSuite {
     assert(p12.exists(_.getInt(2) == 8))
   }
 
+  test("minhash typed one-pass twin equals the column/explode form") {
+    val docs = Tables.documents(spark, sf)
+    val a = Dedup.minhashSignatures(docs, "text", "doc_id", 8)
+      .orderBy("doc").collect().map(_.toSeq)
+    val b = Dedup.minhashSignaturesTyped(docs, "text", "doc_id", 8)
+      .orderBy("doc").collect().map(_.toSeq)
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
   test("ngram jaccard finds the planted near-dups and respects threshold") {
     val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, sf), "text", "doc_id", 2, 1, 5)
       .collect()

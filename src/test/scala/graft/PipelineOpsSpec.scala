@@ -75,6 +75,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     graft.ops.TransientCache.releaseAll()
   }
 
+  test("simhashComponents: signature-collapsed path equals doc-level pair graph") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sigs = graft.ops.TransientCache.persist(
+      graft.ext.Dedup.simhashSignatures(docs, "text", "doc_id"))
+    val viaSigs = graft.ext.Dedup.simhashComponents(sigs, 2)
+      .as[(Long, Long)].collect().toSet
+    val direct = Components.connectedComponents(
+        graft.ext.Dedup.simhashHammingPairsFromSigs(sigs, 2), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(viaSigs == direct && viaSigs.nonEmpty)
+    graft.ops.TransientCache.releaseAll()
+  }
+
   test("bm25: more matching occurrences in a shorter doc ranks higher; fold applies") {
     import spark.implicits._
     val docs = Seq(

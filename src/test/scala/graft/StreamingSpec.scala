@@ -38,6 +38,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_ev").count() == 50)
   }
 
+  test("streaming as-of attribution equals the batch q53 twin (single batch)") {
+    val attributed = EventsStream.attributeClicks(spark,
+      EventsStream.readEvents(spark, sf))
+    runAvailableNow(attributed.toDF(), "attrib", OutputMode.Append())
+    val streamed = spark.table("attrib")
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz"),
+        col("value"), col("click_event_id"),
+        col("click_ts").cast("timestamp_ntz"), col("click_value"))
+      .collect().map(_.toString).toSet
+    val batch = SparkEntry.queries("q53_events_asof")(spark, sf)
+      .select("event_id", "user_id", "ts", "value",
+        "click_event_id", "click_ts", "click_value")
+      .collect().map(_.toString).toSet
+    // One file -> one micro-batch -> no cross-batch lateness: exact match.
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming sessionization closes every session except each user's last") {
     val sessions = EventsStream.sessionize(spark,
       EventsStream.readEvents(spark, sf))
