@@ -45,7 +45,11 @@ object Dedup {
                   n: Int = 2): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+    // NULL ids are excluded up front: a null doc id has no identity to
+    // dedup under, and the (Long, String) encoder would NPE on one. Same
+    // contract in minhashSignaturesTyped.
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
       .as[(Long, String)]
       .flatMap { case (doc, text) =>
         if (text == null) Iterator.empty
@@ -137,7 +141,9 @@ object Dedup {
         new String(out)
       }
       rows.flatMap { r =>
-        val text = if (r.isNullAt(textIdx)) null else r.getString(textIdx)
+        // NULL id or text -> no signature row (the shingleRows contract).
+        val text = if (r.isNullAt(idIdx) || r.isNullAt(textIdx)) null
+          else r.getString(textIdx)
         if (text == null) Iterator.empty
         else {
           val toks = TextAnalysis.tokenizeJvm(TextAnalysis.normalizeJvm(text))

@@ -64,14 +64,21 @@ object Ranking {
     val queryTerms = terms.flatMap(t => TextAnalysis.tokenizeJvm(
       TextAnalysis.normalizeJvm(TextAnalysis.foldAccentsJvm(t)))).distinct
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
-    val post = postingsWithTf(docs, textCol, idCol)
-    val dl = docLengths(docs, textCol, idCol)
+    // The term-filtered postings (tiny — query terms only) feed BOTH the
+    // df_t aggregate and the candidate rows; the doc-length table feeds
+    // both the corpus stats and the candidate join. Persist each once
+    // (TransientCache, runner-released): without it every unshared plan
+    // branch re-runs the full-corpus tokenize — the interpreted-HOF pass
+    // that dominates this query.
+    val post = graft.ops.TransientCache.persist(
+      postingsWithTf(docs, textCol, idCol)
+        .where(col("term").isin(queryTerms: _*)))
+    val dl = graft.ops.TransientCache.persist(docLengths(docs, textCol, idCol))
     // Corpus stats: one tiny agg row, broadcast onto every candidate.
     val stats = dl.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("tot_dl"))
       .withColumn("avgdl", col("tot_dl").cast("double") / col("n_corpus").cast("double"))
-    val dfT = post.where(col("term").isin(queryTerms: _*))
-      .groupBy(col("term")).agg(count(lit(1)).as("df_t"))
-    val cand = post.where(col("term").isin(queryTerms: _*))
+    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val cand = post
       .join(broadcast(dfT), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))

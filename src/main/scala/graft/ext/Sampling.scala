@@ -22,12 +22,16 @@ import org.apache.spark.sql.functions._
   * arithmetic anywhere). */
 object Sampling {
 
-  /** rate ∈ [0,1] → 8-hex-digit threshold string; the draw keeps a row
-    * iff draw < threshold, i.e. P(keep) = floor(rate·2^32)/2^32. */
+  /** rate ∈ [0,1] → threshold string; the draw keeps a row iff
+    * draw < threshold, i.e. P(keep) = floor(rate·2^32)/2^32 — except
+    * rate 1.0, which returns "g" (lexicographically above every 8-hex
+    * draw) so a keep-everything stratum really keeps EVERY row; clamping
+    * to "ffffffff" would silently drop the 1-in-2^32 docs whose draw is
+    * exactly that, i.e. a few documents per 10^10 at corpus scale. */
   def hexThreshold(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate out of range: $rate")
-    val t = math.min((rate * 4294967296.0).toLong, 0xffffffffL)
-    f"$t%08x"
+    if (rate == 1.0) "g"
+    else f"${(rate * 4294967296.0).toLong}%08x"
   }
 
   /** The uniform draw column: first 8 hex chars of md5 of the stringified

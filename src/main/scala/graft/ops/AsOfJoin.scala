@@ -49,7 +49,11 @@ object AsOfJoin {
                     rightTieBreak: String, prefix: String,
                     innerOnly: Boolean): DataFrame = {
     val payloadCols = (rightCols :+ rightTieBreak).distinct
-    val rightPart = right.select(
+    // SQL join semantics: a NULL key matches nothing. The window below
+    // PARTITIONS null keys together (unlike an equi-join), so null-key
+    // right rows must not enter — otherwise a null-key left row would be
+    // attributed to them, diverging from the equi-join oracle form.
+    val rightPart = right.where(col(keyCol).isNotNull).select(
       col(keyCol).as("__key"), col(timeCol).as("__t"), lit(0).as("__tag"),
       col(rightTieBreak).as("__tb"),
       struct(payloadCols.map(col): _*).as("__rv"))

@@ -107,23 +107,38 @@ object EventsStream {
       .flatMapGroupsWithState[LastClick, Attribution](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (userId, it, state: GroupState[LastClick]) =>
-          val sorted = it.toSeq.sortBy(e =>
-            (toUs(e.ts), if (e.event_type == "click") 0 else 1, e.event_id))
-          val out = Seq.newBuilder[Attribution]
-          var last = state.getOption
-          sorted.foreach { e =>
-            val t = toUs(e.ts)
-            if (e.event_type == "click") {
-              if (last.forall(s => s.tsUs < t || (s.tsUs == t && s.id < e.event_id)))
-                last = Some(LastClick(t, e.event_id, e.value))
-            } else last.foreach { s =>
-              out += Attribution(e.event_id, userId, e.ts, e.value,
-                s.id, fromUs(s.tsUs), s.value)
-            }
-          }
+          val (out, last) = attributeGroup(userId, it.toSeq, state.getOption)
           last.foreach(state.update)
-          out.result().iterator
+          out.iterator
       }
+  }
+
+  /** Pure per-group fold behind [[attributeClicks]] (extracted so the
+    * cross-batch edge cases are unit-testable without a streaming
+    * harness). Returns (attributions to emit, updated latest-click
+    * state). */
+  private[graft] def attributeGroup(userId: Long, events: Seq[Event],
+      initial: Option[LastClick]): (Seq[Attribution], Option[LastClick]) = {
+    val sorted = events.sortBy(e =>
+      (toUs(e.ts), if (e.event_type == "click") 0 else 1, e.event_id))
+    val out = Seq.newBuilder[Attribution]
+    var last = initial
+    sorted.foreach { e =>
+      val t = toUs(e.ts)
+      if (e.event_type == "click") {
+        if (last.forall(s => s.tsUs < t || (s.tsUs == t && s.id < e.event_id)))
+          last = Some(LastClick(t, e.event_id, e.value))
+      } else last.foreach { s =>
+        // Guard against a late purchase arriving in a LATER batch than a
+        // click that post-dates it: state may hold a click from the
+        // purchase's future, which must not attribute (the batch twin
+        // matches at-or-before only).
+        if (s.tsUs <= t)
+          out += Attribution(e.event_id, userId, e.ts, e.value,
+            s.id, fromUs(s.tsUs), s.value)
+      }
+    }
+    (out.result(), last)
   }
 
   def sessionize(spark: SparkSession, events: DataFrame,

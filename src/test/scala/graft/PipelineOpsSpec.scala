@@ -105,11 +105,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[Long]("score_q") > 0))
   }
 
+  test("asOf: null keys never match (SQL join semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, Option.empty[Long], ts(50)), (2L, Option(7L), ts(50)))
+      .toDF("lid", "k", "t")
+    val right = Seq((10L, Option.empty[Long], ts(40)), (11L, Option(7L), ts(40)))
+      .toDF("rid", "k", "t")
+    val got = AsOfJoin.asOfLeft(left, right, "k", "t", Seq("rid"), "rid")
+      .orderBy("lid").collect()
+    assert(got(0).isNullAt(got(0).fieldIndex("r_rid"))) // null key -> no match
+    assert(got(1).getAs[Long]("r_rid") == 11L)
+    assert(AsOfJoin.asOfInner(left, right, "k", "t", Seq("rid"), "rid").count() == 1)
+  }
+
+  test("streaming attribution fold: cross-batch future click never attributes") {
+    import graft.streaming.{EventsStream, LastClick}
+    // State holds a click at t=100s (from an earlier batch); a late
+    // purchase at t=95s must NOT attribute to it.
+    val purchase = EventsStream.Event(5L, ts(95), 1L, "purchase", 2.0)
+    val (outLate, stLate) = EventsStream.attributeGroup(1L, Seq(purchase),
+      Some(LastClick(100L * 1000000L, 4L, 1.0)))
+    assert(outLate.isEmpty && stLate.contains(LastClick(100L * 1000000L, 4L, 1.0)))
+    // An on-time purchase at t=100s (same instant) does attribute.
+    val onTime = EventsStream.Event(6L, ts(100), 1L, "purchase", 2.0)
+    val (outOk, _) = EventsStream.attributeGroup(1L, Seq(onTime),
+      Some(LastClick(100L * 1000000L, 4L, 1.0)))
+    assert(outOk.map(a => (a.event_id, a.click_event_id)) == Seq((6L, 4L)))
+    // An older click in a later batch must not replace newer state.
+    val oldClick = EventsStream.Event(3L, ts(90), 1L, "click", 1.0)
+    val (_, stKept) = EventsStream.attributeGroup(1L, Seq(oldClick),
+      Some(LastClick(100L * 1000000L, 4L, 1.0)))
+    assert(stKept.contains(LastClick(100L * 1000000L, 4L, 1.0)))
+  }
+
+  test("minhash typed twin skips null ids and null text like shingleRows") {
+    import spark.implicits._
+    val df = Seq((Option(1L), Option("alpha beta gamma")),
+        (Option.empty[Long], Option("alpha beta gamma")),
+        (Option(3L), Option.empty[String]))
+      .toDF("doc_id", "text")
+    val typed = graft.ext.Dedup.minhashSignaturesTyped(df, "text", "doc_id")
+      .select("doc").as[Long].collect().toSeq
+    val column = graft.ext.Dedup.minhashSignatures(df, "text", "doc_id")
+      .select("doc").as[Long].collect().toSeq
+    assert(typed == Seq(1L) && column == Seq(1L))
+  }
+
   test("sampling: thresholds exact; rate 0 keeps nothing, rate 1 keeps all") {
     assert(Sampling.hexThreshold(0.5) == "80000000")
     assert(Sampling.hexThreshold(0.75) == "c0000000")
     assert(Sampling.hexThreshold(0.0) == "00000000")
-    assert(Sampling.hexThreshold(1.0) == "ffffffff")
+    // rate 1.0 compares above every 8-hex draw — including "ffffffff"
+    assert(Sampling.hexThreshold(1.0) == "g" && "ffffffff" < "g")
     import spark.implicits._
     val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("id", "stratum")
