@@ -141,6 +141,28 @@ object EventsStream {
     (out.result(), last)
   }
 
+  /** Stream-stream interval-join twin of the batch range join (q59 /
+    * [[graft.ops.RangeJoin]]): purchases within one hour AFTER a click by
+    * the same user, as they stream in. This is Spark's native
+    * watermarked stream-stream join with a time-range predicate — state
+    * on each side is bounded by the watermark + the one-hour range (the
+    * streaming analogue of the batch operator's 2-bucket banding), so it
+    * runs indefinitely without unbounded buffering. */
+  def conversionPairs(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "2 hours")
+    clicks.join(purchases, expr(
+      "c_user = p_user AND p_ts > click_ts AND p_ts <= click_ts + interval 1 hour"))
+      .select(col("click_id"), col("c_user").as("user_id"), col("click_ts"),
+        col("purchase_id"), col("p_ts"), col("p_value"))
+  }
+
   def sessionize(spark: SparkSession, events: DataFrame,
                  gapMinutes: Int = 30): Dataset[Session] = {
     import spark.implicits._

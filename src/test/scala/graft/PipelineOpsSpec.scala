@@ -174,6 +174,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s1 == s2 && s1.nonEmpty)
   }
 
+  test("quantile scale path: percentile_approx rank error within its bound") {
+    // q57 uses exact interpolated percentiles (engine-parity-exact); the
+    // 100 TB path is percentile_approx (SCALE.md) — pin its contract: for
+    // accuracy a, the returned value's RANK is within n/a of the target.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val accuracy = 100
+    val approx = docs.select(
+      expr(s"percentile_approx(n_chars, 0.5D, $accuracy)")).head().getLong(0)
+    val below = docs.where(col("n_chars") < approx).count()
+    val aboveStrict = docs.where(col("n_chars") > approx).count()
+    val bound = n / 2 + n / accuracy
+    assert(below <= bound, s"approx median rank too high: $below below of $n")
+    assert(aboveStrict <= bound, s"approx median rank too low: $aboveStrict above of $n")
+  }
+
   test("mixingPlan: integer-exact shares; over-budget cells downsample, empty keep all") {
     import spark.implicits._
     val df = Seq(

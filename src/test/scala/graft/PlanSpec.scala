@@ -53,6 +53,35 @@ class PlanSpec extends AnyFunSuite {
       s"unreferenced dimension scanned:\n$p")
   }
 
+  test("q53 as-of: a single key exchange + window, never a join pair blow-up") {
+    val p = plan("q53_events_asof")
+    assert(!p.contains("Join"), s"as-of lowered to a join (pair blow-up shape):\n$p")
+    assert(p.contains("Window"), s"no running-window pass:\n$p")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"as-of should shuffle exactly once (on the key):\n$p")
+  }
+
+  test("q59 range join: banded equi-join, no cartesian/BNLJ/theta shape") {
+    val p = plan("q59_click_conversions")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to an unbounded pair shape:\n$p")
+    assert(p.contains("hashpartitioning"), p)
+  }
+
+  test("q56 sampling: map-side only — zero exchanges before the output sort") {
+    val p = plan("q56_sample_stratified")
+    // The only allowed exchange is the final ORDER BY's range partitioning.
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"sampling filter should not shuffle:\n$p")
+  }
+
+  test("q55 BM25: top-k lowers to TakeOrdered over the scored candidates") {
+    val p = plan("q55_fts_bm25")
+    assert(p.contains("TakeOrdered"), s"BM25 top-k runs a full sort:\n$p")
+    graft.ops.TransientCache.releaseAll()
+  }
+
   test("q36/q31: no sort-merge join on a broadcastable dimension side") {
     Seq("q36_mdx_month_drill", "q31_mdx_crossjoin_slicer").foreach { q =>
       val p = plan(q)

@@ -55,6 +55,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("stream-stream interval join equals the batch range-join pairs") {
+    val pairs = EventsStream.conversionPairs(EventsStream.readEvents(spark, sf))
+    runAvailableNow(pairs, "conv_pairs", OutputMode.Append())
+    val streamed = spark.table("conv_pairs")
+      .select(col("click_id"), col("user_id"), col("click_ts").cast("timestamp_ntz"),
+        col("purchase_id"), col("p_ts").cast("timestamp_ntz"), col("p_value"))
+      .collect().map(_.toString).toSet
+    val ev = Tables.events(spark, sf)
+    val batch = graft.ops.RangeJoin.pairsWithinAfter(
+        ev.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts")),
+        ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        "user_id", "ts", "ts", 3600000000L, Seq("event_id", "ts", "value"), "p_")
+      .select(col("click_id"), col("user_id"), col("ts").cast("timestamp_ntz"),
+        col("p_event_id"), col("p_ts").cast("timestamp_ntz"), col("p_value"))
+      .collect().map(_.toString).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming sessionization closes every session except each user's last") {
     val sessions = EventsStream.sessionize(spark,
       EventsStream.readEvents(spark, sf))
