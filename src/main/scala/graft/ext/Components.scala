@@ -95,6 +95,46 @@ object Components {
     labels
   }
 
+  /** Strategy dispatch (the ngramJaccardPairsAuto pattern): after
+    * signature contraction the edge set is usually TINY relative to the
+    * corpus (it only holds representative pairs), so when it fits a hard
+    * driver bound the transitive closure runs as a local union-find —
+    * exact, O(E·α(E)), no per-round job latency; above the bound, the
+    * distributed pointer-jumped loop. Output identical (spec-forced on
+    * both paths). The bound is EDGES (collected payload is two longs per
+    * edge: 2^20 edges ≈ 16 MB), never the corpus size — a 100 TB corpus
+    * whose contracted dup graph is small takes the fast path legitimately;
+    * one whose graph is huge still converges distributed. */
+  def connectedComponentsAuto(edges: DataFrame, aCol: String, bCol: String,
+                              localEdgeLimit: Long = 1L << 20): DataFrame = {
+    val e = graft.ops.TransientCache.persist(
+      edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
+    if (e.count() > localEdgeLimit) connectedComponents(e, "src", "dst")
+    else {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val pairs = e.as[(Long, Long)].collect()
+      // Union-find with path compression; roots then resolve to the min
+      // member so labels match the distributed fixpoint exactly.
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val nodes = parent.keySet().toArray(Array.empty[java.lang.Long])
+      val out = nodes.map(n => (n.longValue(), find(n.longValue())))
+      spark.createDataset(out.toSeq).toDF("node", "comp")
+    }
+  }
+
   /** Component summary: size and canonical (min) member per component of
     * the pair graph. */
   def componentSizes(membership: DataFrame): DataFrame =

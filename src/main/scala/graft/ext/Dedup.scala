@@ -339,7 +339,7 @@ object Dedup {
         .agg(min(col("doc")).as("rep"), count(lit(1)).as("n_docs")))
     val repPairs = simhashHammingPairsFromSigs(
       sigTable.select(col("rep").as("doc"), col("simhash")), maxDist)
-    val cc = Components.connectedComponents(repPairs, "doc_a", "doc_b")
+    val cc = Components.connectedComponentsAuto(repPairs, "doc_a", "doc_b")
     // A multi-doc signature participates even with no external edge (its
     // docs pair with each other); its component is its own representative.
     val sigComp = sigTable

@@ -75,6 +75,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     graft.ops.TransientCache.releaseAll()
   }
 
+  test("connectedComponentsAuto: local union-find equals the distributed loop") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (20L, 21L)).toDF("a", "b")
+    val local = Components.connectedComponentsAuto(edges, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    val distributed = Components.connectedComponentsAuto(edges, "a", "b",
+        localEdgeLimit = 0L) // force the loop path
+      .as[(Long, Long)].collect().toSet
+    val expected = Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(local == expected && distributed == expected)
+    graft.ops.TransientCache.releaseAll()
+  }
+
   test("simhashComponents: signature-collapsed path equals doc-level pair graph") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
