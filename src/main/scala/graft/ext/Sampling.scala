@@ -54,6 +54,25 @@ object Sampling {
       .where(col("draw") < col("threshold"))
   }
 
+  /** Greedy sequential sequence packing: within each stratum, documents
+    * in id order fill training sequences of `budgetTokens`; a document's
+    * sequence id is its exclusive prefix-token-sum div the budget —
+    * deterministic, integer-exact, one window pass. Scale shape: the
+    * running sum partitions BY STRATUM (shard), never a global total
+    * order — each shard packs independently, which is exactly how
+    * production pipelines shard their packing step. Returns per-doc
+    * assignments; aggregate per (stratum, seq_id) for the manifest. */
+  def packSequences(df: DataFrame, strataCol: String, idCol: String,
+                    tokensCol: String, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prior = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(strataCol), col(idCol), col(tokensCol))
+      .withColumn("prior_tokens",
+        coalesce(sum(col(tokensCol)).over(prior), lit(0L)))
+      .withColumn("seq_id", expr(s"prior_tokens div $budgetTokens"))
+  }
+
   /** Token-budget mixing plan: per (stratum, source) cell — document and
     * token counts, the cell's share of the corpus in ppm, and the
     * deterministic per-cell sampling rate (ppm) that downsamples every

@@ -204,6 +204,86 @@ object TextAnalysis {
         .select(col("doc_id"))
   }
 
+  /** Fixed-size token windows with stride — the chunking stage that
+    * splits long documents into training-sequence-sized pieces
+    * (overlapping when stride < window, the standard LM data-prep
+    * shape). One typed pass at scan speed (the shingleRows pattern);
+    * emits the chunk's md5 + counters, not the duplicated text, so the
+    * output stays doc-count-×-chunks narrow. Rows with NULL id/text or
+    * zero tokens produce no chunks. */
+  def chunkWindows(df: DataFrame, textCol: String, idCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = new StructType()
+      .add("doc_id", LongType).add("chunk_idx", IntegerType)
+      .add("start_tok", IntegerType).add("n_chunk_tokens", IntegerType)
+      .add("chunk_hash", StringType)
+    val textIdx = df.schema.fieldIndex(textCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        if (r.isNullAt(idIdx) || r.isNullAt(textIdx)) Iterator.empty
+        else {
+          val doc = r.get(idIdx).asInstanceOf[Number].longValue()
+          val toks = tokenizeJvm(normalizeJvm(r.getString(textIdx)))
+          val n = toks.length
+          (0 until n by stride).iterator.map { start =>
+            val chunk = toks.slice(start, math.min(start + window, n))
+            md.reset()
+            val h = md.digest(chunk.mkString(" ")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString
+            Row(doc, start / stride, start, chunk.length, h)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Gopher-style within-document repetition signals (Rae et al. 2021,
+    * "Scaling Language Models" §A1.1 quality heuristics): the fraction
+    * of bigrams that are duplicates and the share of the single most
+    * frequent bigram, both in integer-exact ppm. High values mark
+    * boilerplate/spam for the quality filter. One typed pass, no
+    * shuffle; docs with fewer than 2 tokens emit nothing. */
+  def repetitionProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = new StructType()
+      .add("doc_id", LongType).add("n_bigrams", LongType)
+      .add("n_distinct_bigrams", LongType)
+      .add("dup_ppm", LongType).add("top_ppm", LongType)
+    val textIdx = df.schema.fieldIndex(textCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(idIdx) || r.isNullAt(textIdx)) Iterator.empty
+        else {
+          val doc = r.get(idIdx).asInstanceOf[Number].longValue()
+          val toks = tokenizeJvm(normalizeJvm(r.getString(textIdx)))
+          if (toks.length < 2) Iterator.empty
+          else {
+            val counts = new java.util.HashMap[String, Long]()
+            var i = 0
+            while (i < toks.length - 1) {
+              counts.merge(toks(i) + " " + toks(i + 1), 1L, _ + _)
+              i += 1
+            }
+            val n = (toks.length - 1).toLong
+            val distinct = counts.size.toLong
+            var mx = 0L
+            counts.values.forEach(v => if (v > mx) mx = v)
+            Iterator(Row(doc, n, distinct,
+              1000000L * (n - distinct) / n, 1000000L * mx / n))
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Karp–Rabin rolling-hash fingerprint over character 5-grams: per
     * position i, g(i) = Σ_j ascii(c_{i+j})·31^j (exact BIGINT — max
     * ~1.2e8, no modulus needed, so any engine reproduces it); the doc

@@ -86,6 +86,30 @@ object PipelineQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Token-window chunking (window 32, stride 24 — overlapping LM
+    // training chunks), emitted as hashes + counters.
+    "q60_chunk_windows" -> ((s, d) =>
+      TextAnalysis.chunkWindows(Tables.documents(s, d), "text", "doc_id", 32, 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Greedy per-language sequence packing to a 512-token budget,
+    // aggregated to the packing manifest.
+    "q61_pack_sequences" -> ((s, d) => {
+      val prof = TextAnalysis.withTokenProfile(Tables.documents(s, d), "text")
+        .select(col("lang"), col("doc_id"), col("n_tokens"))
+      Sampling.packSequences(prof, "lang", "doc_id", "n_tokens", 512L)
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("n_tokens"))
+        .orderBy(col("lang"), col("seq_id"))
+    }),
+
+    // Gopher-style repetition signals: duplicate-bigram and top-bigram
+    // shares in ppm.
+    "q62_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionProfile(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // Bounded-window range join: purchases within one hour AFTER each
     // click by the same user (bucket-banded equi-join, no theta-join
     // pair blow-up), aggregated per click.
@@ -216,6 +240,44 @@ object PipelineQueries {
          |      CAST((CAST(1000000 AS HUGEINT) * (50000 // n_cells)) // n_tokens AS BIGINT))
          |  END AS sample_rate_ppm
          |FROM w ORDER BY lang, source""".stripMargin,
+
+    "q60_chunk_windows" ->
+      s"""${ExtQueries.tokCte},
+         |s AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 24)) st
+         |      FROM tok WHERE len(t) > 0),
+         |c AS (SELECT doc_id,
+         |        CAST((st - 1) // 24 AS INT) chunk_idx,
+         |        CAST(st - 1 AS INT) start_tok,
+         |        list_slice(t, st, least(st + 31, len(t))) ch
+         |      FROM s)
+         |SELECT doc_id, chunk_idx, start_tok,
+         |  CAST(len(ch) AS INT) AS n_chunk_tokens,
+         |  md5(array_to_string(ch, ' ')) AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q61_pack_sequences" ->
+      s"""${ExtQueries.tokCte},
+         |d AS (SELECT doc_id, len(t) n_tok FROM tok),
+         |p AS (SELECT lang, doc_id, n_tok,
+         |        COALESCE(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) pt
+         |      FROM d JOIN documents USING (doc_id))
+         |SELECT lang, CAST(pt // 512 AS BIGINT) AS seq_id, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM p GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin,
+
+    "q62_repetition" ->
+      s"""${ExtQueries.tokCte},
+         |u AS (SELECT doc_id, t, unnest(t) w, generate_subscripts(t, 1) i FROM tok),
+         |g AS (SELECT doc_id, w || ' ' || t[i+1] g FROM u WHERE i < len(t)),
+         |cnt AS (SELECT doc_id, g, count(*) c FROM g GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_bigrams,
+         |          CAST(count(*) AS BIGINT) n_distinct, CAST(max(c) AS BIGINT) mx
+         |        FROM cnt GROUP BY 1)
+         |SELECT doc_id, n_bigrams, n_distinct AS n_distinct_bigrams,
+         |  CAST((1000000 * (n_bigrams - n_distinct)) // n_bigrams AS BIGINT) AS dup_ppm,
+         |  CAST((1000000 * mx) // n_bigrams AS BIGINT) AS top_ppm
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q59_click_conversions" ->
       """WITH c AS (SELECT event_id, user_id, ts,

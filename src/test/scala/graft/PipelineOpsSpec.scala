@@ -205,6 +205,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(aboveStrict <= bound, s"approx median rank too low: $aboveStrict above of $n")
   }
 
+  test("chunkWindows: stride/window boundary semantics and hash determinism") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    // 10 tokens, window 8, stride 6 -> chunks [0,8) and [6,10)
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWindows(df, "text", "doc_id", 8, 6)
+      .orderBy("doc_id", "chunk_idx").collect()
+    assert(got.length == 2) // empty + null docs chunk-free
+    assert(got(0).getAs[Int]("start_tok") == 0 && got(0).getAs[Int]("n_chunk_tokens") == 8)
+    assert(got(1).getAs[Int]("start_tok") == 6 && got(1).getAs[Int]("n_chunk_tokens") == 4)
+    // hash matches the engine's md5 of the joined token window
+    val h0 = df.sparkSession.sql(
+      s"SELECT md5(CAST('${(1 to 8).map(i => s"w$i").mkString(" ")}' AS BINARY))")
+      .head().getString(0)
+    assert(got(0).getAs[String]("chunk_hash") == h0)
+  }
+
+  test("packSequences: greedy prefix packing is per-stratum and integer-exact") {
+    import spark.implicits._
+    val docs = Seq(("en", 1L, 300L), ("en", 2L, 300L), ("en", 3L, 100L),
+      ("de", 10L, 600L), ("de", 11L, 10L)).toDF("lang", "doc_id", "n_tokens")
+    val got = Sampling.packSequences(docs, "lang", "doc_id", "n_tokens", 512L)
+      .select("lang", "doc_id", "seq_id").as[(String, Long, Long)]
+      .collect().toSet
+    // en: prefixes 0,300,600 -> seqs 0,0,1 ; de: prefixes 0,600 -> 0,1
+    assert(got == Set(("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 1L),
+      ("de", 10L, 0L), ("de", 11L, 1L)))
+  }
+
+  test("repetitionProfile: duplicate and top bigram shares") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    // "a b a b a" -> bigrams: ab, ba, ab, ba (n=4, distinct=2, max=2)
+    val df = Seq((1L, "a b a b a"), (2L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionProfile(df, "text", "doc_id").collect()
+    assert(got.length == 1) // single-token doc emits nothing
+    val r = got(0)
+    assert(r.getAs[Long]("n_bigrams") == 4 && r.getAs[Long]("n_distinct_bigrams") == 2)
+    assert(r.getAs[Long]("dup_ppm") == 500000L && r.getAs[Long]("top_ppm") == 500000L)
+  }
+
   test("mixingPlan: integer-exact shares; over-budget cells downsample, empty keep all") {
     import spark.implicits._
     val df = Seq(
