@@ -153,6 +153,43 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("dot"))
   }
 
+  /** Partition-local k-NN GRAPH: every vector's top-k cosine neighbours
+    * WITHIN its IVF cell — the scalable neighbour-graph primitive
+    * (NN-Descent-style seeding, dedup-cluster input, retrieval-index
+    * bootstrap). Unlike [[ivfTopK]] (few queries probing several cells),
+    * the graph build runs ALL vectors as queries, so the only tractable
+    * 100 TB shape is cell-local brute force: cell id = partition key, the
+    * pair work is an equi-join on `cid` (never a global cross join), and
+    * cells bound the per-task O(|cell|²). Same deterministic centroids
+    * and exact-integer arithmetic as [[ivfTopK]]. */
+  def knnGraph(emb: DataFrame, idCol: String, embCol: String,
+               k: Int = 3, nlist: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("qv"))
+    val cent = e.orderBy("vec_id").limit(nlist)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    val byCell = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cid"))
+    val assignment = graft.ops.TransientCache.persist(
+      e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("qv"), col("cid"),
+          (dotQ(col("qv"), col("cv")).cast("double") /
+            sqrt(normQ(col("qv")).cast("double") * normQ(col("cv")).cast("double")))
+            .as("ccos"))
+        .withColumn("rn", row_number().over(byCell)).where(col("rn") === 1)
+        .select(col("vec_id"), col("qv"), col("cid")))
+    val scored = assignment.as("a").join(assignment.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        dotQ(col("a.qv"), col("b.qv")).as("dot"),
+        normQ(col("a.qv")).as("na"), normQ(col("b.qv")).as("nb"))
+      .withColumn("cos",
+        col("dot").cast("double") / sqrt(col("na").cast("double") * col("nb").cast("double")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("nbr_id"), col("dot"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= numT/denT within a
     * blocking key (label), integer cross-multiplied:
     * cos >= t  <=>  dot > 0 && dot² * denT² >= numT² * na * nb.

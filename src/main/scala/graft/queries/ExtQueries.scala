@@ -85,6 +85,12 @@ object ExtQueries {
       Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         col("vec_id") < 10, 3, 16, 2).orderBy("query_id", "rank")),
 
+    // k-NN graph: every vector's top-3 neighbours within its IVF cell
+    // (cell-local brute force — the scalable graph-build shape).
+    "q63_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", 3, 16)
+        .orderBy("vec_id", "rank")),
+
     // Language-ID heuristic: stopword hits per language, priority argmax.
     // q40–q42 all read from the one-pass typed token profile (scan-speed
     // map; the column-HOF forms are the equivalence-tested slow twins).
@@ -403,6 +409,36 @@ object ExtQueries {
          |  FROM sc)
          |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dot
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q63_knn_graph" ->
+      s"""$qeCtes,
+         |cent AS (SELECT vec_id cid, q cv FROM qe ORDER BY vec_id LIMIT 16),
+         |cn AS (SELECT cid, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) n
+         |       FROM cent),
+         |asg0 AS (SELECT e.vec_id, c.cid,
+         |    CAST(list_dot_product(e.q, c.cv) AS DOUBLE)
+         |      / sqrt(CAST(ne.n AS DOUBLE) * CAST(cn.n AS DOUBLE)) ccos
+         |  FROM qe e CROSS JOIN cent c
+         |  JOIN nrm ne ON e.vec_id = ne.vec_id
+         |  JOIN cn ON c.cid = cn.cid),
+         |asg AS (SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn
+         |    FROM asg0) WHERE rn = 1),
+         |sc AS (SELECT a.vec_id, b.vec_id nbr_id,
+         |    CAST(list_dot_product(qa.q, qb.q) AS BIGINT) dot, na.n na, nb.n nb
+         |  FROM asg a
+         |  JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+         |  JOIN qe qa ON a.vec_id = qa.vec_id
+         |  JOIN qe qb ON b.vec_id = qb.vec_id
+         |  JOIN nrm na ON a.vec_id = na.vec_id
+         |  JOIN nrm nb ON b.vec_id = nb.vec_id),
+         |r AS (SELECT vec_id, nbr_id, dot,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) DESC,
+         |               nbr_id) rank
+         |  FROM sc)
+         |SELECT vec_id, CAST(rank AS INT) AS rank, nbr_id, dot
+         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
     "q40_text_langid" -> langIdSql,
 

@@ -57,6 +57,18 @@ class ExtSpec extends AnyFunSuite {
     assert(sh(0) == sh(1) && sh(0).length == 32 && sh(0).forall(c => c == '0' || c == '1'))
   }
 
+  test("knn graph: every vector gets up to k cell-local ranked neighbours") {
+    val emb = Tables.embeddings(spark, sf)
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", 3, 16)
+    val per = g.groupBy("vec_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      .collect()
+    assert(per.length == emb.count()) // every vector appears (cells >= 4 members)
+    per.foreach { r =>
+      assert(r.getAs[Long]("n") <= 3 && r.getAs[Int]("mx") == r.getAs[Long]("n"))
+    }
+    graft.ops.TransientCache.releaseAll()
+  }
+
   test("brute-force top-k returns k ranked rows per query") {
     val res = Similarity.bruteForceTopK(Tables.embeddings(spark, sf),
       "vec_id", "embedding", col("vec_id") < 10, 5)
