@@ -107,10 +107,26 @@ object Components {
     * one whose graph is huge still converges distributed. */
   def connectedComponentsAuto(edges: DataFrame, aCol: String, bCol: String,
                               localEdgeLimit: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    // The local union-find needs collectable integral ids; any other node
+    // type (string urls, uuids) always takes the type-generic distributed
+    // loop — never a silent cast-to-null narrowing.
+    val integral = Seq(aCol, bCol).forall(c =>
+      edges.schema(c).dataType == LongType || edges.schema(c).dataType == IntegerType)
+    // Integral ids are normalized to BIGINT so both paths emit the same
+    // schema; non-integral ids keep their type on the distributed path.
     val e = graft.ops.TransientCache.persist(
-      edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
-    if (e.count() > localEdgeLimit) connectedComponents(e, "src", "dst")
-    else {
+      if (integral)
+        edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      else edges.select(col(aCol).as("src"), col(bCol).as("dst")))
+    if (!integral || e.count() > localEdgeLimit) {
+      val cc = connectedComponents(e, "src", "dst")
+      // The loop caches its own (undirected) edge table; the directed
+      // probe copy is dead weight for the O(log D) rounds — drop it now
+      // rather than at the caller's releaseAll.
+      e.unpersist(blocking = false)
+      cc
+    } else {
       val spark = edges.sparkSession
       import spark.implicits._
       val pairs = e.as[(Long, Long)].collect()

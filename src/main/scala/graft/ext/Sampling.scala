@@ -54,14 +54,19 @@ object Sampling {
       .where(col("draw") < col("threshold"))
   }
 
-  /** Greedy sequential sequence packing: within each stratum, documents
-    * in id order fill training sequences of `budgetTokens`; a document's
-    * sequence id is its exclusive prefix-token-sum div the budget —
-    * deterministic, integer-exact, one window pass. Scale shape: the
-    * running sum partitions BY STRATUM (shard), never a global total
-    * order — each shard packs independently, which is exactly how
-    * production pipelines shard their packing step. Returns per-doc
-    * assignments; aggregate per (stratum, seq_id) for the manifest. */
+  /** Deterministic sequence assignment for packing: within each stratum,
+    * documents in id order are assigned seq_id = exclusive
+    * prefix-token-sum div `budgetTokens` — integer-exact, one window
+    * pass. NOT a strict bin pack: a document straddling a boundary
+    * belongs wholly to the sequence its prefix starts in (a sequence may
+    * overflow by up to one document's tokens), and a document larger
+    * than the budget skips the ids it spans — callers sizing batches
+    * must treat `budgetTokens` as a lower bound per closed sequence.
+    * Scale shape: the running sum partitions BY STRATUM (shard), never a
+    * global total order — each shard packs independently, which is
+    * exactly how production pipelines shard their packing step. Returns
+    * per-doc assignments; aggregate per (stratum, seq_id) for the
+    * manifest. */
   def packSequences(df: DataFrame, strataCol: String, idCol: String,
                     tokensCol: String, budgetTokens: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window

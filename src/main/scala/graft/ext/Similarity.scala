@@ -121,23 +121,31 @@ object Similarity {
     * any engine reproduces the structure exactly; a production build
     * would k-means them, which only changes centroid quality, not the
     * operator shape). */
+  /** Deterministic IVF structure shared by [[ivfTopK]] and [[knnGraph]]:
+    * centroids = the `nlist` lowest-id vectors; per-vector scores against
+    * every centroid (ccos = exact-integer dot / sqrt of exact norms —
+    * the parity-critical contract mirrored by the qe/cent oracle CTEs). */
+  private def centroids(e: DataFrame, nlist: Int): DataFrame =
+    e.orderBy("vec_id").limit(nlist)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+
+  private def cellScores(src: DataFrame, cent: DataFrame): DataFrame =
+    src.crossJoin(broadcast(cent))
+      .select(src("vec_id"), src("qv"), col("cid"),
+        (dotQ(col("qv"), col("cv")).cast("double") /
+          sqrt(normQ(col("qv")).cast("double") * normQ(col("cv")).cast("double")))
+          .as("ccos"))
+
   def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
               isQuery: Column, k: Int = 3, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("qv"))
-    val cent = e.orderBy("vec_id").limit(nlist)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"))
-    def cellScores(src: DataFrame): DataFrame =
-      src.crossJoin(broadcast(cent))
-        .select(src("vec_id"), src("qv"), col("cid"),
-          (dotQ(col("qv"), col("cv")).cast("double") /
-            sqrt(normQ(col("qv")).cast("double") * normQ(col("cv")).cast("double")))
-            .as("ccos"))
+    val cent = centroids(e, nlist)
     val byCell = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cid"))
-    val assignment = cellScores(e)
+    val assignment = cellScores(e, cent)
       .withColumn("rn", row_number().over(byCell)).where(col("rn") === 1)
       .select(col("vec_id"), col("qv"), col("cid"))
-    val probes = cellScores(e.where(isQuery))
+    val probes = cellScores(e.where(isQuery), cent)
       .withColumn("rn", row_number().over(byCell)).where(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("cid"))
     val scored = probes.join(assignment, Seq("cid"))
@@ -166,22 +174,21 @@ object Similarity {
                k: Int = 3, nlist: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("qv"))
-    val cent = e.orderBy("vec_id").limit(nlist)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    val cent = centroids(e, nlist)
     val byCell = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cid"))
+    // The persisted assignment carries each vector's norm: inside the
+    // all-pairs cell join a per-pair normQ would re-run the O(d) dot
+    // twice per pair — on Σ|cell|² pairs that's 3× the necessary
+    // arithmetic (the oracle's nrm CTE shape, precomputed per vector).
     val assignment = graft.ops.TransientCache.persist(
-      e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("qv"), col("cid"),
-          (dotQ(col("qv"), col("cv")).cast("double") /
-            sqrt(normQ(col("qv")).cast("double") * normQ(col("cv")).cast("double")))
-            .as("ccos"))
+      cellScores(e, cent)
         .withColumn("rn", row_number().over(byCell)).where(col("rn") === 1)
-        .select(col("vec_id"), col("qv"), col("cid")))
+        .select(col("vec_id"), col("qv"), col("cid"), normQ(col("qv")).as("n")))
     val scored = assignment.as("a").join(assignment.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
         dotQ(col("a.qv"), col("b.qv")).as("dot"),
-        normQ(col("a.qv")).as("na"), normQ(col("b.qv")).as("nb"))
+        col("a.n").as("na"), col("b.n").as("nb"))
       .withColumn("cos",
         col("dot").cast("double") / sqrt(col("na").cast("double") * col("nb").cast("double")))
     val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("nbr_id"))
