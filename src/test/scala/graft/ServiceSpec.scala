@@ -108,6 +108,36 @@ class ServiceSpec extends AnyFunSuite {
     assert(up == Map(1L -> "v2", 2L -> "w"))
   }
 
+  test("Excel sink: SpreadsheetML workbook round-trips sheets, types, scrub") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xls").toString
+    val path = s"$dir/catalog.xml"
+    val members = Seq((1L, "Aguascalientes", 12.5), (2L, "BC", 3.0))
+      .toDF("member_key", "caption", "score")
+    val measures = Seq(("Total", true)).toDF("name", "visible")
+    graft.sink.ExcelSink.writeWorkbook(
+      Seq("Members" -> members, "Measures" -> measures), path)
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder().parse(new java.io.File(path))
+    val sheets = doc.getElementsByTagName("Worksheet")
+    assert(sheets.getLength == 2)
+    assert(sheets.item(0).getAttributes.getNamedItem("ss:Name")
+      .getNodeValue == "Members")
+    val cells = doc.getElementsByTagName("Data")
+    val texts = (0 until cells.getLength).map(cells.item(_).getTextContent)
+    assert(texts.contains("Aguascalientes") && texts.contains("12.5"))
+    assert(texts.contains("BC"), "control char not scrubbed") //  removed
+    val types = (0 until cells.getLength).map(cells.item(_).getAttributes
+      .getNamedItem("ss:Type").getNodeValue)
+    assert(types.contains("Number") && types.contains("Boolean"))
+    // row ceiling fails fast instead of silently truncating
+    val big = spark.range(graft.sink.ExcelSink.maxRowsPerSheet + 1).toDF("id")
+    val err = intercept[IllegalArgumentException] {
+      graft.sink.ExcelSink.writeWorkbook(Seq("big" -> big), s"$dir/big.xml")
+    }
+    assert(err.getMessage.contains("exceeds"))
+  }
+
   test("JDBC sink: staging MERGE updates matched keys and inserts new ones") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_jdbc").toString
