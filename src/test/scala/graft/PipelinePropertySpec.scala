@@ -1,0 +1,101 @@
+package graft
+
+import graft.ops.{AsOfJoin, RangeJoin}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the temporal join operators: on random keyed event
+  * sets, the scale-shaped implementations (union+window as-of, bucket-
+  * banded range join) must equal the naive reference semantics computed
+  * directly in Scala. Fixed seeds (the MdxPropertySpec pattern) keep
+  * failures reproducible. */
+class PipelinePropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // (id, key, timeSeconds) — small domains force key collisions and
+  // time ties, the cases where tie-break rules matter.
+  private case class Ev(id: Long, key: Long, t: Long)
+
+  private val evGen: Gen[Ev] = for {
+    id <- Gen.choose(0L, 10000L)
+    key <- Gen.choose(0L, 4L)
+    t <- Gen.choose(0L, 40L)
+  } yield Ev(id, key, t)
+
+  private def evSet(seed: Long, n: Int): Seq[Ev] = {
+    val params = Gen.Parameters.default
+    val g = Gen.listOfN(n, evGen)
+    // distinct ids: both operators assume a unique tiebreak column
+    g(params, org.scalacheck.rng.Seed(seed)).getOrElse(Nil)
+      .groupBy(_.id).map(_._2.head).toSeq
+  }
+
+  private def toDf(evs: Seq[Ev]) = {
+    import spark.implicits._
+    evs.map(e => (e.id, e.key, new java.sql.Timestamp(e.t * 1000L)))
+      .toDF("id", "key", "t")
+  }
+
+  test("asOfLeft equals the naive latest-at-or-before semantics on random sets") {
+    for (seed <- 1L to 8L) {
+      val left = evSet(seed, 30)
+      val right = evSet(seed + 100, 30)
+      val got = AsOfJoin.asOfLeft(toDf(left), toDf(right), "key", "t",
+          Seq("id"), "id")
+        .select(col("id"), col("r_id"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      val expected = left.map { l =>
+        val cands = right.filter(r => r.key == l.key && r.t <= l.t)
+        l.id -> (if (cands.isEmpty) None
+                 else Some(cands.maxBy(r => (r.t, r.id)).id))
+      }.toMap
+      assert(got == expected, s"seed $seed diverged")
+    }
+  }
+
+  test("rangeJoin pairs equal the brute-force window filter on random sets") {
+    val windowSec = 10L
+    for (seed <- 1L to 8L) {
+      val left = evSet(seed, 30)
+      val right = evSet(seed + 200, 30)
+      val got = RangeJoin.pairsWithinAfter(toDf(left), toDf(right), "key",
+          "t", "t", windowSec * 1000000L, Seq("id"), "r_")
+        .select(col("id"), col("r_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        l <- left
+        r <- right
+        if r.key == l.key && r.t > l.t && r.t <= l.t + windowSec
+      } yield (l.id, r.id)).toSet
+      assert(got == expected, s"seed $seed diverged")
+    }
+  }
+
+  test("chunkWindows covers every token exactly per the stride arithmetic") {
+    import spark.implicits._
+    for (seed <- 1L to 6L) {
+      val rnd = new scala.util.Random(seed)
+      val nTok = 1 + rnd.nextInt(40)
+      val window = 1 + rnd.nextInt(10)
+      val stride = 1 + rnd.nextInt(window) // stride <= window: full coverage
+      val text = (0 until nTok).map(i => s"t$i").mkString(" ")
+      val chunks = graft.ext.TextAnalysis.chunkWindows(
+          Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id",
+          window, stride)
+        .select("start_tok", "n_chunk_tokens")
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+      val expectedStarts = (0 until nTok by stride).toSeq
+      assert(chunks.map(_._1).toSeq.sorted == expectedStarts.sorted)
+      // full coverage: the union of [start, start+len) is [0, nTok)
+      val covered = chunks.flatMap { case (s, len) => s until (s + len) }.toSet
+      assert(covered == (0 until nTok).toSet, s"seed $seed lost tokens")
+      // every chunk is window-sized except possibly trailing ones
+      chunks.foreach { case (s, len) =>
+        assert(len == math.min(window, nTok - s), s"seed $seed bad len at $s")
+      }
+    }
+  }
+}
