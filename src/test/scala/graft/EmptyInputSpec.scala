@@ -1,0 +1,85 @@
+package graft
+
+import graft.ext.{Components, Dedup, Ranking, Sampling, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, RangeJoin}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Zero-row hardening: every pipeline operator must return an EMPTY
+  * result on empty input — not throw from a driver-side head()/collect()
+  * probe, a window over nothing, or a null aggregate. (A real pipeline
+  * hits empty partitions constantly: a new corpus shard, a filter that
+  * matched nothing, a stratum with no members.) */
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def emptyDocs = {
+    import spark.implicits._
+    Seq.empty[(Long, String, String, String)].toDF("doc_id", "text", "lang", "source")
+  }
+
+  private def emptyEvents = {
+    import spark.implicits._
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  private def emptyEmb = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    new StructType().add("vec_id", LongType)
+      .add("embedding", ArrayType(FloatType)).add("label", IntegerType))
+
+  test("dedup family returns empty on an empty corpus") {
+    assert(Dedup.exactGroups(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.minhashSignaturesTyped(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.ngramJaccardPairsAuto(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.simhashComponents(
+      Dedup.simhashSignatures(emptyDocs, "text", "doc_id")).count() == 0)
+    graft.ops.TransientCache.releaseAll()
+  }
+
+  test("components handles an empty edge set on both dispatch paths") {
+    import spark.implicits._
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.connectedComponentsAuto(noEdges, "a", "b").count() == 0)
+    assert(Components.connectedComponents(noEdges, "a", "b").count() == 0)
+    graft.ops.TransientCache.releaseAll()
+  }
+
+  test("text analysis and sampling return empty on an empty corpus") {
+    assert(TextAnalysis.withTokenProfile(emptyDocs, "text").count() == 0)
+    assert(TextAnalysis.chunkWindows(emptyDocs, "text", "doc_id", 8, 6).count() == 0)
+    assert(TextAnalysis.repetitionProfile(emptyDocs, "text", "doc_id").count() == 0)
+    assert(TextAnalysis.invertedPostings(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Ranking.bm25TopK(emptyDocs, "text", "doc_id", Seq("spark"), 5).count() == 0)
+    assert(Sampling.stratifiedSample(emptyDocs, "doc_id", "lang",
+      Seq("en" -> 0.5), 0.1).count() == 0)
+    assert(Sampling.mixingPlan(emptyDocs.withColumn("n_tokens", lit(1L)),
+      "lang", "source", "n_tokens", 1000L).count() == 0)
+    assert(Sampling.packSequences(emptyDocs.withColumn("n_tokens", lit(1L)),
+      "lang", "doc_id", "n_tokens", 512L).count() == 0)
+    graft.ops.TransientCache.releaseAll()
+  }
+
+  test("temporal joins return empty when either side is empty") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001").limit(20)
+    assert(AsOfJoin.asOfInner(emptyEvents, ev, "user_id", "ts",
+      Seq("event_id"), "event_id").count() == 0)
+    assert(AsOfJoin.asOfLeft(ev, emptyEvents, "user_id", "ts",
+      Seq("event_id"), "event_id").count() == 20) // left rows kept, null match
+    assert(RangeJoin.pairsWithinAfter(ev, emptyEvents, "user_id", "ts", "ts",
+      1000000L, Seq("event_id")).count() == 0)
+    assert(RangeJoin.pairsWithinAfter(emptyEvents, ev, "user_id", "ts", "ts",
+      1000000L, Seq("event_id")).count() == 0)
+  }
+
+  test("similarity family returns empty on an empty embedding table") {
+    assert(Similarity.bruteForceTopK(emptyEmb, "vec_id", "embedding",
+      col("vec_id") < 10, 5).count() == 0)
+    assert(Similarity.knnGraph(emptyEmb, "vec_id", "embedding", 3, 16).count() == 0)
+    assert(Similarity.nearDupPairs(emptyEmb, "vec_id", "embedding", "label")
+      .count() == 0)
+    graft.ops.TransientCache.releaseAll()
+  }
+}
