@@ -284,6 +284,51 @@ object TextAnalysis {
     }(Encoders.row(outSchema))
   }
 
+  /** (doc, token) rows — every occurrence, NOT distinct (the frequency
+    * twin of [[Dedup.shingleRows]] at n=1): one typed flatMap at scan
+    * speed, same normalization contract as [[normalize]]/[[tokens]].
+    * NULL ids/texts emit nothing. */
+  def tokenRows(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (doc, text) =>
+        if (text == null) Iterator.empty
+        else tokenizeJvm(normalizeJvm(text)).iterator.map((doc, _))
+      }
+      .toDF("doc", "token")
+  }
+
+  /** Corpus vocabulary head: the k most frequent tokens with total
+    * occurrence count and document frequency — the Zipf-head inspection
+    * every corpus audit starts with (and the stopword/boilerplate
+    * candidate list for the quality filters).
+    *
+    * Deterministic total order: frequency desc, then token asc.
+    *
+    * 100 TB shape: one map-side-combined groupBy on the token (doc
+    * frequency via distinct (token, doc) pre-aggregation, not a
+    * memory-unbounded countDistinct buffer), then TakeOrdered(k) — the
+    * full vocabulary is never sorted and never leaves the executors;
+    * only the k head rows reach the driver-side limit. The final
+    * row_number window runs on exactly k rows. */
+  def vocabTopK(df: DataFrame, textCol: String, idCol: String,
+                k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokenRows(df, textCol, idCol)
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val docFreq = toks.select(col("token"), col("doc")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+    val head = freq.join(docFreq, "token")
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+    head.withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+      .select(col("rank"), col("token"), col("freq"), col("doc_freq"))
+  }
+
   /** Karp–Rabin rolling-hash fingerprint over character 5-grams: per
     * position i, g(i) = Σ_j ascii(c_{i+j})·31^j (exact BIGINT — max
     * ~1.2e8, no modulus needed, so any engine reproduces it); the doc

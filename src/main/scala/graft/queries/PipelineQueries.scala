@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Ranking, Sampling, TextAnalysis}
+import graft.ext.{Contamination, Dedup, Ranking, Sampling, TextAnalysis}
 import graft.ops.{AsOfJoin, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -110,6 +110,33 @@ object PipelineQueries {
       TextAnalysis.repetitionProfile(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // Benchmark decontamination (GPT-3 appendix-C recipe): per candidate
+    // doc, how many of its distinct trigrams occur anywhere in the
+    // benchmark set (here: source 'src0' stands in for the eval suite;
+    // its gram set broadcasts).
+    "q64_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.benchmarkOverlap(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          "text", "doc_id", 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus vocabulary head: top-50 tokens by total frequency with doc
+    // frequency (Zipf-head audit; TakeOrdered — the vocabulary is never
+    // globally sorted).
+    "q65_vocab_topk" -> ((s, d) =>
+      TextAnalysis.vocabTopK(Tables.documents(s, d), "text", "doc_id", 50)
+        .orderBy(col("rank"))),
+
+    // Corpus-wide duplicated-text share (Lee et al. 2022): ppm of each
+    // doc's distinct trigrams that occur in >= 2 documents.
+    "q69_dup_gram_share" -> ((s, d) =>
+      Contamination.duplicateGramShare(Tables.documents(s, d), "text",
+          "doc_id", 3)
+        .orderBy(col("doc_id"))),
+
     // Bounded-window range join: purchases within one hour AFTER each
     // click by the same user (bucket-banded equi-join, no theta-join
     // pair blow-up), aggregated per click.
@@ -172,7 +199,47 @@ object PipelineQueries {
        |FROM q QUALIFY rank <= $k ORDER BY rank""".stripMargin
   }
 
+  /** Distinct word trigrams per doc (mirrors Dedup.shingleRows n=3). */
+  private val trigramCtes =
+    s"""${ExtQueries.tokCte},
+       |u AS (SELECT doc_id, t, unnest(t) w, generate_subscripts(t, 1) i FROM tok),
+       |g AS (SELECT DISTINCT doc_id, w || ' ' || t[i+1] || ' ' || t[i+2] s
+       |      FROM u WHERE i + 2 <= len(t))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "q64_decontaminate" ->
+      s"""$trigramCtes,
+         |b AS (SELECT DISTINCT s FROM g JOIN documents USING (doc_id)
+         |      WHERE source = 'src0'),
+         |c AS (SELECT g.doc_id, g.s FROM g JOIN documents USING (doc_id)
+         |      WHERE source <> 'src0'),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_grams,
+         |        CAST(count(b.s) AS BIGINT) n_hit
+         |      FROM c LEFT JOIN b ON c.s = b.s GROUP BY 1)
+         |SELECT doc_id, n_grams, n_hit,
+         |  CAST((1000000 * n_hit) // n_grams AS BIGINT) AS hit_ppm
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q65_vocab_topk" ->
+      s"""${ExtQueries.tokCte},
+         |p AS (SELECT doc_id, unnest(t) token FROM tok),
+         |f AS (SELECT token, CAST(count(*) AS BIGINT) freq,
+         |        CAST(count(DISTINCT doc_id) AS BIGINT) doc_freq
+         |      FROM p GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS rank,
+         |  token, freq, doc_freq
+         |FROM f QUALIFY rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q69_dup_gram_share" ->
+      s"""$trigramCtes,
+         |gdf AS (SELECT s, count(*) gdf FROM g GROUP BY 1),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_grams,
+         |        CAST(sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) n_shared
+         |      FROM g JOIN gdf USING (s) GROUP BY 1)
+         |SELECT doc_id, n_grams, n_shared,
+         |  CAST((1000000 * n_shared) // n_grams AS BIGINT) AS shared_ppm
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     "q53_events_asof" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
