@@ -156,4 +156,34 @@ object Components {
   def componentSizes(membership: DataFrame): DataFrame =
     membership.groupBy(col("comp"))
       .agg(count(lit(1)).as("n_docs"), min(col("node")).as("canonical"))
+
+  /** Canonical-document selection: rank every member of each near-dup
+    * component by an external score (desc, id-asc tiebreak) — rank 1 is
+    * the document the dedup pass KEEPS, the rest are the drop set. This
+    * is the resolution step that turns a component map plus a quality
+    * signal into an actionable keep/drop decision (the standard
+    * "keep best, not first" dedup policy).
+    *
+    * Output: component, doc id, score, `rank`, `n_in_component`.
+    *
+    * 100 TB shape: one equi-join on the doc id and one window partitioned
+    * by component — both shuffle-bounded by the component map, which only
+    * holds docs that HAVE a near-dup edge (a small fraction of the
+    * corpus). No giant component ever concentrates on one task beyond its
+    * own member count, and the score side prunes to (id, score) columns
+    * before the join. */
+  def canonicalPerComponent(membership: DataFrame, docCol: String,
+                            compCol: String, scores: DataFrame,
+                            scoreIdCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(compCol))
+      .orderBy(col(scoreCol).desc, col(docCol))
+    val m = membership.select(col(docCol), col(compCol))
+    val sc = scores.select(col(scoreIdCol).as("__score_id"), col(scoreCol))
+    m.join(sc, m(docCol) === col("__score_id"))
+      .select(col(compCol), m(docCol), col(scoreCol))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("n_in_component",
+        count(lit(1)).over(Window.partitionBy(col(compCol))))
+  }
 }

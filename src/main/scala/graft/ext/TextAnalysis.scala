@@ -284,6 +284,39 @@ object TextAnalysis {
     }(Encoders.row(outSchema))
   }
 
+  /** PII patterns for [[withPiiRedaction]]. Kept to the regex subset
+    * that Java regex and RE2 (DuckDB/Go engines) evaluate identically:
+    * character classes + bounded/unbounded repetition, no lookaround, no
+    * backreferences — so the oracle can reproduce counts and redactions
+    * exactly. */
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val digitRunRe = "[0-9]{7,}"
+
+  /** PII scrubbing pass (the safety-filter stage of a training-data
+    * pipeline): redact emails, IPv4 literals, and long digit runs
+    * (phone/account-number shaped) with typed placeholders, emitting the
+    * match counts and the md5 of the redacted text.
+    *
+    * Redaction is SEQUENTIAL — email, then IPv4, then digit runs — and
+    * each count is measured on the text as it stood when that pattern
+    * ran, so an IPv4 inside an already-redacted email is neither counted
+    * nor double-redacted (and IPv4 octets, max 3 digits, can never
+    * retrigger the 7+-digit-run rule).
+    *
+    * Pure column expressions: map-side, codegen'd, zero shuffle — scan
+    * speed at any corpus size. */
+  def withPiiRedaction(df: DataFrame, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, emailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, ipv4Re, "<IP>")
+    val t3 = regexp_replace(t2, digitRunRe, "<NUM>")
+    df.withColumn("n_email", regexp_count(t0, lit(emailRe)).cast("int"))
+      .withColumn("n_ipv4", regexp_count(t1, lit(ipv4Re)).cast("int"))
+      .withColumn("n_digit_run", regexp_count(t2, lit(digitRunRe)).cast("int"))
+      .withColumn("redacted_hash", md5(t3.cast("binary")))
+  }
+
   /** (doc, token) rows — every occurrence, NOT distinct (the frequency
     * twin of [[Dedup.shingleRows]] at n=1): one typed flatMap at scan
     * speed, same normalization contract as [[normalize]]/[[tokens]].

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Contamination, Dedup, Ranking, Sampling, TextAnalysis}
+import graft.ext.{Components, Contamination, Dedup, Ranking, Sampling, TextAnalysis}
 import graft.ops.{AsOfJoin, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -137,6 +137,30 @@ object PipelineQueries {
           "doc_id", 3)
         .orderBy(col("doc_id"))),
 
+    // PII scrubbing pass: sequential email -> IPv4 -> digit-run
+    // redaction with per-pattern counts and the redacted-text hash
+    // (map-side column expressions; the synthetic corpus is PII-free, so
+    // the fixture-level semantics live in ContaminationSpec).
+    "q66_pii_redaction" -> ((s, d) =>
+      TextAnalysis.withPiiRedaction(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("n_email"), col("n_ipv4"),
+          col("n_digit_run"), col("redacted_hash"))
+        .orderBy(col("doc_id"))),
+
+    // Dedup resolution: rank each near-dup component's members by the
+    // q41 quality score (keep-best-not-first policy) — rank 1 survives,
+    // the rest are the drop set.
+    "q67_dedup_keep_best" -> ((s, d) => {
+      val comps = Dedup.simhashComponents(ExtQueries.simhashSigs(s, d), 2)
+      val qual = TextAnalysis.withTokenProfile(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("quality"))
+      Components.canonicalPerComponent(comps, "doc", "comp", qual,
+          "doc_id", "quality")
+        .select(col("comp").as("component"), col("doc").as("doc_id"),
+          col("quality"), col("rank"), col("n_in_component"))
+        .orderBy(col("component"), col("rank"))
+    }),
+
     // Bounded-window range join: purchases within one hour AFTER each
     // click by the same user (bucket-banded equi-join, no theta-join
     // pair blow-up), aggregated per click.
@@ -240,6 +264,45 @@ object PipelineQueries {
          |SELECT doc_id, n_grams, n_shared,
          |  CAST((1000000 * n_shared) // n_grams AS BIGINT) AS shared_ppm
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q66_pii_redaction" ->
+      s"""WITH r1 AS (SELECT doc_id, text,
+         |    regexp_replace(text, '${TextAnalysis.emailRe}', '<EMAIL>', 'g') t1
+         |  FROM documents),
+         |r2 AS (SELECT doc_id, text, t1,
+         |    regexp_replace(t1, '${TextAnalysis.ipv4Re}', '<IP>', 'g') t2
+         |  FROM r1)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.emailRe}')) AS INT) AS n_email,
+         |  CAST(len(regexp_extract_all(t1, '${TextAnalysis.ipv4Re}')) AS INT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(t2, '${TextAnalysis.digitRunRe}')) AS INT) AS n_digit_run,
+         |  md5(regexp_replace(t2, '${TextAnalysis.digitRunRe}', '<NUM>', 'g')) AS redacted_hash
+         |FROM r2 ORDER BY doc_id""".stripMargin,
+
+    "q67_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${ExtQueries.simhashHammingCtes.stripPrefix("WITH ")},
+         |e AS (SELECT doc_a a, doc_b b FROM hp
+         |      UNION SELECT doc_b, doc_a FROM hp),
+         |r AS (SELECT a AS node, a AS reach FROM e
+         |      UNION
+         |      SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+         |comp AS (SELECT node AS doc_id, min(reach) AS component
+         |         FROM r GROUP BY node),
+         |qual AS (SELECT doc_id,
+         |    CAST(CASE WHEN len(t) > 0
+         |      THEN (100 * len(list_distinct(t))) // len(t)
+         |           - (50 * len(list_filter(t, x -> x IN (${TextAnalysis.langStopwords
+               .flatMap(_._2).map(w => s"'$w'").mkString(", ")})))) // len(t)
+         |      ELSE 0 END AS BIGINT) quality
+         |  FROM tok),
+         |j AS (SELECT component, comp.doc_id, quality,
+         |        row_number() OVER (PARTITION BY component
+         |          ORDER BY quality DESC, comp.doc_id) rn,
+         |        count(*) OVER (PARTITION BY component) n_in_component
+         |      FROM comp JOIN qual ON comp.doc_id = qual.doc_id)
+         |SELECT component, doc_id, quality, CAST(rn AS INT) AS rank,
+         |  CAST(n_in_component AS BIGINT) AS n_in_component
+         |FROM j ORDER BY component, rank""".stripMargin,
 
     "q53_events_asof" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events

@@ -74,6 +74,56 @@ class ContaminationSpec extends AnyFunSuite {
     assert(got.map(_.getAs[String]("token")).toSeq == Seq("x", "y", "z"))
   }
 
+  test("withPiiRedaction: sequential redaction, per-stage counts, hash") {
+    val d = docs(
+      1L -> "mail a.user+tag@example.co.uk then call 12345678 at 10.0.0.1",
+      2L -> "clean text only",
+      3L -> "ip 192.168.0.255 twice 192.168.0.254 and digits 123456 only six")
+    val got = TextAnalysis.withPiiRedaction(d, "text")
+      .orderBy("doc_id").collect()
+    // doc 1: one email (greedy TLD match), one ip, one 8-digit run
+    assert(got(0).getAs[Int]("n_email") == 1)
+    assert(got(0).getAs[Int]("n_ipv4") == 1)
+    assert(got(0).getAs[Int]("n_digit_run") == 1)
+    // doc 2: untouched — hash equals md5 of the original text
+    assert(got(1).getAs[Int]("n_email") == 0 &&
+      got(1).getAs[Int]("n_ipv4") == 0 && got(1).getAs[Int]("n_digit_run") == 0)
+    val clean = java.security.MessageDigest.getInstance("MD5")
+      .digest("clean text only".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1).getAs[String]("redacted_hash") == clean)
+    // doc 3: two ips; the 6-digit run is below the 7+ threshold
+    assert(got(2).getAs[Int]("n_ipv4") == 2)
+    assert(got(2).getAs[Int]("n_digit_run") == 0)
+  }
+
+  test("withPiiRedaction: digit runs inside an email are not double-counted") {
+    val d = docs(1L -> "reach 12345678@example.com now")
+    val got = TextAnalysis.withPiiRedaction(d, "text").collect()(0)
+    // the email (including its digits) redacts first; nothing remains
+    // for the digit-run pass
+    assert(got.getAs[Int]("n_email") == 1)
+    assert(got.getAs[Int]("n_digit_run") == 0)
+  }
+
+  test("canonicalPerComponent: keep-best ranking, id tiebreak, sizes") {
+    import spark.implicits._
+    val membership = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L), (21L, 2L))
+      .toDF("doc", "comp")
+    val scores = Seq((10L, 5L), (11L, 9L), (12L, 9L), (20L, 3L), (21L, 3L))
+      .toDF("doc_id", "quality")
+    val got = graft.ext.Components.canonicalPerComponent(
+        membership, "doc", "comp", scores, "doc_id", "quality")
+      .orderBy("comp", "rank").collect()
+    // comp 1: quality 9 tie between 11 and 12 -> lower id first
+    assert(got(0).getAs[Long]("doc") == 11L && got(0).getAs[Int]("rank") == 1)
+    assert(got(1).getAs[Long]("doc") == 12L && got(1).getAs[Int]("rank") == 2)
+    assert(got(2).getAs[Long]("doc") == 10L && got(2).getAs[Int]("rank") == 3)
+    assert(got(0).getAs[Long]("n_in_component") == 3L)
+    // comp 2: tie at 3 -> doc 20 wins
+    assert(got(3).getAs[Long]("doc") == 20L && got(3).getAs[Int]("rank") == 1)
+    assert(got(3).getAs[Long]("n_in_component") == 2L)
+  }
+
   test("empty inputs produce empty, well-typed results") {
     val e = docs()
     assert(Contamination.benchmarkOverlap(e, e, "text", "doc_id", 2).count() == 0L)
