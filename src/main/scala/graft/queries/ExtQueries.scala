@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Clustering, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -90,6 +90,12 @@ object ExtQueries {
     "q63_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", 3, 16)
         .orderBy("vec_id", "rank")),
+
+    // Integer-exact two-pass k-means (k=8, lowest-id seeds): assign,
+    // recompute centroids once (rounded ×10 integer means), re-assign.
+    "q68_kmeans_embed" -> ((s, d) =>
+      Clustering.kmeansTwoPass(Tables.embeddings(s, d), "vec_id", "embedding", 8)
+        .orderBy(col("vec_id"))),
 
     // Language-ID heuristic: stopword hits per language, priority argmax.
     // q40–q42 all read from the one-pass typed token profile (scan-speed
@@ -439,6 +445,38 @@ object ExtQueries {
          |  FROM sc)
          |SELECT vec_id, CAST(rank AS INT) AS rank, nbr_id, dot
          |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    "q68_kmeans_embed" ->
+      """WITH qo AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000) q
+        |  FROM embeddings),
+        |nx AS (SELECT vec_id, CAST(list_dot_product(q, q) AS BIGINT) n FROM qo),
+        |cent AS (SELECT vec_id cid, q cv FROM qo ORDER BY vec_id LIMIT 8),
+        |cn AS (SELECT cid, CAST(list_dot_product(cv, cv) AS BIGINT) n FROM cent),
+        |d1 AS (SELECT e.vec_id, c.cid,
+        |        nx.n - 2 * CAST(list_dot_product(e.q, c.cv) AS BIGINT) + cn.n d
+        |      FROM qo e CROSS JOIN cent c
+        |      JOIN nx ON e.vec_id = nx.vec_id JOIN cn ON c.cid = cn.cid),
+        |a1 AS (SELECT vec_id, cid c1 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
+        |    FROM d1) WHERE rn = 1),
+        |ex AS (SELECT a1.c1, unnest(e.q) x, generate_subscripts(e.q, 1) i
+        |       FROM a1 JOIN qo e USING (vec_id)),
+        |sums AS (SELECT c1, i, sum(x) s FROM ex GROUP BY 1, 2),
+        |cnts AS (SELECT c1, count(*) c FROM a1 GROUP BY 1),
+        |m AS (SELECT c1 cid, list(CAST((10 * s) // c AS BIGINT) ORDER BY i) mv
+        |      FROM sums JOIN cnts USING (c1) GROUP BY c1),
+        |mn AS (SELECT cid, CAST(list_dot_product(mv, mv) AS BIGINT) n FROM m),
+        |d2 AS (SELECT e.vec_id, m.cid,
+        |        100 * nx.n - 20 * CAST(list_dot_product(e.q, m.mv) AS BIGINT) + mn.n d
+        |      FROM qo e CROSS JOIN m
+        |      JOIN nx ON e.vec_id = nx.vec_id JOIN mn ON m.cid = mn.cid),
+        |a2 AS (SELECT vec_id, cid c2, d FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
+        |    FROM d2) WHERE rn = 1)
+        |SELECT a1.vec_id, a1.c1, a2.c2, a2.d AS d2
+        |FROM a1 JOIN a2 USING (vec_id) ORDER BY vec_id""".stripMargin,
 
     "q40_text_langid" -> langIdSql,
 
