@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** First-seen canonical id per content hash (streaming-dedup state; one
+  * long per distinct content). Top-level + public for Spark's state
+  * encoder codegen, like [[SessionState]]. */
+final case class SeenContent(canonicalId: Long)
+
+/** Structured Streaming surface over the `documents` corpus — the
+  * incremental ingest shape of the training-data pipeline (documents
+  * arrive continuously; dedup must decide per arrival, not per corpus
+  * scan).
+  */
+object DocumentsStream {
+
+  final case class CanonicalDoc(content_hash: String, canonical_id: Long)
+
+  /** File-based document stream of the driver parquet fixture (same
+    * single-file symlink shim as [[EventsStream.readEvents]]).
+    * `maxFilesPerTrigger` splits a multi-file directory into that many
+    * micro-batches (oldest file first) — the cross-batch test hook. */
+  def readDocuments(spark: SparkSession, sfDir: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val streamDir =
+      if (!src.exists() || src.isDirectory)
+        // a directory of parquet files IS the stream dir (src missing
+        // means sfDir itself holds the files, e.g. a test fixture dir)
+        if (src.isDirectory) src.getPath else sfDir
+      else {
+        val d = java.nio.file.Files.createTempDirectory("documents_stream")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve("documents.parquet"), src.toPath.toAbsolutePath)
+        d.toString
+      }
+    val schema = spark.read.parquet(streamDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(streamDir)
+  }
+
+  /** Streaming exact dedup — the incremental twin of
+    * [[graft.ext.Dedup.exactGroups]] (q22): the first arrival of a
+    * content hash emits that document as the canonical; every later
+    * arrival of the same content is suppressed. Within one micro-batch
+    * the canonical is the min doc id, so a single-batch run reproduces
+    * the batch operator exactly (StreamingSpec-pinned); across batches
+    * the contract is first-arrival-wins — a stream cannot retract an
+    * already-emitted canonical (same lateness caveat as
+    * [[EventsStream.attributeClicks]]).
+    *
+    * State is ONE long per distinct content hash — O(distinct docs),
+    * the keyed-state analogue of the batch hash-groupBy's shuffle key
+    * set. At 100 TB/day ingest the state store is RocksDB-backed and the
+    * hash key is already uniform (md5), so state partitions stay
+    * balanced. */
+  def dedupDocuments(spark: SparkSession, docs: DataFrame,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): Dataset[CanonicalDoc] = {
+    import spark.implicits._
+    docs
+      .where(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(
+        md5(TextAnalysis.normalize(col(textCol)).cast("binary")).as("content_hash"),
+        col(idCol).cast("long").as("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SeenContent, CanonicalDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (hash, it, state: GroupState[SeenContent]) =>
+          if (state.exists) Iterator.empty
+          else {
+            var minId = Long.MaxValue
+            it.foreach(p => if (p._2 < minId) minId = p._2)
+            state.update(SeenContent(minId))
+            Iterator(CanonicalDoc(hash, minId))
+          }
+      }
+  }
+}

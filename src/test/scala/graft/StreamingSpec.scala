@@ -101,4 +101,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(nonFinal.subsetOf(streamed), "a successor-closed session did not stream out")
     assert(streamed.subsetOf(all), "streamed a session the batch twin does not have")
   }
+
+  test("streaming exact dedup equals the batch q22 twin (single batch)") {
+    import graft.streaming.DocumentsStream
+    val dd = DocumentsStream.dedupDocuments(spark,
+      DocumentsStream.readDocuments(spark, sf))
+    runAvailableNow(dd.toDF(), "doc_dedup", OutputMode.Append())
+    val streamed = spark.table("doc_dedup")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = graft.ext.Dedup.exactGroups(
+        Tables.documents(spark, sf), "text", "doc_id")
+      .select(col("content_hash"), col("canonical_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streaming exact dedup suppresses cross-batch duplicates") {
+    import graft.streaming.DocumentsStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs_2batch")
+    def writeAs(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs_part").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    // batch 1: two contents; batch 2 (newer file): one dup of batch 1
+    // (higher id — must NOT re-emit) + one new content
+    writeAs("b1.parquet", 1000000L, Seq(1L -> "alpha beta", 2L -> "gamma"))
+    writeAs("b2.parquet", 2000000L, Seq(3L -> "alpha beta", 4L -> "delta"))
+    val dd = DocumentsStream.dedupDocuments(spark,
+      DocumentsStream.readDocuments(spark, dir.toString, Some(1)))
+    runAvailableNow(dd.toDF(), "doc_dedup_2b", OutputMode.Append())
+    val got = spark.table("doc_dedup_2b")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got == Set(1L, 2L, 4L), s"expected first-arrival canonicals, got $got")
+  }
 }
