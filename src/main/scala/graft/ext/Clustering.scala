@@ -64,6 +64,12 @@ object Clustering {
     val seeds = qe.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"), col("q")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    if (seeds.isEmpty) {
+      // Empty input: no seeds, no assignments — return a typed empty
+      // frame rather than building an argmin over zero centroids.
+      import emb.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Long, Long)].toDF("vec_id", "c1", "c2", "d2")
+    }
 
     // Pass 1: d(x, c) = |x|^2 - 2<x,c> + |c|^2, all exact BIGINT.
     val d1 = seeds.toSeq.map { case (cid, cv) =>

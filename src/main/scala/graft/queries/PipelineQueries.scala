@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ext.{Components, Contamination, Dedup, Ranking, Sampling, TextAnalysis}
-import graft.ops.{AsOfJoin, RangeJoin}
+import graft.ops.{AsOfJoin, Funnel, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -137,6 +137,30 @@ object PipelineQueries {
           "doc_id", 3)
         .orderBy(col("doc_id"))),
 
+    // Ordered event funnel: users completing view -> click -> purchase,
+    // each stage strictly after the previous one's first completion.
+    "q70_event_funnel" -> ((s, d) =>
+      Funnel.funnelCounts(Tables.events(s, d), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))),
+
+    // Weekly retention cohorts: users grouped by first-activity week,
+    // counted per week-offset of later activity.
+    "q71_retention_cohorts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          expr("datediff(week, cohort_week) div 7").as("week_offset"))
+        .distinct()
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+        .transform(Parity.outputDoubles)
+    }),
+
     // PII scrubbing pass: sequential email -> IPv4 -> digit-run
     // redaction with per-pattern counts and the redacted-text hash
     // (map-side column expressions; the synthetic corpus is PII-free, so
@@ -264,6 +288,34 @@ object PipelineQueries {
          |SELECT doc_id, n_grams, n_shared,
          |  CAST((1000000 * n_shared) // n_grams AS BIGINT) AS shared_ppm
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q70_event_funnel" ->
+      """WITH u0 AS (SELECT user_id, min(ts) t0 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |u1 AS (SELECT e.user_id, min(e.ts) t1 FROM events e
+        |       JOIN u0 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > u0.t0 GROUP BY 1),
+        |u2 AS (SELECT e.user_id, min(e.ts) t2 FROM events e
+        |       JOIN u1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > u1.t1 GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS stage, 'view' AS event_type,
+        |  CAST((SELECT count(*) FROM u0) AS BIGINT) AS n_users
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', CAST((SELECT count(*) FROM u1) AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', CAST((SELECT count(*) FROM u2) AS BIGINT)
+        |ORDER BY stage""".stripMargin,
+
+    "q71_retention_cohorts" ->
+      """WITH w AS (SELECT DISTINCT user_id,
+        |             date_trunc('week', CAST(ts AS TIMESTAMP)) wk
+        |           FROM events),
+        |c AS (SELECT user_id, min(wk) cohort_week FROM w GROUP BY 1),
+        |o AS (SELECT DISTINCT w.user_id, cohort_week,
+        |        CAST(date_diff('day', cohort_week, wk) // 7 AS BIGINT) week_offset
+        |      FROM w JOIN c USING (user_id))
+        |SELECT cohort_week, week_offset, count(*) AS n_users
+        |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q66_pii_redaction" ->
       s"""WITH r1 AS (SELECT doc_id, text,

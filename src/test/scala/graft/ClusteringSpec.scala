@@ -59,6 +59,13 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[Long]("c2") == 1L))
   }
 
+  test("empty input yields a typed empty result, not a crash") {
+    val e = emb()
+    val got = Clustering.kmeansTwoPass(e, "vec_id", "embedding", 3)
+    assert(got.count() == 0L)
+    assert(got.columns.toSeq == Seq("vec_id", "c1", "c2", "d2"))
+  }
+
   test("k larger than the input clusters every vector to itself") {
     val e = emb(1L -> Seq(0.0), 2L -> Seq(0.4))
     val got = Clustering.kmeansTwoPass(e, "vec_id", "embedding", 5)

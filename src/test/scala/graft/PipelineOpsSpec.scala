@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.{Components, Ranking, Sampling}
-import graft.ops.{AsOfJoin, RangeJoin}
+import graft.ops.{AsOfJoin, Funnel, RangeJoin}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -264,5 +264,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byLang("en").getAs[Long]("sample_rate_ppm") == 1000000L * 200 / 1500)
     assert(byLang("de").getAs[Long]("sample_rate_ppm") == 1000000L) // under budget
     assert(byLang("zh").getAs[Long]("sample_rate_ppm") == 1000000L) // empty cell
+  }
+
+  test("funnel: strictly-ordered stages; out-of-order events don't count") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: proper view -> click -> purchase
+      (1L, ts(10), "view"), (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+      // user 2: purchase BEFORE the click -> reaches stage 2 only
+      (2L, ts(10), "view"), (2L, ts(15), "purchase"), (2L, ts(20), "click"),
+      // user 3: click with no prior view -> reaches nothing
+      (3L, ts(5), "click"), (3L, ts(6), "purchase"),
+      // user 4: click AT the view instant (not strictly after) -> stage 1
+      (4L, ts(10), "view"), (4L, ts(10), "click"))
+      .toDF("user_id", "t", "event_type")
+    val counts = Funnel.funnelCounts(ev, "user_id", "t", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("stage").collect()
+    assert(counts.map(_.getAs[Long]("n_users")).toSeq == Seq(3L, 2L, 1L))
+    // stage times: user 2's click at t20 is its stage-2 completion; no
+    // purchase after t20 -> t2 null
+    val st = Funnel.stageTimes(ev, "user_id", "t", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+    assert(st(1).getAs[java.sql.Timestamp]("t1") == ts(20))
+    assert(st(1).isNullAt(st(1).fieldIndex("t2")))
+  }
+
+  test("funnel: earlier-stage null forces later stages null") {
+    import spark.implicits._
+    val ev = Seq((7L, ts(1), "click"), (7L, ts(2), "purchase"))
+      .toDF("user_id", "t", "event_type")
+    val st = Funnel.stageTimes(ev, "user_id", "t", "event_type",
+      Seq("view", "click", "purchase"))
+    // user 7 never viewed: not even present in the stage table
+    assert(st.count() == 0L)
   }
 }
