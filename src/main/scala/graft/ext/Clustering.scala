@@ -55,9 +55,13 @@ object Clustering {
                     k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val qe = emb.select(col(idCol).cast("long").as("vec_id"),
-        quantizeOffset(col(embCol)).as("q"))
-      .withColumn("nx", Similarity.normQ(col("q")))
+    // Persisted: the quantized table feeds the seeds collect, both
+    // update aggregates, and the final output — without it the scan +
+    // quantize (and the pass-1 argmin below) re-execute per job.
+    val qe = graft.ops.TransientCache.persist(
+      emb.select(col(idCol).cast("long").as("vec_id"),
+          quantizeOffset(col(embCol)).as("q"))
+        .withColumn("nx", Similarity.normQ(col("q"))))
 
     // Seeds: deterministic k lowest ids (the IVF centroid convention).
     // k×dim longs to the driver — model-sized, corpus-independent.
@@ -77,7 +81,11 @@ object Clustering {
       (col("nx") - lit(2L) * Similarity.dotQ(col("q"), typedlit(cv.toSeq)) +
         lit(ncv), cid)
     }
-    val asg1 = qe.withColumn("c1", nearest(d1).getField("cid"))
+    // Also persisted: consumed by the two update aggregates AND the
+    // final projection — caching after the k-dot-product argmin keeps
+    // pass 1 at one evaluation.
+    val asg1 = graft.ops.TransientCache.persist(
+      qe.withColumn("c1", nearest(d1).getField("cid")))
 
     // Update: per-(cluster, dim) sums (map-side combined), rounded to
     // integer means in the ×10 scale; truncating div == floor because

@@ -176,11 +176,14 @@ object Components {
                             compCol: String, scores: DataFrame,
                             scoreIdCol: String, scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // LEFT join: a member with no score row still ranks (below every
+    // scored member, nulls-last) — an inner join would silently drop it
+    // from the keep/drop decision and undercount n_in_component.
     val w = Window.partitionBy(col(compCol))
-      .orderBy(col(scoreCol).desc, col(docCol))
+      .orderBy(col(scoreCol).desc_nulls_last, col(docCol))
     val m = membership.select(col(docCol), col(compCol))
     val sc = scores.select(col(scoreIdCol).as("__score_id"), col(scoreCol))
-    m.join(sc, m(docCol) === col("__score_id"))
+    m.join(sc, m(docCol) === col("__score_id"), "left")
       .select(col(compCol), m(docCol), col(scoreCol))
       .withColumn("rank", row_number().over(w))
       .withColumn("n_in_component",

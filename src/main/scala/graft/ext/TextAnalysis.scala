@@ -350,7 +350,9 @@ object TextAnalysis {
   def vocabTopK(df: DataFrame, textCol: String, idCol: String,
                 k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = tokenRows(df, textCol, idCol)
+    // Both aggregations read the token rows; persist so the full-corpus
+    // tokenize pass runs once (TransientCache: released by the runner).
+    val toks = graft.ops.TransientCache.persist(tokenRows(df, textCol, idCol))
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
     val docFreq = toks.select(col("token"), col("doc")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))

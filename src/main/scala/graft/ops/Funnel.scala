@@ -47,10 +47,15 @@ object Funnel {
     val counts = st.agg(
       count(col("t0")).as("c0"),
       stages.indices.drop(1).map(i => count(col(s"t$i")).as(s"c$i")): _*)
-    val stackArgs = stages.zipWithIndex.map { case (s, i) =>
-      s"CAST(${i + 1} AS INT), '$s', c$i"
-    }.mkString(", ")
-    counts.selectExpr(
-      s"stack(${stages.size}, $stackArgs) AS (stage, event_type, n_users)")
+    // Unpivot via explode of literal structs, not a selectExpr string —
+    // stage names are caller data and must never be spliced into SQL
+    // text (a quote in a name would parse-error or inject).
+    val rows = stages.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).cast("int").as("stage"), lit(s).as("event_type"),
+        col(s"c$i").as("n_users"))
+    }
+    counts.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.stage").as("stage"), col("r.event_type").as("event_type"),
+        col("r.n_users").as("n_users"))
   }
 }

@@ -147,14 +147,19 @@ object PipelineQueries {
     // Weekly retention cohorts: users grouped by first-activity week,
     // counted per week-offset of later activity.
     "q71_retention_cohorts" -> ((s, d) => {
+      // distinct BEFORE the join: a user's 10k same-week events must
+      // collapse to one row before shuffling (the oracle's
+      // DISTINCT-first shape).
       val ev = Tables.events(s, d)
         .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
       val cohort = ev.groupBy(col("user_id"))
         .agg(min(col("week")).as("cohort_week"))
+      // No re-distinct after the join: (user, week) rows are already
+      // unique and week -> offset is bijective (both week-aligned).
       ev.join(cohort, "user_id")
         .select(col("user_id"), col("cohort_week"),
           expr("datediff(week, cohort_week) div 7").as("week_offset"))
-        .distinct()
         .groupBy(col("cohort_week"), col("week_offset"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("cohort_week"), col("week_offset"))

@@ -53,6 +53,11 @@ object DocumentsStream {
     * already-emitted canonical (same lateness caveat as
     * [[EventsStream.attributeClicks]]).
     *
+    * Documented divergence from the batch twin: NULL-text/-id rows are
+    * dropped here (no content to dedup under, and keyed state cannot
+    * group on a null key), while the batch operator emits a null-hash
+    * group for them.
+    *
     * State is ONE long per distinct content hash — O(distinct docs),
     * the keyed-state analogue of the batch hash-groupBy's shuffle key
     * set. At 100 TB/day ingest the state store is RocksDB-backed and the

@@ -139,6 +139,20 @@ class ContaminationSpec extends AnyFunSuite {
     assert(got(3).getAs[Long]("n_in_component") == 2L)
   }
 
+  test("canonicalPerComponent: unscored members rank last, still counted") {
+    import spark.implicits._
+    val membership = Seq((10L, 1L), (11L, 1L)).toDF("doc", "comp")
+    val scores = Seq((10L, 5L)).toDF("doc_id", "quality") // doc 11 unscored
+    val got = graft.ext.Components.canonicalPerComponent(
+        membership, "doc", "comp", scores, "doc_id", "quality")
+      .orderBy("rank").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("doc") == 10L && got(0).getAs[Int]("rank") == 1)
+    assert(got(1).getAs[Long]("doc") == 11L && got(1).getAs[Int]("rank") == 2 &&
+      got(1).isNullAt(got(1).fieldIndex("quality")))
+    assert(got.forall(_.getAs[Long]("n_in_component") == 2L))
+  }
+
   test("empty inputs produce empty, well-typed results") {
     val e = docs()
     assert(Contamination.benchmarkOverlap(e, e, "text", "doc_id", 2).count() == 0L)
