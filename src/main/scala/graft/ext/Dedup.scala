@@ -63,6 +63,25 @@ object Dedup {
       .toDF("doc", "s")
   }
 
+  /** Snapshot delta: documents in `newDocs` whose normalized content
+    * hash does NOT appear anywhere in `oldDocs` — the incremental-crawl
+    * "what is actually new" question, answered with a hash anti-join
+    * instead of a full re-dedup. One shuffle on the 32-byte hash for
+    * each side (the old side pre-distincted, so even a heavily
+    * duplicated snapshot contributes one row per content); at scale the
+    * old-snapshot hash set is a persisted table and AQE broadcasts it
+    * when small. */
+  def newContentOnly(newDocs: DataFrame, oldDocs: DataFrame,
+                     textCol: String, idCol: String): DataFrame = {
+    def hashed(df: DataFrame) =
+      md5(TextAnalysis.normalize(col(textCol)).cast("binary"))
+    val newH = newDocs.select(col(idCol).as("doc_id"),
+      hashed(newDocs).as("content_hash"))
+    val oldH = oldDocs.select(hashed(oldDocs).as("content_hash")).distinct()
+    newH.join(oldH, Seq("content_hash"), "left_anti")
+      .select(col("doc_id"), col("content_hash"))
+  }
+
   /** Exact dedup groups: canonical id + multiplicity per content hash
     * (hash-groupBy; at scale this is the classic map-side-combined
     * shuffle on md5). */

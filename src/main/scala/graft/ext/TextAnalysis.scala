@@ -364,6 +364,57 @@ object TextAnalysis {
       .select(col("rank"), col("token"), col("freq"), col("doc_freq"))
   }
 
+  /** Characteristic terms per group: for every value of `groupCol`, the
+    * k tokens with the highest tf·idf — "what words make this source /
+    * domain different" (the per-domain audit next to [[vocabTopK]]'s
+    * global head). idf = ln(n_docs / doc_freq); scores are
+    * floor(1000·s)-quantized like BM25 (q55) so engines agree despite
+    * ulp-level ln() differences.
+    *
+    * 100 TB shape: one token-keyed doc-frequency aggregate + one
+    * (group, token)-keyed tf aggregate (both map-side combined), a
+    * broadcast-sized corpus-stats join, and a rank window over the
+    * per-group VOCABULARY (not the corpus). */
+  def topTermsPerGroup(df: DataFrame, textCol: String, idCol: String,
+                       groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.ops.TransientCache.persist(
+      tokenRows(df, textCol, idCol)
+        .join(df.select(col(idCol).cast("long").as("doc"), col(groupCol)), "doc"))
+    val nDocs = df.where(col(idCol).isNotNull).select(col(idCol)).distinct().count()
+    val docFreq = toks.select(col("token"), col("doc")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+    val tf = toks.groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf.join(docFreq, "token")
+      .withColumn("score_q",
+        floor(lit(1000.0) * col("tf").cast("double") *
+          log(lit(nDocs.toDouble) / col("doc_freq").cast("double")))
+          .cast("long"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("score_q").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col("token"), col("tf"),
+        col("doc_freq"), col("score_q"))
+  }
+
+  /** Integer-exact equi-width histogram of a non-negative integer column:
+    * bucket i covers `[i·width, (i+1)·width)` with the last bucket
+    * catching the overflow tail — pure integer division, so any engine
+    * reproduces the bucketing bit-for-bit. One map-side-combined groupBy;
+    * output is (groups × buckets)-sized. */
+  def intHistogram(df: DataFrame, valCol: String, groupCol: String,
+                   width: Long, nBuckets: Int): DataFrame = {
+    require(width > 0 && nBuckets > 0, "width and nBuckets must be positive")
+    df.where(col(valCol).isNotNull)
+      .withColumn("bucket",
+        least(lit(nBuckets - 1L), expr(s"$valCol div $width")).cast("int"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valCol)).as("lo"), max(col(valCol)).as("hi"))
+  }
+
   /** Karp–Rabin rolling-hash fingerprint over character 5-grams: per
     * position i, g(i) = Σ_j ascii(c_{i+j})·31^j (exact BIGINT — max
     * ~1.2e8, no modulus needed, so any engine reproduces it); the doc

@@ -166,6 +166,30 @@ object PipelineQueries {
         .transform(Parity.outputDoubles)
     }),
 
+    // Characteristic terms per source: top-5 tokens by tf*idf per
+    // source (BM25-style floor(1000*s) score quantization).
+    "q72_top_terms_source" -> ((s, d) =>
+      TextAnalysis.topTermsPerGroup(Tables.documents(s, d), "text",
+          "doc_id", "source", 5)
+        .orderBy(col("source"), col("rank"))),
+
+    // Integer-exact equi-width doc-length histogram per language
+    // (width 64, 16 buckets, overflow tail in the last).
+    "q73_length_histogram" -> ((s, d) =>
+      TextAnalysis.intHistogram(Tables.documents(s, d), "n_chars", "lang",
+          64L, 16)
+        .orderBy(col("lang"), col("bucket"))),
+
+    // Incremental-crawl delta: docs whose content hash is absent from
+    // the previous snapshot (doc_id % 10 < 8 stands in for it) — the
+    // hash ANTI-join.
+    "q74_snapshot_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.newContentOnly(docs, docs.where(col("doc_id") % 10 < 8),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrubbing pass: sequential email -> IPv4 -> digit-run
     // redaction with per-pattern counts and the redacted-text hash
     // (map-side column expressions; the synthetic corpus is PII-free, so
@@ -293,6 +317,38 @@ object PipelineQueries {
          |SELECT doc_id, n_grams, n_shared,
          |  CAST((1000000 * n_shared) // n_grams AS BIGINT) AS shared_ppm
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q72_top_terms_source" ->
+      s"""${ExtQueries.tokCte},
+         |p AS (SELECT doc_id, unnest(t) token FROM tok),
+         |nd AS (SELECT count(DISTINCT doc_id) n FROM documents
+         |       WHERE doc_id IS NOT NULL),
+         |dfq AS (SELECT token, count(DISTINCT doc_id) doc_freq FROM p GROUP BY 1),
+         |tf AS (SELECT source, token, count(*) tf
+         |       FROM p JOIN documents USING (doc_id) GROUP BY 1, 2),
+         |sc AS (SELECT source, token, CAST(tf AS BIGINT) tf,
+         |         CAST(doc_freq AS BIGINT) doc_freq,
+         |         CAST(floor(CAST(1000.0 AS DOUBLE) * CAST(tf AS DOUBLE)
+         |           * ln(CAST(n AS DOUBLE) / CAST(doc_freq AS DOUBLE))) AS BIGINT) score_q
+         |       FROM tf JOIN dfq USING (token) CROSS JOIN nd),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |        ORDER BY score_q DESC, token) AS INT) rank FROM sc)
+         |SELECT source, rank, token, tf, doc_freq, score_q
+         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    "q73_length_histogram" ->
+      """SELECT lang, CAST(least(15, n_chars // 64) AS INT) AS bucket,
+        |  count(*) AS n, min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM documents WHERE n_chars IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q74_snapshot_delta" ->
+      s"""WITH h AS (SELECT doc_id, md5(${ExtQueries.normSql}) content_hash FROM documents),
+         |old AS (SELECT DISTINCT md5(${ExtQueries.normSql}) content_hash FROM documents
+         |        WHERE doc_id % 10 < 8)
+         |SELECT doc_id, content_hash FROM h
+         |WHERE content_hash NOT IN (SELECT content_hash FROM old)
+         |ORDER BY doc_id""".stripMargin,
 
     "q70_event_funnel" ->
       """WITH u0 AS (SELECT user_id, min(ts) t0 FROM events

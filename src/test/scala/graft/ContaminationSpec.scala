@@ -153,6 +153,43 @@ class ContaminationSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[Long]("n_in_component") == 2L))
   }
 
+  test("intHistogram: edge values bucket exactly; overflow tail capped") {
+    import spark.implicits._
+    val d = Seq(("a", 0L), ("a", 63L), ("a", 64L), ("a", 10000L), ("b", 128L))
+      .toDF("grp", "v")
+    val got = graft.ext.TextAnalysis.intHistogram(d, "v", "grp", 64L, 16)
+      .orderBy("grp", "bucket").collect()
+    // a: [0,63] -> bucket 0 (2 rows); 64 -> bucket 1; 10000 -> capped 15
+    assert(got(0).getAs[Int]("bucket") == 0 && got(0).getAs[Long]("n") == 2L &&
+      got(0).getAs[Long]("lo") == 0L && got(0).getAs[Long]("hi") == 63L)
+    assert(got(1).getAs[Int]("bucket") == 1 && got(1).getAs[Long]("n") == 1L)
+    assert(got(2).getAs[Int]("bucket") == 15 && got(2).getAs[Long]("hi") == 10000L)
+    assert(got(3).getAs[String]("grp") == "b" && got(3).getAs[Int]("bucket") == 2)
+  }
+
+  test("newContentOnly: anti-join keeps only unseen content") {
+    val newDocs = docs(1L -> "alpha", 2L -> "beta", 3L -> "gamma")
+    val oldDocs = docs(90L -> "alpha", 91L -> "alpha", 92L -> "delta")
+    val got = graft.ext.Dedup.newContentOnly(newDocs, oldDocs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 3L))
+  }
+
+  test("topTermsPerGroup: group-local tf, corpus-global idf, rank ties") {
+    val d = docs(1L -> "aa bb", 2L -> "aa cc", 3L -> "aa dd")
+      .withColumn("src", when(col("doc_id") === 1L, "s1").otherwise("s2"))
+    val got = graft.ext.TextAnalysis.topTermsPerGroup(d, "text", "doc_id", "src", 2)
+      .orderBy("src", "rank").collect()
+    // "aa" appears in all 3 docs -> idf = ln(1) = 0 -> score 0; the
+    // group-unique terms rank first on positive idf
+    val s1 = got.filter(_.getAs[String]("src") == "s1")
+    assert(s1.head.getAs[String]("token") == "bb")
+    assert(s1.head.getAs[Long]("score_q") == math.floor(1000.0 * math.log(3.0)).toLong)
+    val s2 = got.filter(_.getAs[String]("src") == "s2")
+    // cc/dd tie on score -> lexicographic
+    assert(s2.map(_.getAs[String]("token")).toSeq == Seq("cc", "dd"))
+  }
+
   test("empty inputs produce empty, well-typed results") {
     val e = docs()
     assert(Contamination.benchmarkOverlap(e, e, "text", "doc_id", 2).count() == 0L)
