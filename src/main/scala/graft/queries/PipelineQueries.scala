@@ -190,6 +190,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Token totals with full CUBE subtotals over (lang, source) —
+    // grouping-set breadth beyond q15's ROLLUP; grouping_id
+    // disambiguates subtotal rows from genuine NULL groups.
+    "q75_cube_tokens" -> ((s, d) => {
+      val prof = TextAnalysis.withTokenProfile(Tables.documents(s, d), "text")
+        .select(col("lang"), col("source"), col("n_tokens"))
+      prof.cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("n_tokens"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("lang").asc_nulls_first,
+          col("source").asc_nulls_first)
+    }),
+
+    // Quartile assignment of docs by length within language (ntile over
+    // a total order — deterministic bucket edges).
+    "q76_length_quartiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("quartile", ntile(4).over(w))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrubbing pass: sequential email -> IPv4 -> digit-run
     // redaction with per-pattern counts and the redacted-text hash
     // (map-side column expressions; the synthetic corpus is PII-free, so
@@ -317,6 +343,22 @@ object PipelineQueries {
          |SELECT doc_id, n_grams, n_shared,
          |  CAST((1000000 * n_shared) // n_grams AS BIGINT) AS shared_ppm
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q75_cube_tokens" ->
+      s"""${ExtQueries.tokCte},
+         |d AS (SELECT doc_id, len(t) n_tok FROM tok),
+         |j AS (SELECT lang, source, n_tok FROM d JOIN documents USING (doc_id))
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(GROUPING(lang, source) AS INT) AS gid
+         |FROM j GROUP BY CUBE (lang, source)
+         |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    "q76_length_quartiles" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(ntile(4) OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id) AS INT) AS quartile
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q72_top_terms_source" ->
       s"""${ExtQueries.tokCte},

@@ -106,6 +106,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q64 decontamination: benchmark gram set joins broadcast") {
+    val p = plan("q64_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark gram set did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"gram join fell back to SMJ:\n$p")
+  }
+
+  test("q74 snapshot delta: hash anti-join, no cartesian/BNLJ") {
+    val p = plan("q74_snapshot_delta")
+    assert(p.contains("LeftAnti"), s"no anti-join in the delta plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("graft_dot is a codegen'd native expression and matches the HOF form") {
     GraftFunctions.register(spark)
     import spark.implicits._

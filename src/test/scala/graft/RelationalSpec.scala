@@ -15,8 +15,15 @@ class RelationalSpec extends AnyFunSuite {
 
   test("every registered query runs and returns rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sf).count()
+      val df = fn(spark, sf)
+      val n = df.count()
       assert(n > 0, s"$name returned 0 rows")
+      // Global census: no query may plan a CartesianProduct — new
+      // registry entries get pinned automatically.
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      graft.ops.TransientCache.releaseAll()
     }
   }
 
