@@ -39,6 +39,26 @@ object Sampling {
   def draw(idCol: Column): Column =
     substring(md5(idCol.cast("string").cast("binary")), 1, 8)
 
+  /** Deterministic train/validation/test split: the md5 draw against two
+    * cumulative thresholds labels every row reproducibly (same id → same
+    * split on any engine, any run, any partitioning) — the
+    * dataset-versioning property a training pipeline needs from its
+    * split. Zero shuffle, map-side only. `trainRate + valRate <= 1`;
+    * the remainder is `test`. */
+  def splitAssign(df: DataFrame, idCol: String,
+                  trainRate: Double, valRate: Double): DataFrame = {
+    require(trainRate >= 0 && valRate >= 0 && trainRate + valRate <= 1.0,
+      "rates must be non-negative and sum to at most 1")
+    val tTrain = hexThreshold(trainRate)
+    val tVal = hexThreshold(trainRate + valRate)
+    val d = draw(col(idCol))
+    df.withColumn("draw", d)
+      .withColumn("split",
+        when(d < lit(tTrain), lit("train"))
+          .when(d < lit(tVal), lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Stratified Bernoulli sample: per-stratum rates with a default for
     * unlisted strata. Returns the input rows that survive, plus the
     * `draw` and `threshold` columns for auditability. */

@@ -216,6 +216,55 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Integer-exact 2-sigma outliers per event type: quantized values,
+    // cross-multiplied variance compare ((n*v - s)^2 > 4(n*ssq - s^2))
+    // in DECIMAL(38,0)/HUGEINT — no float mean/std ever computed, so
+    // any engine flags the identical rows.
+    "q77_value_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * 1000).cast("long").as("vq"))
+      val stats = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("vq")).as("sm"),
+        sum((col("vq") * col("vq")).cast("decimal(38,0)")).as("ssq"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("dev", dec(col("n")) * dec(col("vq")) - dec(col("sm")))
+        .withColumn("var4",
+          dec(lit(4)) * (dec(col("n")) * dec(col("ssq")) -
+            dec(col("sm")) * dec(col("sm"))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dev") * col("dev") > col("var4"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .join(stats.select(col("event_type"), expr("sm div n").as("mean_q")),
+          "event_type")
+        .select(col("event_type"), col("n"), col("mean_q"), col("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Event-type transition matrix (first-order Markov counts): lead
+    // over each user's total-ordered event sequence.
+    "q78_event_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Deterministic 80/10/10 train/val/test split: md5 draw vs
+    // cumulative thresholds — reproducible dataset versioning.
+    "q79_split_assign" -> ((s, d) =>
+      Sampling.splitAssign(Tables.documents(s, d), "doc_id", 0.8, 0.1)
+        .select(col("doc_id"), col("draw"), col("split"))
+        .orderBy(col("doc_id"))),
+
     // PII scrubbing pass: sequential email -> IPv4 -> digit-run
     // redaction with per-pattern counts and the redacted-text hash
     // (map-side column expressions; the synthetic corpus is PII-free, so
@@ -343,6 +392,41 @@ object PipelineQueries {
          |SELECT doc_id, n_grams, n_shared,
          |  CAST((1000000 * n_shared) // n_grams AS BIGINT) AS shared_ppm
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q77_value_outliers" ->
+      """WITH q AS (SELECT event_type,
+        |    CAST(floor(CAST(value AS DOUBLE) * 1000) AS BIGINT) vq
+        |  FROM events),
+        |st AS (SELECT event_type, count(*) n, CAST(sum(vq) AS BIGINT) sm,
+        |         CAST(sum(CAST(vq AS HUGEINT) * vq) AS HUGEINT) ssq
+        |       FROM q GROUP BY 1),
+        |f AS (SELECT q.event_type, vq, n, sm, ssq,
+        |        CAST(n AS HUGEINT) * vq - sm AS dev,
+        |        4 * (CAST(n AS HUGEINT) * ssq - CAST(sm AS HUGEINT) * sm) AS var4
+        |      FROM q JOIN st USING (event_type))
+        |SELECT f.event_type, count(*) AS n,
+        |  CAST(min(sm // n) AS BIGINT) AS mean_q,
+        |  CAST(sum(CASE WHEN dev * dev > var4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q78_event_transitions" ->
+      """WITH s AS (SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) to_type
+        |  FROM events)
+        |SELECT event_type AS from_type, to_type, count(*) AS n
+        |FROM s WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q79_split_assign" -> {
+      val t80 = graft.ext.Sampling.hexThreshold(0.8)
+      val t90 = graft.ext.Sampling.hexThreshold(0.9)
+      s"""SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS draw,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$t80' THEN 'train'
+         |    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$t90' THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q75_cube_tokens" ->
       s"""${ExtQueries.tokCte},

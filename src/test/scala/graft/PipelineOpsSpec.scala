@@ -291,6 +291,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(st(1).isNullAt(st(1).fieldIndex("t2")))
   }
 
+  test("splitAssign: deterministic, exhaustive, respects thresholds") {
+    import spark.implicits._
+    val d = (1L to 200L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val a = Sampling.splitAssign(d, "doc_id", 0.8, 0.1)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.splitAssign(d, "doc_id", 0.8, 0.1)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)                       // rerun-stable
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    val train = a.values.count(_ == "train")
+    assert(train > 120 && train < 190)   // ~80% of 200, loose bound
+    // degenerate rates: everything below threshold 0 is impossible
+    val allTest = Sampling.splitAssign(d, "doc_id", 0.0, 0.0)
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(allTest == Set("test"))
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(d, "doc_id", 0.8, 0.3)
+    }
+  }
+
   test("funnel: earlier-stage null forces later stages null") {
     import spark.implicits._
     val ev = Seq((7L, ts(1), "click"), (7L, ts(2), "purchase"))
