@@ -70,14 +70,19 @@ object Dedup {
     * each side (the old side pre-distincted, so even a heavily
     * duplicated snapshot contributes one row per content); at scale the
     * old-snapshot hash set is a persisted table and AQE broadcasts it
-    * when small. */
+    * when small.
+    *
+    * NULL contract: a NULL-text doc hashes to a NULL content hash, and a
+    * null anti-join key matches nothing — so NULL-text new docs are
+    * always reported as new, and NULL-text old docs exclude nothing
+    * (the oracle mirrors this with NOT EXISTS, whose null equality is
+    * false — NOT IN would instead collapse to zero rows on one null). */
   def newContentOnly(newDocs: DataFrame, oldDocs: DataFrame,
                      textCol: String, idCol: String): DataFrame = {
-    def hashed(df: DataFrame) =
-      md5(TextAnalysis.normalize(col(textCol)).cast("binary"))
+    val hashExpr = md5(TextAnalysis.normalize(col(textCol)).cast("binary"))
     val newH = newDocs.select(col(idCol).as("doc_id"),
-      hashed(newDocs).as("content_hash"))
-    val oldH = oldDocs.select(hashed(oldDocs).as("content_hash")).distinct()
+      hashExpr.as("content_hash"))
+    val oldH = oldDocs.select(hashExpr.as("content_hash")).distinct()
     newH.join(oldH, Seq("content_hash"), "left_anti")
       .select(col("doc_id"), col("content_hash"))
   }

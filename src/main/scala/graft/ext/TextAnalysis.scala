@@ -409,7 +409,10 @@ object TextAnalysis {
     require(width > 0 && nBuckets > 0, "width and nBuckets must be positive")
     df.where(col(valCol).isNotNull)
       .withColumn("bucket",
-        least(lit(nBuckets - 1L), expr(s"$valCol div $width")).cast("int"))
+        // clamp BOTH ends: negative values land in bucket 0 (truncating
+        // div would otherwise emit bucket ids outside [0, nBuckets))
+        greatest(lit(0L),
+          least(lit(nBuckets - 1L), expr(s"$valCol div $width"))).cast("int"))
       .groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col(valCol)).as("lo"), max(col(valCol)).as("hi"))

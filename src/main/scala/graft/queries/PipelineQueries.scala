@@ -223,11 +223,16 @@ object PipelineQueries {
     "q77_value_outliers" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("event_type"),
         floor(col("value") * 1000).cast("long").as("vq"))
-      val stats = ev.groupBy(col("event_type")).agg(
-        count(lit(1)).as("n"),
-        sum(col("vq")).as("sm"),
-        sum((col("vq") * col("vq")).cast("decimal(38,0)")).as("ssq"))
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      // vq is cast to decimal BEFORE squaring (the oracle's HUGEINT
+      // pattern): a long vq*vq overflows at |value| >= ~3.04e6 where the
+      // oracle stays exact. mean_q rides along in stats so the
+      // aggregation isn't recomputed by a second join.
+      val stats = ev.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(col("vq")).as("sm"),
+          sum(dec(col("vq")) * dec(col("vq"))).as("ssq"))
+        .withColumn("mean_q", expr("sm div n"))
       ev.join(broadcast(stats), "event_type")
         .withColumn("dev", dec(col("n")) * dec(col("vq")) - dec(col("sm")))
         .withColumn("var4",
@@ -235,10 +240,9 @@ object PipelineQueries {
             dec(col("sm")) * dec(col("sm"))))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
+          min(col("mean_q")).as("mean_q"),
           sum(when(col("dev") * col("dev") > col("var4"), 1L).otherwise(0L))
             .as("n_outliers"))
-        .join(stats.select(col("event_type"), expr("sm div n").as("mean_q")),
-          "event_type")
         .select(col("event_type"), col("n"), col("mean_q"), col("n_outliers"))
         .orderBy(col("event_type"))
     }),
@@ -473,7 +477,8 @@ object PipelineQueries {
          |old AS (SELECT DISTINCT md5(${ExtQueries.normSql}) content_hash FROM documents
          |        WHERE doc_id % 10 < 8)
          |SELECT doc_id, content_hash FROM h
-         |WHERE content_hash NOT IN (SELECT content_hash FROM old)
+         |WHERE NOT EXISTS (SELECT 1 FROM old
+         |                  WHERE old.content_hash = h.content_hash)
          |ORDER BY doc_id""".stripMargin,
 
     "q70_event_funnel" ->
