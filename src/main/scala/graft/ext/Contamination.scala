@@ -63,9 +63,18 @@ object Contamination {
                             fpp: Double = 0.01): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val bf = Dedup.shingleRows(benchmark, textCol, idCol, n)
+    val benchGrams = Dedup.shingleRows(benchmark, textCol, idCol, n)
       .select(col("s")).distinct()
-      .stat.bloomFilter("s", expectedGrams, fpp)
+    // Spark's stat.bloomFilter NPEs on a zero-row frame (the aggregate
+    // yields no sketch); an empty benchmark means zero hits everywhere.
+    if (benchGrams.isEmpty) {
+      return Dedup.shingleRows(candidates, textCol, idCol, n)
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_grams"))
+        .select(col("doc").as("doc_id"), col("n_grams"),
+          lit(0L).as("n_hit"), lit(0L).as("hit_ppm"))
+    }
+    val bf = benchGrams.stat.bloomFilter("s", expectedGrams, fpp)
     val bcast = spark.sparkContext.broadcast(bf)
     Dedup.shingleRows(candidates, textCol, idCol, n)
       .as[(Long, String)]

@@ -82,4 +82,32 @@ class EmptyInputSpec extends AnyFunSuite {
       .count() == 0)
     graft.ops.TransientCache.releaseAll()
   }
+
+  test("corpus-hygiene and analytics operators return empty on empty input") {
+    import graft.ext.{Clustering, Contamination}
+    import graft.ops.Funnel
+    assert(Contamination.benchmarkOverlap(emptyDocs, emptyDocs,
+      "text", "doc_id", 2).count() == 0)
+    assert(Contamination.benchmarkOverlapBloom(emptyDocs, emptyDocs,
+      "text", "doc_id", 2, 100L, 0.01).count() == 0)
+    assert(Contamination.duplicateGramShare(emptyDocs, "text", "doc_id", 2)
+      .count() == 0)
+    assert(TextAnalysis.vocabTopK(emptyDocs, "text", "doc_id", 5).count() == 0)
+    assert(TextAnalysis.topTermsPerGroup(emptyDocs, "text", "doc_id",
+      "source", 5).count() == 0)
+    assert(TextAnalysis.intHistogram(emptyDocs.withColumn("n", lit(1L)),
+      "n", "lang", 64L, 16).count() == 0)
+    assert(TextAnalysis.withPiiRedaction(emptyDocs, "text").count() == 0)
+    assert(Clustering.kmeansTwoPass(emptyEmb, "vec_id", "embedding", 4)
+      .count() == 0)
+    assert(Dedup.newContentOnly(emptyDocs, emptyDocs, "text", "doc_id")
+      .count() == 0)
+    assert(Funnel.stageTimes(emptyEvents, "user_id", "ts", "event_type",
+      Seq("view", "click")).count() == 0)
+    assert(Funnel.funnelCounts(emptyEvents, "user_id", "ts", "event_type",
+        Seq("view", "click")).collect()
+      .forall(_.getAs[Long]("n_users") == 0L)) // summary rows exist, all zero
+    assert(Sampling.splitAssign(emptyDocs, "doc_id", 0.8, 0.1).count() == 0)
+    graft.ops.TransientCache.releaseAll()
+  }
 }
