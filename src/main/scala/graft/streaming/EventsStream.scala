@@ -23,6 +23,10 @@ final case class SessionState(startUs: Long, endUs: Long, n: Long)
   * µs, like [[SessionState]]). */
 final case class LastClick(tsUs: Long, id: Long, value: Double)
 
+/** Per-user funnel progression state: first-completion time (µs) of each
+  * stage reached so far (index = stage). Bounded by the stage count. */
+final case class FunnelState(stageTimesUs: List[Long])
+
 object EventsStream {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -139,6 +143,56 @@ object EventsStream {
       }
     }
     (out.result(), last)
+  }
+
+  final case class StageCompletion(user_id: Long, stage: Int,
+                                   stage_type: String,
+                                   at: java.sql.Timestamp)
+
+  /** Streaming twin of the batch funnel (q70 / [[graft.ops.Funnel]]):
+    * emits a StageCompletion the first time a user reaches each stage,
+    * where stage i requires an event of type stages(i) strictly after
+    * the stage-(i-1) completion. Per-user state is one µs timestamp per
+    * REACHED stage — bounded by the stage count, O(users) total, the
+    * streaming form of the batch operator's per-stage min-time chain.
+    *
+    * In-batch events sort by (time, id) before folding, so a
+    * single-batch run reproduces the batch stageTimes exactly
+    * (StreamingSpec-pinned). Across batches the usual lateness caveat
+    * applies: a late event cannot retro-improve an already-emitted
+    * completion time. */
+  def funnelProgress(spark: SparkSession, events: DataFrame,
+                     stages: Seq[String]): Dataset[StageCompletion] = {
+    import spark.implicits._
+    require(stages.nonEmpty, "at least one funnel stage")
+    require(stages.distinct.size == stages.size, "stages must be distinct")
+    val stageIdx = stages.zipWithIndex.toMap
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .where(col("event_type").isin(stages: _*))
+      .withWatermark("ts", "1 hour")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageCompletion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, it, state: GroupState[FunnelState]) =>
+          val sorted = it.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
+          var reached = state.getOption.map(_.stageTimesUs).getOrElse(Nil)
+          val out = Seq.newBuilder[StageCompletion]
+          sorted.foreach { e =>
+            val i = stageIdx(e.event_type)
+            val t = toUs(e.ts)
+            // completes stage i iff it's the next unreached stage and the
+            // event is strictly after the previous stage's completion
+            if (i == reached.length &&
+                (i == 0 || t > reached.last)) {
+              reached = reached :+ t
+              out += StageCompletion(userId, i + 1, e.event_type, fromUs(t))
+            }
+          }
+          if (reached.nonEmpty) state.update(FunnelState(reached))
+          out.result().iterator
+      }
   }
 
   /** Stream-stream interval-join twin of the batch range join (q59 /

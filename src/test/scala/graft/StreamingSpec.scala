@@ -102,6 +102,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.subsetOf(all), "streamed a session the batch twin does not have")
   }
 
+  test("streaming funnel equals the batch stageTimes twin (single batch)") {
+    val stages = Seq("view", "click", "purchase")
+    val prog = EventsStream.funnelProgress(spark,
+      EventsStream.readEvents(spark, sf), stages)
+    runAvailableNow(prog.toDF(), "funnel_prog", OutputMode.Append())
+    val streamed = spark.table("funnel_prog")
+      .select(col("user_id"), col("stage"), col("at").cast("timestamp_ntz"))
+      .collect().map(_.toString).toSet
+    val st = graft.ops.Funnel.stageTimes(Tables.events(spark, sf),
+      "user_id", "ts", "event_type", stages)
+    val batch = stages.indices.flatMap { i =>
+      st.where(col(s"t$i").isNotNull)
+        .select(col("user_id"), lit(i + 1).cast("int").as("stage"),
+          col(s"t$i").cast("timestamp_ntz").as("at"))
+        .collect().map(_.toString)
+    }.toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming exact dedup equals the batch q22 twin (single batch)") {
     import graft.streaming.DocumentsStream
     val dd = DocumentsStream.dedupDocuments(spark,
