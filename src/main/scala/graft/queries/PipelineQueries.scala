@@ -269,6 +269,18 @@ object PipelineQueries {
         .select(col("doc_id"), col("draw"), col("split"))
         .orderBy(col("doc_id"))),
 
+    // Near-dup graph degree distribution: how many docs have k near-dup
+    // neighbours (graph-shape audit over the q48 pair set; a heavy tail
+    // here predicts quadratic candidate blow-ups before they happen).
+    "q80_neardup_degree" -> ((s, d) => {
+      val pairs = Dedup.simhashHammingPairsFromSigs(ExtQueries.simhashSigs(s, d), 2)
+      val edges = pairs.select(col("doc_a").as("doc"))
+        .unionAll(pairs.select(col("doc_b").as("doc")))
+      edges.groupBy(col("doc")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("degree"))
+    }),
+
     // PII scrubbing pass: sequential email -> IPv4 -> digit-run
     // redaction with per-pattern counts and the redacted-text hash
     // (map-side column expressions; the synthetic corpus is PII-free, so
@@ -396,6 +408,13 @@ object PipelineQueries {
          |SELECT doc_id, n_grams, n_shared,
          |  CAST((1000000 * n_shared) // n_grams AS BIGINT) AS shared_ppm
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q80_neardup_degree" ->
+      s"""WITH ${ExtQueries.simhashHammingCtes.stripPrefix("WITH ")},
+         |e AS (SELECT doc_a doc FROM hp UNION ALL SELECT doc_b FROM hp),
+         |deg AS (SELECT doc, count(*) degree FROM e GROUP BY 1)
+         |SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_docs
+         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q77_value_outliers" ->
       """WITH q AS (SELECT event_type,
