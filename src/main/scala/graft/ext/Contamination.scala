@@ -63,28 +63,32 @@ object Contamination {
                             fpp: Double = 0.01): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val benchGrams = Dedup.shingleRows(benchmark, textCol, idCol, n)
-      .select(col("s")).distinct()
-    // Spark's stat.bloomFilter NPEs on a zero-row frame (the aggregate
-    // yields no sketch); an empty benchmark means zero hits everywhere.
-    if (benchGrams.isEmpty) {
-      return Dedup.shingleRows(candidates, textCol, idCol, n)
-        .groupBy(col("doc"))
-        .agg(count(lit(1)).as("n_grams"))
-        .select(col("doc").as("doc_id"), col("n_grams"),
-          lit(0L).as("n_hit"), lit(0L).as("hit_ppm"))
+    // Emptiness is probed on the PRE-distinct shingle stream (take(1)
+    // short-circuits in codegen; above the distinct it would first build
+    // an aggregation hash table) because Spark's stat.bloomFilter NPEs
+    // on a zero-row frame. An absent filter means zero hits — the same
+    // single aggregation/select block serves both cases so the output
+    // schema cannot drift between them.
+    val bfOpt =
+      if (Dedup.shingleRows(benchmark, textCol, idCol, n).isEmpty) None
+      else Some(Dedup.shingleRows(benchmark, textCol, idCol, n)
+        .select(col("s")).distinct()
+        .stat.bloomFilter("s", expectedGrams, fpp))
+    val candGrams = Dedup.shingleRows(candidates, textCol, idCol, n)
+    val flagged = bfOpt match {
+      case Some(bf) =>
+        val bcast = spark.sparkContext.broadcast(bf)
+        candGrams.as[(Long, String)]
+          .mapPartitions { it =>
+            val f = bcast.value
+            it.map { case (doc, s) =>
+              (doc, if (f.mightContainString(s)) 1L else 0L)
+            }
+          }
+          .toDF("doc", "hit")
+      case None => candGrams.select(col("doc"), lit(0L).as("hit"))
     }
-    val bf = benchGrams.stat.bloomFilter("s", expectedGrams, fpp)
-    val bcast = spark.sparkContext.broadcast(bf)
-    Dedup.shingleRows(candidates, textCol, idCol, n)
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val f = bcast.value
-        it.map { case (doc, s) =>
-          (doc, if (f.mightContainString(s)) 1L else 0L)
-        }
-      }
-      .toDF("doc", "hit")
+    flagged
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_grams"), sum(col("hit")).as("n_hit"))
       .select(col("doc").as("doc_id"), col("n_grams"), col("n_hit"),

@@ -274,8 +274,10 @@ object PipelineQueries {
     // here predicts quadratic candidate blow-ups before they happen).
     "q80_neardup_degree" -> ((s, d) => {
       val pairs = Dedup.simhashHammingPairsFromSigs(ExtQueries.simhashSigs(s, d), 2)
-      val edges = pairs.select(col("doc_a").as("doc"))
-        .unionAll(pairs.select(col("doc_b").as("doc")))
+      // one pass: explode each pair into both endpoints (a self-union
+      // would run the band join + Hamming verify twice)
+      val edges = pairs.select(
+        explode(array(col("doc_a"), col("doc_b"))).as("doc"))
       edges.groupBy(col("doc")).agg(count(lit(1)).as("degree"))
         .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("degree"))

@@ -24,8 +24,14 @@ final case class SessionState(startUs: Long, endUs: Long, n: Long)
 final case class LastClick(tsUs: Long, id: Long, value: Double)
 
 /** Per-user funnel progression state: first-completion time (µs) of each
-  * stage reached so far (index = stage). Bounded by the stage count. */
-final case class FunnelState(stageTimesUs: List[Long])
+  * stage reached so far (index = stage), plus bounded per-stage candidate
+  * times for stages not yet reached — so a future-stage event arriving in
+  * an EARLIER micro-batch than its predecessor's completion still counts
+  * once the predecessor lands (out-of-order file delivery). Candidates
+  * are capped at the smallest [[EventsStream.MaxPendingPerStage]] per
+  * stage, keeping state O(stages), not O(events). */
+final case class FunnelState(stageTimesUs: List[Long],
+                             pendingUs: List[List[Long]])
 
 object EventsStream {
 
@@ -149,24 +155,31 @@ object EventsStream {
                                    stage_type: String,
                                    at: java.sql.Timestamp)
 
+  /** Candidate-buffer cap per pending stage (smallest times kept). A
+    * flood of out-of-order future-stage events beyond the cap may emit a
+    * later-than-minimal completion time — the documented bounded-state
+    * trade-off. */
+  val MaxPendingPerStage = 64
+
   /** Streaming twin of the batch funnel (q70 / [[graft.ops.Funnel]]):
     * emits a StageCompletion the first time a user reaches each stage,
     * where stage i requires an event of type stages(i) strictly after
-    * the stage-(i-1) completion. Per-user state is one µs timestamp per
-    * REACHED stage — bounded by the stage count, O(users) total, the
-    * streaming form of the batch operator's per-stage min-time chain.
+    * the stage-(i-1) completion. Per-user state is the reached-stage
+    * times plus a BOUNDED candidate buffer per unreached stage, so
+    * future-stage events that arrive in an earlier micro-batch than
+    * their predecessor's completion still cascade once it lands.
     *
-    * In-batch events sort by (time, id) before folding, so a
-    * single-batch run reproduces the batch stageTimes exactly
-    * (StreamingSpec-pinned). Across batches the usual lateness caveat
-    * applies: a late event cannot retro-improve an already-emitted
-    * completion time. */
+    * A single-batch run reproduces the batch stageTimes exactly
+    * (StreamingSpec-pinned); the cross-batch cascade is unit-tested via
+    * [[funnelGroup]]. A late event can still never retro-improve an
+    * already-EMITTED completion (Append mode cannot retract). */
   def funnelProgress(spark: SparkSession, events: DataFrame,
                      stages: Seq[String]): Dataset[StageCompletion] = {
     import spark.implicits._
     require(stages.nonEmpty, "at least one funnel stage")
     require(stages.distinct.size == stages.size, "stages must be distinct")
     val stageIdx = stages.zipWithIndex.toMap
+    val names = stages.toIndexedSeq
     events.select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
       .where(col("event_type").isin(stages: _*))
@@ -176,23 +189,52 @@ object EventsStream {
       .flatMapGroupsWithState[FunnelState, StageCompletion](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (userId, it, state: GroupState[FunnelState]) =>
-          val sorted = it.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
-          var reached = state.getOption.map(_.stageTimesUs).getOrElse(Nil)
-          val out = Seq.newBuilder[StageCompletion]
-          sorted.foreach { e =>
-            val i = stageIdx(e.event_type)
-            val t = toUs(e.ts)
-            // completes stage i iff it's the next unreached stage and the
-            // event is strictly after the previous stage's completion
-            if (i == reached.length &&
-                (i == 0 || t > reached.last)) {
-              reached = reached :+ t
-              out += StageCompletion(userId, i + 1, e.event_type, fromUs(t))
-            }
-          }
-          if (reached.nonEmpty) state.update(FunnelState(reached))
-          out.result().iterator
+          val (out, next) = funnelGroup(userId, it.toSeq, state.getOption,
+            stageIdx, names)
+          state.update(next)
+          out.iterator
       }
+  }
+
+  /** Pure per-group fold behind [[funnelProgress]] (extracted so the
+    * cross-batch cascade is unit-testable without a streaming harness).
+    * Inserts this batch's events into the pending buffers, then
+    * repeatedly completes the next unreached stage at its smallest
+    * candidate strictly after the previous completion. */
+  private[graft] def funnelGroup(userId: Long, events: Seq[Event],
+      initial: Option[FunnelState], stageIdx: Map[String, Int],
+      names: IndexedSeq[String]): (Seq[StageCompletion], FunnelState) = {
+    val n = names.length
+    var reached = initial.map(_.stageTimesUs).getOrElse(Nil)
+    val pending = Array.fill(n)(List.empty[Long])
+    initial.foreach(_.pendingUs.zipWithIndex.foreach { case (l, i) =>
+      if (i < n) pending(i) = l
+    })
+    events.sortBy(e => (toUs(e.ts), e.event_id)).foreach { e =>
+      val i = stageIdx(e.event_type)
+      if (i >= reached.length)
+        pending(i) = (toUs(e.ts) :: pending(i)).sorted
+          .take(EventsStream.MaxPendingPerStage)
+    }
+    val out = Seq.newBuilder[StageCompletion]
+    var progressed = true
+    while (progressed && reached.length < n) {
+      val i = reached.length
+      val prev = reached.lastOption
+      pending(i).find(t => prev.forall(t > _)) match {
+        case Some(t) =>
+          reached = reached :+ t
+          pending(i) = Nil
+          out += StageCompletion(userId, i + 1, names(i), fromUs(t))
+        case None =>
+          // Prune dead candidates (<= predecessor completion): they can
+          // never become eligible and must not crowd the bounded buffer
+          // against genuinely live future candidates.
+          pending(i) = pending(i).filter(t => prev.forall(t > _))
+          progressed = false
+      }
+    }
+    (out.result(), FunnelState(reached, pending.toList))
   }
 
   /** Stream-stream interval-join twin of the batch range join (q59 /

@@ -121,6 +121,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("funnelGroup: out-of-order cross-batch arrivals cascade on completion") {
+    import graft.streaming.EventsStream.{Event, funnelGroup}
+    def ev(id: Long, sec: Long, ty: String) =
+      Event(id, new java.sql.Timestamp(sec * 1000L), 7L, ty, 0.0)
+    val stages = IndexedSeq("view", "click", "purchase")
+    val idx = stages.zipWithIndex.toMap
+    // batch 1: click and purchase arrive BEFORE the view lands
+    val (out1, st1) = funnelGroup(7L,
+      Seq(ev(1, 1200, "click"), ev(2, 1230, "purchase")), None, idx, stages)
+    assert(out1.isEmpty)
+    // batch 2: the view (earlier event time) arrives -> all three cascade
+    val (out2, st2) = funnelGroup(7L, Seq(ev(3, 1100, "view")),
+      Some(st1), idx, stages)
+    assert(out2.map(c => (c.stage, c.at.getTime / 1000L)) ==
+      Seq((1, 1100L), (2, 1200L), (3, 1230L)))
+    assert(st2.stageTimesUs.length == 3)
+    // dead candidates (not strictly after the predecessor) never complete
+    val (_, stA) = funnelGroup(8L, Seq(ev(5, 1100, "view")), None, idx, stages)
+    val (out3, _) = funnelGroup(8L, Seq(ev(4, 1100, "click")), Some(stA),
+      idx, stages)
+    assert(out3.isEmpty)
+  }
+
   test("streaming exact dedup equals the batch q22 twin (single batch)") {
     import graft.streaming.DocumentsStream
     val dd = DocumentsStream.dedupDocuments(spark,
