@@ -29,6 +29,17 @@ object Sinks {
   def jsonExport(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
 
+  /** Hive-style partitioned parquet write — the 100 TB storage layout:
+    * a corpus partitioned by a low-cardinality column (language, date,
+    * source) turns every per-partition query into a directory-pruned
+    * scan that never opens the other partitions' files (PlanSpec asserts
+    * the pruning). Engine-path write: stays fully parallel, no
+    * coalesce. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+
   /** Partitioned parquet append with upsert-by-key semantics (S8: the
     * Postgres ON CONFLICT analogue — existing keys are replaced by the
     * incoming batch; at scale this is a Delta MERGE). */

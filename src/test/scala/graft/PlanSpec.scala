@@ -113,6 +113,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"gram join fell back to SMJ:\n$p")
   }
 
+  test("partitioned corpus layout prunes non-matching partitions at scan") {
+    val dir = java.nio.file.Files.createTempDirectory("part_docs").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    graft.sink.Sinks.writePartitioned(docs, dir, Seq("lang"))
+    val read = spark.read.parquet(dir).where(col("lang") === "en")
+    val p = read.queryExecution.executedPlan.toString
+    // partition pruning: the lang predicate becomes a PartitionFilters
+    // entry on the scan, not a post-scan Filter over all partitions
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"lang filter did not reach partition pruning:\n$p")
+    assert(read.count() > 0)
+    val full = docs.where(col("lang") === "en").count()
+    assert(read.count() == full)
+  }
+
   test("q74 snapshot delta: hash anti-join, no cartesian/BNLJ") {
     val p = plan("q74_snapshot_delta")
     assert(p.contains("LeftAnti"), s"no anti-join in the delta plan:\n$p")
