@@ -40,6 +40,19 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed managed table — the co-located-join layout: two tables
+    * bucketed by the same join key into the same bucket count join with
+    * ZERO exchange (PlanSpec asserts it). At 100 TB this is how the
+    * fact-to-fact joins (lineitem⋈orders, postings⋈postings) avoid
+    * re-shuffling terabytes per query: the shuffle is paid once at
+    * write time. Requires saveAsTable (bucket metadata lives in the
+    * catalog). */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+                    nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+      .format("parquet").saveAsTable(table)
+
   /** Partitioned parquet append with upsert-by-key semantics (S8: the
     * Postgres ON CONFLICT analogue — existing keys are replaced by the
     * incoming batch; at scale this is a Delta MERGE). */

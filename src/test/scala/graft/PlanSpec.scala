@@ -128,6 +128,35 @@ class PlanSpec extends AnyFunSuite {
     assert(read.count() == full)
   }
 
+  test("bucketed tables join with zero exchange (co-located join)") {
+    val sf = "/root/testdata/sf0.001"
+    graft.sink.Sinks.writeBucketed(
+      Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity")),
+      "bkt_lineitem_t", "l_orderkey", 4)
+    graft.sink.Sinks.writeBucketed(
+      Tables.orders(spark, sf)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+      "bkt_orders_t", "l_orderkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path so the assertion is about bucketing,
+      // not about a broadcast hiding the exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_lineitem_t")
+        .join(spark.table("bkt_orders_t"), "l_orderkey")
+      joined.queryExecution.toRdd.count()
+      val p = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), s"expected the SMJ path:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still exchanged:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem_t")
+      spark.sql("DROP TABLE IF EXISTS bkt_orders_t")
+    }
+  }
+
   test("q74 snapshot delta: hash anti-join, no cartesian/BNLJ") {
     val p = plan("q74_snapshot_delta")
     assert(p.contains("LeftAnti"), s"no anti-join in the delta plan:\n$p")
