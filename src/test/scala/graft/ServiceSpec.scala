@@ -108,6 +108,22 @@ class ServiceSpec extends AnyFunSuite {
     assert(up == Map(1L -> "v2", 2L -> "w"))
   }
 
+  test("ORC round-trip preserves the member-catalog schema and rows") {
+    // Another Spark-native columnar format for the catalog export path:
+    // schema (incl. nested/long types) and rows must survive unchanged.
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val members = graft.model.MemberCatalog
+      .members(spark, "/root/testdata/sf0.001").limit(200)
+    members.write.mode("overwrite").orc(s"$dir/members")
+    val back = spark.read.orc(s"$dir/members")
+    // file sources read everything back nullable; names+types must match
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      members.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.count() == members.count())
+    assert(back.collect().map(_.toString).sorted.toSeq ==
+      members.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("Excel sink: SpreadsheetML workbook round-trips sheets, types, scrub") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_xls").toString
