@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Contamination, TextAnalysis}
+import graft.ext.{Components, Contamination, Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -93,10 +93,10 @@ class ContaminationSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val cand = docs.where(col("source") =!= "src0")
     val bench = docs.where(col("source") === "src0")
-    val exact = graft.ext.Contamination
+    val exact = Contamination
       .benchmarkOverlap(cand, bench, "text", "doc_id", 3)
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_hit")).toMap
-    val bloom = graft.ext.Contamination
+    val bloom = Contamination
       .benchmarkOverlapBloom(cand, bench, "text", "doc_id", 3,
         expectedGrams = 1L << 16, fpp = 0.0001)
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_hit")).toMap
@@ -143,7 +143,7 @@ class ContaminationSpec extends AnyFunSuite {
       .toDF("doc", "comp")
     val scores = Seq((10L, 5L), (11L, 9L), (12L, 9L), (20L, 3L), (21L, 3L))
       .toDF("doc_id", "quality")
-    val got = graft.ext.Components.canonicalPerComponent(
+    val got = Components.canonicalPerComponent(
         membership, "doc", "comp", scores, "doc_id", "quality")
       .orderBy("comp", "rank").collect()
     // comp 1: quality 9 tie between 11 and 12 -> lower id first
@@ -160,7 +160,7 @@ class ContaminationSpec extends AnyFunSuite {
     import spark.implicits._
     val membership = Seq((10L, 1L), (11L, 1L)).toDF("doc", "comp")
     val scores = Seq((10L, 5L)).toDF("doc_id", "quality") // doc 11 unscored
-    val got = graft.ext.Components.canonicalPerComponent(
+    val got = Components.canonicalPerComponent(
         membership, "doc", "comp", scores, "doc_id", "quality")
       .orderBy("rank").collect()
     assert(got.length == 2)
@@ -174,7 +174,7 @@ class ContaminationSpec extends AnyFunSuite {
     import spark.implicits._
     val d = Seq(("a", 0L), ("a", 63L), ("a", 64L), ("a", 10000L), ("b", 128L))
       .toDF("grp", "v")
-    val got = graft.ext.TextAnalysis.intHistogram(d, "v", "grp", 64L, 16)
+    val got = TextAnalysis.intHistogram(d, "v", "grp", 64L, 16)
       .orderBy("grp", "bucket").collect()
     // a: [0,63] -> bucket 0 (2 rows); 64 -> bucket 1; 10000 -> capped 15
     assert(got(0).getAs[Int]("bucket") == 0 && got(0).getAs[Long]("n") == 2L &&
@@ -187,7 +187,7 @@ class ContaminationSpec extends AnyFunSuite {
   test("newContentOnly: anti-join keeps only unseen content") {
     val newDocs = docs(1L -> "alpha", 2L -> "beta", 3L -> "gamma")
     val oldDocs = docs(90L -> "alpha", 91L -> "alpha", 92L -> "delta")
-    val got = graft.ext.Dedup.newContentOnly(newDocs, oldDocs, "text", "doc_id")
+    val got = Dedup.newContentOnly(newDocs, oldDocs, "text", "doc_id")
       .orderBy("doc_id").collect()
     assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 3L))
   }
@@ -195,7 +195,7 @@ class ContaminationSpec extends AnyFunSuite {
   test("topTermsPerGroup: group-local tf, corpus-global idf, rank ties") {
     val d = docs(1L -> "aa bb", 2L -> "aa cc", 3L -> "aa dd")
       .withColumn("src", when(col("doc_id") === 1L, "s1").otherwise("s2"))
-    val got = graft.ext.TextAnalysis.topTermsPerGroup(d, "text", "doc_id", "src", 2)
+    val got = TextAnalysis.topTermsPerGroup(d, "text", "doc_id", "src", 2)
       .orderBy("src", "rank").collect()
     // "aa" appears in all 3 docs -> idf = ln(1) = 0 -> score 0; the
     // group-unique terms rank first on positive idf

@@ -115,30 +115,41 @@ class PlanSpec extends AnyFunSuite {
 
   test("partitioned corpus layout prunes non-matching partitions at scan") {
     val dir = java.nio.file.Files.createTempDirectory("part_docs").toString
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = Tables.documents(spark, sf)
     graft.sink.Sinks.writePartitioned(docs, dir, Seq("lang"))
     val read = spark.read.parquet(dir).where(col("lang") === "en")
     val p = read.queryExecution.executedPlan.toString
-    // partition pruning: the lang predicate becomes a PartitionFilters
-    // entry on the scan, not a post-scan Filter over all partitions
-    assert(p.contains("PartitionFilters") && p.contains("lang"),
-      s"lang filter did not reach partition pruning:\n$p")
-    assert(read.count() > 0)
-    val full = docs.where(col("lang") === "en").count()
-    assert(read.count() == full)
+    // The predicate must be INSIDE the PartitionFilters list — a scan
+    // prints `PartitionFilters: []` (and lists `lang` in its output)
+    // even when nothing prunes, so contains-checks alone are vacuous.
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(p).isDefined,
+      s"lang predicate not in PartitionFilters:\n$p")
+    val n = read.count()
+    assert(n > 0 && n == docs.where(col("lang") === "en").count())
   }
 
   test("bucketed tables join with zero exchange (co-located join)") {
-    val sf = "/root/testdata/sf0.001"
-    graft.sink.Sinks.writeBucketed(
-      Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity")),
-      "bkt_lineitem_t", "l_orderkey", 4)
-    graft.sink.Sinks.writeBucketed(
-      Tables.orders(spark, sf)
-        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
-      "bkt_orders_t", "l_orderkey", 4)
+    // Pre-clean: a previous JVM killed mid-test leaves managed-table
+    // files under the persistent warehouse dir, which would fail
+    // saveAsTable with LOCATION_ALREADY_EXISTS on the next run.
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete()
+    }
+    Seq("bkt_lineitem_t", "bkt_orders_t").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rmrf(new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/$t"))
+    }
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
+      graft.sink.Sinks.writeBucketed(
+        Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity")),
+        "bkt_lineitem_t", "l_orderkey", 4)
+      graft.sink.Sinks.writeBucketed(
+        Tables.orders(spark, sf)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        "bkt_orders_t", "l_orderkey", 4)
       // force the shuffle-join path so the assertion is about bucketing,
       // not about a broadcast hiding the exchange
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

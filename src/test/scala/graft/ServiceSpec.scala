@@ -112,8 +112,8 @@ class ServiceSpec extends AnyFunSuite {
     // Another Spark-native columnar format for the catalog export path:
     // schema (incl. nested/long types) and rows must survive unchanged.
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
-    val members = graft.model.MemberCatalog
-      .members(spark, "/root/testdata/sf0.001").limit(200)
+    val members = MemberCatalog
+      .members(spark, sf).limit(200)
     members.write.mode("overwrite").orc(s"$dir/members")
     val back = spark.read.orc(s"$dir/members")
     // file sources read everything back nullable; names+types must match
