@@ -370,7 +370,11 @@ object Dedup {
       .join(cc, sigTable("rep") === cc("node"), "left")
       .where(col("n_docs") >= 2 || col("node").isNotNull)
       .select(col("simhash"), coalesce(col("comp"), col("rep")).as("comp"))
-    sigs.join(broadcast(sigComp), "simhash")
+    // No broadcast hint: sigComp has one row per DISTINCT signature, which
+    // is unbounded on a low-dup corpus (could exceed the broadcast cap /
+    // OOM the driver at 100 TB). AQE broadcasts it when it measures small;
+    // otherwise this is a plain shuffle join on the uniform simhash key.
+    sigs.join(sigComp, "simhash")
       .select(col("doc"), col("comp"))
   }
 

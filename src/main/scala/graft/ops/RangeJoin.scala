@@ -27,6 +27,7 @@ object RangeJoin {
   def pairsWithinAfter(left: DataFrame, right: DataFrame, keyCol: String,
                        leftTime: String, rightTime: String, windowMicros: Long,
                        rightCols: Seq[String], prefix: String = "r_"): DataFrame = {
+    require(windowMicros > 0, s"windowMicros must be positive (got $windowMicros)")
     val lb = left.select(
       struct(left.columns.map(col): _*).as("__lv"),
       col(keyCol).as("__key"),

@@ -488,7 +488,7 @@ object PipelineQueries {
          |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
 
     "q73_length_histogram" ->
-      """SELECT lang, CAST(least(15, n_chars // 64) AS INT) AS bucket,
+      """SELECT lang, CAST(greatest(0, least(15, n_chars // 64)) AS INT) AS bucket,
         |  count(*) AS n, min(n_chars) AS lo, max(n_chars) AS hi
         |FROM documents WHERE n_chars IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -30,9 +30,19 @@ object ExcelSink {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
+  private def isFinite(v: Any): Boolean = v match {
+    case d: Double => !d.isNaN && !d.isInfinite
+    case f: Float  => !f.isNaN && !f.isInfinite
+    case _ => true
+  }
+
   private def cellXml(value: Any, dt: DataType): String = value match {
     case null => "<Cell><Data ss:Type=\"String\"></Data></Cell>"
     case v => dt match {
+      // NaN/Infinity are not valid SpreadsheetML Number content — Excel and
+      // LibreOffice reject the workbook — so emit them as String cells.
+      case _: FloatType | _: DoubleType if !isFinite(v) =>
+        s"""<Cell><Data ss:Type="String">${esc(v.toString)}</Data></Cell>"""
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
            _: FloatType | _: DoubleType | _: DecimalType =>
         s"""<Cell><Data ss:Type="Number">$v</Data></Cell>"""

@@ -62,11 +62,21 @@ object DocumentsStream {
     * the keyed-state analogue of the batch hash-groupBy's shuffle key
     * set. At 100 TB/day ingest the state store is RocksDB-backed and the
     * hash key is already uniform (md5), so state partitions stay
-    * balanced. */
+    * balanced — but O(distinct docs) still grows without bound over the
+    * stream's lifetime. `stateTtl` bounds it: a hash idle for longer than
+    * the TTL is evicted (processing-time timeout, refreshed on every
+    * re-arrival), turning exact lifetime dedup into sliding-window dedup —
+    * a re-arrival AFTER eviction is treated as new content and re-emitted.
+    * That is the standard state-compaction contract for an unbounded
+    * ingest; leave it None for exact dedup over a bounded backfill. */
   def dedupDocuments(spark: SparkSession, docs: DataFrame,
                      textCol: String = "text",
-                     idCol: String = "doc_id"): Dataset[CanonicalDoc] = {
+                     idCol: String = "doc_id",
+                     stateTtl: Option[java.time.Duration] = None): Dataset[CanonicalDoc] = {
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     docs
       .where(col(textCol).isNotNull && col(idCol).isNotNull)
       .select(
@@ -75,13 +85,20 @@ object DocumentsStream {
       .as[(String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SeenContent, CanonicalDoc](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (hash, it, state: GroupState[SeenContent]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            // re-arrival of known content: suppress, refresh the TTL clock
+            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            Iterator.empty
+          } else {
             var minId = Long.MaxValue
             it.foreach(p => if (p._2 < minId) minId = p._2)
             state.update(SeenContent(minId))
+            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
             Iterator(CanonicalDoc(hash, minId))
           }
       }

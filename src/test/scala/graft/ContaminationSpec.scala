@@ -172,13 +172,14 @@ class ContaminationSpec extends AnyFunSuite {
 
   test("intHistogram: edge values bucket exactly; overflow tail capped") {
     import spark.implicits._
-    val d = Seq(("a", 0L), ("a", 63L), ("a", 64L), ("a", 10000L), ("b", 128L))
-      .toDF("grp", "v")
+    val d = Seq(("a", -5L), ("a", 0L), ("a", 63L), ("a", 64L), ("a", 10000L),
+      ("b", 128L)).toDF("grp", "v")
     val got = TextAnalysis.intHistogram(d, "v", "grp", 64L, 16)
       .orderBy("grp", "bucket").collect()
-    // a: [0,63] -> bucket 0 (2 rows); 64 -> bucket 1; 10000 -> capped 15
-    assert(got(0).getAs[Int]("bucket") == 0 && got(0).getAs[Long]("n") == 2L &&
-      got(0).getAs[Long]("lo") == 0L && got(0).getAs[Long]("hi") == 63L)
+    // a: negative clamps to bucket 0 alongside [0,63] (3 rows); 64 ->
+    // bucket 1; 10000 -> capped 15
+    assert(got(0).getAs[Int]("bucket") == 0 && got(0).getAs[Long]("n") == 3L &&
+      got(0).getAs[Long]("lo") == -5L && got(0).getAs[Long]("hi") == 63L)
     assert(got(1).getAs[Int]("bucket") == 1 && got(1).getAs[Long]("n") == 1L)
     assert(got(2).getAs[Int]("bucket") == 15 && got(2).getAs[Long]("hi") == 10000L)
     assert(got(3).getAs[String]("grp") == "b" && got(3).getAs[Int]("bucket") == 2)

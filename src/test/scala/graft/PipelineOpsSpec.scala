@@ -57,6 +57,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = RangeJoin.pairsWithinAfter(left, right, "k", "t", "t", w, Seq("rid"))
       .select("r_rid").as[Long].collect().sorted
     assert(got.toSeq == Seq(11L, 12L))
+    // zero/negative windows would silently bucket to null -> empty result
+    val err = intercept[IllegalArgumentException] {
+      RangeJoin.pairsWithinAfter(left, right, "k", "t", "t", 0L, Seq("rid"))
+    }
+    assert(err.getMessage.contains("windowMicros"))
   }
 
   test("connectedComponents: multi-hop chain + separate cliques -> min labels") {

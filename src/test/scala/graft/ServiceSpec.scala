@@ -146,6 +146,22 @@ class ServiceSpec extends AnyFunSuite {
     val types = (0 until cells.getLength).map(cells.item(_).getAttributes
       .getNamedItem("ss:Type").getNodeValue)
     assert(types.contains("Number") && types.contains("Boolean"))
+    // non-finite doubles must not appear as ss:Type="Number" (invalid
+    // SpreadsheetML: Excel/LibreOffice reject the workbook) — they fall
+    // back to String cells
+    val weird = Seq(("nan", Double.NaN), ("inf", Double.PositiveInfinity),
+      ("ok", 1.5)).toDF("tag", "v")
+    val wPath = s"$dir/weird.xml"
+    graft.sink.ExcelSink.writeWorkbook(Seq("W" -> weird), wPath)
+    val wDoc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder().parse(new java.io.File(wPath))
+    val wCells = wDoc.getElementsByTagName("Data")
+    val byText = (0 until wCells.getLength).map { i =>
+      val c = wCells.item(i)
+      c.getTextContent -> c.getAttributes.getNamedItem("ss:Type").getNodeValue
+    }.toMap
+    assert(byText("NaN") == "String" && byText("Infinity") == "String")
+    assert(byText("1.5") == "Number")
     // row ceiling fails fast instead of silently truncating
     val big = spark.range(graft.sink.ExcelSink.maxRowsPerSheet + 1).toDF("id")
     val err = intercept[IllegalArgumentException] {

@@ -181,5 +181,16 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.table("doc_dedup_2b")
       .collect().map(r => r.getLong(1)).toSet
     assert(got == Set(1L, 2L, 4L), s"expected first-arrival canonicals, got $got")
+
+    // With a state TTL that has not elapsed, behaviour is identical to
+    // NoTimeout (dup suppressed across batches); this pins the
+    // ProcessingTimeTimeout code path (state bounded at 100 TB/day ingest).
+    val ddTtl = DocumentsStream.dedupDocuments(spark,
+      DocumentsStream.readDocuments(spark, dir.toString, Some(1)),
+      stateTtl = Some(java.time.Duration.ofHours(1)))
+    runAvailableNow(ddTtl.toDF(), "doc_dedup_ttl", OutputMode.Append())
+    val gotTtl = spark.table("doc_dedup_ttl")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(gotTtl == Set(1L, 2L, 4L), s"TTL path diverged: $gotTtl")
   }
 }
