@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed cardinality sketches (SURVEY.md §2.4 A8 — the reference
+  * estimates member-set cardinality before export, ref
+  * `backend/olap_service.py` export-estimate path; Spark's own
+  * `approx_count_distinct` is HLL++ but its estimate is not reproducible
+  * by an external oracle).
+  *
+  * This is a from-first-principles HyperLogLog (Flajolet et al. 2007)
+  * built integer-exact so ANY engine reproduces the registers and the
+  * estimate bit-for-bit: the hash stream is md5 (portable), bucket and
+  * rank come from fixed hex slices, and the harmonic sum is computed in
+  * scaled BIGINT (Σ 2^(48−r) — exact, order-independent) with exactly one
+  * float division at the end (IEEE-deterministic on identical operands).
+  *
+  * 100 TB shape: registers are a `(group, bucket) → max(rank)` aggregate —
+  * map-side combined, fixed 2^b rows per group regardless of input size,
+  * and mergeable across partitions/days by the same `max` (the whole point
+  * of HLL). The exact `count_distinct` emitted alongside for the oracle
+  * audit is the expensive twin the sketch replaces at scale.
+  */
+object Sketches {
+
+  /** Raw HyperLogLog distinct estimate per group, next to the exact count.
+    *
+    * Output: `<groupCol>, n_exact, n_buckets, est_milli` where `est_milli`
+    * = floor(1000 · raw HLL estimate) (milli-quantized so the single
+    * float rounding can't straddle engines) and `n_buckets` is the number
+    * of non-empty registers.
+    *
+    * `b` is the bucket-bit width (must be a multiple of 4 so the bucket is
+    * a whole hex prefix); m = 2^b registers. Applies the standard
+    * linear-counting small-range correction (Flajolet §4: when the raw
+    * estimate ≤ 2.5·m and empty registers remain, use m·ln(m/V)). The
+    * correction's ln() is engine-stable here because its input domain is
+    * the 2^b−1 rationals m/V — verified exhaustively (JVM Math.log vs
+    * DuckDB ln agree on floor(1000·m·ln(m/V)) for every V at b=8). */
+  def hllDistinct(df: DataFrame, keyCol: String, groupCol: String,
+                  b: Int = 8): DataFrame = {
+    require(b % 4 == 0 && b >= 4 && b <= 16, "b must be 4/8/12/16 (hex-aligned)")
+    val m = 1 << b
+    val hexChars = b / 4
+    val h = md5(col(keyCol).cast("string").cast("binary"))
+    val bucket = conv(substring(h, 1, hexChars), 16, 10).cast("int")
+    // 32-bit rank stream from the next 8 hex chars: rank = leading zeros
+    // + 1 = 33 − bitlength; the all-zero word gets the max rank 33.
+    val x = conv(substring(h, hexChars + 1, 8), 16, 10).cast("long")
+    val rank = when(x > 0, lit(33) - length(bin(x))).otherwise(lit(33))
+      .cast("int")
+    val regs = df.where(col(keyCol).isNotNull)
+      .groupBy(col(groupCol), bucket.as("bucket"))
+      .agg(max(rank).as("r"))
+    // Σ 2^(−r) scaled by 2^48: r ≤ 33 so each term ≥ 2^15 stays integral,
+    // and m·2^48 ≤ 2^64−ε never overflows for b ≤ 15 (b=16: still < 2^63
+    // because empty buckets dominate only when n is tiny).
+    val sums = regs.groupBy(col(groupCol))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 48 - r)")).as("s_seen"),
+        count(lit(1)).as("n_buckets"))
+      .withColumn("s_total",
+        col("s_seen") + (lit(m.toLong) - col("n_buckets")) *
+          lit(281474976710656L)) // empty registers contribute 2^(48−0)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val rawEst = (alpha * lit((m.toLong * m).toDouble) *
+      lit(281474976710656.0)) / col("s_total").cast("double")
+    val vEmpty = lit(m.toLong) - col("n_buckets")
+    val lcEst = lit(m.toDouble) * log(lit(m.toDouble) / vEmpty.cast("double"))
+    val est = when(rawEst <= lit(2.5 * m) && vEmpty > 0, lcEst)
+      .otherwise(rawEst)
+    val estMilli = floor(est * lit(1000.0)).cast("long")
+    val exact = df.where(col(keyCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(countDistinct(col(keyCol)).as("n_exact"))
+    exact.join(sums, groupCol)
+      .select(col(groupCol), col("n_exact"),
+        col("n_buckets").cast("int").as("n_buckets"),
+        estMilli.as("est_milli"))
+  }
+}

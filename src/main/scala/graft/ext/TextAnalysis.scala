@@ -364,6 +364,43 @@ object TextAnalysis {
       .select(col("rank"), col("token"), col("freq"), col("doc_freq"))
   }
 
+  /** Adjacent token-pair frequency head — the first merge-candidate table
+    * of a BPE-style tokenizer build (Sennrich et al. 2016: each merge
+    * round picks the most frequent adjacent pair; this is one round's
+    * statistics over word-level tokens). Every occurrence counts, pairs
+    * do not cross document boundaries.
+    *
+    * Deterministic total order: count desc, then (tok_a, tok_b) asc.
+    *
+    * 100 TB shape: same as [[vocabTopK]] — one typed scan-speed flatMap
+    * (pairs never materialize the document twice; each row is two small
+    * strings), one map-side-combined groupBy on the pair, TakeOrdered(k);
+    * the pair vocabulary never leaves the executors. */
+  def tokenPairTopK(df: DataFrame, textCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (_, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val t = tokenizeJvm(normalizeJvm(text))
+          (0 until t.length - 1).iterator.map(i => (t(i), t(i + 1)))
+        }
+      }
+      .toDF("tok_a", "tok_b")
+    val head = pairs.groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok_a"), col("tok_b"))
+      .limit(k)
+    head.withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("tok_a"), col("tok_b"))).cast("int"))
+      .select(col("rank"), col("tok_a"), col("tok_b"), col("n"))
+  }
+
   /** Characteristic terms per group: for every value of `groupCol`, the
     * k tokens with the highest tf·idf — "what words make this source /
     * domain different" (the per-domain audit next to [[vocabTopK]]'s

@@ -323,6 +323,37 @@ object PipelineQueries {
           sum(col("p_value").cast("decimal(18,6)")).as("purchase_value"))
         .orderBy(col("event_id"))
         .transform(Parity.outputDoubles)
+    }),
+
+    // Oracle-reproducible HyperLogLog (A8's scale path): 256-register
+    // sketch per order priority next to the exact distinct count — the
+    // mergeable estimate that replaces count(DISTINCT) at 100 TB.
+    "q81_hll_distinct" -> ((s, d) =>
+      graft.ext.Sketches.hllDistinct(Tables.orders(s, d), "o_custkey",
+          "o_orderpriority", 8)
+        .orderBy(col("o_orderpriority"))),
+
+    // BPE merge-candidate statistics: top-50 adjacent token pairs by
+    // corpus frequency (one merge round of a tokenizer build).
+    "q82_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.tokenPairTopK(Tables.documents(s, d), "text", "doc_id", 50)
+        .orderBy(col("rank"))),
+
+    // Salted fact⋈dim join (skew lever for forced-shuffle plans): salt
+    // disappears before the aggregate, so the result is exactly the
+    // plain join's — which is what the oracle checks.
+    "q83_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+      val sup = Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("suppkey"), col("n_name"))
+      graft.ops.ScaleOps.saltedJoin(li, sup, "suppkey", 8)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"))
+        .orderBy(col("n_name"))
+        .transform(Parity.outputDoubles)
     })
   )
 
@@ -685,6 +716,54 @@ object PipelineQueries {
         |  CAST(sum(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
         |FROM c JOIN p ON p.user_id = c.user_id
         |  AND p.rt > c.lt AND p.rt <= c.lt + 3600000000
-        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // HLL mirror: same md5 hex slices, same scaled-integer harmonic sum
+    // (BIGINT-exact), one float division + one ×1000 scaling — the exact
+    // op sequence Sketches.hllDistinct evaluates, so doubles agree
+    // bit-for-bit.
+    "q81_hll_distinct" ->
+      """WITH h AS (SELECT o_orderpriority g, md5(CAST(o_custkey AS VARCHAR)) h
+        |           FROM orders WHERE o_custkey IS NOT NULL),
+        |r0 AS (SELECT g, CAST(concat('0x', substr(h, 1, 2)) AS INT) bucket,
+        |         CAST(concat('0x', substr(h, 3, 8)) AS BIGINT) x FROM h),
+        |regs AS (SELECT g, bucket,
+        |           max(CASE WHEN x > 0 THEN 33 - length(bin(x)) ELSE 33 END) r
+        |         FROM r0 GROUP BY 1, 2),
+        |s AS (SELECT g, CAST(sum(CAST(1 AS BIGINT) << (48 - r)) AS BIGINT) s_seen,
+        |        CAST(count(*) AS BIGINT) nb
+        |      FROM regs GROUP BY 1),
+        |st AS (SELECT g, nb, s_seen + (256 - nb) * 281474976710656 s_total FROM s),
+        |e1 AS (SELECT g, nb,
+        |         (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+        |           * 281474976710656.0 / CAST(s_total AS DOUBLE) raw
+        |       FROM st),
+        |e2 AS (SELECT g, nb,
+        |         CASE WHEN raw <= 640.0 AND nb < 256
+        |           THEN 256.0 * ln(256.0 / CAST(256 - nb AS DOUBLE))
+        |           ELSE raw END est
+        |       FROM e1),
+        |ex AS (SELECT o_orderpriority g, count(DISTINCT o_custkey) n_exact
+        |       FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1)
+        |SELECT ex.g AS o_orderpriority, CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(nb AS INT) AS n_buckets,
+        |  CAST(floor(est * 1000.0) AS BIGINT) AS est_milli
+        |FROM ex JOIN e2 ON ex.g = e2.g ORDER BY 1""".stripMargin,
+
+    "q82_bpe_pairs" ->
+      s"""${ExtQueries.tokCte},
+         |u AS (SELECT doc_id, t, unnest(t) w, generate_subscripts(t, 1) i FROM tok),
+         |p AS (SELECT w tok_a, t[i+1] tok_b FROM u WHERE i < len(t)),
+         |f AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) n FROM p GROUP BY 1, 2)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, tok_a, tok_b) AS INT) AS rank,
+         |  tok_a, tok_b, n
+         |FROM f QUALIFY rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q83_salted_join" ->
+      """SELECT n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

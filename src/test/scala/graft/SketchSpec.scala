@@ -1,0 +1,67 @@
+package graft
+
+import graft.ext.{Sketches, TextAnalysis}
+import graft.ops.ScaleOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit semantics for the round-4 additions: the HLL sketch (register
+  * math, duplicate-insensitivity, small-range correction), the BPE pair
+  * head (boundary and ordering rules), and the salted join (result
+  * equality with the plain join it replaces). */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("hllDistinct: duplicate-insensitive, groups independent, sane error") {
+    import spark.implicits._
+    // 400 distinct keys in group a (each twice — duplicates must not move
+    // the estimate), 40 distinct in group b (linear-counting regime).
+    val rows = (0 until 400).flatMap(i => Seq(("a", i.toLong), ("a", i.toLong))) ++
+      (0 until 40).map(i => ("b", 10000L + i))
+    val got = Sketches.hllDistinct(rows.toDF("g", "k"), "k", "g")
+      .orderBy("g").collect()
+    val a = got(0); val b = got(1)
+    assert(a.getAs[Long]("n_exact") == 400L && b.getAs[Long]("n_exact") == 40L)
+    // HLL at m=256: sigma ~ 6.5%; accept 3 sigma.
+    assert(math.abs(a.getAs[Long]("est_milli") / 1000.0 / 400.0 - 1.0) < 0.2,
+      s"group a estimate off: ${a.getAs[Long]("est_milli")}")
+    assert(math.abs(b.getAs[Long]("est_milli") / 1000.0 / 40.0 - 1.0) < 0.2,
+      s"group b estimate off: ${b.getAs[Long]("est_milli")}")
+    // Dedup-insensitivity, exactly: single-copy input gives the SAME
+    // registers, hence the same estimate.
+    val single = (0 until 400).map(i => ("a", i.toLong))
+    val gotSingle = Sketches.hllDistinct(single.toDF("g", "k"), "k", "g")
+      .collect().head
+    assert(gotSingle.getAs[Long]("est_milli") == a.getAs[Long]("est_milli"))
+    // hex alignment guard
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinct(rows.toDF("g", "k"), "k", "g", b = 7)
+    }
+  }
+
+  test("tokenPairTopK: adjacent pairs only, within-doc, freq-then-lex order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "red fox red fox"),   // pairs: (red,fox)x2, (fox,red)x1
+      (2L, "red fox"),           // (red,fox)
+      (3L, "solo"),              // no pairs
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenPairTopK(docs, "text", "doc_id", 10).collect()
+    assert(got.map(r => (r.getAs[Int]("rank"), r.getAs[String]("tok_a"),
+      r.getAs[String]("tok_b"), r.getAs[Long]("n"))).toSeq ==
+      Seq((1, "red", "fox", 3L), (2, "fox", "red", 1L)))
+  }
+
+  test("saltedJoin: same rows as the plain equi-join") {
+    import spark.implicits._
+    val large = (0 until 200).map(i => (i % 3L, i.toLong)).toDF("k", "v")
+    val small = Seq((0L, "x"), (1L, "y")).toDF("k", "tag") // key 2 unmatched
+    val plain = large.join(small, "k")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = ScaleOps.saltedJoin(large, small, "k", 4)
+      .select("k", "v", "tag")
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain && plain.nonEmpty)
+  }
+}
