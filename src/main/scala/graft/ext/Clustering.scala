@@ -113,4 +113,54 @@ object Clustering {
       .withColumn("d2", best.getField("d"))
       .select(col("vec_id"), col("c1"), col("c2"), col("d2"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster embeddings with
+    * k-means, then inside each cluster drop every vector that has an
+    * EARLIER-id near-duplicate at cosine ≥ numT/denT. The parallel
+    * relaxation of the paper's sequential keep-one policy: a vector is
+    * dropped iff ANY earlier in-cluster vector dominates it (well-defined,
+    * order-free, embarrassingly parallel — documented divergence from the
+    * greedy chain rule, which cannot be evaluated independently per pair).
+    *
+    * Output: one row per vector — `vec_id, cluster, kept,
+    * dominated_by` (the lowest dominating id, −1 when kept; −1 not NULL
+    * so the column stays integer-typed end-to-end).
+    *
+    * Cosine uses the UN-offset quantization ([[Similarity.quantize]]) —
+    * cosine is not translation-invariant, so the k-means offset trick
+    * must not leak into the similarity test. The threshold compare is the
+    * q26 integer cross-multiplication in DECIMAL(38,0) (dot² would
+    * overflow BIGINT).
+    *
+    * 100 TB shape: the paper's own scaling argument — the O(n²) cosine
+    * test runs within clusters only, and k is chosen so n/k bounds the
+    * block size; the join is an equi-join on the cluster id. A skewed
+    * cluster degrades to that block's square, the same documented bound
+    * as [[Similarity.nearDupPairs]] (whose salting applies here too if a
+    * corpus needs it). */
+  def semDedup(emb: DataFrame, idCol: String, embCol: String, k: Int,
+               numT: Int = 3, denT: Int = 10): DataFrame = {
+    val asg = kmeansTwoPass(emb, idCol, embCol, k)
+      .select(col("vec_id"), col("c2"))
+    val qv = emb.select(col(idCol).cast("long").as("vec_id"),
+      Similarity.quantize(col(embCol)).as("qv"))
+    val e = graft.ops.TransientCache.persist(
+      asg.join(qv, "vec_id").withColumn("nq", Similarity.normQ(col("qv"))))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.c2") === col("b.c2") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        Similarity.dotQ(col("a.qv"), col("b.qv")).as("dot"),
+        col("a.nq").as("na"), col("b.nq").as("nb"))
+    val dominated = pairs.where(col("dot") > 0 &&
+        col("dot").cast("decimal(38,0)") * col("dot").cast("decimal(38,0)") *
+          lit(denT * denT) >=
+          lit(numT * numT) * col("na").cast("decimal(38,0)") *
+            col("nb").cast("decimal(38,0)"))
+      .groupBy(col("vb").as("vec_id")).agg(min(col("va")).as("dom"))
+    e.join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c2").as("cluster"),
+        col("dom").isNull.as("kept"),
+        coalesce(col("dom"), lit(-1L)).as("dominated_by"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Clustering, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Clustering, Dedup, Multimodal, ProductQuantization, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -95,6 +95,19 @@ object ExtQueries {
     // recompute centroids once (rounded ×10 integer means), re-assign.
     "q68_kmeans_embed" -> ((s, d) =>
       Clustering.kmeansTwoPass(Tables.embeddings(s, d), "vec_id", "embedding", 8)
+        .orderBy(col("vec_id"))),
+
+    // Product-quantization ANN (Jégou 2011): 4 subspaces × 8 codewords,
+    // asymmetric-distance top-3 for query vectors vec_id < 10.
+    "q84_pq_ann" -> ((s, d) =>
+      ProductQuantization.pqTopK(Tables.embeddings(s, d), "vec_id",
+          "embedding", col("vec_id") < 10, 3, 4, 8)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // SemDeDup: k-means clusters (k=8), drop vectors with an earlier-id
+    // in-cluster near-duplicate at cosine >= 0.3.
+    "q85_semdedup" -> ((s, d) =>
+      Clustering.semDedup(Tables.embeddings(s, d), "vec_id", "embedding", 8)
         .orderBy(col("vec_id"))),
 
     // Language-ID heuristic: stopword hits per language, priority argmax.
@@ -193,6 +206,40 @@ object ExtQueries {
     s"""WITH tok AS (
        |  SELECT doc_id, list_filter(string_split($normSql, ' '), x -> len(x) > 0) t
        |  FROM documents)""".stripMargin
+
+  /** The q68 integer-exact two-pass k-means chain (offset quantization,
+    * lowest-id seeds, one ×10-integer-mean Lloyd update): ends at `a1`
+    * (pass-1 assignment) and `a2` (final assignment `c2` + distance `d`).
+    * Shared by q68 and the SemDeDup oracle (q85) so the two can't drift. */
+  private val kmeansCtes =
+    """WITH qo AS (SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000) q
+      |  FROM embeddings),
+      |nx AS (SELECT vec_id, CAST(list_dot_product(q, q) AS BIGINT) n FROM qo),
+      |cent AS (SELECT vec_id cid, q cv FROM qo ORDER BY vec_id LIMIT 8),
+      |cn AS (SELECT cid, CAST(list_dot_product(cv, cv) AS BIGINT) n FROM cent),
+      |d1 AS (SELECT e.vec_id, c.cid,
+      |        nx.n - 2 * CAST(list_dot_product(e.q, c.cv) AS BIGINT) + cn.n d
+      |      FROM qo e CROSS JOIN cent c
+      |      JOIN nx ON e.vec_id = nx.vec_id JOIN cn ON c.cid = cn.cid),
+      |a1 AS (SELECT vec_id, cid c1 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
+      |    FROM d1) WHERE rn = 1),
+      |ex AS (SELECT a1.c1, unnest(e.q) x, generate_subscripts(e.q, 1) i
+      |       FROM a1 JOIN qo e USING (vec_id)),
+      |sums AS (SELECT c1, i, sum(x) s FROM ex GROUP BY 1, 2),
+      |cnts AS (SELECT c1, count(*) c FROM a1 GROUP BY 1),
+      |m AS (SELECT c1 cid, list(CAST((10 * s) // c AS BIGINT) ORDER BY i) mv
+      |      FROM sums JOIN cnts USING (c1) GROUP BY c1),
+      |mn AS (SELECT cid, CAST(list_dot_product(mv, mv) AS BIGINT) n FROM m),
+      |d2 AS (SELECT e.vec_id, m.cid,
+      |        100 * nx.n - 20 * CAST(list_dot_product(e.q, m.mv) AS BIGINT) + mn.n d
+      |      FROM qo e CROSS JOIN m
+      |      JOIN nx ON e.vec_id = nx.vec_id JOIN mn ON m.cid = mn.cid),
+      |a2 AS (SELECT vec_id, cid c2, d FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
+      |    FROM d2) WHERE rn = 1)""".stripMargin
 
   /** Distinct word-bigram shingles per doc via zipped unnest. */
   private val shingleCtes =
@@ -447,36 +494,82 @@ object ExtQueries {
          |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
     "q68_kmeans_embed" ->
+      s"""$kmeansCtes
+         |SELECT a1.vec_id, a1.c1, a2.c2, a2.d AS d2
+         |FROM a1 JOIN a2 USING (vec_id) ORDER BY vec_id""".stripMargin,
+
+    // SemDeDup: the q68 k-means chain, then within-cluster earlier-id
+    // domination at cosine >= 3/10 (HUGEINT cross-multiplication — the
+    // DuckDB exact twin of Spark's DECIMAL(38,0)).
+    "q85_semdedup" ->
+      s"""$kmeansCtes,
+         |qv AS (SELECT vec_id, list_transform(embedding,
+         |         x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) v
+         |       FROM embeddings),
+         |nv AS (SELECT vec_id, CAST(list_dot_product(v, v) AS BIGINT) n FROM qv),
+         |pr AS (SELECT a.vec_id va, b.vec_id vb,
+         |         CAST(list_dot_product(qa.v, qb.v) AS BIGINT) dot, na.n na, nb.n nb
+         |       FROM a2 a JOIN a2 b ON a.c2 = b.c2 AND a.vec_id < b.vec_id
+         |       JOIN qv qa ON a.vec_id = qa.vec_id
+         |       JOIN qv qb ON b.vec_id = qb.vec_id
+         |       JOIN nv na ON a.vec_id = na.vec_id
+         |       JOIN nv nb ON b.vec_id = nb.vec_id),
+         |dup AS (SELECT vb vec_id, min(va) dom FROM pr
+         |        WHERE dot > 0 AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 100
+         |          >= 9 * CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)
+         |        GROUP BY 1)
+         |SELECT a2.vec_id, a2.c2 AS cluster, dup.dom IS NULL AS kept,
+         |  CAST(coalesce(dup.dom, -1) AS BIGINT) AS dominated_by
+         |FROM a2 LEFT JOIN dup USING (vec_id) ORDER BY vec_id""".stripMargin,
+
+    // PQ-ADC mirror: subspace rows via a constant series cross join, the
+    // same seed/update/encode chain as q68 but keyed by (vec_id, s), and
+    // the ADC join reuses d2 as the query-side LUT.
+    "q84_pq_ann" ->
       """WITH qo AS (SELECT vec_id,
         |    list_transform(embedding,
         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000) q
         |  FROM embeddings),
-        |nx AS (SELECT vec_id, CAST(list_dot_product(q, q) AS BIGINT) n FROM qo),
-        |cent AS (SELECT vec_id cid, q cv FROM qo ORDER BY vec_id LIMIT 8),
-        |cn AS (SELECT cid, CAST(list_dot_product(cv, cv) AS BIGINT) n FROM cent),
-        |d1 AS (SELECT e.vec_id, c.cid,
-        |        nx.n - 2 * CAST(list_dot_product(e.q, c.cv) AS BIGINT) + cn.n d
-        |      FROM qo e CROSS JOIN cent c
-        |      JOIN nx ON e.vec_id = nx.vec_id JOIN cn ON c.cid = cn.cid),
-        |a1 AS (SELECT vec_id, cid c1 FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
+        |sub AS (SELECT vec_id, s, list_slice(q, s * 16 + 1, s * 16 + 16) sq
+        |        FROM qo, (SELECT unnest(generate_series(0, 3)) s) g),
+        |ns AS (SELECT vec_id, s, CAST(list_dot_product(sq, sq) AS BIGINT) n FROM sub),
+        |sd AS (SELECT vec_id FROM qo ORDER BY vec_id LIMIT 8),
+        |cb0 AS (SELECT s, vec_id cid, sq cv FROM sub
+        |        WHERE vec_id IN (SELECT vec_id FROM sd)),
+        |cn0 AS (SELECT s, cid, CAST(list_dot_product(cv, cv) AS BIGINT) n FROM cb0),
+        |d1 AS (SELECT e.vec_id, e.s, c.cid,
+        |        ns.n - 2 * CAST(list_dot_product(e.sq, c.cv) AS BIGINT) + cn0.n d
+        |      FROM sub e JOIN cb0 c ON e.s = c.s
+        |      JOIN ns ON e.vec_id = ns.vec_id AND e.s = ns.s
+        |      JOIN cn0 ON c.s = cn0.s AND c.cid = cn0.cid),
+        |a1 AS (SELECT vec_id, s, cid c1 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) rn
         |    FROM d1) WHERE rn = 1),
-        |ex AS (SELECT a1.c1, unnest(e.q) x, generate_subscripts(e.q, 1) i
-        |       FROM a1 JOIN qo e USING (vec_id)),
-        |sums AS (SELECT c1, i, sum(x) s FROM ex GROUP BY 1, 2),
-        |cnts AS (SELECT c1, count(*) c FROM a1 GROUP BY 1),
-        |m AS (SELECT c1 cid, list(CAST((10 * s) // c AS BIGINT) ORDER BY i) mv
-        |      FROM sums JOIN cnts USING (c1) GROUP BY c1),
-        |mn AS (SELECT cid, CAST(list_dot_product(mv, mv) AS BIGINT) n FROM m),
-        |d2 AS (SELECT e.vec_id, m.cid,
-        |        100 * nx.n - 20 * CAST(list_dot_product(e.q, m.mv) AS BIGINT) + mn.n d
-        |      FROM qo e CROSS JOIN m
-        |      JOIN nx ON e.vec_id = nx.vec_id JOIN mn ON m.cid = mn.cid),
-        |a2 AS (SELECT vec_id, cid c2, d FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
-        |    FROM d2) WHERE rn = 1)
-        |SELECT a1.vec_id, a1.c1, a2.c2, a2.d AS d2
-        |FROM a1 JOIN a2 USING (vec_id) ORDER BY vec_id""".stripMargin,
+        |ex AS (SELECT a1.s, a1.c1, unnest(e.sq) x, generate_subscripts(e.sq, 1) i
+        |       FROM a1 JOIN sub e ON a1.vec_id = e.vec_id AND a1.s = e.s),
+        |sums AS (SELECT s, c1, i, sum(x) sm FROM ex GROUP BY 1, 2, 3),
+        |cnts AS (SELECT s, c1, count(*) c FROM a1 GROUP BY 1, 2),
+        |cb1 AS (SELECT s, c1 cid, list(CAST((10 * sm) // c AS BIGINT) ORDER BY i) mv
+        |        FROM sums JOIN cnts USING (s, c1) GROUP BY s, c1),
+        |cn1 AS (SELECT s, cid, CAST(list_dot_product(mv, mv) AS BIGINT) n FROM cb1),
+        |d2 AS (SELECT e.vec_id, e.s, c.cid,
+        |        100 * ns.n - 20 * CAST(list_dot_product(e.sq, c.mv) AS BIGINT) + cn1.n d
+        |      FROM sub e JOIN cb1 c ON e.s = c.s
+        |      JOIN ns ON e.vec_id = ns.vec_id AND e.s = ns.s
+        |      JOIN cn1 ON c.s = cn1.s AND c.cid = cn1.cid),
+        |code AS (SELECT vec_id, s, cid code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) rn
+        |    FROM d2) WHERE rn = 1),
+        |lut AS (SELECT vec_id query_id, s, cid code, d FROM d2 WHERE vec_id < 10),
+        |adc AS (SELECT l.query_id, c.vec_id, CAST(sum(l.d) AS BIGINT) approx_d
+        |        FROM code c JOIN lut l ON c.s = l.s AND c.code = l.code
+        |        WHERE c.vec_id <> l.query_id
+        |        GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id nbr_id, approx_d,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY approx_d, vec_id) rank
+        |      FROM adc)
+        |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, approx_d
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q40_text_langid" -> langIdSql,
 

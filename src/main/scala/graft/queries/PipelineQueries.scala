@@ -354,6 +354,36 @@ object PipelineQueries {
           sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"))
         .orderBy(col("n_name"))
         .transform(Parity.outputDoubles)
+    }),
+
+    // End-to-end curation pipeline — the operators above composed the way
+    // a training-data build actually chains them, as ONE declarative DAG
+    // (Catalyst sees every stage; nothing materializes between steps):
+    // quality gate (q41) -> exact dedup keep-lowest-id (q22) -> benchmark
+    // decontamination (q64, any shared trigram) -> deterministic split
+    // (q79) -> per-(split, lang) doc/token accounting.
+    "q86_curation_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(col("source") =!= "src0")
+      val bench = docs.where(col("source") === "src0")
+      val prof = TextAnalysis.withTokenProfile(corpus, "text")
+        .where(col("quality") >= 35 && col("n_tokens") >= 5)
+        .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
+      val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+      val deduped = prof
+        .withColumn("content_hash",
+          md5(TextAnalysis.normalize(col("text")).cast("binary")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+      val contaminated = Contamination
+        .benchmarkOverlap(deduped, bench, "text", "doc_id", 3)
+        .where(col("n_hit") > 0).select(col("doc_id"))
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      Sampling.splitAssign(clean, "doc_id", 0.8, 0.1)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("split"), col("lang"))
     })
   )
 
@@ -764,6 +794,40 @@ object PipelineQueries {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q86_curation_pipeline" -> {
+      val sw = graft.ext.TextAnalysis.langStopwords
+        .flatMap(_._2).map(w => s"'$w'").mkString(", ")
+      val t80 = graft.ext.Sampling.hexThreshold(0.8)
+      val t90 = graft.ext.Sampling.hexThreshold(0.9)
+      s"""$trigramCtes,
+         |prof AS (SELECT doc_id, CAST(len(t) AS INT) n_tokens,
+         |    CASE WHEN len(t) > 0
+         |      THEN (100 * len(list_distinct(t))) // len(t)
+         |           - (50 * len(list_filter(t, x -> x IN ($sw)))) // len(t)
+         |      ELSE 0 END q
+         |  FROM tok),
+         |base AS (SELECT d.doc_id, d.lang, p.n_tokens,
+         |           md5(${ExtQueries.normSql}) content_hash
+         |         FROM documents d JOIN prof p USING (doc_id)
+         |         WHERE d.source <> 'src0' AND p.q >= 35 AND p.n_tokens >= 5),
+         |ded AS (SELECT doc_id, lang, n_tokens FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY content_hash
+         |      ORDER BY doc_id) rn FROM base) WHERE rn = 1),
+         |bg AS (SELECT DISTINCT s FROM g JOIN documents USING (doc_id)
+         |       WHERE source = 'src0'),
+         |clean AS (SELECT * FROM ded
+         |          WHERE NOT EXISTS (SELECT 1 FROM g JOIN bg ON g.s = bg.s
+         |                            WHERE g.doc_id = ded.doc_id)),
+         |spl AS (SELECT *,
+         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$t80' THEN 'train'
+         |      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$t90' THEN 'val'
+         |      ELSE 'test' END split
+         |  FROM clean)
+         |SELECT split, lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM spl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }
   )
 }

@@ -75,4 +75,41 @@ class ClusteringSpec extends AnyFunSuite {
     // singleton centroids equal their members (x10 exact) -> d2 = 0
     assert(got.forall(_.getAs[Long]("d2") == 0L))
   }
+
+  test("semDedup: earliest in-cluster near-dup dominates; distinct kept") {
+    // cluster A: 1 and 3 identical (cos 1), 5 near-parallel; cluster B:
+    // 2 and 4 orthogonal-ish directions, below the 0.3 threshold.
+    val e = emb(
+      1L -> Seq(0.9, 0.0),
+      2L -> Seq(-0.9, 0.8),
+      3L -> Seq(0.9, 0.0),   // duplicate of 1 -> dropped, dominated by 1
+      4L -> Seq(-0.8, -0.9), // cos(2,4) < 0 -> kept even if co-clustered
+      5L -> Seq(0.89, 0.01)) // near-parallel to 1 -> dropped
+    val got = Clustering.semDedup(e, "vec_id", "embedding", 2)
+      .orderBy("vec_id").collect()
+    val byId = got.map(r => r.getAs[Long]("vec_id") ->
+      ((r.getAs[Boolean]("kept"), r.getAs[Long]("dominated_by")))).toMap
+    assert(byId(1L) == ((true, -1L)))
+    assert(byId(3L) == ((false, 1L)))
+    assert(byId(5L) == ((false, 1L)))
+    assert(byId(2L)._1 && byId(4L)._1)
+  }
+
+  test("semDedup: duplicates in DIFFERENT clusters are both kept") {
+    // seeds 1 and 2 are far apart; 3 duplicates 1 but sits in seed 2's
+    // cluster only if geometry says so — here it stays with 1, while 4
+    // duplicates 2 in the other cluster: domination never crosses
+    // clusters, so 4 is dropped by 2 but never by anything in cluster 1.
+    val e = emb(
+      1L -> Seq(0.9, 0.9),
+      2L -> Seq(-0.9, -0.9),
+      3L -> Seq(0.9, 0.9),
+      4L -> Seq(-0.9, -0.9))
+    val got = Clustering.semDedup(e, "vec_id", "embedding", 2)
+      .orderBy("vec_id").collect()
+    val byId = got.map(r => r.getAs[Long]("vec_id") ->
+      ((r.getAs[Boolean]("kept"), r.getAs[Long]("dominated_by")))).toMap
+    assert(byId(1L)._1 && byId(2L)._1)
+    assert(byId(3L) == ((false, 1L)) && byId(4L) == ((false, 2L)))
+  }
 }
