@@ -33,8 +33,10 @@ object Clustering {
 
   /** Argmin over centroid literals: array_min on (distance, cid) structs
     * — lexicographic struct order breaks distance ties toward the lowest
-    * centroid id, same as the oracle's `ORDER BY d, cid` row_number. */
-  private def nearest(dists: Seq[(Column, Long)]): Column =
+    * centroid id, same as the oracle's `ORDER BY d, cid` row_number.
+    * Shared with [[ProductQuantization]] so the tie-break convention
+    * can't drift between the two codebook learners. */
+  private[ext] def nearest(dists: Seq[(Column, Long)]): Column =
     array_min(array(dists.map { case (d, cid) =>
       struct(d.as("d"), lit(cid).as("cid"))
     }: _*))

@@ -29,13 +29,9 @@ import org.apache.spark.sql.functions._
   * full ranking. */
 object ProductQuantization {
 
-  /** Argmin over (distance, code-id) structs — lexicographic struct min
-    * breaks distance ties toward the lowest id, matching the oracle's
-    * `ORDER BY d, cid` row_number. */
+  /** Argmin/tie-break convention shared with the k-means learner. */
   private def nearest(dists: Seq[(Column, Long)]): Column =
-    array_min(array(dists.map { case (d, cid) =>
-      struct(d.as("d"), lit(cid).as("cid"))
-    }: _*))
+    Clustering.nearest(dists)
 
   /** Per-sub-space branch dispatch: `exprs(s)` applies when `s` matches. */
   private def bySub(exprs: Seq[(Int, Column)]): Column =

@@ -40,7 +40,11 @@ object Sketches {
     * DuckDB ln agree on floor(1000·m·ln(m/V)) for every V at b=8). */
   def hllDistinct(df: DataFrame, keyCol: String, groupCol: String,
                   b: Int = 8): DataFrame = {
-    require(b % 4 == 0 && b >= 4 && b <= 16, "b must be 4/8/12/16 (hex-aligned)")
+    // b <= 12 keeps s_total in BIGINT: (m − n_buckets)·2^48 for an empty
+    // sketch is m·2^48 = 2^(b+48), which must stay below 2^63 with head
+    // room for s_seen (b=16 would overflow under ANSI mode whenever the
+    // group has few distinct keys — exactly the sparse case).
+    require(b % 4 == 0 && b >= 4 && b <= 12, "b must be 4, 8 or 12 (hex-aligned)")
     val m = 1 << b
     val hexChars = b / 4
     val h = md5(col(keyCol).cast("string").cast("binary"))
@@ -54,8 +58,7 @@ object Sketches {
       .groupBy(col(groupCol), bucket.as("bucket"))
       .agg(max(rank).as("r"))
     // Σ 2^(−r) scaled by 2^48: r ≤ 33 so each term ≥ 2^15 stays integral,
-    // and m·2^48 ≤ 2^64−ε never overflows for b ≤ 15 (b=16: still < 2^63
-    // because empty buckets dominate only when n is tiny).
+    // and with b ≤ 12 the worst case m·2^48 = 2^60 fits BIGINT.
     val sums = regs.groupBy(col(groupCol))
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 48 - r)")).as("s_seen"),
         count(lit(1)).as("n_buckets"))

@@ -33,9 +33,13 @@ class SketchSpec extends AnyFunSuite {
     val gotSingle = Sketches.hllDistinct(single.toDF("g", "k"), "k", "g")
       .collect().head
     assert(gotSingle.getAs[Long]("est_milli") == a.getAs[Long]("est_milli"))
-    // hex alignment guard
+    // hex alignment guard, and the BIGINT-overflow ceiling (b=16 would
+    // overflow s_total under ANSI on sparse groups)
     intercept[IllegalArgumentException] {
       Sketches.hllDistinct(rows.toDF("g", "k"), "k", "g", b = 7)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinct(rows.toDF("g", "k"), "k", "g", b = 16)
     }
   }
 
