@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   * vector is stored as `m` one-byte codes. Queries score candidates with
   * the asymmetric distance computation (ADC): a per-query lookup table of
   * exact query-to-codeword distances, summed over the code columns.
+  * [[ivfpqTopK]] adds the paper's coarse quantizer on top (IVFADC): only
+  * vectors in the query's `nprobe` nearest cells are scored. Codebooks
+  * are trained on raw vectors, not cell residuals — the documented
+  * `by_residual=false` simplification (as in FAISS IndexIVFPQ's flag),
+  * which keeps one global codebook instead of per-cell LUT rebuilds.
   *
   * Determinism contract (same as [[Clustering.kmeansTwoPass]]): offset
   * quantization to non-negative integers, exact BIGINT dot products via
@@ -24,9 +29,7 @@ import org.apache.spark.sql.functions._
   * encoding is a map-side argmin over broadcast codebooks; the ADC join
   * broadcasts a (queries × m × k)-row LUT and aggregates per
   * (query, candidate) — the only shuffle, and it carries code-width rows,
-  * never embeddings. In production the IVF cell (q29) prunes candidates
-  * first; here every vector is a candidate so the oracle can check the
-  * full ranking. */
+  * never embeddings. */
 object ProductQuantization {
 
   /** Argmin/tie-break convention shared with the k-means learner. */
@@ -39,19 +42,18 @@ object ProductQuantization {
       case (acc, (s, e)) => acc.when(col("s") === lit(s), e)
     }
 
-  /** PQ-ADC top-k: every non-query vector ranked per query by the summed
-    * codeword-distance approximation. Output
-    * `query_id, rank, nbr_id, approx_d` with `approx_d` the exact BIGINT
-    * ADC distance in the ×10 coordinate scale.
-    *
-    * `m` subspaces (dims must divide evenly), `codes` codewords per
-    * subspace (seeded from the `codes` lowest-id vectors, one Lloyd
-    * update). */
-  def pqTopK(emb: DataFrame, idCol: String, embCol: String, isQuery: Column,
-             k: Int = 3, m: Int = 4, codes: Int = 8): DataFrame = {
-    require(m > 0 && codes > 0 && k > 0, "m, codes, k must be positive")
+  /** Trained PQ working state: offset-quantized vectors (`qe`), per-
+    * (vector, subspace) codes (`encoded`), and the per-query ADC lookup
+    * table (`lut`). All three are lazy plans over TransientCache-persisted
+    * intermediates; `codebook` is the driver-side model. */
+  private case class PqModel(qe: DataFrame, encoded: DataFrame, lut: DataFrame)
+
+  /** Build codebooks (one Lloyd update from the `codes` lowest-id seeds,
+    * per subspace), encode every vector, and derive the query-side ADC
+    * LUT. None when the input is empty. */
+  private def buildModel(emb: DataFrame, idCol: String, embCol: String,
+                         isQuery: Column, m: Int, codes: Int): Option[PqModel] = {
     val spark = emb.sparkSession
-    import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val qe = graft.ops.TransientCache.persist(
       emb.select(col(idCol).cast("long").as("vec_id"),
@@ -61,9 +63,7 @@ object ProductQuantization {
     val seeds = qe.orderBy(col("vec_id")).limit(codes)
       .select(col("vec_id"), col("q")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    if (seeds.isEmpty)
-      return Seq.empty[(Long, Int, Long, Long)]
-        .toDF("query_id", "rank", "nbr_id", "approx_d")
+    if (seeds.isEmpty) return None
     val dims = seeds.head._2.length
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val subDim = dims / m
@@ -132,19 +132,96 @@ object ProductQuantization {
       .select(col("vec_id").as("query_id"), col("s"), explode(lutExpr).as("cd"))
       .select(col("query_id"), col("s"), col("cd.cid").as("code"),
         col("cd.d").as("d"))
+    Some(PqModel(qe, encoded, lut))
+  }
 
-    // ADC: candidates carry only codes; the LUT join is a broadcast
-    // equi-join on (subspace, code); the per-(query, candidate) sum is
-    // the one shuffle.
-    val scored = encoded.join(broadcast(lut), Seq("s", "code"))
-      .where(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("d")).as("approx_d"))
+  /** Rank `(query, candidate)` ADC sums and keep the top k per query. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_d"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("nbr_id"),
         col("approx_d"))
+  }
+
+  private def emptyResult(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Seq.empty[(Long, Int, Long, Long)]
+      .toDF("query_id", "rank", "nbr_id", "approx_d")
+  }
+
+  /** PQ-ADC top-k: every non-query vector ranked per query by the summed
+    * codeword-distance approximation. Output
+    * `query_id, rank, nbr_id, approx_d` with `approx_d` the exact BIGINT
+    * ADC distance in the ×10 coordinate scale.
+    *
+    * `m` subspaces (dims must divide evenly), `codes` codewords per
+    * subspace (seeded from the `codes` lowest-id vectors, one Lloyd
+    * update). */
+  def pqTopK(emb: DataFrame, idCol: String, embCol: String, isQuery: Column,
+             k: Int = 3, m: Int = 4, codes: Int = 8): DataFrame = {
+    require(m > 0 && codes > 0 && k > 0, "m, codes, k must be positive")
+    buildModel(emb, idCol, embCol, isQuery, m, codes) match {
+      case None => emptyResult(emb)
+      case Some(mod) =>
+        // ADC: candidates carry only codes; the LUT join is a broadcast
+        // equi-join on (subspace, code); the per-(query, candidate) sum is
+        // the one shuffle.
+        rankTopK(mod.encoded.join(broadcast(mod.lut), Seq("s", "code"))
+          .where(col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("d")).as("approx_d")), k)
+    }
+  }
+
+  /** IVFADC: [[pqTopK]] behind the coarse quantizer — each query scores
+    * only vectors in its `nprobe` nearest of `nlist` cells (cells from
+    * the `nlist` lowest-id vectors, the q29 convention). The candidate
+    * cut is the paper's point: expected candidates per query drop from N
+    * to N·nprobe/nlist, and at scale the cell id is the partition key so
+    * probing is partition pruning ([[Similarity.ivfTopK]]'s design),
+    * while ADC keeps the scoring payload at code width. The candidate
+    * join shuffles on `vec_id` (corpus-keyed, never pairwise); the probe
+    * table is queries × nprobe rows and broadcasts. */
+  def ivfpqTopK(emb: DataFrame, idCol: String, embCol: String,
+                isQuery: Column, k: Int = 3, m: Int = 4, codes: Int = 8,
+                nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    require(nlist > 0 && nprobe > 0 && nprobe <= nlist,
+      "need 0 < nprobe <= nlist")
+    buildModel(emb, idCol, embCol, isQuery, m, codes) match {
+      case None => emptyResult(emb)
+      case Some(mod) =>
+        // Coarse centroids: the nlist lowest-id vectors (model-sized
+        // collect). Distances in the offset scale — assignment is
+        // translation-invariant, so the offset cancels.
+        val cents = mod.qe.orderBy(col("vec_id")).limit(nlist)
+          .select(col("vec_id"), col("q")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        val qeN = mod.qe.withColumn("nx", Similarity.normQ(col("q")))
+        val cellDs = cents.toSeq.map { case (cid, cv) =>
+          (col("nx") - lit(2L) * Similarity.dotQ(col("q"), typedlit(cv.toSeq)) +
+            lit(cv.map(v => v * v).sum), cid)
+        }
+        val cellAsg = qeN.withColumn("cell", nearest(cellDs).getField("cid"))
+          .select(col("vec_id"), col("cell"))
+        // Probe list: each query's nprobe nearest cells — sort the
+        // (distance, cid) structs, take the head (ties toward lower cid,
+        // the shared argmin convention).
+        val probes = qeN.where(col("is_q"))
+          .select(col("vec_id").as("query_id"),
+            explode(slice(sort_array(array(cellDs.map { case (d, cid) =>
+              struct(d.as("d"), lit(cid).as("cid"))
+            }: _*)), 1, nprobe)).as("cd"))
+          .select(col("query_id"), col("cd.cid").as("cell"))
+        val candidates = cellAsg.join(broadcast(probes), Seq("cell"))
+          .select(col("query_id"), col("vec_id"))
+        rankTopK(mod.encoded.join(candidates, Seq("vec_id"))
+          .join(broadcast(mod.lut), Seq("query_id", "s", "code"))
+          .where(col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("d")).as("approx_d")), k)
+    }
   }
 }

@@ -38,14 +38,17 @@ object Sketches {
     * correction's ln() is engine-stable here because its input domain is
     * the 2^b−1 rationals m/V — verified exhaustively (JVM Math.log vs
     * DuckDB ln agree on floor(1000·m·ln(m/V)) for every V at b=8). */
-  def hllDistinct(df: DataFrame, keyCol: String, groupCol: String,
-                  b: Int = 8): DataFrame = {
+  /** Per-row register inputs: `(<groupCol>, bucket, rank)` for every
+    * non-null key — the pre-aggregation stream both the batch sketch and
+    * the streaming twin ([[graft.streaming.DocumentsStream.hllRegisterUpdates]])
+    * fold with `max`. */
+  def registerRows(df: DataFrame, keyCol: String, groupCol: String,
+                   b: Int): DataFrame = {
     // b <= 12 keeps s_total in BIGINT: (m − n_buckets)·2^48 for an empty
     // sketch is m·2^48 = 2^(b+48), which must stay below 2^63 with head
     // room for s_seen (b=16 would overflow under ANSI mode whenever the
     // group has few distinct keys — exactly the sparse case).
     require(b % 4 == 0 && b >= 4 && b <= 12, "b must be 4, 8 or 12 (hex-aligned)")
-    val m = 1 << b
     val hexChars = b / 4
     val h = md5(col(keyCol).cast("string").cast("binary"))
     val bucket = conv(substring(h, 1, hexChars), 16, 10).cast("int")
@@ -54,9 +57,21 @@ object Sketches {
     val x = conv(substring(h, hexChars + 1, 8), 16, 10).cast("long")
     val rank = when(x > 0, lit(33) - length(bin(x))).otherwise(lit(33))
       .cast("int")
-    val regs = df.where(col(keyCol).isNotNull)
-      .groupBy(col(groupCol), bucket.as("bucket"))
-      .agg(max(rank).as("r"))
+    df.where(col(keyCol).isNotNull)
+      .select(col(groupCol), bucket.as("bucket"), rank.as("rank"))
+  }
+
+  /** The register table: `(<groupCol>, bucket) → max(rank)`. */
+  def hllRegisters(df: DataFrame, keyCol: String, groupCol: String,
+                   b: Int): DataFrame =
+    registerRows(df, keyCol, groupCol, b)
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rank")).as("r"))
+
+  def hllDistinct(df: DataFrame, keyCol: String, groupCol: String,
+                  b: Int = 8): DataFrame = {
+    val m = 1 << b
+    val regs = hllRegisters(df, keyCol, groupCol, b)
     // Σ 2^(−r) scaled by 2^48: r ≤ 33 so each term ≥ 2^15 stays integral,
     // and with b ≤ 12 the worst case m·2^48 = 2^60 fits BIGINT.
     val sums = regs.groupBy(col(groupCol))

@@ -110,6 +110,13 @@ object ExtQueries {
       Clustering.semDedup(Tables.embeddings(s, d), "vec_id", "embedding", 8)
         .orderBy(col("vec_id"))),
 
+    // IVFADC: the q84 PQ codes behind the q29 coarse quantizer — each
+    // query scores only its 2 nearest of 16 cells (by_residual=false).
+    "q87_ivfpq_ann" -> ((s, d) =>
+      ProductQuantization.ivfpqTopK(Tables.embeddings(s, d), "vec_id",
+          "embedding", col("vec_id") < 10, 3, 4, 8, 16, 2)
+        .orderBy(col("query_id"), col("rank"))),
+
     // Language-ID heuristic: stopword hits per language, priority argmax.
     // q40–q42 all read from the one-pass typed token profile (scan-speed
     // map; the column-HOF forms are the equivalence-tested slow twins).
@@ -240,6 +247,47 @@ object ExtQueries {
       |a2 AS (SELECT vec_id, cid c2, d FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
       |    FROM d2) WHERE rn = 1)""".stripMargin
+
+  /** The q84 PQ chain (subspace split via constant-series cross join,
+    * lowest-id seeds, one Lloyd update, encode, query-side ADC LUT):
+    * ends at `code` (per-(vec_id, s) codes) and `lut` (per-query codeword
+    * distances). Shared by q84 and the IVFADC oracle (q87). */
+  private val pqCtes =
+    """WITH qo AS (SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000) q
+      |  FROM embeddings),
+      |sub AS (SELECT vec_id, s, list_slice(q, s * 16 + 1, s * 16 + 16) sq
+      |        FROM qo, (SELECT unnest(generate_series(0, 3)) s) g),
+      |ns AS (SELECT vec_id, s, CAST(list_dot_product(sq, sq) AS BIGINT) n FROM sub),
+      |sd AS (SELECT vec_id FROM qo ORDER BY vec_id LIMIT 8),
+      |cb0 AS (SELECT s, vec_id cid, sq cv FROM sub
+      |        WHERE vec_id IN (SELECT vec_id FROM sd)),
+      |cn0 AS (SELECT s, cid, CAST(list_dot_product(cv, cv) AS BIGINT) n FROM cb0),
+      |d1 AS (SELECT e.vec_id, e.s, c.cid,
+      |        ns.n - 2 * CAST(list_dot_product(e.sq, c.cv) AS BIGINT) + cn0.n d
+      |      FROM sub e JOIN cb0 c ON e.s = c.s
+      |      JOIN ns ON e.vec_id = ns.vec_id AND e.s = ns.s
+      |      JOIN cn0 ON c.s = cn0.s AND c.cid = cn0.cid),
+      |a1 AS (SELECT vec_id, s, cid c1 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) rn
+      |    FROM d1) WHERE rn = 1),
+      |ex AS (SELECT a1.s, a1.c1, unnest(e.sq) x, generate_subscripts(e.sq, 1) i
+      |       FROM a1 JOIN sub e ON a1.vec_id = e.vec_id AND a1.s = e.s),
+      |sums AS (SELECT s, c1, i, sum(x) sm FROM ex GROUP BY 1, 2, 3),
+      |cnts AS (SELECT s, c1, count(*) c FROM a1 GROUP BY 1, 2),
+      |cb1 AS (SELECT s, c1 cid, list(CAST((10 * sm) // c AS BIGINT) ORDER BY i) mv
+      |        FROM sums JOIN cnts USING (s, c1) GROUP BY s, c1),
+      |cn1 AS (SELECT s, cid, CAST(list_dot_product(mv, mv) AS BIGINT) n FROM cb1),
+      |d2 AS (SELECT e.vec_id, e.s, c.cid,
+      |        100 * ns.n - 20 * CAST(list_dot_product(e.sq, c.mv) AS BIGINT) + cn1.n d
+      |      FROM sub e JOIN cb1 c ON e.s = c.s
+      |      JOIN ns ON e.vec_id = ns.vec_id AND e.s = ns.s
+      |      JOIN cn1 ON c.s = cn1.s AND c.cid = cn1.cid),
+      |code AS (SELECT vec_id, s, cid code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) rn
+      |    FROM d2) WHERE rn = 1),
+      |lut AS (SELECT vec_id query_id, s, cid code, d FROM d2 WHERE vec_id < 10)""".stripMargin
 
   /** Distinct word-bigram shingles per doc via zipped unnest. */
   private val shingleCtes =
@@ -526,50 +574,47 @@ object ExtQueries {
     // same seed/update/encode chain as q68 but keyed by (vec_id, s), and
     // the ADC join reuses d2 as the query-side LUT.
     "q84_pq_ann" ->
-      """WITH qo AS (SELECT vec_id,
-        |    list_transform(embedding,
-        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000) q
-        |  FROM embeddings),
-        |sub AS (SELECT vec_id, s, list_slice(q, s * 16 + 1, s * 16 + 16) sq
-        |        FROM qo, (SELECT unnest(generate_series(0, 3)) s) g),
-        |ns AS (SELECT vec_id, s, CAST(list_dot_product(sq, sq) AS BIGINT) n FROM sub),
-        |sd AS (SELECT vec_id FROM qo ORDER BY vec_id LIMIT 8),
-        |cb0 AS (SELECT s, vec_id cid, sq cv FROM sub
-        |        WHERE vec_id IN (SELECT vec_id FROM sd)),
-        |cn0 AS (SELECT s, cid, CAST(list_dot_product(cv, cv) AS BIGINT) n FROM cb0),
-        |d1 AS (SELECT e.vec_id, e.s, c.cid,
-        |        ns.n - 2 * CAST(list_dot_product(e.sq, c.cv) AS BIGINT) + cn0.n d
-        |      FROM sub e JOIN cb0 c ON e.s = c.s
-        |      JOIN ns ON e.vec_id = ns.vec_id AND e.s = ns.s
-        |      JOIN cn0 ON c.s = cn0.s AND c.cid = cn0.cid),
-        |a1 AS (SELECT vec_id, s, cid c1 FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) rn
-        |    FROM d1) WHERE rn = 1),
-        |ex AS (SELECT a1.s, a1.c1, unnest(e.sq) x, generate_subscripts(e.sq, 1) i
-        |       FROM a1 JOIN sub e ON a1.vec_id = e.vec_id AND a1.s = e.s),
-        |sums AS (SELECT s, c1, i, sum(x) sm FROM ex GROUP BY 1, 2, 3),
-        |cnts AS (SELECT s, c1, count(*) c FROM a1 GROUP BY 1, 2),
-        |cb1 AS (SELECT s, c1 cid, list(CAST((10 * sm) // c AS BIGINT) ORDER BY i) mv
-        |        FROM sums JOIN cnts USING (s, c1) GROUP BY s, c1),
-        |cn1 AS (SELECT s, cid, CAST(list_dot_product(mv, mv) AS BIGINT) n FROM cb1),
-        |d2 AS (SELECT e.vec_id, e.s, c.cid,
-        |        100 * ns.n - 20 * CAST(list_dot_product(e.sq, c.mv) AS BIGINT) + cn1.n d
-        |      FROM sub e JOIN cb1 c ON e.s = c.s
-        |      JOIN ns ON e.vec_id = ns.vec_id AND e.s = ns.s
-        |      JOIN cn1 ON c.s = cn1.s AND c.cid = cn1.cid),
-        |code AS (SELECT vec_id, s, cid code FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) rn
-        |    FROM d2) WHERE rn = 1),
-        |lut AS (SELECT vec_id query_id, s, cid code, d FROM d2 WHERE vec_id < 10),
-        |adc AS (SELECT l.query_id, c.vec_id, CAST(sum(l.d) AS BIGINT) approx_d
-        |        FROM code c JOIN lut l ON c.s = l.s AND c.code = l.code
-        |        WHERE c.vec_id <> l.query_id
-        |        GROUP BY 1, 2),
-        |r AS (SELECT query_id, vec_id nbr_id, approx_d,
-        |        row_number() OVER (PARTITION BY query_id ORDER BY approx_d, vec_id) rank
-        |      FROM adc)
-        |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, approx_d
-        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+      s"""$pqCtes,
+         |adc AS (SELECT l.query_id, c.vec_id, CAST(sum(l.d) AS BIGINT) approx_d
+         |        FROM code c JOIN lut l ON c.s = l.s AND c.code = l.code
+         |        WHERE c.vec_id <> l.query_id
+         |        GROUP BY 1, 2),
+         |r AS (SELECT query_id, vec_id nbr_id, approx_d,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY approx_d, vec_id) rank
+         |      FROM adc)
+         |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, approx_d
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // IVFADC mirror: the shared PQ chain plus the coarse-cell argmin,
+    // per-query 2-probe list, and the cell-restricted ADC join.
+    "q87_ivfpq_ann" ->
+      s"""$pqCtes,
+         |nxq AS (SELECT vec_id, CAST(list_dot_product(q, q) AS BIGINT) n FROM qo),
+         |cc AS (SELECT vec_id cid, q cv FROM qo ORDER BY vec_id LIMIT 16),
+         |ccn AS (SELECT cid, CAST(list_dot_product(cv, cv) AS BIGINT) n FROM cc),
+         |dq AS (SELECT e.vec_id, c.cid,
+         |        nxq.n - 2 * CAST(list_dot_product(e.q, c.cv) AS BIGINT) + ccn.n d
+         |      FROM qo e CROSS JOIN cc c
+         |      JOIN nxq ON e.vec_id = nxq.vec_id JOIN ccn ON c.cid = ccn.cid),
+         |cell AS (SELECT vec_id, cid cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
+         |    FROM dq) WHERE rn = 1),
+         |probe AS (SELECT vec_id query_id, cid cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn
+         |    FROM dq WHERE vec_id < 10) WHERE rn <= 2),
+         |cand AS (SELECT p.query_id, a.vec_id FROM probe p
+         |         JOIN cell a ON a.cell = p.cell),
+         |adc AS (SELECT cand.query_id, c.vec_id, CAST(sum(l.d) AS BIGINT) approx_d
+         |        FROM code c JOIN cand ON c.vec_id = cand.vec_id
+         |        JOIN lut l ON l.query_id = cand.query_id
+         |          AND c.s = l.s AND c.code = l.code
+         |        WHERE c.vec_id <> cand.query_id
+         |        GROUP BY 1, 2),
+         |r AS (SELECT query_id, vec_id nbr_id, approx_d,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY approx_d, vec_id) rank
+         |      FROM adc)
+         |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, approx_d
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q40_text_langid" -> langIdSql,
 

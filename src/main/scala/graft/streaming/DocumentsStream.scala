@@ -10,6 +10,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * encoder codegen, like [[SessionState]]. */
 final case class SeenContent(canonicalId: Long)
 
+/** One HLL register (max rank seen for a (group, bucket) key) — the
+  * streaming-sketch state, and the update record it emits. */
+final case class RegState(r: Int)
+final case class RegUpdate(g: String, bucket: Int, r: Int)
+
 /** Structured Streaming surface over the `documents` corpus — the
   * incremental ingest shape of the training-data pipeline (documents
   * arrive continuously; dedup must decide per arrival, not per corpus
@@ -41,6 +46,35 @@ object DocumentsStream {
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(streamDir)
+  }
+
+  /** Streaming HyperLogLog — the incremental twin of
+    * [[graft.ext.Sketches.hllDistinct]] (q81), and the operator that
+    * makes the sketch worth having on a stream: registers fold with
+    * `max`, which is commutative/idempotent, so the streaming registers
+    * after ANY batch split equal the batch registers over the same rows
+    * (StreamingSpec-pinned) — and therefore yield the identical estimate.
+    *
+    * State is one int per non-empty `(group, bucket)` key — hard-capped
+    * at groups × 2^b regardless of stream length (the reason this needs
+    * no TTL, unlike [[dedupDocuments]]). Emits the updated register per
+    * key per micro-batch (Update output mode); the estimate is computed
+    * from the final registers by the batch-side formula. */
+  def hllRegisterUpdates(spark: SparkSession, docs: DataFrame,
+                         keyCol: String = "text",
+                         groupCol: String = "source",
+                         b: Int = 8): Dataset[RegUpdate] = {
+    import spark.implicits._
+    graft.ext.Sketches.registerRows(docs, keyCol, groupCol, b)
+      .as[(String, Int, Int)]
+      .groupByKey(t => (t._1, t._2))
+      .mapGroupsWithState[RegState, RegUpdate](GroupStateTimeout.NoTimeout()) {
+        case ((g, bucket), it, state: GroupState[RegState]) =>
+          var r = state.getOption.map(_.r).getOrElse(0)
+          it.foreach(t => if (t._3 > r) r = t._3)
+          state.update(RegState(r))
+          RegUpdate(g, bucket, r)
+      }
   }
 
   /** Streaming exact dedup — the incremental twin of

@@ -61,6 +61,31 @@ class ProductQuantizationSpec extends AnyFunSuite {
       Seq(4L, 5L, 6L))
   }
 
+  test("ivfpq: probing ALL cells equals plain PQ; partial probe stays in-group") {
+    // nprobe == nlist means no candidate is pruned -> IVFADC must equal
+    // the unpruned ADC ranking row-for-row.
+    val full = ProductQuantization.ivfpqTopK(grouped, "vec_id", "embedding",
+        col("vec_id") < 4, k = 2, m = 2, codes = 4, nlist = 4, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val plain = ProductQuantization.pqTopK(grouped, "vec_id", "embedding",
+        col("vec_id") < 4, k = 2, m = 2, codes = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(full == plain && full.nonEmpty)
+    // single-probe on the separable fixture: the query's own cell holds
+    // its group (seeds 0..3 are one per group), so top-2 stay in-group
+    val pruned = ProductQuantization.ivfpqTopK(grouped, "vec_id", "embedding",
+        col("vec_id") < 4, k = 2, m = 2, codes = 4, nlist = 4, nprobe = 1)
+      .collect()
+    assert(pruned.length == 8)
+    pruned.foreach { r =>
+      assert(r.getAs[Long]("nbr_id") % 4 == r.getAs[Long]("query_id") % 4)
+    }
+    intercept[IllegalArgumentException] {
+      ProductQuantization.ivfpqTopK(grouped, "vec_id", "embedding",
+        col("vec_id") < 4, k = 2, m = 2, codes = 4, nlist = 4, nprobe = 5)
+    }
+  }
+
   test("empty input and bad dims fail safe") {
     val none = ProductQuantization.pqTopK(emb(), "vec_id", "embedding",
       col("vec_id") < 4, k = 2, m = 2, codes = 4)

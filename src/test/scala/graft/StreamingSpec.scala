@@ -193,4 +193,38 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(1)).toSet
     assert(gotTtl == Set(1L, 2L, 4L), s"TTL path diverged: $gotTtl")
   }
+
+  test("streaming HLL registers equal the batch sketch (multi-batch merge)") {
+    import graft.streaming.DocumentsStream
+    import spark.implicits._
+    // two-batch split of the documents fixture (same writeAs shim as the
+    // dedup test, but over the real corpus rows)
+    val dir = java.nio.file.Files.createTempDirectory("docs_hll")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+    val (a, bHalf) = (docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1))
+    def dump(name: String, mtime: Long, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs_part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    dump("b1.parquet", 1000000L, a)
+    dump("b2.parquet", 2000000L, bHalf)
+    val updates = DocumentsStream.hllRegisterUpdates(spark,
+      DocumentsStream.readDocuments(spark, dir.toString, Some(1)))
+    runAvailableNow(updates.toDF(), "hll_regs", OutputMode.Update())
+    // registers are max-monotone, so the final value per key is the max
+    // over all emitted updates
+    val streamed = spark.table("hll_regs")
+      .groupBy(col("g"), col("bucket")).agg(max(col("r")).as("r"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val batch = graft.ext.Sketches.hllRegisters(docs, "text", "source", 8)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
