@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.ExtQueries.defs ++
       graft.queries.EventQueries.defs ++
       graft.queries.MetaQueries.defs ++
-      graft.queries.PipelineQueries.defs
+      graft.queries.PipelineQueries.defs ++
+      graft.queries.AnalyticsQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.ExtQueries.oracles ++
       graft.queries.EventQueries.oracles ++
       graft.queries.MetaQueries.oracles ++
-      graft.queries.PipelineQueries.oracles
+      graft.queries.PipelineQueries.oracles ++
+      graft.queries.AnalyticsQueries.oracles
 }

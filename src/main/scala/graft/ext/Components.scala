@@ -189,4 +189,45 @@ object Components {
       .withColumn("n_in_component",
         count(lit(1)).over(Window.partitionBy(col(compCol))))
   }
+
+  /** Integer-exact PageRank (Page et al. 1999), fixed iteration count,
+    * damping 0.85, over a directed edge list — the centrality pass a
+    * corpus link/near-dup graph audit runs after components.
+    *
+    * Determinism: ranks live in micro-units (pr₀ = 1 000 000) and every
+    * update is integer arithmetic —
+    * `pr'(v) = 150000 + Σ_{u→v} (pr(u) * 17) div (20 * outdeg(u))`
+    * (17/20 = 0.85) — so the result is bit-identical in any engine
+    * regardless of join or aggregation order (float PageRank sums in
+    * nondeterministic order and can't be oracle-compared). Dangling nodes
+    * (no out-edges) keep their damped base — the standard
+    * no-redistribution simplification, stated here as the contract.
+    *
+    * 100 TB shape: the edge list with out-degrees is computed once and
+    * persisted ([[graft.ops.TransientCache]]); each iteration is one
+    * shuffle join (ranks ⋈ edges on the source) + one map-side-combined
+    * groupBy on the destination — the textbook Spark PageRank plan, with
+    * a fixed unrolled depth so the DAG stays analyzable. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters must be in [1,10], got $iters")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val e = graft.ops.TransientCache.persist(e0.join(outdeg, "src"))
+    val nodes = graft.ops.TransientCache.persist(
+      e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node"))).distinct())
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(pr, e("src") === pr("node"))
+        .select(col("dst").as("node"),
+          expr("(pr * 17) div (20 * od)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cin"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + coalesce(col("cin"), lit(0L))).as("pr"))
+    }
+    pr
+  }
 }

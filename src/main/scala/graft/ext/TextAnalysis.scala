@@ -82,6 +82,39 @@ object TextAnalysis {
           .otherwise(lit(0L)))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    * public repetition-free subset — the corpus has no line structure, so
+    * the line-based rules are a documented divergence): word-count
+    * bounds, mean-word-length bounds, alphabetic-word ratio, and
+    * stopword presence, each as a boolean flag plus the AND of all four.
+    *
+    * Integer-exact: every ratio threshold is cross-multiplied
+    * (`len_sum >= 3 * n_words` instead of `len_sum / n_words >= 3`), so
+    * any SQL engine reproduces the same booleans bit-for-bit. Pure column
+    * algebra — map-side, codegen, no shuffle. */
+  def gopherFlags(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(normalize(col(textCol)))
+    val enStops = langStopwords.head._2
+    df.withColumn("n_words", size(toks).cast("bigint"))
+      .withColumn("len_sum",
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("bigint")))
+      .withColumn("n_alpha",
+        size(filter(toks, t => t.rlike("[a-z]"))).cast("bigint"))
+      .withColumn("n_stop_present",
+        enStops.map(w => when(array_contains(toks, w), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .withColumn("flag_word_count",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("flag_mean_len",
+        col("len_sum") >= lit(3L) * col("n_words") &&
+          col("len_sum") <= lit(10L) * col("n_words"))
+      .withColumn("flag_alpha", lit(5L) * col("n_alpha") >= lit(4L) * col("n_words"))
+      .withColumn("flag_stop", col("n_stop_present") >= 2L)
+      .withColumn("pass_gopher",
+        col("flag_word_count") && col("flag_mean_len") &&
+          col("flag_alpha") && col("flag_stop"))
+  }
+
   /** Canonical document fingerprint: md5 over the sorted distinct token
     * set — robust to word order, engine-portable. */
   def fingerprint(text: Column): Column =
@@ -379,9 +412,22 @@ object TextAnalysis {
   def tokenPairTopK(df: DataFrame, textCol: String, idCol: String,
                     k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val head = tokenPairCounts(df, textCol, idCol)
+      .orderBy(col("n").desc, col("tok_a"), col("tok_b"))
+      .limit(k)
+    head.withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("tok_a"), col("tok_b"))).cast("int"))
+      .select(col("rank"), col("tok_a"), col("tok_b"), col("n"))
+  }
+
+  /** Full adjacent token-pair count table (tok_a, tok_b, n) — the
+    * [[tokenPairTopK]] aggregate without the head cut, for consumers that
+    * need every pair's frequency (PMI collocations, merge scheduling).
+    * One typed scan-speed flatMap + one map-side-combined groupBy. */
+  def tokenPairCounts(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val pairs = df.where(col(idCol).isNotNull)
+    df.where(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
       .as[(Long, String)]
       .flatMap { case (_, text) =>
@@ -392,13 +438,8 @@ object TextAnalysis {
         }
       }
       .toDF("tok_a", "tok_b")
-    val head = pairs.groupBy(col("tok_a"), col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("tok_a"), col("tok_b"))
-      .limit(k)
-    head.withColumn("rank", row_number().over(
-        Window.orderBy(col("n").desc, col("tok_a"), col("tok_b"))).cast("int"))
-      .select(col("rank"), col("tok_a"), col("tok_b"), col("n"))
   }
 
   /** Characteristic terms per group: for every value of `groupCol`, the

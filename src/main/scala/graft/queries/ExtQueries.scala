@@ -364,13 +364,44 @@ object ExtQueries {
 
   /** Quantized embeddings + exact integer norms (mirrors
     * Similarity.quantize/normQ). */
-  private val qeCtes =
+  private[queries] val qeCtes =
     """WITH qe AS (
       |  SELECT vec_id, label,
       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
       |  FROM embeddings),
       |nrm AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) n
       |        FROM qe)""".stripMargin
+
+  /** The q63 cell-local k-NN edge chain (mirrors Similarity.knnGraph,
+    * k=3, nlist=16), ending at `r` (vec_id, nbr_id, dot, rank) — shared
+    * with the PageRank oracle (q93) so the two graphs can't drift. */
+  private[queries] val knnCtes =
+    s"""$qeCtes,
+       |cent AS (SELECT vec_id cid, q cv FROM qe ORDER BY vec_id LIMIT 16),
+       |cn AS (SELECT cid, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) n
+       |       FROM cent),
+       |asg0 AS (SELECT e.vec_id, c.cid,
+       |    CAST(list_dot_product(e.q, c.cv) AS DOUBLE)
+       |      / sqrt(CAST(ne.n AS DOUBLE) * CAST(cn.n AS DOUBLE)) ccos
+       |  FROM qe e CROSS JOIN cent c
+       |  JOIN nrm ne ON e.vec_id = ne.vec_id
+       |  JOIN cn ON c.cid = cn.cid),
+       |asg AS (SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn
+       |    FROM asg0) WHERE rn = 1),
+       |sc AS (SELECT a.vec_id, b.vec_id nbr_id,
+       |    CAST(list_dot_product(qa.q, qb.q) AS BIGINT) dot, na.n na, nb.n nb
+       |  FROM asg a
+       |  JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |  JOIN qe qa ON a.vec_id = qa.vec_id
+       |  JOIN qe qb ON b.vec_id = qb.vec_id
+       |  JOIN nrm na ON a.vec_id = na.vec_id
+       |  JOIN nrm nb ON b.vec_id = nb.vec_id),
+       |r AS (SELECT vec_id, nbr_id, dot,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) DESC,
+       |               nbr_id) rank
+       |  FROM sc)""".stripMargin
 
   private def langIdSql: String = {
     val langs = TextAnalysis.langStopwords
@@ -512,32 +543,7 @@ object ExtQueries {
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q63_knn_graph" ->
-      s"""$qeCtes,
-         |cent AS (SELECT vec_id cid, q cv FROM qe ORDER BY vec_id LIMIT 16),
-         |cn AS (SELECT cid, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) n
-         |       FROM cent),
-         |asg0 AS (SELECT e.vec_id, c.cid,
-         |    CAST(list_dot_product(e.q, c.cv) AS DOUBLE)
-         |      / sqrt(CAST(ne.n AS DOUBLE) * CAST(cn.n AS DOUBLE)) ccos
-         |  FROM qe e CROSS JOIN cent c
-         |  JOIN nrm ne ON e.vec_id = ne.vec_id
-         |  JOIN cn ON c.cid = cn.cid),
-         |asg AS (SELECT vec_id, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn
-         |    FROM asg0) WHERE rn = 1),
-         |sc AS (SELECT a.vec_id, b.vec_id nbr_id,
-         |    CAST(list_dot_product(qa.q, qb.q) AS BIGINT) dot, na.n na, nb.n nb
-         |  FROM asg a
-         |  JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
-         |  JOIN qe qa ON a.vec_id = qa.vec_id
-         |  JOIN qe qb ON b.vec_id = qb.vec_id
-         |  JOIN nrm na ON a.vec_id = na.vec_id
-         |  JOIN nrm nb ON b.vec_id = nb.vec_id),
-         |r AS (SELECT vec_id, nbr_id, dot,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) DESC,
-         |               nbr_id) rank
-         |  FROM sc)
+      s"""$knnCtes
          |SELECT vec_id, CAST(rank AS INT) AS rank, nbr_id, dot
          |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 

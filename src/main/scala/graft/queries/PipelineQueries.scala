@@ -431,7 +431,7 @@ object PipelineQueries {
   }
 
   /** Distinct word trigrams per doc (mirrors Dedup.shingleRows n=3). */
-  private val trigramCtes =
+  private[queries] val trigramCtes =
     s"""${ExtQueries.tokCte},
        |u AS (SELECT doc_id, t, unnest(t) w, generate_subscripts(t, 1) i FROM tok),
        |g AS (SELECT DISTINCT doc_id, w || ' ' || t[i+1] || ' ' || t[i+2] s

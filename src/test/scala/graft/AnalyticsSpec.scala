@@ -1,0 +1,145 @@
+package graft
+
+import graft.ext.{Components, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit semantics for the round-4 analytics operators (Gopher flags,
+  * integer PageRank, gap-fill/rolling, block dedup, SCD-2, regression) —
+  * closed-form fixtures the sf-level oracle queries don't isolate. */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("gopherFlags: closed-form fixture hits each rule boundary") {
+    import spark.implicits._
+    // 50 words of the 4-letter word 'word' + 'the is' -> passes everything
+    val good = (Seq.fill(48)("word") ++ Seq("the", "is")).mkString(" ")
+    val short = "the is word"                    // word count < 50
+    val thin = (Seq.fill(25)("a b") :+ "the is").mkString(" ") // mean len < 3
+    val df = Seq((1L, good), (2L, short), (3L, thin))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFlags(df, "text")
+      .orderBy("doc_id")
+      .select("n_words", "flag_word_count", "flag_mean_len", "flag_alpha",
+        "flag_stop", "pass_gopher")
+      .collect()
+    assert(got(0).getBoolean(5), "good doc passes")
+    assert(got(0).getLong(0) == 50L)
+    assert(!got(1).getBoolean(1) && !got(1).getBoolean(5), "short doc fails word count")
+    assert(!got(2).getBoolean(2) && !got(2).getBoolean(5), "thin doc fails mean length")
+    assert(got(2).getBoolean(3), "thin doc is still alphabetic")
+  }
+
+  test("pageRank: 2-cycle is the exact fixpoint; chain decays in closed form") {
+    import spark.implicits._
+    val cycle = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val prC = Components.pageRank(cycle, "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // contribution = (1000000*17) div 20 = 850000; 150000 + 850000 = 1000000
+    assert(prC == Map(1L -> 1000000L, 2L -> 1000000L))
+
+    val edge = Seq((1L, 2L)).toDF("src", "dst")
+    val prE = Components.pageRank(edge, "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 1 is a source: 150000 after iter 1 and stays; node 2 gets
+    // 150000 + (150000*17) div 20 = 277500 from iter 2 onward
+    assert(prE == Map(1L -> 150000L, 2L -> 277500L))
+  }
+
+  test("pageRank: ranks bounded below by damped base and conserve mass") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val pr = Components.pageRank(edges, "src", "dst", 3).collect()
+    assert(pr.length == 3)
+    assert(pr.forall(_.getLong(1) >= 150000L))
+    // no redistribution losses beyond integer-div truncation: total <= n * 1e6
+    assert(pr.map(_.getLong(1)).sum <= 3000000L)
+  }
+
+  test("q92 block dedup: shared 20-token block counted once per occurrence") {
+    import spark.implicits._
+    val block = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, block + " unique one"),   // block 0 shared, block 1 unique
+      (2L, block + " other tail"),   // block 0 shared (dup of doc 1's)
+      (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    // the q92 plan shape, built directly over the fixture
+    val toks = TextAnalysis.tokens(TextAnalysis.normalize(col("text")))
+    import org.apache.spark.sql.expressions.Window
+    val blocks = df.select(col("doc_id"), toks.as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(t) + 19) div 20 - 1), " +
+          "i -> md5(CAST(concat_ws(' ', slice(t, i * 20 + 1, 20)) AS BINARY)))")))
+      .withColumnRenamed("pos", "blk_idx").withColumnRenamed("col", "block_hash")
+    val wF = Window.partitionBy(col("block_hash")).orderBy(col("doc_id"), col("blk_idx"))
+    val res = blocks
+      .withColumn("rn", row_number().over(wF))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("block_hash"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("doc_id").collect()
+    // doc 1: 2 blocks, 1 dup, keeps both (first occurrence of the shared block)
+    assert(res(0).getLong(1) == 2L && res(0).getLong(2) == 1L && res(0).getLong(3) == 2L)
+    // doc 2: 2 blocks, 1 dup, keeps only its unique tail block
+    assert(res(1).getLong(1) == 2L && res(1).getLong(2) == 1L && res(1).getLong(3) == 1L)
+    // doc 3: 1 block, no dups
+    assert(res(2).getLong(1) == 1L && res(2).getLong(2) == 0L && res(2).getLong(3) == 1L)
+  }
+
+  test("q88/q90/q91/q95/q98 registry queries: internal invariants at sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val defs = graft.queries.AnalyticsQueries.defs
+
+    // pivot: row_total == sum of the five priority cells
+    val piv = defs("q88_pivot_priority")(spark, d).collect()
+    piv.foreach { r =>
+      val cells = (1 to 5).map(i => r.getLong(i)).sum
+      assert(cells == r.getLong(6), s"row_total mismatch for ${r.getString(0)}")
+    }
+
+    // regression: correlation in [-1, 1], n positive
+    val reg = defs("q90_price_regression")(spark, d).collect()
+    assert(reg.nonEmpty)
+    reg.foreach { r =>
+      val corr = r.getDouble(4)
+      assert(corr >= -1.0 - 1e-9 && corr <= 1.0 + 1e-9)
+      assert(r.getLong(1) > 0)
+    }
+
+    // gap-fill: dense grid — every (type, day) combination exactly once,
+    // and the zero-filled counts sum back to the raw event count
+    val gf = defs("q91_daily_gapfill")(spark, d)
+    val nTypes = gf.select("event_type").distinct().count()
+    val nDays = gf.select("day").distinct().count()
+    assert(gf.count() == nTypes * nDays)
+    val rawCount = Tables.events(spark, d).count()
+    val filledSum = gf.agg(sum("n_events")).head().getLong(0)
+    assert(filledSum == rawCount)
+
+    // rolling: roll7_n >= n_events and roll7 over first row equals the row
+    val roll = defs("q95_rolling_7d")(spark, d).collect()
+    roll.foreach { r =>
+      assert(r.getLong(4) >= r.getLong(2), "roll7_n >= day's n_events")
+    }
+
+    // SCD-2: per customer — versions contiguous from 1, exactly one
+    // current row, intervals chain (next valid_from == prev valid_to)
+    val scd = defs("q98_scd2_customer")(spark, d).collect()
+      .groupBy(_.getLong(0))
+    scd.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.head.getInt(1) == 1)
+      assert(sorted.count(_.getBoolean(5)) == 1)
+      assert(sorted.last.getBoolean(5), "last version is the current one")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.get(4) == b.get(3), "intervals chain without gap")
+        case _ =>
+      }
+    }
+  }
+}
