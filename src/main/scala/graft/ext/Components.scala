@@ -211,8 +211,13 @@ object Components {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 10, s"iters must be in [1,10], got $iters")
-    val e0 = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+    // The raw edge list is persisted FIRST: everything below (out-degrees,
+    // the joined edge table, the node universe) derives from it, and an
+    // expensive upstream edge build (a kNN graph, an LSH pair pass) must
+    // run once, not once per derivation.
+    val e0 = graft.ops.TransientCache.persist(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")))
     val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val e = graft.ops.TransientCache.persist(e0.join(outdeg, "src"))
     val nodes = graft.ops.TransientCache.persist(
@@ -220,13 +225,14 @@ object Components {
         .union(e0.select(col("dst").as("node"))).distinct())
     var pr = nodes.withColumn("pr", lit(1000000L))
     for (_ <- 1 to iters) {
+      // One join + one shuffle per iteration: the damped base rides into
+      // the aggregation as a per-node seed row (150000 + Σc ≡ Σ(c ∪
+      // {150000})), replacing a second rebase join per round.
       val contrib = e.join(pr, e("src") === pr("node"))
         .select(col("dst").as("node"),
           expr("(pr * 17) div (20 * od)").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("cin"))
-      pr = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(150000L) + coalesce(col("cin"), lit(0L))).as("pr"))
+      pr = contrib.union(nodes.select(col("node"), lit(150000L).as("c")))
+        .groupBy(col("node")).agg(sum(col("c")).as("pr"))
     }
     pr
   }

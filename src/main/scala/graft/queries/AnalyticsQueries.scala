@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Components, Dedup, Similarity, TextAnalysis}
+import graft.ext.{Components, Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -142,8 +142,7 @@ object AnalyticsQueries {
     // the similarity graph (micro-unit ranks; see Components.pageRank
     // for the determinism contract).
     "q93_pagerank" -> ((s, d) => {
-      val edges = Similarity.knnGraph(Tables.embeddings(s, d),
-          "vec_id", "embedding", 3, 16)
+      val edges = ExtQueries.knnEdges(s, d)
         .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
       Components.pageRank(edges, "src", "dst", 3)
         .select(col("node").as("vec_id"), col("pr"))

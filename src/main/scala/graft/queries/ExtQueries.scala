@@ -20,6 +20,14 @@ object ExtQueries {
     graft.ops.SessionCache.getOrBuild(s, s"simhash_sigs:$d")(
       Dedup.simhashSignatures(Tables.documents(s, d), "text", "doc_id"))
 
+  /** Shared per-session cell-local kNN graph over `embeddings` (k=3,
+    * nlist=16) — consumed by q63 (the graph itself) and q93 (PageRank
+    * over it); like [[simhashSigs]], a persisted artifact in a real
+    * pipeline, built once per session here. */
+  private[queries] def knnEdges(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"knn_graph:$d")(
+      Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", 3, 16))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on normalized content (one shuffle on a
@@ -88,8 +96,7 @@ object ExtQueries {
     // k-NN graph: every vector's top-3 neighbours within its IVF cell
     // (cell-local brute force — the scalable graph-build shape).
     "q63_knn_graph" -> ((s, d) =>
-      Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", 3, 16)
-        .orderBy("vec_id", "rank")),
+      knnEdges(s, d).orderBy("vec_id", "rank")),
 
     // Integer-exact two-pass k-means (k=8, lowest-id seeds): assign,
     // recompute centroids once (rounded ×10 integer means), re-assign.
