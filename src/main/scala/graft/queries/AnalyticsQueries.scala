@@ -242,6 +242,81 @@ object AnalyticsQueries {
         .orderBy(col("rank"))
     }),
 
+    // Mergeable histogram-sketch quantiles: per-language p25/p50/p90 of
+    // doc length estimated from a 64-bin equi-width histogram — integer
+    // intra-bin interpolation, so the estimate is engine-exact. The
+    // histogram is the 100 TB path: bin counts merge associatively
+    // across partitions/days (unlike exact percentiles, which need a
+    // global sort), and the estimate's error is bounded by bin width.
+    "q99_hist_quantiles" -> ((s, d) => {
+      val v = Tables.documents(s, d).select(col("lang"), col("n_chars").as("x"))
+      val b = v.agg(min(col("x")).as("gmin"), max(col("x")).as("gmax"))
+      val binned = v.crossJoin(b)
+        .withColumn("w", expr("greatest((gmax - gmin + 63) div 64, 1)"))
+        .withColumn("bin", expr("least((x - gmin) div w, 63)"))
+      val hist = binned.groupBy(col("lang"), col("gmin"), col("w"), col("bin"))
+        .agg(count(lit(1)).as("bn"))
+      val cum = hist
+        .withColumn("cum",
+          sum(col("bn")).over(Window.partitionBy(col("lang")).orderBy(col("bin"))))
+        .withColumn("ntot",
+          sum(col("bn")).over(Window.partitionBy(col("lang"))))
+      cum.withColumn("q_ppm",
+          explode(array(lit(250000L), lit(500000L), lit(900000L))))
+        .withColumn("target", expr("(ntot * q_ppm + 999999) div 1000000"))
+        .where(col("cum") >= col("target") &&
+          (col("cum") - col("bn")) < col("target"))
+        .select(col("lang"), col("q_ppm"), col("ntot").as("n"),
+          expr("gmin + bin * w + (((target - (cum - bn)) * w) div bn)")
+            .as("est"))
+        .orderBy(col("lang"), col("q_ppm"))
+    }),
+
+    // Corpus-level source-overlap audit: distinct-trigram Jaccard between
+    // every source pair — which crawl slices duplicate each other (the
+    // audit that decides dedup ordering and mixing weights). Pairing
+    // happens INSIDE each gram's posting (bounded by sources², never
+    // docs²).
+    "q100_source_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sg = graft.ops.TransientCache.persist(
+        Dedup.shingleRows(docs, "text", "doc_id", 3)
+          .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
+          .select(col("source"), col("s")).distinct())
+      val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+      val pairs = sg.as("a")
+        .join(sg.as("b"), col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(sizes.select(col("source").as("src_a"), col("n_grams").as("n_a")), "src_a")
+        .join(sizes.select(col("source").as("src_b"), col("n_grams").as("n_b")), "src_b")
+        .withColumn("jaccard_ppm",
+          expr("(1000000 * n_shared) div (n_a + n_b - n_shared)"))
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+          col("n_b"), col("jaccard_ppm"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Weighted sampling without replacement (Efraimidis & Spirakis 2006
+    // A-ES): token-count-weighted top-100 by the deterministic md5 draw,
+    // key = -ln(u)/w quantized to nano-units — the reproducible
+    // quality-weighted subset draw. Map-side keys + one TakeOrdered.
+    "q101_weighted_sample" -> ((s, d) =>
+      TextAnalysis.withQuality(Tables.documents(s, d), "text")
+        .where(col("n_tokens") > 0)
+        .withColumn("u", expr(
+          "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("key_q", expr(
+          "CAST(floor(1000000000 * (ln(4294967296.0 / (CAST(u AS DOUBLE) + 1.0)) " +
+            "/ CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+        .orderBy(col("key_q"), col("doc_id")).limit(100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("key_q"), col("doc_id"))).cast("int"))
+        .select(col("rank"), col("doc_id"),
+          col("n_tokens").cast("bigint").as("weight"), col("u"), col("key_q"))
+        .orderBy(col("rank"))),
+
     // SCD-2 dimension build: each customer's order-priority history as
     // versioned [valid_from, valid_to) intervals with an is_current
     // flag — the slowly-changing-dimension snapshot an OLAP star
@@ -475,6 +550,54 @@ object AnalyticsQueries {
          |SELECT CAST(row_number() OVER (ORDER BY pmi_q DESC, tok_a, tok_b) AS INT) AS rank,
          |  tok_a, tok_b, n, pmi_q
          |FROM sc QUALIFY rank <= 40 ORDER BY rank""".stripMargin,
+
+    "q99_hist_quantiles" ->
+      """WITH v AS (SELECT lang, n_chars x FROM documents),
+        |b AS (SELECT min(x) gmin, max(x) gmax FROM v),
+        |bi AS (SELECT lang, x, gmin,
+        |    greatest((gmax - gmin + 63) // 64, 1) w,
+        |    least((x - gmin) // greatest((gmax - gmin + 63) // 64, 1), 63) bin
+        |  FROM v CROSS JOIN b),
+        |h AS (SELECT lang, gmin, w, bin, count(*) bn FROM bi GROUP BY 1, 2, 3, 4),
+        |c AS (SELECT *,
+        |    sum(bn) OVER (PARTITION BY lang ORDER BY bin) cum,
+        |    sum(bn) OVER (PARTITION BY lang) ntot
+        |  FROM h),
+        |q AS (SELECT c.*, q_ppm,
+        |    (ntot * q_ppm + 999999) // 1000000 target
+        |  FROM c CROSS JOIN (SELECT unnest([250000, 500000, 900000]) q_ppm))
+        |SELECT lang, CAST(q_ppm AS BIGINT) AS q_ppm, CAST(ntot AS BIGINT) AS n,
+        |  CAST(gmin + bin * w + (((target - (cum - bn)) * w) // bn) AS BIGINT) AS est
+        |FROM q WHERE cum >= target AND (cum - bn) < target
+        |ORDER BY lang, q_ppm""".stripMargin,
+
+    "q100_source_overlap" ->
+      s"""${PipelineQueries.trigramCtes},
+         |sg AS (SELECT DISTINCT source, s FROM g JOIN documents USING (doc_id)),
+         |sz AS (SELECT source, count(*) n FROM sg GROUP BY 1),
+         |p AS (SELECT a.source src_a, b.source src_b, count(*) n_shared
+         |      FROM sg a JOIN sg b ON a.s = b.s AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+         |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+         |  CAST((1000000 * n_shared) // (na.n + nb.n - n_shared) AS BIGINT)
+         |    AS jaccard_ppm
+         |FROM p JOIN sz na ON src_a = na.source JOIN sz nb ON src_b = nb.source
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q101_weighted_sample" ->
+      s"""${ExtQueries.tokCte},
+         |s AS (SELECT doc_id, len(t) n_tokens FROM tok WHERE len(t) > 0),
+         |k AS (SELECT doc_id, n_tokens,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT u
+         |  FROM s),
+         |sc AS (SELECT doc_id, n_tokens, u,
+         |    CAST(floor(1000000000 * (ln(4294967296.0 / (CAST(u AS DOUBLE) + 1.0))
+         |      / CAST(n_tokens AS DOUBLE))) AS BIGINT) key_q
+         |  FROM k)
+         |SELECT CAST(row_number() OVER (ORDER BY key_q, doc_id) AS INT) AS rank,
+         |  doc_id, CAST(n_tokens AS BIGINT) AS weight, u, key_q
+         |FROM sc QUALIFY rank <= 100 ORDER BY rank""".stripMargin,
 
     "q98_scd2_customer" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,

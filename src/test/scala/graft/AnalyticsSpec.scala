@@ -126,6 +126,37 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getLong(4) >= r.getLong(2), "roll7_n >= day's n_events")
     }
 
+    // histogram quantiles: estimates bounded by the value domain and
+    // monotone in the quantile
+    val hq = defs("q99_hist_quantiles")(spark, d).collect()
+      .groupBy(_.getString(0))
+    val (xmin, xmax) = {
+      val r = Tables.documents(spark, d)
+        .agg(min("n_chars"), max("n_chars")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    hq.foreach { case (_, rows) =>
+      val byQ = rows.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(byQ.sameElements(byQ.sorted), "estimates monotone in q")
+      byQ.foreach(e => assert(e >= xmin && e <= xmax))
+    }
+
+    // source overlap: full pair matrix, shared bounded by either side
+    val ov = defs("q100_source_overlap")(spark, d).collect()
+    val nSrc = Tables.documents(spark, d).select("source").distinct().count()
+    assert(ov.length == nSrc * (nSrc - 1) / 2)
+    ov.foreach { r =>
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+      assert(r.getLong(5) <= 1000000L)
+    }
+
+    // weighted sample: 100 rows, ranks contiguous, keys nondecreasing
+    val ws = defs("q101_weighted_sample")(spark, d).collect()
+    assert(ws.length == 100)
+    assert(ws.map(_.getInt(0)).sameElements(1 to 100))
+    val keys = ws.map(_.getLong(4))
+    assert(keys.sameElements(keys.sorted))
+
     // SCD-2: per customer — versions contiguous from 1, exactly one
     // current row, intervals chain (next valid_from == prev valid_to)
     val scd = defs("q98_scd2_customer")(spark, d).collect()
