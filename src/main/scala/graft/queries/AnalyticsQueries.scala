@@ -55,27 +55,36 @@ object AnalyticsQueries {
           col("flag_alpha"), col("flag_stop"), col("pass_gopher"))
         .orderBy(col("doc_id"))),
 
-    // Per-nation OLS regression of line price (cents) on quantity: all
-    // moment sums are integer/decimal-exact (one map-side-combined
-    // aggregate over the star join); only the FINAL slope/intercept/corr
-    // divisions run in double — deterministic given exact operands.
+    // Per-nation OLS regression of line price (whole units) on quantity:
+    // all moment sums are integer-exact (one map-side-combined aggregate
+    // over the star join); only the FINAL slope/intercept/corr divisions
+    // run in double — deterministic given exact operands.
+    //
+    // Every combined moment stays WITHIN int64 (whole-unit prices:
+    // n·Σy² ≤ 24k·2.6e14 ≈ 6e18 < 2^63 at sf0.1) — this is what makes
+    // the strict compare exact: int64→double casts round identically in
+    // every engine, while a >2^63 value goes through DECIMAL here vs
+    // HUGEINT in DuckDB, whose double casts can differ by 1 ulp
+    // (observed on q90's corr before this bound). At a scale where the
+    // moments outgrow int64, pre-aggregate per sub-split and combine —
+    // don't widen to decimal.
     "q90_price_regression" -> ((s, d) => {
       val j = Tables.lineitem(s, d)
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
         .select(col("n_name"),
           expr("CAST(floor(l_quantity) AS BIGINT)").as("x"),
-          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("y"))
+          expr("CAST(floor(l_extendedprice) AS BIGINT)").as("y"))
       val st = j.groupBy(col("n_name")).agg(
         count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
-        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
-        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
       st.select(col("n_name"), col("n"),
-          expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)").as("cov_d"),
-          expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)").as("varx_d"),
-          expr("CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)").as("vary_d"),
+          expr("CAST(n * sxy - sx * sy AS DOUBLE)").as("cov_d"),
+          expr("CAST(n * sxx - sx * sx AS DOUBLE)").as("varx_d"),
+          expr("CAST(n * syy - sy * sy AS DOUBLE)").as("vary_d"),
           col("sx").cast("double").as("sx_d"), col("sy").cast("double").as("sy_d"))
         .withColumn("slope", col("cov_d") / col("varx_d"))
         .select(col("n_name"), col("n"), col("slope"),
@@ -401,14 +410,14 @@ object AnalyticsQueries {
     "q90_price_regression" ->
       """WITH j AS (SELECT n_name,
         |    CAST(floor(l_quantity) AS BIGINT) x,
-        |    CAST(floor(l_extendedprice * 100) AS BIGINT) y
+        |    CAST(floor(l_extendedprice) AS BIGINT) y
         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey),
         |st AS (SELECT n_name, count(*) n,
-        |    CAST(sum(x) AS HUGEINT) sx, CAST(sum(y) AS HUGEINT) sy,
-        |    sum(CAST(x AS HUGEINT) * y) sxy,
-        |    sum(CAST(x AS HUGEINT) * x) sxx,
-        |    sum(CAST(y AS HUGEINT) * y) syy
+        |    CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+        |    CAST(sum(x * y) AS BIGINT) sxy,
+        |    CAST(sum(x * x) AS BIGINT) sxx,
+        |    CAST(sum(y * y) AS BIGINT) syy
         |  FROM j GROUP BY 1),
         |m AS (SELECT n_name, n,
         |    CAST(n * sxy - sx * sy AS DOUBLE) cov_d,
