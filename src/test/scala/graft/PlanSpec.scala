@@ -206,4 +206,55 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q27_ann_brute_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q88 pivot: one aggregate pair over broadcast dims, no value-discovery scan") {
+    val p = plan("q88_pivot_priority")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // explicit value list -> the orders fact is scanned exactly once
+    assert(p.sliding("orders.parquet".length)
+      .count(_ == "orders.parquet") == 1,
+      s"pivot scanned the fact more than once:\n$p")
+  }
+
+  test("q89 gopher rules: map-side only — no hash exchange before the output sort") {
+    val p = plan("q89_gopher_rules")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quality flags should not shuffle:\n$p")
+  }
+
+  test("q90 regression: moment sums are one partial-agg pass over broadcast dims") {
+    val p = plan("q90_price_regression")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
+  }
+
+  test("q91 gap-fill: the calendar grid broadcasts against the daily aggregate") {
+    val p = plan("q91_daily_gapfill")
+    // types × calendar is a broadcast product; the daily agg still
+    // partial-aggregates map-side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"grid not broadcast:\n$p")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("SortMergeJoin"), s"grid join fell back to SMJ:\n$p")
+  }
+
+  test("q92 block dedup: hash-keyed window + per-doc agg, bounded exchanges") {
+    val p = plan("q92_block_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"block dedup should be window+agg, not a join:\n$p")
+    // one exchange for the block_hash window, one for the doc_id agg
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") <= 2,
+      s"more exchanges than the two key passes:\n$p")
+  }
+
+  test("q101 weighted sample: selection lowers to TakeOrdered, keys map-side") {
+    val p = plan("q101_weighted_sample")
+    assert(p.contains("TakeOrdered"), s"A-ES selection runs a full sort:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"key computation should not shuffle:\n$p")
+  }
 }
