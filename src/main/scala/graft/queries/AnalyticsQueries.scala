@@ -346,6 +346,64 @@ object AnalyticsQueries {
           col("next_from").isNull.as("is_current"))
         .orderBy(col("custkey"), col("version"))
         .transform(Parity.outputDoubles)
+    }),
+
+    // Point-in-time (interval) dimension lookup: each event joined to
+    // the SCD-2 priority version valid at its timestamp — executed on
+    // the as-of path (union + one key shuffle + one window pass, then
+    // the upper-bound check), NEVER a theta join: the oracle states the
+    // interval containment directly, the engine never pairs beyond one
+    // candidate version per event.
+    "q102_interval_lookup" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("o_orderkey"))
+      val scd = Tables.orders(s, d).where(col("o_custkey") < 150)
+        .select(col("o_custkey").as("user_id"),
+          col("o_orderdate").as("ts"),
+          col("o_orderpriority").as("priority"), col("o_orderkey"))
+        .withColumn("version", row_number().over(w).cast("int"))
+        .withColumn("valid_to", coalesce(lead(col("ts"), 1).over(w),
+          expr("TIMESTAMP '9999-12-31 00:00:00'")))
+        .drop("o_orderkey")
+      val ev = Tables.events(s, d).where(col("user_id") < 20)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      graft.ops.AsOfJoin.asOfInner(ev, scd, "user_id", "ts",
+          Seq("version", "priority", "valid_to"), "version", "v_")
+        .where(col("ts") < col("v_valid_to"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("v_version").as("version"), col("v_priority").as("priority"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Star-schema FK integrity audit (the dbt-test / data-contract
+    // layer): per relationship, child rows, distinct keys, and orphan
+    // rows via hash anti-joins — the referential health report a
+    // warehouse load gate runs before publishing.
+    "q103_fk_audit" -> ((s, d) => {
+      def audit(name: String, child: DataFrame, key: String,
+                parent: DataFrame, pkey: String): DataFrame = {
+        val c = child.select(col(key).as("k"))
+        val stats = c.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"))
+        val orph = c.join(parent.select(col(pkey).as("k")).distinct(),
+            Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        stats.crossJoin(orph).select(lit(name).as("relationship"),
+          col("n_rows"), col("n_keys"), col("n_orphans"))
+      }
+      val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      Seq(
+        audit("events.user_id->customer", Tables.events(s, d), "user_id",
+          Tables.customer(s, d), "c_custkey"),
+        audit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        audit("lineitem.l_partkey->part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+        audit("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"),
+        audit("orders.o_custkey->customer", o, "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .reduce(_ unionAll _)
+        .orderBy(col("relationship"))
     })
   )
 
@@ -607,6 +665,53 @@ object AnalyticsQueries {
          |SELECT CAST(row_number() OVER (ORDER BY key_q, doc_id) AS INT) AS rank,
          |  doc_id, CAST(n_tokens AS BIGINT) AS weight, u, key_q
          |FROM sc QUALIFY rank <= 100 ORDER BY rank""".stripMargin,
+
+    "q102_interval_lookup" ->
+      """WITH scd AS (SELECT o_custkey user_id,
+        |    CAST(o_orderdate AS TIMESTAMP) vf, o_orderpriority priority,
+        |    CAST(row_number() OVER w AS INT) ver,
+        |    COALESCE(lead(CAST(o_orderdate AS TIMESTAMP)) OVER w,
+        |      TIMESTAMP '9999-12-31 00:00:00') vt
+        |  FROM orders WHERE o_custkey < 150
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ets, event_type
+        |       FROM events WHERE user_id < 20)
+        |SELECT event_id, user_id, event_type, ver AS "version", priority
+        |FROM ev JOIN scd USING (user_id)
+        |WHERE ets >= vf AND ets < vt
+        |ORDER BY event_id""".stripMargin,
+
+    "q103_fk_audit" ->
+      """SELECT 'events.user_id->customer' AS relationship,
+        |  (SELECT count(*) FROM events) AS n_rows,
+        |  (SELECT count(DISTINCT user_id) FROM events) AS n_keys,
+        |  (SELECT count(*) FROM events e LEFT JOIN customer c
+        |     ON e.user_id = c.c_custkey WHERE c.c_custkey IS NULL) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey->orders',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(DISTINCT l_partkey) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN part p
+        |     ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+        |     ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(DISTINCT o_custkey) FROM orders),
+        |  (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |     ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        |ORDER BY relationship""".stripMargin,
 
     "q98_scd2_customer" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,

@@ -157,6 +157,34 @@ class AnalyticsSpec extends AnyFunSuite {
     val keys = ws.map(_.getLong(4))
     assert(keys.sameElements(keys.sorted))
 
+    // interval lookup: every matched event lands in its user's CURRENT
+    // version (all events postdate the order history), and the match
+    // count equals the events whose user has any order history
+    val il = defs("q102_interval_lookup")(spark, d).collect()
+    val scdCur = defs("q98_scd2_customer")(spark, d).collect()
+      .filter(_.getBoolean(5)).map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(il.nonEmpty)
+    il.foreach { r =>
+      val (user, ver) = (r.getLong(1), r.getInt(3))
+      scdCur.get(user).foreach(cur => assert(ver == cur,
+        s"event matched version $ver but current is $cur for user $user"))
+    }
+    val usersWithOrders = Tables.orders(spark, d)
+      .where(col("o_custkey") < 20).select("o_custkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expected = Tables.events(spark, d)
+      .where(col("user_id") < 20).collect()
+      .count(r => usersWithOrders(r.getAs[Long]("user_id")))
+    assert(il.length == expected)
+
+    // FK audit: the star is referentially intact and keys are bounded
+    val fk = defs("q103_fk_audit")(spark, d).collect()
+    assert(fk.length == 5)
+    fk.foreach { r =>
+      assert(r.getLong(3) == 0L, s"${r.getString(0)} has orphans")
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(1) > 0)
+    }
+
     // SCD-2: per customer — versions contiguous from 1, exactly one
     // current row, intervals chain (next valid_from == prev valid_to)
     val scd = defs("q98_scd2_customer")(spark, d).collect()

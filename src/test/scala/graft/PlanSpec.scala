@@ -257,4 +257,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"key computation should not shuffle:\n$p")
   }
+
+  test("q102 interval lookup: as-of path — window pass, never a theta join") {
+    val p = plan("q102_interval_lookup")
+    assert(!p.contains("Join"),
+      s"interval lookup lowered to a join (pair blow-up shape):\n$p")
+    assert(p.contains("Window"), s"no as-of window pass:\n$p")
+  }
 }
