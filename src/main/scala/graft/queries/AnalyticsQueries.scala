@@ -355,16 +355,7 @@ object AnalyticsQueries {
     // interval containment directly, the engine never pairs beyond one
     // candidate version per event.
     "q102_interval_lookup" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("o_orderkey"))
-      val scd = Tables.orders(s, d).where(col("o_custkey") < 150)
-        .select(col("o_custkey").as("user_id"),
-          col("o_orderdate").as("ts"),
-          col("o_orderpriority").as("priority"), col("o_orderkey"))
-        .withColumn("version", row_number().over(w).cast("int"))
-        .withColumn("valid_to", coalesce(lead(col("ts"), 1).over(w),
-          expr("TIMESTAMP '9999-12-31 00:00:00'")))
-        .drop("o_orderkey")
+      val scd = scdIntervals(s, d)
       val ev = Tables.events(s, d).where(col("user_id") < 20)
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
       graft.ops.AsOfJoin.asOfInner(ev, scd, "user_id", "ts",
@@ -406,6 +397,24 @@ object AnalyticsQueries {
         .orderBy(col("relationship"))
     })
   )
+
+  /** The q102/q98 SCD-2 priority dimension (custkey < 150), keyed for
+    * the as-of machinery: (user_id, ts = valid_from, priority, version,
+    * valid_to). Shared with the stream-static enrichment twin
+    * ([[graft.streaming.EventsStream.enrichStaticDim]]) so batch and
+    * stream look up the same dimension. */
+  private[graft] def scdIntervals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("o_orderkey"))
+    Tables.orders(s, d).where(col("o_custkey") < 150)
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").as("ts"),
+        col("o_orderpriority").as("priority"), col("o_orderkey"))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("valid_to", coalesce(lead(col("ts"), 1).over(w),
+        expr("TIMESTAMP '9999-12-31 00:00:00'")))
+      .drop("o_orderkey")
+  }
 
   // ---------------------------------------------------------------- oracles
 

@@ -81,6 +81,27 @@ object EventsStream {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id", "ts")
 
+  /** Stream-static point-in-time dimension enrichment — the streaming
+    * twin of the batch q102 interval lookup: each streaming event joins
+    * the STATIC SCD-2 dimension on its key and keeps the version whose
+    * `[valid_from, valid_to)` interval contains the event time. The
+    * static side is stateless per micro-batch (re-planned each batch,
+    * broadcast when small), so arbitrarily late events still enrich
+    * against the full dimension — the canonical Structured Streaming
+    * dimension-join shape; no watermark or stream-side state at all.
+    * `dim` columns: (user_id, ts = valid_from, priority, version,
+    * valid_to) — [[graft.queries.AnalyticsQueries.scdIntervals]]. */
+  def enrichStaticDim(events: DataFrame, dim: DataFrame): DataFrame = {
+    val d = dim.select(col("user_id").as("d_user"),
+      col("ts").as("valid_from"), col("priority"), col("version"),
+      col("valid_to"))
+    events.join(d,
+        events("user_id") === d("d_user") &&
+          events("ts") >= d("valid_from") && events("ts") < d("valid_to"))
+      .select(events("event_id"), events("user_id"), col("event_type"),
+        col("version"), col("priority"))
+  }
+
   /** Gap-based sessionization (30 min idle closes a session) with
     * per-user state and event-time timeout. Sessions are emitted once
     * closed (by a later event or by watermark passage). */

@@ -55,6 +55,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("stream-static interval dimension join equals the batch q102 lookup") {
+    val dim = graft.queries.AnalyticsQueries.scdIntervals(spark, sf)
+    val enriched = EventsStream.enrichStaticDim(
+      EventsStream.readEvents(spark, sf).where(col("user_id") < 20), dim)
+    runAvailableNow(enriched, "dim_enriched", OutputMode.Append())
+    val streamed = spark.table("dim_enriched")
+      .collect().map(_.toString).toSet
+    val batch = SparkEntry.queries("q102_interval_lookup")(spark, sf)
+      .collect().map(_.toString).toSet
+    // the static dimension is fully visible to every micro-batch: exact match
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stream-stream interval join equals the batch range-join pairs") {
     val pairs = EventsStream.conversionPairs(EventsStream.readEvents(spark, sf))
     runAvailableNow(pairs, "conv_pairs", OutputMode.Append())
