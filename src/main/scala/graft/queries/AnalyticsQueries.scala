@@ -395,6 +395,37 @@ object AnalyticsQueries {
           Tables.customer(s, d), "c_custkey"))
         .reduce(_ unionAll _)
         .orderBy(col("relationship"))
+    }),
+
+    // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    // the 4×512 register table next to the exact top-20 token counts it
+    // estimates — like q81's HLL, the sketch is what replaces the exact
+    // aggregate at 100 TB (registers merge by +, fixed size, one
+    // map-side-combined shuffle), and the exact column calibrates its
+    // one-sided overcount. Hashes are md5-derived (engine-portable);
+    // est = min over the 4 rows of the bucket the token lands in.
+    "q104_cms_heavy_hitters" -> ((s, d) => {
+      val tc = graft.ops.TransientCache.persist(
+        TextAnalysis.tokenRows(Tables.documents(s, d), "text", "doc_id")
+          .groupBy(col("token")).agg(count(lit(1)).as("cnt")))
+      val hashed = tc.withColumn("j",
+          explode(array((0 until 4).map(lit): _*)))
+        .withColumn("bucket", expr(
+          "CAST(conv(substring(md5(CAST(concat(token, '#', j) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 512"))
+      val cms = hashed.groupBy(col("j"), col("bucket"))
+        .agg(sum(col("cnt")).as("bucket_sum"))
+      val top = tc.orderBy(col("cnt").desc, col("token")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("token"))).cast("int"))
+      top.withColumn("j", explode(array((0 until 4).map(lit): _*)))
+        .withColumn("bucket", expr(
+          "CAST(conv(substring(md5(CAST(concat(token, '#', j) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 512"))
+        .join(broadcast(cms), Seq("j", "bucket"))
+        .groupBy(col("rank"), col("token"), col("cnt"))
+        .agg(min(col("bucket_sum")).as("cms_est"))
+        .select(col("rank"), col("token"), col("cnt").as("freq"),
+          col("cms_est"), (col("cms_est") - col("cnt")).as("overcount"))
+        .orderBy(col("rank"))
     })
   )
 
@@ -689,6 +720,25 @@ object AnalyticsQueries {
         |FROM ev JOIN scd USING (user_id)
         |WHERE ets >= vf AND ets < vt
         |ORDER BY event_id""".stripMargin,
+
+    "q104_cms_heavy_hitters" ->
+      s"""${ExtQueries.tokCte},
+         |p AS (SELECT doc_id, unnest(t) token FROM tok),
+         |tc AS (SELECT token, CAST(count(*) AS BIGINT) cnt FROM p GROUP BY 1),
+         |hx AS (SELECT token, cnt, j,
+         |    ('0x' || substr(md5(token || '#' || j), 1, 8))::BIGINT % 512 bucket
+         |  FROM tc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) j)),
+         |cms AS (SELECT j, bucket, CAST(sum(cnt) AS BIGINT) bucket_sum
+         |        FROM hx GROUP BY 1, 2),
+         |top AS (SELECT token, cnt,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) rank
+         |  FROM tc QUALIFY rank <= 20),
+         |est AS (SELECT rank, t.token, t.cnt, min(bucket_sum) cms_est
+         |  FROM top t JOIN hx ON t.token = hx.token
+         |  JOIN cms ON hx.j = cms.j AND hx.bucket = cms.bucket
+         |  GROUP BY 1, 2, 3)
+         |SELECT rank, token, cnt AS freq, cms_est, cms_est - cnt AS overcount
+         |FROM est ORDER BY rank""".stripMargin,
 
     "q103_fk_audit" ->
       """SELECT 'events.user_id->customer' AS relationship,

@@ -185,6 +185,15 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getLong(2) <= r.getLong(1) && r.getLong(1) > 0)
     }
 
+    // CMS: estimates are one-sided (est >= exact), ranks contiguous
+    val cms = defs("q104_cms_heavy_hitters")(spark, d).collect()
+    assert(cms.length == 20)
+    assert(cms.map(_.getInt(0)).sameElements(1 to 20))
+    cms.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2), "CMS estimate below exact count")
+      assert(r.getLong(4) == r.getLong(3) - r.getLong(2))
+    }
+
     // SCD-2: per customer — versions contiguous from 1, exactly one
     // current row, intervals chain (next valid_from == prev valid_to)
     val scd = defs("q98_scd2_customer")(spark, d).collect()
