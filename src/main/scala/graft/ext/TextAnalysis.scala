@@ -424,22 +424,28 @@ object TextAnalysis {
     * [[tokenPairTopK]] aggregate without the head cut, for consumers that
     * need every pair's frequency (PMI collocations, merge scheduling).
     * One typed scan-speed flatMap + one map-side-combined groupBy. */
-  def tokenPairCounts(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def tokenPairCounts(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    tokenPairRows(df, textCol, idCol)
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-occurrence adjacent token pairs WITH the document id
+    * (doc, tok_a, tok_b) — the un-aggregated twin of [[tokenPairCounts]]
+    * for per-document scoring (LM log-prob, per-doc collocation hits). */
+  def tokenPairRows(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.where(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
       .as[(Long, String)]
-      .flatMap { case (_, text) =>
+      .flatMap { case (doc, text) =>
         if (text == null) Iterator.empty
         else {
           val t = tokenizeJvm(normalizeJvm(text))
-          (0 until t.length - 1).iterator.map(i => (t(i), t(i + 1)))
+          (0 until t.length - 1).iterator.map(i => (doc, t(i), t(i + 1)))
         }
       }
-      .toDF("tok_a", "tok_b")
-      .groupBy(col("tok_a"), col("tok_b"))
-      .agg(count(lit(1)).as("n"))
+      .toDF("doc", "tok_a", "tok_b")
   }
 
   /** Characteristic terms per group: for every value of `groupCol`, the

@@ -426,6 +426,39 @@ object AnalyticsQueries {
         .select(col("rank"), col("token"), col("cnt").as("freq"),
           col("cms_est"), (col("cms_est") - col("cnt")).as("overcount"))
         .orderBy(col("rank"))
+    }),
+
+    // Corpus-trained bigram-LM scoring (the CCNet/KenLM quality-filter
+    // analogue): a Laplace-smoothed bigram model trained on the
+    // non-benchmark sources scores EVERY doc's average log-probability.
+    // Each bigram's log-prob is quantized to an integer (floor ×1000)
+    // BEFORE the per-doc sum, so the sum is order-independent — a raw
+    // double Σln() would differ between engines by summation order. The
+    // LM tables are corpus artifacts; the scoring join is keyed on the
+    // bigram (shuffle bounded by pair vocabulary, broadcast when small).
+    "q105_lm_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val train = docs.where(col("source") =!= "src0")
+      val pairRows = TextAnalysis.tokenPairRows(docs, "text", "doc_id")
+      val lmPairs = TextAnalysis.tokenPairCounts(train, "text", "doc_id")
+        .withColumnRenamed("n", "cxy")
+      val lmUni = graft.ops.TransientCache.persist(
+        TextAnalysis.tokenRows(train, "text", "doc_id")
+          .groupBy(col("token")).agg(count(lit(1)).as("cx")))
+      val vocab = lmUni.agg(count(lit(1)).as("v"))
+      pairRows
+        .join(lmPairs, Seq("tok_a", "tok_b"), "left")
+        .join(lmUni.withColumnRenamed("token", "tok_a"), Seq("tok_a"), "left")
+        .crossJoin(vocab)
+        .withColumn("lp_q", expr(
+          "CAST(floor(1000 * ln(CAST(coalesce(cxy, 0) + 1 AS DOUBLE) " +
+            "/ CAST(coalesce(cx, 0) + v AS DOUBLE))) AS BIGINT)"))
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("sum_lp_q"))
+        .select(col("doc").as("doc_id"), col("n_bigrams"), col("sum_lp_q"),
+          expr("CAST(floor(CAST(sum_lp_q AS DOUBLE) / n_bigrams) AS BIGINT)")
+            .as("avg_lp_q"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -720,6 +753,26 @@ object AnalyticsQueries {
         |FROM ev JOIN scd USING (user_id)
         |WHERE ets >= vf AND ets < vt
         |ORDER BY event_id""".stripMargin,
+
+    "q105_lm_score" ->
+      s"""${ExtQueries.tokCte},
+         |u AS (SELECT doc_id, t, unnest(t) w, generate_subscripts(t, 1) i FROM tok),
+         |pr AS (SELECT doc_id, w tok_a, t[i+1] tok_b FROM u WHERE i < len(t)),
+         |tr AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+         |lmp AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) cxy
+         |        FROM pr JOIN tr USING (doc_id) GROUP BY 1, 2),
+         |lmu AS (SELECT w token, CAST(count(*) AS BIGINT) cx
+         |        FROM u JOIN tr USING (doc_id) GROUP BY 1),
+         |vv AS (SELECT CAST(count(*) AS BIGINT) v FROM lmu),
+         |sc AS (SELECT pr.doc_id,
+         |    CAST(floor(1000 * ln(CAST(COALESCE(cxy, 0) + 1 AS DOUBLE)
+         |      / CAST(COALESCE(cx, 0) + v AS DOUBLE))) AS BIGINT) lp_q
+         |  FROM pr LEFT JOIN lmp USING (tok_a, tok_b)
+         |  LEFT JOIN lmu ON pr.tok_a = lmu.token CROSS JOIN vv)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(lp_q) AS BIGINT) AS sum_lp_q,
+         |  CAST(floor(CAST(sum(lp_q) AS DOUBLE) / count(*)) AS BIGINT) AS avg_lp_q
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q104_cms_heavy_hitters" ->
       s"""${ExtQueries.tokCte},

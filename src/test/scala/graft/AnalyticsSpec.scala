@@ -194,6 +194,17 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getLong(4) == r.getLong(3) - r.getLong(2))
     }
 
+    // LM scoring: log-probs are negative, averages bounded by the sum,
+    // and every multi-token doc is scored
+    val lm = defs("q105_lm_score")(spark, d).collect()
+    val nMultiTok = Tables.documents(spark, d)
+      .where(size(split(col("text"), " ")) >= 2).count()
+    assert(lm.length == nMultiTok)
+    lm.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) < 0)
+      assert(r.getLong(3) <= 0 && r.getLong(3) >= r.getLong(2))
+    }
+
     // SCD-2: per customer — versions contiguous from 1, exactly one
     // current row, intervals chain (next valid_from == prev valid_to)
     val scd = defs("q98_scd2_customer")(spark, d).collect()
