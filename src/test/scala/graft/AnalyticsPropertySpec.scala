@@ -1,0 +1,107 @@
+package graft
+
+import graft.ext.{Components, TextAnalysis}
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the round-4 analytics operators: gopherFlags
+  * against a naive JVM reference, PageRank invariants on random
+  * digraphs. Fixed seeds (HygienePropertySpec pattern) keep failures
+  * reproducible. */
+class AnalyticsPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val vocab =
+    Vector("aa", "bb", "the", "a", "is", "word", "x1", "longishtoken", "of")
+  private val docGen: Gen[String] = for {
+    n <- Gen.choose(0, 80)
+    ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+  } yield ws.mkString(" ")
+
+  private def corpus(seed: Long, n: Int): Seq[(Long, String)] = {
+    val g = Gen.listOfN(n, docGen)
+    g(Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).getOrElse(Nil)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  }
+
+  test("gopherFlags: column algebra matches a naive JVM reference") {
+    import spark.implicits._
+    val enStops = TextAnalysis.langStopwords.head._2.toSet
+    for (seed <- 1L to 5L) {
+      val rows = corpus(seed, 30)
+      val got = TextAnalysis.gopherFlags(rows.toDF("doc_id", "text"), "text")
+        .orderBy("doc_id")
+        .select("doc_id", "n_words", "len_sum", "n_alpha", "n_stop_present",
+          "pass_gopher")
+        .collect()
+      rows.sortBy(_._1).zip(got).foreach { case ((id, text), r) =>
+        val toks = TextAnalysis.tokenizeJvm(TextAnalysis.normalizeJvm(text))
+        val nWords = toks.length.toLong
+        val lenSum = toks.map(_.length.toLong).sum
+        val nAlpha = toks.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+        val nStop = enStops.count(toks.contains).toLong
+        assert(r.getLong(0) == id)
+        assert(r.getLong(1) == nWords, s"n_words for '$text'")
+        assert(r.getLong(2) == lenSum, s"len_sum for '$text'")
+        assert(r.getLong(3) == nAlpha, s"n_alpha for '$text'")
+        assert(r.getLong(4) == nStop, s"n_stop_present for '$text'")
+        val expectPass = nWords >= 50 && nWords <= 100000 &&
+          lenSum >= 3 * nWords && lenSum <= 10 * nWords &&
+          5 * nAlpha >= 4 * nWords && nStop >= 2
+        assert(r.getBoolean(5) == expectPass, s"pass_gopher for '$text'")
+      }
+    }
+  }
+
+  test("pageRank: base floor, mass ceiling, and node universe on random digraphs") {
+    import spark.implicits._
+    for (seed <- 1L to 4L) {
+      val gen = for {
+        n <- Gen.choose(2, 12)
+        m <- Gen.choose(1, 25)
+        es <- Gen.listOfN(m, for {
+          a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+          if a != b
+        } yield (a.toLong, b.toLong))
+      } yield es.distinct
+      val edges = gen(Gen.Parameters.default, org.scalacheck.rng.Seed(seed))
+        .getOrElse(Nil)
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val pr = Components.pageRank(df, "src", "dst", 3).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        assert(pr.keySet == nodes, "every edge endpoint is ranked")
+        // every rank >= damped base; truncating integer division can only
+        // LOSE mass, so the total never exceeds n * pr0
+        assert(pr.values.forall(_ >= 150000L))
+        assert(pr.values.map(BigInt(_)).sum <= BigInt(nodes.size) * 1000000L)
+        // determinism: a second evaluation of the same loop is identical
+        val pr2 = Components.pageRank(df, "src", "dst", 3).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(pr == pr2)
+      }
+      graft.ops.TransientCache.releaseAll()
+    }
+  }
+
+  test("weighted-sample keys: heavier docs get stochastically smaller keys") {
+    import spark.implicits._
+    // key_q = floor(1e9 * ln(2^32/(u+1)) / w): for FIXED u, a larger
+    // weight strictly shrinks the key — verify the monotonicity on a
+    // grid (the property that makes A-ES weight-proportional).
+    val df = (1 to 50).map(i => (i.toLong, i.toLong * 7 % 13 + 1))
+      .toDF("doc_id", "w")
+    val keyed = df.selectExpr("doc_id", "w",
+      "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) AS u")
+      .selectExpr("doc_id", "w", "u",
+        "CAST(floor(1000000000 * (ln(4294967296.0 / (CAST(u AS DOUBLE) + 1.0)) / CAST(w AS DOUBLE))) AS BIGINT) AS key_q",
+        "CAST(floor(1000000000 * (ln(4294967296.0 / (CAST(u AS DOUBLE) + 1.0)) / CAST(w * 2 AS DOUBLE))) AS BIGINT) AS key_q_double_w")
+      .collect()
+    keyed.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(4) >= 0)
+      assert(r.getLong(4) <= r.getLong(3),
+        "doubling the weight must not grow the key")
+    }
+  }
+}
