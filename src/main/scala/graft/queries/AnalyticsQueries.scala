@@ -459,7 +459,46 @@ object AnalyticsQueries {
           expr("CAST(floor(CAST(sum_lp_q AS DOUBLE) / n_bigrams) AS BIGINT)")
             .as("avg_lp_q"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Incremental aggregate maintenance: yesterday's persisted daily
+    // aggregate merged with today's delta re-aggregate — the
+    // "don't recompute the world" pattern every 100 TB rollup table
+    // lives by (partial aggregates merge associatively, so the merge IS
+    // a groupBy-sum over the union). The oracle recomputes from scratch:
+    // equality proves the incremental identity.
+    "q106_incremental_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        date_trunc("day", col("ts")).as("day"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("vq"))
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      def agg(part: DataFrame): DataFrame =
+        part.groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n_events"), sum(col("vq")).as("value_q"))
+      val oldAgg = agg(ev.where(col("day") < cutoff))   // the persisted table
+      val delta = agg(ev.where(col("day") >= cutoff))   // today's load
+      oldAgg.unionByName(delta)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n_events")).as("n_events"), sum(col("value_q")).as("value_q"))
+        .orderBy(col("event_type"), col("day"))
+        .transform(Parity.outputDoubles)
+    }),
+
+    // Gap sessionization via Spark's NATIVE session_window aggregate
+    // (the merging-session-window operator, one shuffle on the user
+    // key) — the engine-native twin of q45's lag+running-sum form; the
+    // oracle states the same semantics relationally. Session spans
+    // [first_ts, last_ts + gap); an event exactly at the gap boundary
+    // starts a new session.
+    "q107_session_native" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+        .transform(Parity.outputDoubles))
   )
 
   /** The q102/q98 SCD-2 priority dimension (custkey < 150), keyed for
@@ -753,6 +792,32 @@ object AnalyticsQueries {
         |FROM ev JOIN scd USING (user_id)
         |WHERE ets >= vf AND ets < vt
         |ORDER BY event_id""".stripMargin,
+
+    "q106_incremental_agg" ->
+      """WITH ev AS (SELECT event_type,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) d,
+        |    CAST(floor(value * 1000) AS BIGINT) vq
+        |  FROM events)
+        |SELECT event_type, d AS "day", count(*) AS n_events,
+        |  CAST(sum(vq) AS BIGINT) AS value_q
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q107_session_native" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events),
+        |l AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) pts FROM e),
+        |f AS (SELECT user_id, ts,
+        |    CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END brk
+        |  FROM l),
+        |g AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) sid
+        |  FROM f)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
 
     "q105_lm_score" ->
       s"""${ExtQueries.tokCte},

@@ -205,6 +205,26 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getLong(3) <= 0 && r.getLong(3) >= r.getLong(2))
     }
 
+    // incremental agg: the merged old+delta table accounts for every event
+    val inc = defs("q106_incremental_agg")(spark, d)
+    assert(inc.agg(sum("n_events")).head().getLong(0) ==
+      Tables.events(spark, d).count())
+
+    // native session windows: per user, sessions ordered and disjoint
+    // (next start is at least gap past the previous last event)
+    val sess = defs("q107_session_native")(spark, d).collect()
+      .groupBy(_.getLong(0))
+    sess.foreach { case (_, rows) =>
+      rows.foreach(r => assert(r.getLong(3) >= 1))
+      val sorted = rows.sortBy(_.get(1).toString)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.get(2).toString <= b.get(1).toString,
+            "sessions overlap: next start precedes previous end")
+        case _ =>
+      }
+    }
+
     // SCD-2: per customer — versions contiguous from 1, exactly one
     // current row, intervals chain (next valid_from == prev valid_to)
     val scd = defs("q98_scd2_customer")(spark, d).collect()
