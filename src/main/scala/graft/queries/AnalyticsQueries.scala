@@ -405,21 +405,24 @@ object AnalyticsQueries {
     // one-sided overcount. Hashes are md5-derived (engine-portable);
     // est = min over the 4 rows of the bucket the token lands in.
     "q104_cms_heavy_hitters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
       val tc = graft.ops.TransientCache.persist(
-        TextAnalysis.tokenRows(Tables.documents(s, d), "text", "doc_id")
+        TextAnalysis.tokenRows(docs, "text", "doc_id")
           .groupBy(col("token")).agg(count(lit(1)).as("cnt")))
-      val hashed = tc.withColumn("j",
-          explode(array((0 until 4).map(lit): _*)))
-        .withColumn("bucket", expr(
-          "CAST(conv(substring(md5(CAST(concat(token, '#', j) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 512"))
-      val cms = hashed.groupBy(col("j"), col("bucket"))
-        .agg(sum(col("cnt")).as("bucket_sum"))
+      // counts-first register build: hash the VOCABULARY (tc), not every
+      // occurrence — Σcnt per bucket ≡ the per-occurrence register table
+      // (Sketches.cmsRegisters, the streaming twin's fold; same
+      // cmsBucket hash, StreamingSpec-pinned equal)
+      val cms = tc.withColumn("j", explode(array((0 until 4).map(lit): _*)))
+        .withColumn("bucket",
+          graft.ext.Sketches.cmsBucket(col("token"), col("j"), 512).cast("int"))
+        .groupBy(col("j"), col("bucket")).agg(sum(col("cnt")).as("bucket_sum"))
       val top = tc.orderBy(col("cnt").desc, col("token")).limit(20)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("cnt").desc, col("token"))).cast("int"))
       top.withColumn("j", explode(array((0 until 4).map(lit): _*)))
-        .withColumn("bucket", expr(
-          "CAST(conv(substring(md5(CAST(concat(token, '#', j) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 512"))
+        .withColumn("bucket",
+          graft.ext.Sketches.cmsBucket(col("token"), col("j"), 512).cast("int"))
         .join(broadcast(cms), Seq("j", "bucket"))
         .groupBy(col("rank"), col("token"), col("cnt"))
         .agg(min(col("bucket_sum")).as("cms_est"))

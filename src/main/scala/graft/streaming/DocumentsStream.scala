@@ -14,6 +14,8 @@ final case class SeenContent(canonicalId: Long)
   * streaming-sketch state, and the update record it emits. */
 final case class RegState(r: Int)
 final case class RegUpdate(g: String, bucket: Int, r: Int)
+final case class CmsState(n: Long)
+final case class CmsUpdate(j: Int, bucket: Int, n: Long)
 
 /** Structured Streaming surface over the `documents` corpus — the
   * incremental ingest shape of the training-data pipeline (documents
@@ -74,6 +76,30 @@ object DocumentsStream {
           it.foreach(t => if (t._3 > r) r = t._3)
           state.update(RegState(r))
           RegUpdate(g, bucket, r)
+      }
+  }
+
+  /** Streaming count-min-sketch registers — the incremental twin of the
+    * batch CMS (q104 / [[graft.ext.Sketches.cmsRegisters]]): keyed state
+    * per `(j, bucket)` accumulates occurrence counts with `+`, the same
+    * associative fold the batch register table uses, so the registers
+    * after ANY batch split equal the batch sketch over the same rows
+    * (StreamingSpec-pinned). State is hard-capped at d×w longs
+    * regardless of stream length — like [[hllRegisterUpdates]], no TTL
+    * needed. */
+  def cmsRegisterUpdates(spark: SparkSession, docs: DataFrame,
+                         textCol: String = "text",
+                         idCol: String = "doc_id",
+                         d: Int = 4, w: Int = 512): Dataset[CmsUpdate] = {
+    import spark.implicits._
+    graft.ext.Sketches.cmsBucketRows(docs, textCol, idCol, d, w)
+      .as[(Int, Int)]
+      .groupByKey(identity)
+      .mapGroupsWithState[CmsState, CmsUpdate](GroupStateTimeout.NoTimeout()) {
+        case ((j, bucket), it, state: GroupState[CmsState]) =>
+          val n = state.getOption.map(_.n).getOrElse(0L) + it.size
+          state.update(CmsState(n))
+          CmsUpdate(j, bucket, n)
       }
   }
 

@@ -240,4 +240,35 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("streaming CMS registers equal the batch sketch (multi-batch merge)") {
+    import graft.streaming.DocumentsStream
+    val dir = java.nio.file.Files.createTempDirectory("docs_cms")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+    val (a, bHalf) = (docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1))
+    def dump(name: String, mtime: Long, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs_part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    dump("b1.parquet", 1000000L, a)
+    dump("b2.parquet", 2000000L, bHalf)
+    val updates = DocumentsStream.cmsRegisterUpdates(spark,
+      DocumentsStream.readDocuments(spark, dir.toString, Some(1)), d = 4, w = 64)
+    runAvailableNow(updates.toDF(), "cms_regs", OutputMode.Update())
+    // counts are add-monotone, so the final value per key is the max
+    // over all emitted running totals
+    val streamed = spark.table("cms_regs")
+      .groupBy(col("j"), col("bucket")).agg(max(col("n")).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = graft.ext.Sketches.cmsRegisters(docs, "text", "doc_id", 4, 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
