@@ -68,10 +68,14 @@ object Sketches {
       .groupBy(col(groupCol), col("bucket"))
       .agg(max(col("rank")).as("r"))
 
-  def hllDistinct(df: DataFrame, keyCol: String, groupCol: String,
-                  b: Int = 8): DataFrame = {
+  /** Estimate from an existing register table `(groupCol, bucket, r)` —
+    * the second half of [[hllDistinct]], separated so MERGED registers
+    * (union + max across splits/days/tables, the sketch's whole point)
+    * estimate through the identical formula. Output:
+    * `(groupCol, n_buckets, est_milli)`. */
+  def hllEstimateFromRegisters(regs: DataFrame, groupCol: String,
+                               b: Int): DataFrame = {
     val m = 1 << b
-    val regs = hllRegisters(df, keyCol, groupCol, b)
     // Σ 2^(−r) scaled by 2^48: r ≤ 33 so each term ≥ 2^15 stays integral,
     // and with b ≤ 12 the worst case m·2^48 = 2^60 fits BIGINT.
     val sums = regs.groupBy(col(groupCol))
@@ -87,14 +91,20 @@ object Sketches {
     val lcEst = lit(m.toDouble) * log(lit(m.toDouble) / vEmpty.cast("double"))
     val est = when(rawEst <= lit(2.5 * m) && vEmpty > 0, lcEst)
       .otherwise(rawEst)
-    val estMilli = floor(est * lit(1000.0)).cast("long")
+    sums.select(col(groupCol), col("n_buckets").cast("int").as("n_buckets"),
+      floor(est * lit(1000.0)).cast("long").as("est_milli"))
+  }
+
+  def hllDistinct(df: DataFrame, keyCol: String, groupCol: String,
+                  b: Int = 8): DataFrame = {
+    val est = hllEstimateFromRegisters(
+      hllRegisters(df, keyCol, groupCol, b), groupCol, b)
     val exact = df.where(col(keyCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(countDistinct(col(keyCol)).as("n_exact"))
-    exact.join(sums, groupCol)
-      .select(col(groupCol), col("n_exact"),
-        col("n_buckets").cast("int").as("n_buckets"),
-        estMilli.as("est_milli"))
+    exact.join(est, groupCol)
+      .select(col(groupCol), col("n_exact"), col("n_buckets"),
+        col("est_milli"))
   }
 
   /** Count-min-sketch bucket for a token column under hash row `j`:

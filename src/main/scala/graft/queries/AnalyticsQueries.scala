@@ -487,6 +487,24 @@ object AnalyticsQueries {
         .transform(Parity.outputDoubles)
     }),
 
+    // HLL sketch-merge identity: registers built on two DISJOINT splits
+    // of the fact, merged with union+max (the sketch's defining
+    // operation — how per-day/per-table sketches combine at 100 TB
+    // without touching raw data), then estimated. The oracle computes
+    // registers over the whole fact directly: equality proves the merge
+    // is lossless (max is associative over the register lattice).
+    "q108_hll_merge" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def regs(part: DataFrame): DataFrame =
+        graft.ext.Sketches.hllRegisters(part, "o_custkey", "o_orderpriority", 8)
+      val merged = regs(o.where(col("o_orderkey") % 2 === 0))
+        .unionByName(regs(o.where(col("o_orderkey") % 2 === 1)))
+        .groupBy(col("o_orderpriority"), col("bucket"))
+        .agg(max(col("r")).as("r"))
+      graft.ext.Sketches.hllEstimateFromRegisters(merged, "o_orderpriority", 8)
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Gap sessionization via Spark's NATIVE session_window aggregate
     // (the merging-session-window operator, one shuffle on the user
     // key) — the engine-native twin of q45's lag+running-sum form; the
@@ -795,6 +813,31 @@ object AnalyticsQueries {
         |FROM ev JOIN scd USING (user_id)
         |WHERE ets >= vf AND ets < vt
         |ORDER BY event_id""".stripMargin,
+
+    "q108_hll_merge" ->
+      """WITH h AS (SELECT o_orderpriority g, md5(CAST(o_custkey AS VARCHAR)) h
+        |           FROM orders WHERE o_custkey IS NOT NULL),
+        |r0 AS (SELECT g, CAST(concat('0x', substr(h, 1, 2)) AS INT) bucket,
+        |         CAST(concat('0x', substr(h, 3, 8)) AS BIGINT) x FROM h),
+        |regs AS (SELECT g, bucket,
+        |           max(CASE WHEN x > 0 THEN 33 - length(bin(x)) ELSE 33 END) r
+        |         FROM r0 GROUP BY 1, 2),
+        |s AS (SELECT g, CAST(sum(CAST(1 AS BIGINT) << (48 - r)) AS BIGINT) s_seen,
+        |        CAST(count(*) AS BIGINT) nb
+        |      FROM regs GROUP BY 1),
+        |st AS (SELECT g, nb, s_seen + (256 - nb) * 281474976710656 s_total FROM s),
+        |e1 AS (SELECT g, nb,
+        |         (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+        |           * 281474976710656.0 / CAST(s_total AS DOUBLE) raw
+        |       FROM st),
+        |e2 AS (SELECT g, nb,
+        |         CASE WHEN raw <= 640.0 AND nb < 256
+        |           THEN 256.0 * ln(256.0 / CAST(256 - nb AS DOUBLE))
+        |           ELSE raw END est
+        |       FROM e1)
+        |SELECT g AS o_orderpriority, CAST(nb AS INT) AS n_buckets,
+        |  CAST(floor(est * 1000.0) AS BIGINT) AS est_milli
+        |FROM e2 ORDER BY 1""".stripMargin,
 
     "q106_incremental_agg" ->
       """WITH ev AS (SELECT event_type,
