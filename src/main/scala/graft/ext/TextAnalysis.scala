@@ -91,7 +91,12 @@ object TextAnalysis {
     * Integer-exact: every ratio threshold is cross-multiplied
     * (`len_sum >= 3 * n_words` instead of `len_sum / n_words >= 3`), so
     * any SQL engine reproduces the same booleans bit-for-bit. Pure column
-    * algebra — map-side, codegen, no shuffle. */
+    * algebra — map-side, codegen, no shuffle.
+    *
+    * NULL text: the count stats are null, but `pass_gopher` is FALSE,
+    * not null — `n_stop_present`'s `otherwise(0)` makes `flag_stop`
+    * false and `null AND false = false` — so a null document can never
+    * pass the gate (AnalyticsSpec-pinned). */
   def gopherFlags(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(normalize(col(textCol)))
     val enStops = langStopwords.head._2

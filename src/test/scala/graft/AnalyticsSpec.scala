@@ -90,6 +90,43 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(res(2).getLong(1) == 1L && res(2).getLong(2) == 0L && res(2).getLong(3) == 1L)
   }
 
+  test("edge inputs: empty graphs, null text, degenerate domains don't crash") {
+    import spark.implicits._
+    // pageRank on an empty edge list -> empty result, no job failure
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Components.pageRank(emptyEdges, "src", "dst", 3).count() == 0)
+    graft.ops.TransientCache.releaseAll()
+
+    // gopherFlags on null text: null stats propagate, nothing throws
+    val withNull = Seq((1L, null.asInstanceOf[String]), (2L, "the is word"))
+      .toDF("doc_id", "text")
+    val gf = TextAnalysis.gopherFlags(withNull, "text")
+      .orderBy("doc_id").collect()
+    assert(gf(0).isNullAt(gf(0).fieldIndex("n_words")))
+    // null text FAILS the gate (not null): n_stop_present's otherwise(0)
+    // makes flag_stop false, and null AND false = false — a null doc can
+    // never pass a quality filter
+    assert(!gf(0).getBoolean(gf(0).fieldIndex("pass_gopher")))
+    assert(!gf(1).isNullAt(gf(1).fieldIndex("n_words")))
+
+    // histogram quantiles on a single-value domain: width clamps to 1,
+    // every estimate is that value
+    val flat = Seq.fill(10)(("en", 42L)).zipWithIndex
+      .map { case ((l, v), i) => (i.toLong, l, v) }
+      .toDF("doc_id", "lang", "n_chars")
+    flat.createOrReplaceTempView("flat_docs")
+    val v = flat.select(col("lang"), col("n_chars").as("x"))
+    val b = v.agg(min(col("x")).as("gmin"), max(col("x")).as("gmax"))
+    val est = v.crossJoin(b)
+      .withColumn("w", expr("greatest((gmax - gmin + 63) div 64, 1)"))
+      .withColumn("bin", expr("least((x - gmin) div w, 63)"))
+      .groupBy(col("lang"), col("gmin"), col("w"), col("bin"))
+      .agg(count(lit(1)).as("bn"))
+      .select(expr("gmin + bin * w").as("lo"))
+      .collect()
+    assert(est.forall(_.getLong(0) == 42L))
+  }
+
   test("q88/q90/q91/q95/q98 registry queries: internal invariants at sf0.001") {
     val d = "/root/testdata/sf0.001"
     val defs = graft.queries.AnalyticsQueries.defs
