@@ -76,10 +76,17 @@ class AnalyticsPropertySpec extends AnyFunSuite {
         // LOSE mass, so the total never exceeds n * pr0
         assert(pr.values.forall(_ >= 150000L))
         assert(pr.values.map(BigInt(_)).sum <= BigInt(nodes.size) * 1000000L)
-        // determinism: a second evaluation of the same loop is identical
-        val pr2 = Components.pageRank(df, "src", "dst", 3).collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(pr == pr2)
+        // integer arithmetic admits an EXACT reference: simulate the
+        // same update rule on the driver and require equality
+        val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        var ref = nodes.map(_ -> 1000000L).toMap
+        for (_ <- 1 to 3) {
+          val cin = edges.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+            (ref(u) * 17) / (20 * outdeg(u))
+          }.sum).toMap
+          ref = nodes.map(n => n -> (150000L + cin.getOrElse(n, 0L))).toMap
+        }
+        assert(pr == ref, s"distributed PageRank diverges from reference on $edges")
       }
       graft.ops.TransientCache.releaseAll()
     }
