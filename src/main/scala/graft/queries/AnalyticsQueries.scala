@@ -505,6 +505,28 @@ object AnalyticsQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ANN recall audit: recall@3 of the IVF index against brute-force
+    // ground truth, per query vector — the calibration every ANN
+    // deployment runs before trusting an index (ground truth on a query
+    // SAMPLE at scale; both sides are the existing oracle-gated
+    // operators, so this query also pins their relative semantics).
+    "q109_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val truth = graft.ext.Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", col("vec_id") < 10, 3)
+        .select(col("query_id"), col("vec_id"))
+      val approx = graft.ext.Similarity.ivfTopK(
+          emb, "vec_id", "embedding", col("vec_id") < 10, 3, 16, 2)
+        .select(col("query_id"), col("vec_id"))
+      val hits = truth.join(approx, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      truth.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall_ppm", expr("(1000000 * n_hit) div 3"))
+        .orderBy(col("query_id"))
+    }),
+
     // Gap sessionization via Spark's NATIVE session_window aggregate
     // (the merging-session-window operator, one shuffle on the user
     // key) — the engine-native twin of q45's lag+running-sum form; the
@@ -813,6 +835,59 @@ object AnalyticsQueries {
         |FROM ev JOIN scd USING (user_id)
         |WHERE ets >= vf AND ets < vt
         |ORDER BY event_id""".stripMargin,
+
+    "q109_ann_recall" ->
+      s"""${ExtQueries.qeCtes},
+         |bsc AS (SELECT q.vec_id query_id, c.vec_id vec_id,
+         |         CAST(list_dot_product(q.q, c.q) AS BIGINT) dot,
+         |         nq.n nq, nc.n nc
+         |       FROM qe q
+         |       JOIN qe c ON c.vec_id <> q.vec_id
+         |       JOIN nrm nq ON q.vec_id = nq.vec_id
+         |       JOIN nrm nc ON c.vec_id = nc.vec_id
+         |       WHERE q.vec_id < 10),
+         |bt AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+         |                 vec_id) rank
+         |    FROM bsc) WHERE rank <= 3),
+         |cent AS (SELECT vec_id cid, q cv FROM qe ORDER BY vec_id LIMIT 16),
+         |cn AS (SELECT cid, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) n
+         |       FROM cent),
+         |asg0 AS (SELECT e.vec_id, c.cid,
+         |    CAST(list_dot_product(e.q, c.cv) AS DOUBLE)
+         |      / sqrt(CAST(ne.n AS DOUBLE) * CAST(cn.n AS DOUBLE)) ccos
+         |  FROM qe e CROSS JOIN cent c
+         |  JOIN nrm ne ON e.vec_id = ne.vec_id
+         |  JOIN cn ON c.cid = cn.cid),
+         |asg AS (SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn
+         |    FROM asg0) WHERE rn = 1),
+         |probes AS (SELECT vec_id query_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn
+         |    FROM asg0 WHERE vec_id < 10) WHERE rn <= 2),
+         |isc AS (SELECT p.query_id, a.vec_id,
+         |    CAST(list_dot_product(qq.q, cq.q) AS BIGINT) dot, nq.n nq, nc.n nc
+         |  FROM probes p
+         |  JOIN asg a ON p.cid = a.cid AND a.vec_id <> p.query_id
+         |  JOIN qe qq ON p.query_id = qq.vec_id
+         |  JOIN qe cq ON a.vec_id = cq.vec_id
+         |  JOIN nrm nq ON p.query_id = nq.vec_id
+         |  JOIN nrm nc ON a.vec_id = nc.vec_id),
+         |it AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+         |                 vec_id) rank
+         |    FROM isc) WHERE rank <= 3),
+         |h AS (SELECT bt.query_id, count(it.vec_id) n_hit
+         |      FROM bt LEFT JOIN it ON bt.query_id = it.query_id
+         |        AND bt.vec_id = it.vec_id
+         |      GROUP BY 1)
+         |SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST((1000000 * n_hit) // 3 AS BIGINT) AS recall_ppm
+         |FROM h ORDER BY query_id""".stripMargin,
 
     "q108_hll_merge" ->
       """WITH h AS (SELECT o_orderpriority g, md5(CAST(o_custkey AS VARCHAR)) h

@@ -222,6 +222,14 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getLong(2) <= r.getLong(1) && r.getLong(1) > 0)
     }
 
+    // ANN recall: one row per query vector, hits bounded by k
+    val rec = defs("q109_ann_recall")(spark, d).collect()
+    assert(rec.length == 10)
+    rec.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 3)
+      assert(r.getLong(2) == 1000000L * r.getLong(1) / 3)
+    }
+
     // CMS: estimates are one-sided (est >= exact), ranks contiguous
     val cms = defs("q104_cms_heavy_hitters")(spark, d).collect()
     assert(cms.length == 20)
