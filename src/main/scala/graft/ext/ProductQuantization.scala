@@ -48,14 +48,51 @@ object ProductQuantization {
     * intermediates; `codebook` is the driver-side model. */
   private case class PqModel(qe: DataFrame, encoded: DataFrame, lut: DataFrame)
 
+  /** Session-lifetime model share (the [[graft.ops.SessionCache]]
+    * pattern, holding the whole trained model): both ADC consumers (PQ
+    * top-k and IVFADC) train on identical (input, isQuery, m, codes) —
+    * rebuilding the codebook per query repeats two driver collects and
+    * three persisted passes. The caller's `shareKey` must uniquely
+    * identify that tuple (the query registry keys by sf dir). */
+  private val shared = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), Option[PqModel]]
+
+  private def buildModel(emb: DataFrame, idCol: String, embCol: String,
+                         isQuery: Column, m: Int, codes: Int,
+                         shareKey: Option[String]): Option[PqModel] =
+    shareKey match {
+      case None =>
+        doBuild(emb, idCol, embCol, isQuery, m, codes,
+          graft.ops.TransientCache.persist)
+      case Some(key) =>
+        val spark = emb.sparkSession
+        shared.keys.filter(_._1.sparkContext.isStopped).foreach(shared.remove)
+        shared.get((spark, key)) match {
+          case Some(mod) => mod
+          case None =>
+            val built = doBuild(emb, idCol, embCol, isQuery, m, codes,
+              df => { df.persist(); df })
+            shared.putIfAbsent((spark, key), built) match {
+              case Some(winner) => // lost the race: release our persists
+                built.foreach(mod => Seq(mod.qe, mod.encoded)
+                  .foreach(_.unpersist(blocking = false)))
+                winner
+              case None => built
+            }
+        }
+    }
+
   /** Build codebooks (one Lloyd update from the `codes` lowest-id seeds,
     * per subspace), encode every vector, and derive the query-side ADC
-    * LUT. None when the input is empty. */
-  private def buildModel(emb: DataFrame, idCol: String, embCol: String,
-                         isQuery: Column, m: Int, codes: Int): Option[PqModel] = {
+    * LUT. None when the input is empty. `track` owns intermediate
+    * persistence (transient per-query, or session-lifetime when the
+    * model is shared). */
+  private def doBuild(emb: DataFrame, idCol: String, embCol: String,
+                      isQuery: Column, m: Int, codes: Int,
+                      track: DataFrame => DataFrame): Option[PqModel] = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val qe = graft.ops.TransientCache.persist(
+    val qe = track(
       emb.select(col(idCol).cast("long").as("vec_id"),
         Clustering.quantizeOffset(col(embCol)).as("q"),
         isQuery.as("is_q")))
@@ -70,7 +107,7 @@ object ProductQuantization {
 
     // One row per (vector, subspace): the PQ working set. Persisted — it
     // feeds pass-1 assignment, the codebook update, encoding and the LUT.
-    val subs = graft.ops.TransientCache.persist(
+    val subs = track(
       qe.select(col("vec_id"), col("is_q"),
           explode(array((0 until m).map(s =>
             struct(lit(s).as("s"),
@@ -88,7 +125,7 @@ object ProductQuantization {
       }
       (s, nearest(ds).getField("cid"))
     })
-    val asg1 = graft.ops.TransientCache.persist(subs.withColumn("c1", c1Expr))
+    val asg1 = track(subs.withColumn("c1", c1Expr))
 
     // Lloyd update: (subspace, code, dim)-keyed integer means ×10. Only
     // the m×codes×subDim model crosses the driver.
@@ -117,7 +154,7 @@ object ProductQuantization {
       (s, nearest(cb1(s).map { case (cid, mv) => (codewordDist(mv), cid) })
         .getField("cid"))
     })
-    val encoded = graft.ops.TransientCache.persist(
+    val encoded = track(
       asg1.withColumn("code", c2Expr)
         .select(col("vec_id"), col("is_q"), col("s"), col("code")))
 
@@ -161,9 +198,10 @@ object ProductQuantization {
     * subspace (seeded from the `codes` lowest-id vectors, one Lloyd
     * update). */
   def pqTopK(emb: DataFrame, idCol: String, embCol: String, isQuery: Column,
-             k: Int = 3, m: Int = 4, codes: Int = 8): DataFrame = {
+             k: Int = 3, m: Int = 4, codes: Int = 8,
+             shareKey: Option[String] = None): DataFrame = {
     require(m > 0 && codes > 0 && k > 0, "m, codes, k must be positive")
-    buildModel(emb, idCol, embCol, isQuery, m, codes) match {
+    buildModel(emb, idCol, embCol, isQuery, m, codes, shareKey) match {
       case None => emptyResult(emb)
       case Some(mod) =>
         // ADC: candidates carry only codes; the LUT join is a broadcast
@@ -187,10 +225,11 @@ object ProductQuantization {
     * table is queries × nprobe rows and broadcasts. */
   def ivfpqTopK(emb: DataFrame, idCol: String, embCol: String,
                 isQuery: Column, k: Int = 3, m: Int = 4, codes: Int = 8,
-                nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+                nlist: Int = 16, nprobe: Int = 2,
+                shareKey: Option[String] = None): DataFrame = {
     require(nlist > 0 && nprobe > 0 && nprobe <= nlist,
       "need 0 < nprobe <= nlist")
-    buildModel(emb, idCol, embCol, isQuery, m, codes) match {
+    buildModel(emb, idCol, embCol, isQuery, m, codes, shareKey) match {
       case None => emptyResult(emb)
       case Some(mod) =>
         // Coarse centroids: the nlist lowest-id vectors (model-sized

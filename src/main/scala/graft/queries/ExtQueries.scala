@@ -105,10 +105,15 @@ object ExtQueries {
         .orderBy(col("vec_id"))),
 
     // Product-quantization ANN (Jégou 2011): 4 subspaces × 8 codewords,
-    // asymmetric-distance top-3 for query vectors vec_id < 10.
+    // asymmetric-distance top-3 for query vectors vec_id < 10. The
+    // trained model (codebook + codes + LUT) is a session-shared
+    // artifact — q87's IVFADC runs the same codes behind its coarse
+    // quantizer, the production shape (PQ codes are a persisted index,
+    // not a per-query rebuild).
     "q84_pq_ann" -> ((s, d) =>
       ProductQuantization.pqTopK(Tables.embeddings(s, d), "vec_id",
-          "embedding", col("vec_id") < 10, 3, 4, 8)
+          "embedding", col("vec_id") < 10, 3, 4, 8,
+          shareKey = Some(s"pq:$d:q10:4x8"))
         .orderBy(col("query_id"), col("rank"))),
 
     // SemDeDup: k-means clusters (k=8), drop vectors with an earlier-id
@@ -121,7 +126,8 @@ object ExtQueries {
     // query scores only its 2 nearest of 16 cells (by_residual=false).
     "q87_ivfpq_ann" -> ((s, d) =>
       ProductQuantization.ivfpqTopK(Tables.embeddings(s, d), "vec_id",
-          "embedding", col("vec_id") < 10, 3, 4, 8, 16, 2)
+          "embedding", col("vec_id") < 10, 3, 4, 8, 16, 2,
+          shareKey = Some(s"pq:$d:q10:4x8"))
         .orderBy(col("query_id"), col("rank"))),
 
     // Language-ID heuristic: stopword hits per language, priority argmax.
