@@ -28,6 +28,15 @@ object ExtQueries {
     graft.ops.SessionCache.getOrBuild(s, s"knn_graph:$d")(
       Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", 3, 16))
 
+  /** Shared per-session SimHash near-dup component map (Hamming ≤ 2 over
+    * [[simhashSigs]]) — consumed by q54 (the map itself) and q67
+    * (keep-best resolution over it). The iterative label-propagation
+    * loop runs once per session; its persisted fixpoint is the artifact
+    * a pipeline would store next to the signatures. */
+  private[queries] def simhashComps(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"simhash_comps:$d")(
+      Dedup.simhashComponents(simhashSigs(s, d), 2))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on normalized content (one shuffle on a

@@ -38,7 +38,7 @@ object PipelineQueries {
     // the same shared per-session signature table; identical signatures
     // collapse to one representative before the loop.
     "q54_dedup_components" -> ((s, d) =>
-      Dedup.simhashComponents(ExtQueries.simhashSigs(s, d), 2)
+      ExtQueries.simhashComps(s, d)
         .select(col("doc").as("doc_id"), col("comp").as("component"))
         .orderBy(col("doc_id"))),
 
@@ -297,7 +297,7 @@ object PipelineQueries {
     // q41 quality score (keep-best-not-first policy) — rank 1 survives,
     // the rest are the drop set.
     "q67_dedup_keep_best" -> ((s, d) => {
-      val comps = Dedup.simhashComponents(ExtQueries.simhashSigs(s, d), 2)
+      val comps = ExtQueries.simhashComps(s, d)
       val qual = TextAnalysis.withTokenProfile(Tables.documents(s, d), "text")
         .select(col("doc_id"), col("quality"))
       Components.canonicalPerComponent(comps, "doc", "comp", qual,
