@@ -293,9 +293,16 @@ object AnalyticsQueries {
           .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
           .select(col("source"), col("s")).distinct())
       val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
-      val pairs = sg.as("a")
-        .join(sg.as("b"), col("a.s") === col("b.s") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      // pair INSIDE each gram's posting list: collect the sorted source
+      // set per gram (bounded by |sources|), expand ordered pairs
+      // map-side — no gram self-join ever materializes
+      val pairs = sg.groupBy(col("s"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .select(explode(expr(
+          "flatten(transform(srcs, (a, i) -> " +
+            "transform(slice(srcs, i + 2, size(srcs)), " +
+            "b -> struct(a AS src_a, b AS src_b))))")).as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
         .agg(count(lit(1)).as("n_shared"))
       pairs
         .join(sizes.select(col("source").as("src_a"), col("n_grams").as("n_a")), "src_a")
