@@ -534,6 +534,22 @@ object AnalyticsQueries {
         .orderBy(col("query_id"))
     }),
 
+    // Sliding-window reach: 7-day windows sliding by 1 day (each event
+    // lands in 7 overlapping windows) with exact distinct users — the
+    // rolling-reach metric, via Spark's native sliding window()
+    // generator (epoch-aligned day boundaries, which the oracle states
+    // as a calendar join). Distinct from q95's ROWS frame: window() is
+    // a generator + aggregate, no dense grid needed.
+    "q110_sliding_reach" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "7 days", "1 day").as("w"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
+          col("n_users"), col("n_events"))
+        .orderBy(col("win_start"))
+        .transform(Parity.outputDoubles)),
+
     // Gap sessionization via Spark's NATIVE session_window aggregate
     // (the merging-session-window operator, one shuffle on the user
     // key) — the engine-native twin of q45's lag+running-sum form; the
@@ -842,6 +858,18 @@ object AnalyticsQueries {
         |FROM ev JOIN scd USING (user_id)
         |WHERE ets >= vf AND ets < vt
         |ORDER BY event_id""".stripMargin,
+
+    "q110_sliding_reach" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) ts, user_id FROM events),
+        |b AS (SELECT date_trunc('day', min(ts)) - INTERVAL 6 DAY d0,
+        |        date_trunc('day', max(ts)) d1 FROM ev),
+        |ws AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) w0 FROM b),
+        |j AS (SELECT w0, user_id
+        |      FROM ws JOIN ev ON ts >= w0 AND ts < w0 + INTERVAL 7 DAY)
+        |SELECT w0 AS win_start, w0 + INTERVAL 7 DAY AS win_end,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  count(*) AS n_events
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q109_ann_recall" ->
       s"""${ExtQueries.qeCtes},

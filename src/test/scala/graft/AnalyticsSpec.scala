@@ -230,6 +230,11 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getLong(2) == 1000000L * r.getLong(1) / 3)
     }
 
+    // sliding reach: every event lands in exactly 7 overlapping windows
+    val sr = defs("q110_sliding_reach")(spark, d)
+    assert(sr.agg(sum("n_events")).head().getLong(0) ==
+      7L * Tables.events(spark, d).count())
+
     // CMS: estimates are one-sided (est >= exact), ranks contiguous
     val cms = defs("q104_cms_heavy_hitters")(spark, d).collect()
     assert(cms.length == 20)
