@@ -550,6 +550,77 @@ object AnalyticsQueries {
         .orderBy(col("win_start"))
         .transform(Parity.outputDoubles)),
 
+    // 7-day rolling sums over the SPARSE daily aggregate via a RANGE
+    // window frame (order by epoch-day, range [-6, 0]) — no dense grid
+    // needed: the frame is value-bounded, so missing days simply
+    // contribute nothing. The frame-mechanism counterpart to q95's
+    // ROWS-over-grid form.
+    "q111_range_frame" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          expr("CAST(floor(value * 1000) AS BIGINT)").as("vq"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_events"), sum(col("vq")).as("value_q"))
+        .withColumn("day_num",
+          expr("CAST(datediff(CAST(day AS DATE), DATE '1970-01-01') AS BIGINT)"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("r7_n", sum(col("n_events")).over(w))
+        .withColumn("r7_value_q", sum(col("value_q")).over(w))
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("value_q"), col("r7_n"), col("r7_value_q"))
+        .orderBy(col("event_type"), col("day"))
+        .transform(Parity.outputDoubles)
+    }),
+
+    // Snapshot reconciliation via FULL OUTER join: two overlapping
+    // extraction windows of the daily aggregate compared key-by-key —
+    // added / removed / same per (type, day), the diff report a
+    // warehouse reload publishes.
+    "q112_snapshot_reconcile" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val cutA = lit("2024-01-21 00:00:00").cast("timestamp")
+      val cutB = lit("2024-01-11 00:00:00").cast("timestamp")
+      val a = daily.where(col("day") < cutA)
+        .select(col("event_type"), col("day"), col("n").as("n_a"))
+      val b = daily.where(col("day") >= cutB)
+        .select(col("event_type"), col("day"), col("n").as("n_b"))
+      a.join(b, Seq("event_type", "day"), "full_outer")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n_a"), lit(-1L)).as("n_a"),
+          coalesce(col("n_b"), lit(-1L)).as("n_b"),
+          when(col("n_a").isNull, lit("added"))
+            .when(col("n_b").isNull, lit("removed"))
+            .when(col("n_a") === col("n_b"), lit("same"))
+            .otherwise(lit("changed")).as("status"))
+        .orderBy(col("event_type"), col("day"))
+        .transform(Parity.outputDoubles)
+    }),
+
+    // Vocabulary set algebra between two sources: INTERSECT / EXCEPT
+    // (both directions) / UNION distinct counts — the set operators the
+    // relational surface hadn't exercised, over the distinct token sets.
+    "q113_vocab_setops" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def vocab(src: String): DataFrame =
+        TextAnalysis.tokenRows(docs.where(col("source") === src),
+          "text", "doc_id")
+          .select(col("token")).distinct()
+      val a = vocab("src1"); val b = vocab("src2")
+      def cnt(op: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_tokens")).select(lit(op).as("op"),
+          col("n_tokens"))
+      cnt("except_a", a.except(b))
+        .unionAll(cnt("except_b", b.except(a)))
+        .unionAll(cnt("intersect", a.intersect(b)))
+        .unionAll(cnt("union", a.union(b).distinct()))
+        .orderBy(col("op"))
+    }),
+
     // Gap sessionization via Spark's NATIVE session_window aggregate
     // (the merging-session-window operator, one shuffle on the user
     // key) — the engine-native twin of q45's lag+running-sum form; the
@@ -858,6 +929,57 @@ object AnalyticsQueries {
         |FROM ev JOIN scd USING (user_id)
         |WHERE ets >= vf AND ets < vt
         |ORDER BY event_id""".stripMargin,
+
+    "q111_range_frame" ->
+      """WITH daily AS (SELECT event_type,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) d,
+        |    count(*) n_events,
+        |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) value_q
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT *, CAST(date_diff('day', DATE '1970-01-01', CAST(d AS DATE)) AS BIGINT) day_num
+        |      FROM daily)
+        |SELECT event_type, d AS "day", n_events, value_q,
+        |  CAST(sum(n_events) OVER w AS BIGINT) AS r7_n,
+        |  CAST(sum(value_q) OVER w AS BIGINT) AS r7_value_q
+        |FROM n WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q112_snapshot_reconcile" ->
+      """WITH daily AS (SELECT event_type,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) d, count(*) n
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, d, n n_a FROM daily
+        |      WHERE d < TIMESTAMP '2024-01-21 00:00:00'),
+        |b AS (SELECT event_type, d, n n_b FROM daily
+        |      WHERE d >= TIMESTAMP '2024-01-11 00:00:00')
+        |SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+        |  COALESCE(a.d, b.d) AS "day",
+        |  CAST(COALESCE(n_a, -1) AS BIGINT) AS n_a,
+        |  CAST(COALESCE(n_b, -1) AS BIGINT) AS n_b,
+        |  CASE WHEN n_a IS NULL THEN 'added'
+        |       WHEN n_b IS NULL THEN 'removed'
+        |       WHEN n_a = n_b THEN 'same' ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b
+        |  ON a.event_type = b.event_type AND a.d = b.d
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q113_vocab_setops" ->
+      s"""${ExtQueries.tokCte},
+         |p AS (SELECT doc_id, unnest(t) token FROM tok),
+         |va AS (SELECT DISTINCT token FROM p JOIN documents USING (doc_id)
+         |       WHERE source = 'src1'),
+         |vb AS (SELECT DISTINCT token FROM p JOIN documents USING (doc_id)
+         |       WHERE source = 'src2')
+         |SELECT 'except_a' AS op,
+         |  (SELECT count(*) FROM (SELECT token FROM va EXCEPT SELECT token FROM vb)) AS n_tokens
+         |UNION ALL SELECT 'except_b',
+         |  (SELECT count(*) FROM (SELECT token FROM vb EXCEPT SELECT token FROM va))
+         |UNION ALL SELECT 'intersect',
+         |  (SELECT count(*) FROM (SELECT token FROM va INTERSECT SELECT token FROM vb))
+         |UNION ALL SELECT 'union',
+         |  (SELECT count(*) FROM (SELECT token FROM va UNION SELECT token FROM vb))
+         |ORDER BY op""".stripMargin,
 
     "q110_sliding_reach" ->
       """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) ts, user_id FROM events),

@@ -230,6 +230,32 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getLong(2) == 1000000L * r.getLong(1) / 3)
     }
 
+    // RANGE-frame rolling equals the dense-grid ROWS form on active days
+    val rangeRoll = defs("q111_range_frame")(spark, d)
+      .select(col("event_type"), col("day"), col("r7_n"))
+    val gridRoll = defs("q95_rolling_7d")(spark, d)
+      .where(col("n_events") > 0)
+      .select(col("event_type"), col("day"), col("roll7_n"))
+    val joinedRoll = rangeRoll.join(gridRoll, Seq("event_type", "day"))
+    assert(joinedRoll.count() == rangeRoll.count())
+    assert(joinedRoll.where(col("r7_n") =!= col("roll7_n")).count() == 0,
+      "RANGE frame and dense-grid ROWS frame disagree")
+
+    // reconciliation statuses partition by the cutoffs
+    val rc = defs("q112_snapshot_reconcile")(spark, d).collect()
+    rc.foreach { r =>
+      val day = r.get(1).toString
+      val status = r.getString(4)
+      if (day < "2024-01-11") assert(status == "removed")
+      else if (day >= "2024-01-21") assert(status == "added")
+      else assert(status == "same")
+    }
+
+    // set algebra: |A\B| + |B\A| + |A∩B| == |A∪B|
+    val so = defs("q113_vocab_setops")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(so("except_a") + so("except_b") + so("intersect") == so("union"))
+
     // sliding reach: every event lands in exactly 7 overlapping windows
     val sr = defs("q110_sliding_reach")(spark, d)
     assert(sr.agg(sum("n_events")).head().getLong(0) ==
