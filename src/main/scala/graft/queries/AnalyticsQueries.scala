@@ -621,6 +621,27 @@ object AnalyticsQueries {
         .orderBy(col("op"))
     }),
 
+    // Keyset pagination (T4's 100 TB OFFSET replacement,
+    // MemberOps.keysetPage's predicate shape) end-to-end: the page-1
+    // tail is computed AS PART OF THE PLAN (a 1-row broadcast cursor, no
+    // driver round-trip) and page 2 is the strictly-after
+    // (caption, unique_name) fetch — no skip-scan, the index-seek form
+    // OFFSET can't give.
+    "q114_keyset_page" -> ((s, d) => {
+      val m = Relational.members(s, d)
+        .where(col("JERARQUIA") === "[Customer].[Geo]")
+        .select(col("MIEMBRO_CAPTION").as("caption"),
+          col("MIEMBRO_UNIQUE_NAME").as("unique_name"))
+      val cursor = m.orderBy(col("caption"), col("unique_name")).limit(10)
+        .orderBy(col("caption").desc, col("unique_name").desc).limit(1)
+        .select(col("caption").as("c_cap"), col("unique_name").as("c_un"))
+      m.crossJoin(broadcast(cursor))
+        .where(col("caption") > col("c_cap") ||
+          (col("caption") === col("c_cap") && col("unique_name") > col("c_un")))
+        .orderBy(col("caption"), col("unique_name")).limit(10)
+        .select(col("caption"), col("unique_name"))
+    }),
+
     // Gap sessionization via Spark's NATIVE session_window aggregate
     // (the merging-session-window operator, one shuffle on the user
     // key) — the engine-native twin of q45's lag+running-sum form; the
@@ -929,6 +950,18 @@ object AnalyticsQueries {
         |FROM ev JOIN scd USING (user_id)
         |WHERE ets >= vf AND ets < vt
         |ORDER BY event_id""".stripMargin,
+
+    "q114_keyset_page" ->
+      s"""${Relational.mcte},
+         |m AS (SELECT MIEMBRO_CAPTION caption, MIEMBRO_UNIQUE_NAME unique_name
+         |      FROM members WHERE JERARQUIA = '[Customer].[Geo]'),
+         |cur AS (SELECT caption c_cap, unique_name c_un FROM m
+         |        ORDER BY caption, unique_name LIMIT 10)
+         |SELECT caption, unique_name
+         |FROM m CROSS JOIN (SELECT c_cap, c_un FROM cur
+         |                   ORDER BY c_cap DESC, c_un DESC LIMIT 1)
+         |WHERE caption > c_cap OR (caption = c_cap AND unique_name > c_un)
+         |ORDER BY caption, unique_name LIMIT 10""".stripMargin,
 
     "q111_range_frame" ->
       """WITH daily AS (SELECT event_type,

@@ -23,10 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  private def members(s: SparkSession, d: String): DataFrame =
+  private[queries] def members(s: SparkSession, d: String): DataFrame =
     MemberCatalog.members(s, d)
 
-  private val mcte = MemberCatalog.oracleCte
+  private[queries] val mcte = MemberCatalog.oracleCte
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 

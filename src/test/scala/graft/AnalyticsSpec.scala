@@ -230,6 +230,15 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getLong(2) == 1000000L * r.getLong(1) / 3)
     }
 
+    // keyset page: exactly one page, strictly increasing cursor order
+    val ks = defs("q114_keyset_page")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(ks.length == 10)
+    ks.sliding(2).foreach {
+      case Array(a, b) => assert(Ordering[(String, String)].lt(a, b))
+      case _ =>
+    }
+
     // RANGE-frame rolling equals the dense-grid ROWS form on active days
     val rangeRoll = defs("q111_range_frame")(spark, d)
       .select(col("event_type"), col("day"), col("r7_n"))
