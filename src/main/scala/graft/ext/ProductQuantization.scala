@@ -44,55 +44,48 @@ object ProductQuantization {
 
   /** Trained PQ working state: offset-quantized vectors (`qe`), per-
     * (vector, subspace) codes (`encoded`), and the per-query ADC lookup
-    * table (`lut`). All three are lazy plans over TransientCache-persisted
-    * intermediates; `codebook` is the driver-side model. */
+    * table (`lut`). `qe`/`encoded` are persisted model members; `lut`
+    * is a lazy plan over them; `codebook` is the driver-side model. */
   private case class PqModel(qe: DataFrame, encoded: DataFrame, lut: DataFrame)
 
-  /** Session-lifetime model share (the [[graft.ops.SessionCache]]
-    * pattern, holding the whole trained model): both ADC consumers (PQ
-    * top-k and IVFADC) train on identical (input, isQuery, m, codes) —
-    * rebuilding the codebook per query repeats two driver collects and
-    * three persisted passes. The caller's `shareKey` must uniquely
-    * identify that tuple (the query registry keys by sf dir). */
-  private val shared = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), Option[PqModel]]
-
+  /** Session-lifetime model share ([[graft.ops.SessionCache.memo]]):
+    * both ADC consumers (PQ top-k and IVFADC) train on identical
+    * (input, isQuery, m, codes) — rebuilding the codebook per query
+    * repeats two driver collects and the persisted passes. The caller's
+    * `shareKey` must uniquely identify that tuple (the query registry
+    * keys by sf dir). Persist lifecycle in shared mode: only the model
+    * members (`qe`, `encoded`) live for the session; the build scratch
+    * (`subs`, pass-1 assignment) stays transient and is released by the
+    * first consumer's runner — `encoded` is materialized by then, and a
+    * later `lut` evaluation re-derives the query subvectors map-side
+    * from the cached `qe`. */
   private def buildModel(emb: DataFrame, idCol: String, embCol: String,
                          isQuery: Column, m: Int, codes: Int,
                          shareKey: Option[String]): Option[PqModel] =
     shareKey match {
       case None =>
         doBuild(emb, idCol, embCol, isQuery, m, codes,
-          graft.ops.TransientCache.persist)
+          model = graft.ops.TransientCache.persist,
+          scratch = graft.ops.TransientCache.persist)
       case Some(key) =>
-        val spark = emb.sparkSession
-        shared.keys.filter(_._1.sparkContext.isStopped).foreach(shared.remove)
-        shared.get((spark, key)) match {
-          case Some(mod) => mod
-          case None =>
-            val built = doBuild(emb, idCol, embCol, isQuery, m, codes,
-              df => { df.persist(); df })
-            shared.putIfAbsent((spark, key), built) match {
-              case Some(winner) => // lost the race: release our persists
-                built.foreach(mod => Seq(mod.qe, mod.encoded)
-                  .foreach(_.unpersist(blocking = false)))
-                winner
-              case None => built
-            }
-        }
+        graft.ops.SessionCache.memo(emb.sparkSession, s"pq_model:$key")(
+          doBuild(emb, idCol, embCol, isQuery, m, codes,
+            model = df => { df.persist(); df },
+            scratch = graft.ops.TransientCache.persist))
     }
 
   /** Build codebooks (one Lloyd update from the `codes` lowest-id seeds,
     * per subspace), encode every vector, and derive the query-side ADC
-    * LUT. None when the input is empty. `track` owns intermediate
-    * persistence (transient per-query, or session-lifetime when the
-    * model is shared). */
+    * LUT. None when the input is empty. `model` persists the returned
+    * members (session-lifetime when shared); `scratch` the build-only
+    * intermediates (always transient). */
   private def doBuild(emb: DataFrame, idCol: String, embCol: String,
                       isQuery: Column, m: Int, codes: Int,
-                      track: DataFrame => DataFrame): Option[PqModel] = {
+                      model: DataFrame => DataFrame,
+                      scratch: DataFrame => DataFrame): Option[PqModel] = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val qe = track(
+    val qe = model(
       emb.select(col(idCol).cast("long").as("vec_id"),
         Clustering.quantizeOffset(col(embCol)).as("q"),
         isQuery.as("is_q")))
@@ -107,7 +100,7 @@ object ProductQuantization {
 
     // One row per (vector, subspace): the PQ working set. Persisted — it
     // feeds pass-1 assignment, the codebook update, encoding and the LUT.
-    val subs = track(
+    val subs = scratch(
       qe.select(col("vec_id"), col("is_q"),
           explode(array((0 until m).map(s =>
             struct(lit(s).as("s"),
@@ -125,7 +118,7 @@ object ProductQuantization {
       }
       (s, nearest(ds).getField("cid"))
     })
-    val asg1 = track(subs.withColumn("c1", c1Expr))
+    val asg1 = scratch(subs.withColumn("c1", c1Expr))
 
     // Lloyd update: (subspace, code, dim)-keyed integer means ×10. Only
     // the m×codes×subDim model crosses the driver.
@@ -154,7 +147,7 @@ object ProductQuantization {
       (s, nearest(cb1(s).map { case (cid, mv) => (codewordDist(mv), cid) })
         .getField("cid"))
     })
-    val encoded = track(
+    val encoded = model(
       asg1.withColumn("code", c2Expr)
         .select(col("vec_id"), col("is_q"), col("s"), col("code")))
 

@@ -50,6 +50,10 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "mit", "von", "nicht"),
     "fr" -> Seq("le", "les", "une", "est", "pour", "dans", "sur", "avec"))
 
+  /** The English list by NAME — consumers (gopherFlags, its oracle and
+    * specs) must not couple to [[langStopwords]]'s Seq ordering. */
+  val enStopwords: Seq[String] = langStopwords.toMap.apply("en")
+
   /** Language-ID: argmax of stopword hits, priority order on ties, `und`
     * when nothing matches. Adds `s_<lang>` score columns + `lang_detected`. */
   def withLangId(df: DataFrame, textCol: String): DataFrame = {
@@ -99,7 +103,7 @@ object TextAnalysis {
     * pass the gate (AnalyticsSpec-pinned). */
   def gopherFlags(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(normalize(col(textCol)))
-    val enStops = langStopwords.head._2
+    val enStops = enStopwords
     df.withColumn("n_words", size(toks).cast("bigint"))
       .withColumn("len_sum",
         aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("bigint")))

@@ -21,14 +21,34 @@ object SessionCache {
       case Some(df) => df
       case None =>
         // Not getOrElseUpdate: TrieMap may evaluate the builder in two
-        // racing threads and only store one — the loser's persist would
-        // leak cached blocks for the session lifetime. Build, race via
-        // putIfAbsent, unpersist the loser.
+        // racing threads and only store one. The loser must NOT
+        // unpersist its build: Spark's CacheManager registers cache
+        // entries by logical-plan equality, so unpersisting the loser's
+        // (identical) plan would evict the WINNER's entry and the
+        // "cached" table would silently recompute forever after. The
+        // loser's persist was a no-op on the already-cached plan, so
+        // dropping the reference leaks nothing.
         val built = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cache.putIfAbsent((spark, key), built) match {
-          case Some(winner) => built.unpersist(blocking = false); winner
-          case None => built
-        }
+        cache.putIfAbsent((spark, key), built).getOrElse(built)
+    }
+  }
+
+  /** Session-keyed memo for an arbitrary trained-model value (codebooks,
+    * LUT plans, driver-side state) — the [[getOrBuild]] pattern without
+    * persist management: the builder owns any persistence of the
+    * DataFrames it embeds. Same race contract: losers drop their build
+    * without touching caches. */
+  private val values =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Any]
+
+  def memo[T](spark: SparkSession, key: String)(build: => T): T = {
+    values.keys.filter(_._1.sparkContext.isStopped).foreach(values.remove)
+    values.get((spark, key)) match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        val built = build
+        values.putIfAbsent((spark, key), built)
+          .map(_.asInstanceOf[T]).getOrElse(built)
     }
   }
 }

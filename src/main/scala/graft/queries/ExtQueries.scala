@@ -394,10 +394,12 @@ object ExtQueries {
       |nrm AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) n
       |        FROM qe)""".stripMargin
 
-  /** The q63 cell-local k-NN edge chain (mirrors Similarity.knnGraph,
-    * k=3, nlist=16), ending at `r` (vec_id, nbr_id, dot, rank) — shared
-    * with the PageRank oracle (q93) so the two graphs can't drift. */
-  private[queries] val knnCtes =
+  /** The IVF coarse-assignment chain (16 lowest-id centroids, cosine
+    * argmax with the ties-toward-lower-cid convention), ending at `asg`
+    * (vec_id, cid) with `asg0` kept for probe derivation — THE single
+    * statement of the cell-assignment convention, shared by the q29,
+    * q63/q93 (via [[knnCtes]]) and q109 oracles so none can drift. */
+  private[queries] val ivfAsgCtes =
     s"""$qeCtes,
        |cent AS (SELECT vec_id cid, q cv FROM qe ORDER BY vec_id LIMIT 16),
        |cn AS (SELECT cid, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) n
@@ -410,7 +412,13 @@ object ExtQueries {
        |  JOIN cn ON c.cid = cn.cid),
        |asg AS (SELECT vec_id, cid FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn
-       |    FROM asg0) WHERE rn = 1),
+       |    FROM asg0) WHERE rn = 1)""".stripMargin
+
+  /** The q63 cell-local k-NN edge chain (mirrors Similarity.knnGraph,
+    * k=3, nlist=16), ending at `r` (vec_id, nbr_id, dot, rank) — shared
+    * with the PageRank oracle (q93) so the two graphs can't drift. */
+  private[queries] val knnCtes =
+    s"""$ivfAsgCtes,
        |sc AS (SELECT a.vec_id, b.vec_id nbr_id,
        |    CAST(list_dot_product(qa.q, qb.q) AS BIGINT) dot, na.n na, nb.n nb
        |  FROM asg a
@@ -532,19 +540,7 @@ object ExtQueries {
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q29_ann_ivf_topk" ->
-      s"""$qeCtes,
-         |cent AS (SELECT vec_id cid, q cv FROM qe ORDER BY vec_id LIMIT 16),
-         |cn AS (SELECT cid, CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) n
-         |       FROM cent),
-         |asg0 AS (SELECT e.vec_id, c.cid,
-         |    CAST(list_dot_product(e.q, c.cv) AS DOUBLE)
-         |      / sqrt(CAST(ne.n AS DOUBLE) * CAST(cn.n AS DOUBLE)) ccos
-         |  FROM qe e CROSS JOIN cent c
-         |  JOIN nrm ne ON e.vec_id = ne.vec_id
-         |  JOIN cn ON c.cid = cn.cid),
-         |asg AS (SELECT vec_id, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn
-         |    FROM asg0) WHERE rn = 1),
+      s"""$ivfAsgCtes,
          |probes AS (SELECT vec_id query_id, cid FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn
          |    FROM asg0 WHERE vec_id < 10) WHERE rn <= 2),

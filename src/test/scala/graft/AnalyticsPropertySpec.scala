@@ -26,7 +26,7 @@ class AnalyticsPropertySpec extends AnyFunSuite {
 
   test("gopherFlags: column algebra matches a naive JVM reference") {
     import spark.implicits._
-    val enStops = TextAnalysis.langStopwords.head._2.toSet
+    val enStops = TextAnalysis.enStopwords.toSet
     for (seed <- 1L to 5L) {
       val rows = corpus(seed, 30)
       val got = TextAnalysis.gopherFlags(rows.toDF("doc_id", "text"), "text")
