@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ext.{Components, Dedup, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -646,6 +646,50 @@ object AnalyticsQueries {
         .select(col("caption"), col("unique_name"))
     }),
 
+    // KMV (k-minimum-values) distinct sketches (Bar-Yossef et al. 2002;
+    // the theta-sketch family): per-source token sketches of the k=64
+    // smallest md5-derived u32 hashes, with the union sketch = k
+    // smallest of the merged streams — so |A∪B| estimates WITHOUT
+    // re-reading raw data, and |A∩B| follows by inclusion-exclusion
+    // (the set algebra HLL registers cannot do). Estimate
+    // est = floor((k-1)·2^32 / h_k) is integer-exact; exact counts ride
+    // along as the calibration columns (q113's set ops are the
+    // from-scratch twin).
+    "q115_kmv_sketch" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val k = 16
+      def hashes(src: String): DataFrame =
+        TextAnalysis.tokenRows(docs.where(col("source") === src),
+            "text", "doc_id")
+          .select(col("token")).distinct()
+          .select(expr(
+            "CAST(conv(substring(md5(CAST(token AS BINARY)), 1, 8), 16, 10) AS BIGINT)")
+            .as("h")).distinct()
+      // sketch = the k smallest hashes: (k-th value, entries held);
+      // under-full sketch (< k entries) holds the WHOLE set -> exact
+      def sketch(hs: DataFrame, sfx: String): DataFrame =
+        hs.orderBy(col("h")).limit(k)
+          .agg(max(col("h")).as(s"hk$sfx"), count(lit(1)).as(s"ns$sfx"))
+      def est(sfx: String): Column =
+        when(col(s"ns$sfx") < k, col(s"ns$sfx"))
+          .otherwise(floor(lit((k - 1) * 4294967296.0) /
+            col(s"hk$sfx").cast("double")).cast("long"))
+      val ha = graft.ops.TransientCache.persist(hashes("src1"))
+      val hb = graft.ops.TransientCache.persist(hashes("src2"))
+      val hu = ha.union(hb).distinct()
+      val exact = ha.agg(count(lit(1)).as("n_a"))
+        .crossJoin(hb.agg(count(lit(1)).as("n_b")))
+        .crossJoin(hu.agg(count(lit(1)).as("n_union")))
+      sketch(ha, "_a").crossJoin(sketch(hb, "_b"))
+        .crossJoin(sketch(hu, "_u")).crossJoin(exact)
+        .select(lit(k).cast("bigint").as("k"),
+          est("_a").as("est_a"), est("_b").as("est_b"),
+          est("_u").as("est_union"),
+          (est("_a") + est("_b") - est("_u")).as("est_intersect"),
+          col("n_a"), col("n_b"), col("n_union"),
+          (col("n_a") + col("n_b") - col("n_union")).as("n_intersect"))
+    }),
+
     // Gap sessionization via Spark's NATIVE session_window aggregate
     // (the merging-session-window operator, one shuffle on the user
     // key) — the engine-native twin of q45's lag+running-sum form; the
@@ -956,6 +1000,40 @@ object AnalyticsQueries {
         |FROM ev JOIN scd USING (user_id)
         |WHERE ets >= vf AND ets < vt
         |ORDER BY event_id""".stripMargin,
+
+    "q115_kmv_sketch" ->
+      s"""${ExtQueries.tokCte},
+         |p AS (SELECT doc_id, unnest(t) token FROM tok),
+         |ha AS (SELECT DISTINCT ('0x' || substr(md5(token), 1, 8))::BIGINT h
+         |       FROM (SELECT DISTINCT token FROM p JOIN documents USING (doc_id)
+         |             WHERE source = 'src1')),
+         |hb AS (SELECT DISTINCT ('0x' || substr(md5(token), 1, 8))::BIGINT h
+         |       FROM (SELECT DISTINCT token FROM p JOIN documents USING (doc_id)
+         |             WHERE source = 'src2')),
+         |hu AS (SELECT DISTINCT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)),
+         |ka AS (SELECT max(h) hk_a, count(*) ns_a
+         |       FROM (SELECT h FROM ha ORDER BY h LIMIT 16)),
+         |kb AS (SELECT max(h) hk_b, count(*) ns_b
+         |       FROM (SELECT h FROM hb ORDER BY h LIMIT 16)),
+         |ku AS (SELECT max(h) hk_u, count(*) ns_u
+         |       FROM (SELECT h FROM hu ORDER BY h LIMIT 16)),
+         |ex AS (SELECT (SELECT count(*) FROM ha) n_a,
+         |              (SELECT count(*) FROM hb) n_b,
+         |              (SELECT count(*) FROM hu) n_union),
+         |es AS (SELECT
+         |    CASE WHEN ns_a < 16 THEN CAST(ns_a AS BIGINT)
+         |      ELSE CAST(floor(15 * 4294967296.0 / CAST(hk_a AS DOUBLE)) AS BIGINT) END est_a,
+         |    CASE WHEN ns_b < 16 THEN CAST(ns_b AS BIGINT)
+         |      ELSE CAST(floor(15 * 4294967296.0 / CAST(hk_b AS DOUBLE)) AS BIGINT) END est_b,
+         |    CASE WHEN ns_u < 16 THEN CAST(ns_u AS BIGINT)
+         |      ELSE CAST(floor(15 * 4294967296.0 / CAST(hk_u AS DOUBLE)) AS BIGINT) END est_union
+         |  FROM ka, kb, ku)
+         |SELECT CAST(16 AS BIGINT) AS k, est_a, est_b, est_union,
+         |  est_a + est_b - est_union AS est_intersect,
+         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(n_union AS BIGINT) AS n_union,
+         |  CAST(n_a + n_b - n_union AS BIGINT) AS n_intersect
+         |FROM es, ex""".stripMargin,
 
     "q114_keyset_page" ->
       s"""${Relational.mcte},

@@ -265,6 +265,13 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(so("except_a") + so("except_b") + so("intersect") == so("union"))
 
+    // KMV sketch: identities hold and the estimate branch activates
+    val kmv = defs("q115_kmv_sketch")(spark, d).collect().head
+    assert(kmv.getLong(7) >= math.max(kmv.getLong(5), kmv.getLong(6)))
+    assert(kmv.getLong(8) == kmv.getLong(5) + kmv.getLong(6) - kmv.getLong(7))
+    assert(kmv.getLong(4) == kmv.getLong(1) + kmv.getLong(2) - kmv.getLong(3))
+    assert(kmv.getLong(1) > 0 && kmv.getLong(3) >= kmv.getLong(1))
+
     // sliding reach: every event lands in exactly 7 overlapping windows
     val sr = defs("q110_sliding_reach")(spark, d)
     assert(sr.agg(sum("n_events")).head().getLong(0) ==
