@@ -438,6 +438,31 @@ object TextAnalysis {
       .groupBy(col("tok_a"), col("tok_b"))
       .agg(count(lit(1)).as("n"))
 
+  /** Document-level co-occurring token pairs (tok_a < tok_b, one count
+    * per document containing both) — 2-itemset frequency mining, the
+    * first lattice level of the market-basket/FP-growth family. Pairs
+    * are emitted map-side from each doc's SORTED DISTINCT token set
+    * (C(d,2) rows per doc, bounded by the per-doc vocabulary, never a
+    * corpus self-join), then one map-side-combined groupBy. */
+  def tokenCooccurrence(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (_, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val t = tokenizeJvm(normalizeJvm(text)).distinct.sorted
+          for (i <- t.indices.iterator; j <- (i + 1 until t.length).iterator)
+            yield (t(i), t(j))
+        }
+      }
+      .toDF("tok_a", "tok_b")
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-occurrence adjacent token pairs WITH the document id
     * (doc, tok_a, tok_b) — the un-aggregated twin of [[tokenPairCounts]]
     * for per-document scoring (LM log-prob, per-doc collocation hits). */

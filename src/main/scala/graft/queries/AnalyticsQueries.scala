@@ -690,6 +690,63 @@ object AnalyticsQueries {
           (col("n_a") + col("n_b") - col("n_union")).as("n_intersect"))
     }),
 
+    // 2-itemset co-occurrence mining: top-30 token pairs by the number
+    // of documents containing BOTH (market-basket level 1) — pairs
+    // expand map-side from each doc's sorted distinct token set, never
+    // a corpus self-join.
+    "q116_cooccurrence" -> ((s, d) =>
+      TextAnalysis.tokenCooccurrence(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("n").desc, col("tok_a"), col("tok_b")).limit(30)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("tok_a"), col("tok_b"))).cast("int"))
+        .select(col("rank"), col("tok_a"), col("tok_b"), col("n"))
+        .orderBy(col("rank"))),
+
+    // Triangle census of the kNN similarity graph: undirected edges
+    // (either direction of a kNN link), triangles by the ordered
+    // two-hop join (a<b<c — each triangle counted once), wedges from
+    // the degree table, global clustering coefficient in ppm — the
+    // graph-shape audit that says whether similar-doc neighborhoods are
+    // cliquey (near-dup clusters) or chain-like.
+    "q117_knn_triangles" -> ((s, d) => {
+      val und = graft.ops.TransientCache.persist(
+        ExtQueries.knnEdges(s, d)
+          .select(least(col("vec_id"), col("nbr_id")).as("a"),
+            greatest(col("vec_id"), col("nbr_id")).as("b"))
+          .distinct())
+      val tri = und.as("e1")
+        .join(und.as("e2"), col("e1.b") === col("e2.a"))
+        .join(und.as("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+      val edges = und.agg(count(lit(1)).as("n_edges"))
+      tri.crossJoin(edges).crossJoin(stats)
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          col("n_wedges"),
+          expr("(1000000 * 3 * n_triangles) div n_wedges").as("clustering_ppm"))
+    }),
+
+    // First-seen curve: per day, how many users appear for the FIRST
+    // time and the cumulative user base — the acquisition view a
+    // running aggregate gives without windowed distincts (first-seen is
+    // a per-user min, then an ordinary daily count + running sum).
+    "q118_new_users" -> ((s, d) => {
+      val firstSeen = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      firstSeen.groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).as("n_new"))
+        .withColumn("cum_users", sum(col("n_new")).over(
+          Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy(col("day"))
+        .transform(Parity.outputDoubles)
+    }),
+
     // Gap sessionization via Spark's NATIVE session_window aggregate
     // (the merging-session-window operator, one shuffle on the user
     // key) — the engine-native twin of q45's lag+running-sum form; the
@@ -1000,6 +1057,45 @@ object AnalyticsQueries {
         |FROM ev JOIN scd USING (user_id)
         |WHERE ets >= vf AND ets < vt
         |ORDER BY event_id""".stripMargin,
+
+    "q116_cooccurrence" ->
+      s"""${ExtQueries.tokCte},
+         |dt AS (SELECT DISTINCT doc_id, unnest(t) token FROM tok),
+         |pr AS (SELECT a.token tok_a, b.token tok_b
+         |       FROM dt a JOIN dt b
+         |         ON a.doc_id = b.doc_id AND a.token < b.token),
+         |f AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) n
+         |      FROM pr GROUP BY 1, 2)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, tok_a, tok_b) AS INT) AS rank,
+         |  tok_a, tok_b, n
+         |FROM f QUALIFY rank <= 30 ORDER BY rank""".stripMargin,
+
+    "q117_knn_triangles" ->
+      s"""${ExtQueries.knnCtes},
+         |und AS (SELECT DISTINCT least(vec_id, nbr_id) a, greatest(vec_id, nbr_id) b
+         |        FROM r WHERE rank <= 3),
+         |tri AS (SELECT count(*) n_triangles
+         |        FROM und e1 JOIN und e2 ON e1.b = e2.a
+         |        JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b),
+         |deg AS (SELECT v, count(*) dg FROM
+         |        (SELECT a v FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) n_nodes,
+         |         CAST(sum(dg * (dg - 1) // 2) AS BIGINT) n_wedges FROM deg),
+         |ed AS (SELECT CAST(count(*) AS BIGINT) n_edges FROM und)
+         |SELECT n_nodes, n_edges, CAST(n_triangles AS BIGINT) AS n_triangles,
+         |  n_wedges,
+         |  CAST((1000000 * 3 * n_triangles) // n_wedges AS BIGINT) AS clustering_ppm
+         |FROM tri, ed, st""".stripMargin,
+
+    "q118_new_users" ->
+      """WITH fs AS (SELECT user_id,
+        |    min(date_trunc('day', CAST(ts AS TIMESTAMP))) first_day
+        |  FROM events GROUP BY 1),
+        |dly AS (SELECT first_day d, count(*) n_new FROM fs GROUP BY 1)
+        |SELECT d AS "day", CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_users
+        |FROM dly ORDER BY 1""".stripMargin,
 
     "q115_kmv_sketch" ->
       s"""${ExtQueries.tokCte},

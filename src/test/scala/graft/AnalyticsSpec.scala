@@ -265,6 +265,23 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(so("except_a") + so("except_b") + so("intersect") == so("union"))
 
+    // co-occurrence: canonical pair order, positive doc counts
+    val co = defs("q116_cooccurrence")(spark, d).collect()
+    assert(co.length == 30)
+    co.foreach(r => assert(r.getString(1) < r.getString(2) && r.getLong(3) > 0))
+
+    // triangles: 3 wedges per triangle bound, coefficient in [0, 1e6]
+    val tg = defs("q117_knn_triangles")(spark, d).collect().head
+    assert(3 * tg.getLong(2) <= tg.getLong(3))
+    assert(tg.getLong(4) >= 0 && tg.getLong(4) <= 1000000L)
+
+    // new users: the curve ends at the full distinct user base
+    val nu = defs("q118_new_users")(spark, d).collect()
+    val totalUsers = Tables.events(spark, d)
+      .select("user_id").distinct().count()
+    assert(nu.map(_.getLong(1)).sum == totalUsers)
+    assert(nu.last.getLong(2) == totalUsers)
+
     // KMV sketch: identities hold and the estimate branch activates
     val kmv = defs("q115_kmv_sketch")(spark, d).collect().head
     assert(kmv.getLong(7) >= math.max(kmv.getLong(5), kmv.getLong(6)))
