@@ -747,6 +747,41 @@ object AnalyticsQueries {
         .transform(Parity.outputDoubles)
     }),
 
+    // Population stability index (PSI) — the data-drift monitor a
+    // production pipeline runs between a reference and a current
+    // population: add-1-smoothed 64-bin length histograms, per-bin
+    // contribution (p−q)·ln(p/q) quantized to nano-units BEFORE the sum
+    // (the q105 trick: the total is then independent of summation
+    // order). All 64 bins materialize from a generated bin spine, so
+    // empty bins carry their smoothed mass on both sides.
+    "q119_psi_drift" -> ((s, d) => {
+      val v = Tables.documents(s, d).select(col("doc_id"), col("n_chars").as("x"))
+      val b = v.agg(min(col("x")).as("gmin"), max(col("x")).as("gmax"))
+      val binned = v.crossJoin(b)
+        .withColumn("w", expr("greatest((gmax - gmin + 63) div 64, 1)"))
+        .withColumn("bin", expr("least((x - gmin) div w, 63)"))
+        .withColumn("pop",
+          when(col("doc_id") % 2 === 0, lit("ref")).otherwise(lit("cur")))
+      val counts = binned.groupBy(col("bin"))
+        .agg(sum(when(col("pop") === "ref", 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("pop") === "cur", 1L).otherwise(0L)).as("n_cur"))
+      val sm = s.range(64).select(col("id").as("bin"))
+        .join(counts, Seq("bin"), "left")
+        .select(col("bin"),
+          (coalesce(col("n_ref"), lit(0L)) + lit(1L)).as("c_ref"),
+          (coalesce(col("n_cur"), lit(0L)) + lit(1L)).as("c_cur"))
+      val tot = sm.agg(sum(col("c_ref")).as("t_ref"),
+        sum(col("c_cur")).as("t_cur"))
+      sm.crossJoin(tot)
+        .withColumn("term_q", expr(
+          "CAST(floor(1000000000 * ((CAST(c_ref AS DOUBLE) / CAST(t_ref AS DOUBLE) " +
+            "- CAST(c_cur AS DOUBLE) / CAST(t_cur AS DOUBLE)) " +
+            "* ln((CAST(c_ref AS DOUBLE) * CAST(t_cur AS DOUBLE)) " +
+            "/ (CAST(c_cur AS DOUBLE) * CAST(t_ref AS DOUBLE))))) AS BIGINT)"))
+        .select(col("bin"), col("c_ref"), col("c_cur"), col("term_q"))
+        .orderBy(col("bin"))
+    }),
+
     // Gap sessionization via Spark's NATIVE session_window aggregate
     // (the merging-session-window operator, one shuffle on the user
     // key) — the engine-native twin of q45's lag+running-sum form; the
@@ -1057,6 +1092,29 @@ object AnalyticsQueries {
         |FROM ev JOIN scd USING (user_id)
         |WHERE ets >= vf AND ets < vt
         |ORDER BY event_id""".stripMargin,
+
+    "q119_psi_drift" ->
+      """WITH v AS (SELECT doc_id, n_chars x FROM documents),
+        |b AS (SELECT min(x) gmin, max(x) gmax FROM v),
+        |bi AS (SELECT doc_id,
+        |    least((x - gmin) // greatest((gmax - gmin + 63) // 64, 1), 63) bin,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END pop
+        |  FROM v CROSS JOIN b),
+        |c AS (SELECT bin,
+        |    sum(CASE WHEN pop = 'ref' THEN 1 ELSE 0 END) n_ref,
+        |    sum(CASE WHEN pop = 'cur' THEN 1 ELSE 0 END) n_cur
+        |  FROM bi GROUP BY 1),
+        |sm AS (SELECT s.bin, COALESCE(n_ref, 0) + 1 c_ref, COALESCE(n_cur, 0) + 1 c_cur
+        |       FROM (SELECT unnest(range(64)) bin) s LEFT JOIN c USING (bin)),
+        |t AS (SELECT CAST(sum(c_ref) AS BIGINT) t_ref,
+        |        CAST(sum(c_cur) AS BIGINT) t_cur FROM sm)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(c_ref AS BIGINT) AS c_ref,
+        |  CAST(c_cur AS BIGINT) AS c_cur,
+        |  CAST(floor(1000000000 * ((CAST(c_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)
+        |    - CAST(c_cur AS DOUBLE) / CAST(t_cur AS DOUBLE))
+        |    * ln((CAST(c_ref AS DOUBLE) * CAST(t_cur AS DOUBLE))
+        |    / (CAST(c_cur AS DOUBLE) * CAST(t_ref AS DOUBLE))))) AS BIGINT) AS term_q
+        |FROM sm, t ORDER BY bin""".stripMargin,
 
     "q116_cooccurrence" ->
       s"""${ExtQueries.tokCte},

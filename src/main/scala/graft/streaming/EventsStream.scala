@@ -41,6 +41,9 @@ object EventsStream {
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Long)
 
+  final case class SeenUser(seen: Boolean)
+  final case class FirstSeen(user_id: Long, first_day: java.sql.Timestamp)
+
   final case class Attribution(event_id: Long, user_id: Long,
                                ts: java.sql.Timestamp, value: Double,
                                click_event_id: Long,
@@ -80,6 +83,32 @@ object EventsStream {
   /** Exactly-once-per-event-id dedup within the watermark horizon. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id", "ts")
+
+  /** Streaming first-seen detection — the incremental twin of the q118
+    * new-user curve's per-user minimum: one emitted row per user at
+    * first arrival, carrying that batch's earliest event day. State is
+    * one empty marker per seen user (O(distinct users), like
+    * [[graft.streaming.DocumentsStream.dedupDocuments]]); a single-batch
+    * run reproduces the batch first-seen table exactly
+    * (StreamingSpec-pinned), across batches the contract is
+    * first-arrival-wins (standard lateness caveat). */
+  def firstSeenUsers(spark: SparkSession, events: DataFrame): Dataset[FirstSeen] = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long"),
+        date_trunc("day", col("ts")).as("day"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SeenUser, FirstSeen](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, it, state: GroupState[SeenUser]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val firstDay = it.map(_._2).minBy(_.getTime)
+            state.update(SeenUser(true))
+            Iterator(FirstSeen(user, firstDay))
+          }
+      }
+  }
 
   /** Stream-static point-in-time dimension enrichment — the streaming
     * twin of the batch q102 interval lookup: each streaming event joins

@@ -68,6 +68,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming first-seen users equal the batch q118 minima (single batch)") {
+    val fs = EventsStream.firstSeenUsers(spark,
+      EventsStream.readEvents(spark, sf))
+    runAvailableNow(fs.toDF(), "first_seen", OutputMode.Append())
+    val streamed = spark.table("first_seen")
+      .select(col("user_id"), col("first_day").cast("timestamp_ntz"))
+      .collect().map(_.toString).toSet
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .groupBy("user_id").agg(min(col("day")).as("first_day"))
+      .select(col("user_id"), col("first_day").cast("timestamp_ntz"))
+      .collect().map(_.toString).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stream-stream interval join equals the batch range-join pairs") {
     val pairs = EventsStream.conversionPairs(EventsStream.readEvents(spark, sf))
     runAvailableNow(pairs, "conv_pairs", OutputMode.Append())
