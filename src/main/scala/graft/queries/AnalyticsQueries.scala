@@ -99,14 +99,9 @@ object AnalyticsQueries {
     // time-series densification every dashboard/anomaly pass needs
     // (missing days silently vanish from a plain groupBy).
     "q91_daily_gapfill" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("event_type"),
-        date_trunc("day", col("ts")).as("day"),
-        expr("CAST(floor(value * 1000) AS BIGINT)").as("vq"))
       // ONE scan of the fact: bounds and the type set derive from the
       // tiny persisted daily aggregate, not from re-reading events
-      val daily = graft.ops.TransientCache.persist(
-        ev.groupBy(col("event_type"), col("day"))
-          .agg(count(lit(1)).as("n_events"), sum(col("vq")).as("value_q")))
+      val daily = graft.ops.TransientCache.persist(dailyAgg(s, d))
       // one-row bounds × tiny calendar: both sides of the grid broadcast
       val cal = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
@@ -180,13 +175,8 @@ object AnalyticsQueries {
     // frame ≡ days frame because the grid is dense — the reason q91's
     // densification comes first).
     "q95_rolling_7d" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("event_type"),
-        date_trunc("day", col("ts")).as("day"),
-        expr("CAST(floor(value * 1000) AS BIGINT)").as("vq"))
       // same one-fact-scan shape as q91
-      val daily = graft.ops.TransientCache.persist(
-        ev.groupBy(col("event_type"), col("day"))
-          .agg(count(lit(1)).as("n_events"), sum(col("vq")).as("value_q")))
+      val daily = graft.ops.TransientCache.persist(dailyAgg(s, d))
       val cal = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
       val grid = daily.select(col("event_type")).distinct().crossJoin(cal)
@@ -560,11 +550,7 @@ object AnalyticsQueries {
     // contribute nothing. The frame-mechanism counterpart to q95's
     // ROWS-over-grid form.
     "q111_range_frame" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
-          expr("CAST(floor(value * 1000) AS BIGINT)").as("vq"))
-        .groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("n_events"), sum(col("vq")).as("value_q"))
+      val daily = dailyAgg(s, d)
         .withColumn("day_num",
           expr("CAST(datediff(CAST(day AS DATE), DATE '1970-01-01') AS BIGINT)"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
@@ -583,10 +569,10 @@ object AnalyticsQueries {
     // added / removed / same per (type, day), the diff report a
     // warehouse reload publishes.
     "q112_snapshot_reconcile" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("n"))
+      // both join branches read the aggregate: persisted, one fact scan
+      val daily = graft.ops.TransientCache.persist(
+        dailyAgg(s, d).select(col("event_type"), col("day"),
+          col("n_events").as("n")))
       val cutA = lit("2024-01-21 00:00:00").cast("timestamp")
       val cutB = lit("2024-01-11 00:00:00").cast("timestamp")
       val a = daily.where(col("day") < cutA)
@@ -614,7 +600,10 @@ object AnalyticsQueries {
         TextAnalysis.tokenRows(docs.where(col("source") === src),
           "text", "doc_id")
           .select(col("token")).distinct()
-      val a = vocab("src1"); val b = vocab("src2")
+      // each vocabulary feeds four set operations: persisted, so the
+      // tokenize + distinct runs once per side, not four times
+      val a = graft.ops.TransientCache.persist(vocab("src1"))
+      val b = graft.ops.TransientCache.persist(vocab("src2"))
       def cnt(op: String, df: DataFrame): DataFrame =
         df.agg(count(lit(1)).as("n_tokens")).select(lit(op).as("op"),
           col("n_tokens"))
@@ -798,6 +787,20 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("session_start"))
         .transform(Parity.outputDoubles))
   )
+
+  /** THE (event_type, day, n_events, value_q) daily aggregate — q91,
+    * q95, q111 and q112 all consume this one construction (day =
+    * date_trunc, value quantized ×1000 to BIGINT), so the
+    * quantization/truncation convention cannot fork between the
+    * gap-fill, rolling, RANGE-frame and reconciliation queries. NOT
+    * persisted here — single-consumer queries (q111) use it lazily;
+    * multi-consumer ones persist at their use site. */
+  private def dailyAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("vq"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vq")).as("value_q"))
 
   /** THE SCD-2 priority-dimension builder — q98's published dimension,
     * q102's lookup side, and the stream-static enrichment twin

@@ -35,7 +35,15 @@ object ExtQueries {
     * a pipeline would store next to the signatures. */
   private[queries] def simhashComps(s: SparkSession, d: String): DataFrame =
     graft.ops.SessionCache.getOrBuild(s, s"simhash_comps:$d")(
-      Dedup.simhashComponents(simhashSigs(s, d), 2))
+      // Fresh EAGER localCheckpoint: the loop's own per-round checkpoints
+      // are TransientCache-tracked and released by the first consumer's
+      // runner — a session-cached plan whose lineage bottomed out in
+      // those blocks could never recompute after a block loss. The eager
+      // copy owns self-contained blocks for the session (same
+      // no-recompute-on-executor-loss tradeoff localCheckpoint always
+      // has, documented in Components; a real cluster would use a
+      // reliable checkpoint/table here).
+      Dedup.simhashComponents(simhashSigs(s, d), 2).localCheckpoint(true))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
