@@ -771,6 +771,31 @@ object AnalyticsQueries {
         .orderBy(col("bin"))
     }),
 
+    // Temperature-scaled mixing weights (α = 0.5 — the multilingual
+    // sampling rule of mT5/XLM-R: p_l ∝ n_l^α, upweighting low-resource
+    // slices): per-language token masses are exact integers; the ONE
+    // float reduction (Σ√n) folds over the language-sorted array, so
+    // every engine adds in the same order and the ppm shares are
+    // bit-identical (a plain SUM of doubles would be order-dependent).
+    "q120_temperature_mix" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("lang"),
+          size(TextAnalysis.tokens(TextAnalysis.normalize(col("text"))))
+            .cast("bigint").as("nt"))
+        .groupBy(col("lang")).agg(sum(col("nt")).as("n_tokens"))
+      val tot = counts
+        .agg(sort_array(collect_list(struct(col("lang"), col("n_tokens"))))
+          .as("arr"))
+        .select(expr(
+          "aggregate(transform(arr, x -> sqrt(CAST(x.n_tokens AS DOUBLE))), " +
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)").as("tot"))
+      counts.crossJoin(tot)
+        .select(col("lang"), col("n_tokens"),
+          expr("CAST(floor(1000000 * (sqrt(CAST(n_tokens AS DOUBLE)) / tot)) AS BIGINT)")
+            .as("share_ppm"))
+        .orderBy(col("lang"))
+    }),
+
     // Gap sessionization via Spark's NATIVE session_window aggregate
     // (the merging-session-window operator, one shuffle on the user
     // key) — the engine-native twin of q45's lag+running-sum form; the
@@ -1095,6 +1120,19 @@ object AnalyticsQueries {
         |FROM ev JOIN scd USING (user_id)
         |WHERE ets >= vf AND ets < vt
         |ORDER BY event_id""".stripMargin,
+
+    "q120_temperature_mix" ->
+      s"""${ExtQueries.tokCte},
+         |c AS (SELECT lang, CAST(sum(len(t)) AS BIGINT) n_tokens
+         |      FROM tok JOIN documents USING (doc_id) GROUP BY 1),
+         |p AS (SELECT list({'n': n_tokens} ORDER BY lang) arr FROM c),
+         |t AS (SELECT list_reduce(
+         |        list_transform(arr, x -> sqrt(CAST(x.n AS DOUBLE))),
+         |        (a, b) -> a + b) tot FROM p)
+         |SELECT lang, n_tokens,
+         |  CAST(floor(1000000 * (sqrt(CAST(n_tokens AS DOUBLE)) / tot)) AS BIGINT)
+         |    AS share_ppm
+         |FROM c, t ORDER BY lang""".stripMargin,
 
     "q119_psi_drift" ->
       """WITH v AS (SELECT doc_id, n_chars x FROM documents),

@@ -282,6 +282,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(nu.map(_.getLong(1)).sum == totalUsers)
     assert(nu.last.getLong(2) == totalUsers)
 
+    // temperature mix: shares sum to ~1e6 (floor loss < n_langs) and
+    // the α=0.5 rule upweights the smallest slice vs its raw share
+    val tm = defs("q120_temperature_mix")(spark, d).collect()
+    val shareSum = tm.map(_.getLong(2)).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - tm.length)
+    val totTok = tm.map(_.getLong(1)).sum
+    val smallest = tm.minBy(_.getLong(1))
+    assert(smallest.getLong(2) > 1000000L * smallest.getLong(1) / totTok,
+      "temperature sampling must upweight the low-resource slice")
+
     // KMV sketch: identities hold and the estimate branch activates
     val kmv = defs("q115_kmv_sketch")(spark, d).collect().head
     assert(kmv.getLong(7) >= math.max(kmv.getLong(5), kmv.getLong(6)))
