@@ -294,15 +294,20 @@ object AnalyticsQueries {
           .select(col("source"), col("s")).distinct())
       val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
       // pair INSIDE each gram's posting list: collect the sorted source
-      // set per gram (bounded by |sources|), expand ordered pairs
-      // map-side — no gram self-join ever materializes
+      // set per gram (bounded by |sources|), expand ordered pairs in a
+      // typed scan-speed flatMap (the tokenCooccurrence pattern — the
+      // interpreted HOF path measurably dominates on hot loops) — no
+      // gram self-join ever materializes
+      import s.implicits._
       val pairs = sg.groupBy(col("s"))
         .agg(sort_array(collect_set(col("source"))).as("srcs"))
-        .select(explode(expr(
-          "flatten(transform(srcs, (a, i) -> " +
-            "transform(slice(srcs, i + 2, size(srcs)), " +
-            "b -> struct(a AS src_a, b AS src_b))))")).as("p"))
-        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+        .select(col("srcs")).as[Seq[String]]
+        .flatMap { srcs =>
+          for (i <- srcs.indices.iterator; j <- (i + 1 until srcs.length).iterator)
+            yield (srcs(i), srcs(j))
+        }
+        .toDF("src_a", "src_b")
+        .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).as("n_shared"))
       pairs
         .join(sizes.select(col("source").as("src_a"), col("n_grams").as("n_a")), "src_a")
