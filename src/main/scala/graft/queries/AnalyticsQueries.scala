@@ -801,6 +801,27 @@ object AnalyticsQueries {
         .orderBy(col("lang"))
     }),
 
+    // Per-source Gini coefficient of token frequencies — vocabulary
+    // concentration (is a slice dominated by a few tokens?), from the
+    // rank formula G = (2·Σ i·fᵢ − (n+1)·Σ fᵢ) / (n·Σ fᵢ) over
+    // ascending-sorted frequencies: every term is an exact integer, so
+    // the ppm score is engine-identical with no float anywhere.
+    "q121_token_gini" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = TextAnalysis.tokenRows(docs, "text", "doc_id")
+        .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("f"))
+      val w = Window.partitionBy(col("source")).orderBy(col("f"), col("token"))
+      tf.withColumn("i", row_number().over(w).cast("bigint"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("f")).as("n_occ"),
+          sum(col("i") * col("f")).as("si"))
+        .select(col("source"), col("n_tokens"), col("n_occ"),
+          expr("(1000000 * (2 * si - (n_tokens + 1) * n_occ)) div (n_tokens * n_occ)")
+            .as("gini_ppm"))
+        .orderBy(col("source"))
+    }),
+
     // Gap sessionization via Spark's NATIVE session_window aggregate
     // (the merging-session-window operator, one shuffle on the user
     // key) — the engine-native twin of q45's lag+running-sum form; the
@@ -1125,6 +1146,22 @@ object AnalyticsQueries {
         |FROM ev JOIN scd USING (user_id)
         |WHERE ets >= vf AND ets < vt
         |ORDER BY event_id""".stripMargin,
+
+    "q121_token_gini" ->
+      s"""${ExtQueries.tokCte},
+         |p AS (SELECT doc_id, unnest(t) token FROM tok),
+         |tf AS (SELECT source, token, CAST(count(*) AS BIGINT) f
+         |       FROM p JOIN documents USING (doc_id) GROUP BY 1, 2),
+         |rk AS (SELECT source, f,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY f, token) AS BIGINT) i
+         |  FROM tf),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) n_tokens,
+         |        CAST(sum(f) AS BIGINT) n_occ, CAST(sum(i * f) AS BIGINT) si
+         |      FROM rk GROUP BY 1)
+         |SELECT source, n_tokens, n_occ,
+         |  CAST((1000000 * (2 * si - (n_tokens + 1) * n_occ)) // (n_tokens * n_occ) AS BIGINT)
+         |    AS gini_ppm
+         |FROM a ORDER BY source""".stripMargin,
 
     "q120_temperature_mix" ->
       s"""${ExtQueries.tokCte},

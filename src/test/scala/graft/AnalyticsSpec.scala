@@ -282,6 +282,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(nu.map(_.getLong(1)).sum == totalUsers)
     assert(nu.last.getLong(2) == totalUsers)
 
+    // Gini: bounded in [0, 1e6); a uniform fixture scores exactly 0
+    val gi = defs("q121_token_gini")(spark, d).collect()
+    gi.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) < 1000000L))
+    locally {
+      import spark.implicits._
+      val uniform = Seq((1L, "aa bb cc"), (2L, "aa bb cc"))
+        .toDF("doc_id", "text")
+      val tfU = TextAnalysis.tokenRows(uniform, "text", "doc_id")
+        .groupBy(col("token")).agg(count(lit(1)).as("f"))
+        .withColumn("i", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("f"), col("token"))).cast("bigint"))
+        .agg(count(lit(1)).as("n"), sum(col("f")).as("s"),
+          sum(col("i") * col("f")).as("si"))
+        .selectExpr("(1000000 * (2 * si - (n + 1) * s)) div (n * s)")
+        .head().getLong(0)
+      assert(tfU == 0L, "uniform frequencies must score Gini 0")
+    }
+
     // temperature mix: shares sum to ~1e6 (floor loss < n_langs) and
     // the α=0.5 rule upweights the smallest slice vs its raw share
     val tm = defs("q120_temperature_mix")(spark, d).collect()
