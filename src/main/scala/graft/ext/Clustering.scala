@@ -129,38 +129,42 @@ object Clustering {
     * dominated_by` (the lowest dominating id, −1 when kept; −1 not NULL
     * so the column stays integer-typed end-to-end).
     *
-    * Cosine uses the UN-offset quantization ([[Similarity.quantize]]) —
-    * cosine is not translation-invariant, so the k-means offset trick
-    * must not leak into the similarity test. The threshold compare is the
-    * q26 integer cross-multiplication in DECIMAL(38,0) (dot² would
-    * overflow BIGINT).
+    * Cosine uses the UN-offset quantization (the [[Similarity.quantize]]
+    * contract, applied inside [[Similarity.nearDupPairs]]) — cosine is not
+    * translation-invariant, so the k-means offset trick must not leak into
+    * the similarity test. The threshold compare is the q26 integer
+    * cross-multiplication in DECIMAL(38,0) (dot² would overflow BIGINT).
     *
     * 100 TB shape: the paper's own scaling argument — the O(n²) cosine
     * test runs within clusters only, and k is chosen so n/k bounds the
-    * block size; the join is an equi-join on the cluster id. A skewed
-    * cluster degrades to that block's square, the same documented bound
-    * as [[Similarity.nearDupPairs]] (whose salting applies here too if a
-    * corpus needs it). */
+    * block size; the join is an equi-join on the cluster id. The pair
+    * expansion IS [[Similarity.nearDupPairs]] with the cluster id as the
+    * blocking key, so its skew guard applies verbatim: a cluster larger
+    * than `skewBlockLimit` (Lloyd's degeneracy — a collapsed centroid set
+    * concentrating the corpus in one cluster — makes this a real failure
+    * mode, not a corner case) is auto-dispatched through the salted path,
+    * splitting its pair work across `nSalts` independent tasks instead of
+    * serializing one O(cluster²) task. Output is identical on both paths
+    * (ClusteringSpec forces the salted path on a collapsed fixture). */
   def semDedup(emb: DataFrame, idCol: String, embCol: String, k: Int,
-               numT: Int = 3, denT: Int = 10): DataFrame = {
-    val asg = kmeansTwoPass(emb, idCol, embCol, k)
-      .select(col("vec_id"), col("c2"))
-    val qv = emb.select(col(idCol).cast("long").as("vec_id"),
-      Similarity.quantize(col(embCol)).as("qv"))
-    val e = graft.ops.TransientCache.persist(
-      asg.join(qv, "vec_id").withColumn("nq", Similarity.normQ(col("qv"))))
-    val pairs = e.as("a").join(e.as("b"),
-        col("a.c2") === col("b.c2") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        Similarity.dotQ(col("a.qv"), col("b.qv")).as("dot"),
-        col("a.nq").as("na"), col("b.nq").as("nb"))
-    val dominated = pairs.where(col("dot") > 0 &&
-        col("dot").cast("decimal(38,0)") * col("dot").cast("decimal(38,0)") *
-          lit(denT * denT) >=
-          lit(numT * numT) * col("na").cast("decimal(38,0)") *
-            col("nb").cast("decimal(38,0)"))
-      .groupBy(col("vb").as("vec_id")).agg(min(col("va")).as("dom"))
-    e.join(dominated, Seq("vec_id"), "left")
+               numT: Int = 3, denT: Int = 10,
+               skewBlockLimit: Long = 1L << 14, nSalts: Int = 32): DataFrame = {
+    // Persisted: feeds both the pair expansion's input and the final
+    // output join below.
+    val asg = graft.ops.TransientCache.persist(
+      kmeansTwoPass(emb, idCol, embCol, k).select(col("vec_id"), col("c2")))
+    // The embedding rides along into nearDupPairs with the cluster id as
+    // the blocking key; floats pass through unchanged (parquet embeddings
+    // are float32 — the cast is a no-op on real data and pins the
+    // quantization contract for ad-hoc double fixtures).
+    val withCluster = emb.select(col(idCol).cast("long").as("vec_id"),
+        col(embCol).cast("array<float>").as("__emb"))
+      .join(asg, "vec_id")
+    val dominated = Similarity
+      .nearDupPairs(withCluster, "vec_id", "__emb", "c2",
+        numT, denT, skewBlockLimit, nSalts)
+      .groupBy(col("vec_b").as("vec_id")).agg(min(col("vec_a")).as("dom"))
+    asg.join(dominated, Seq("vec_id"), "left")
       .select(col("vec_id"), col("c2").as("cluster"),
         col("dom").isNull.as("kept"),
         coalesce(col("dom"), lit(-1L)).as("dominated_by"))

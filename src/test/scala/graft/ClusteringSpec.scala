@@ -95,6 +95,36 @@ class ClusteringSpec extends AnyFunSuite {
     assert(byId(2L)._1 && byId(4L)._1)
   }
 
+  test("semDedup: collapsed mega-cluster takes the salted path, identical output") {
+    // Identical seeds (vecs 1, 2) collapse EVERYTHING into cluster 1 —
+    // the Lloyd's degeneracy documented on kmeansTwoPass and the exact
+    // skew scenario the guard exists for: one 24-member cluster, far
+    // above skewBlockLimit=4, so nearDupPairs' dispatch must route the
+    // whole pair expansion through the salted branch (blk_n=24 > 4; the
+    // plain branch filters blk_n <= limit, so these pairs can ONLY come
+    // from the salted join).
+    val rows = Seq(1L -> Seq(0.5, 0.5), 2L -> Seq(0.5, 0.5)) ++
+      (3L to 22L).map(i => i -> Seq(0.5 + (i - 2) * 0.001, 0.5)) ++
+      Seq(23L -> Seq(-0.5, 0.5), 24L -> Seq(0.5, -0.5))
+    val e = emb(rows: _*)
+    val salted = Clustering.semDedup(e, "vec_id", "embedding", 2,
+        skewBlockLimit = 4, nSalts = 8)
+      .orderBy("vec_id").collect().toSeq
+    val plain = Clustering.semDedup(e, "vec_id", "embedding", 2)
+      .orderBy("vec_id").collect().toSeq
+    assert(salted == plain)
+    // the collapse really happened: every vector in cluster 1
+    assert(salted.forall(_.getAs[Long]("cluster") == 1L))
+    // and the salted path found the real dominations: 1 dominates every
+    // near-parallel vector; the two orthogonal vectors (cos 0 / cos < 0
+    // against everything) survive.
+    val byId = salted.map(r => r.getAs[Long]("vec_id") ->
+      ((r.getAs[Boolean]("kept"), r.getAs[Long]("dominated_by")))).toMap
+    assert(byId(1L) == ((true, -1L)))
+    assert((2L to 22L).forall(i => byId(i) == ((false, 1L))))
+    assert(byId(23L)._1 && byId(24L)._1)
+  }
+
   test("semDedup: duplicates in DIFFERENT clusters are both kept") {
     // seeds 1 and 2 are far apart; 3 duplicates 1 but sits in seed 2's
     // cluster only if geometry says so — here it stays with 1, while 4
