@@ -219,8 +219,10 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
-    // Multimodal decode plumbing: binary payload -> typed features
-    // (decode arithmetic is the documented stub; plumbing is real).
+    // Multimodal decode: REAL container parsing — each document is
+    // encoded as an actual PNG/BMP/GIF file (by doc_id mod 3) and the
+    // decode reads dimensions/format/payload from the bytes alone; the
+    // oracle predicts every field from the generation formula.
     "q43_multimodal_decode" -> ((s, d) =>
       Multimodal.decode(s, Multimodal.mediaFromDocuments(Tables.documents(s, d)))
         .toDF().orderBy("media_id")),
@@ -706,19 +708,31 @@ object ExtQueries {
          |FROM m JOIN documents d USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // The oracle predicts the decoded fields from the media-generation
+    // formula (format by doc_id mod 3, dimensions from doc_id, data
+    // stream = utf-8 text); Spark's side reads them from real header
+    // BYTES — byte_len checks the exact container overhead (PNG
+    // signature+IHDR+IDAT+IEND = 57, BMP headers = 54, GIF header+
+    // trailer = 14) and checksum checks the parsed data stream.
     "q43_multimodal_decode" ->
-      """SELECT doc_id AS media_id, 'image' AS kind,
-        |  CAST(length(text) AS BIGINT) AS byte_len,
-        |  CAST(length(text) % 640 AS INT) AS width,
-        |  CAST((length(text) * 7) % 480 AS INT) AS height,
-        |  CAST(length(text) // 256 + 1 AS INT) AS n_frames,
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 2 THEN 'video' ELSE 'image' END AS kind,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 57 WHEN 1 THEN 54 ELSE 14 END
+        |       + length(text) AS BIGINT) AS byte_len,
+        |  CAST(doc_id % 637 + 1 AS INT) AS width,
+        |  CAST((doc_id * 7) % 473 + 1 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN length(text) // 256 + 1
+        |       ELSE 1 END AS INT) AS n_frames,
         |  md5(text) AS checksum
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q44_frame_sample" ->
       """SELECT doc_id AS media_id,
-        |  CAST(length(text) // 256 + 1 AS INT) AS n_frames,
-        |  CAST((length(text) // 256) // 4 + 1 AS BIGINT) AS n_sampled
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN length(text) // 256 + 1
+        |       ELSE 1 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN (length(text) // 256) // 4
+        |       ELSE 0 END + 1 AS BIGINT) AS n_sampled
         |FROM documents ORDER BY media_id""".stripMargin
   )
 }
