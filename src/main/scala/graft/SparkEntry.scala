@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.EventQueries.defs ++
       graft.queries.MetaQueries.defs ++
       graft.queries.PipelineQueries.defs ++
-      graft.queries.AnalyticsQueries.defs
+      graft.queries.AnalyticsQueries.defs ++
+      graft.queries.StemmedFtsQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.EventQueries.oracles ++
       graft.queries.MetaQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
-      graft.queries.AnalyticsQueries.oracles
+      graft.queries.AnalyticsQueries.oracles ++
+      graft.queries.StemmedFtsQueries.oracles
 }

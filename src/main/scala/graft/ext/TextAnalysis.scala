@@ -215,10 +215,11 @@ object TextAnalysis {
   /** F17 scale path: the inverted-index postings table (term → doc), the
     * Spark twin of the reference's Spanish `to_tsvector` GIN index
     * (`database/migrations/001_initial_schema.sql:87-88,128-129`) —
-    * accent-folded like the reference's search surface (stemming is the
-    * documented divergence, SURVEY §7.4). One row per DISTINCT term per
-    * doc; at 100 TB this is written bucketed by `term` so every term
-    * lookup is a partition-pruned scan instead of a corpus scan. */
+    * accent-folded like the reference's search surface. One row per
+    * DISTINCT term per doc; at 100 TB this is written bucketed by `term`
+    * so every term lookup is a partition-pruned scan instead of a corpus
+    * scan. For the stemmed (lexeme-level) variant the reference's
+    * tsvector actually stores, see [[stemmedPostings]]. */
   def invertedPostings(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
       explode(array_distinct(tokens(normalize(foldAccents(col(textCol)))))).as("term"))
@@ -243,6 +244,50 @@ object TextAnalysis {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_hit"))
         .where(col("n_hit") === distinctTerms.size)
+        .select(col("doc_id"))
+  }
+
+  /** Spanish-preserving normalize twin: lowercase, keep a-z, 0-9 and the
+    * stemmer's alphabet á é í ó ú ü ñ (plain [[normalizeJvm]] would strip
+    * the accented letters the stemmer's region arithmetic needs). DuckDB
+    * twin: `regexp_replace(lower(x), '[^a-z0-9áéíóúüñ ]', ' ', 'g')`. */
+  def normalizeEsJvm(text: String): String =
+    text.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9áéíóúüñ ]", " ")
+
+  /** F17 stemmed postings — the lexeme table a `to_tsvector('spanish')`
+    * GIN index stores (reference:
+    * `database/migrations/001_initial_schema.sql:87-88`): one row per
+    * distinct surface term per doc with its Snowball-Spanish stem
+    * ([[SpanishStemmer]]). A typed flatMap at scan speed (no shuffle);
+    * bucketed by `stem` at real scale like [[invertedPostings]]. */
+  def stemmedPostings(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        tokenizeJvm(normalizeEsJvm(Option(text).getOrElse("")))
+          .distinct.map(t => (id, t, SpanishStemmer.stem(t)))
+      }.toDF("doc_id", "term", "stem")
+  }
+
+  /** Conjunctive search over [[stemmedPostings]]: docs whose stems cover
+    * ALL the needles' stems — `plainto_tsquery('spanish', ...)` semantics:
+    * the needle "tables" finds docs containing "table" because both stem
+    * to "tabl". Needles go through the same normalize+tokenize+stem
+    * pipeline as the index (stemmed exactly ONCE — Snowball is not
+    * idempotent, so double-stemming a needle would miss). */
+  def searchAllStems(postings: DataFrame, needles: Seq[String]): DataFrame = {
+    val stems = needles
+      .flatMap(t => tokenizeJvm(normalizeEsJvm(t)))
+      .map(SpanishStemmer.stem).distinct
+    if (stems.isEmpty)
+      postings.select(col("doc_id")).distinct()
+    else
+      postings.where(col("stem").isin(stems: _*))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("stem")).as("n_hit"))
+        .where(col("n_hit") === stems.size)
         .select(col("doc_id"))
   }
 
