@@ -24,21 +24,42 @@ object Bench {
       case Some(pats) => SparkEntry.queries.filter { case (n, _) => pats.exists(n.contains) }
       case None => SparkEntry.queries
     }
-    val perIter = (1 to iters).map { _ =>
+    def runPass(cold: Boolean): Map[String, Double] =
       selected.map { case (name, fn) =>
+        if (cold) {
+          // Cold = no cross-query amortization: evict the session-shared
+          // artifacts (signature tables, kNN graph, PQ model, member
+          // catalog) AND their CacheManager entries, so each query pays
+          // its own full build. Measures the "built once per session"
+          // claim instead of asserting it.
+          graft.ops.SessionCache.clear(spark)
+          spark.catalog.clearCache()
+        }
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => -1L }
         finally graft.ops.TransientCache.releaseAll()
         name -> (System.nanoTime() - t0) / 1e9
       }
-    }
-    val warmed = perIter.last
+    // SPARK_GRAFT_BENCH_COLD=1 -> cold-only (dev loop); default runs the
+    // warm iterations first (headline, comparable across rounds) and then
+    // ONE cold pass so both numbers land in every round's output.
+    val coldOnly = sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
+    val perIter = if (coldOnly) Seq.empty else (1 to iters).map(_ => runPass(cold = false))
+    val cold = runPass(cold = true)
+    val warmed = if (coldOnly) cold else perIter.last
     val qs = warmed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (warmed.nonEmpty) warmed.values.sum else 0.0
-    val iterTotals = perIter.map(_.values.sum).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iteration_totals":$iterTotals,"sf":"$sfDir"}""")
+    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+    val iterTotals = (perIter.map(_.values.sum) :+ coldTotal).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iteration_totals":$iterTotals,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    // The full line above can exceed the driver's output-tail capture.
+    // Repeat the load-bearing numbers LAST and SHORT so they always
+    // survive: totals + the slowest 20 warmed queries.
+    val slowest = warmed.toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""BENCH_SUMMARY {"total":$total,"cold_total":$coldTotal,"n_queries":${warmed.size},"slowest20":$slowest}""")
     spark.stop()
   }
 }

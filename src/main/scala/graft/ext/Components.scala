@@ -206,10 +206,16 @@ object Components {
     * 100 TB shape: the edge list with out-degrees is computed once and
     * persisted ([[graft.ops.TransientCache]]); each iteration is one
     * shuffle join (ranks ⋈ edges on the source) + one map-side-combined
-    * groupBy on the destination — the textbook Spark PageRank plan, with
-    * a fixed unrolled depth so the DAG stays analyzable. */
+    * groupBy on the destination — the textbook Spark PageRank plan. Up to
+    * `truncateAfter` iterations the plan stays a fixed unrolled tree (no
+    * extra jobs — cheapest at the default depth 3); past it, every
+    * round's rank table is eagerly `localCheckpoint`ed exactly like
+    * [[connectedComponents]]' label rounds, because a deep iterative
+    * plan that keeps its full lineage re-plans quadratically and
+    * re-executes every prior round on a task retry — the at-scale
+    * failure mode SCALE.md describes. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 3): DataFrame = {
+               iters: Int = 3, truncateAfter: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 10, s"iters must be in [1,10], got $iters")
     // The raw edge list is persisted FIRST: everything below (out-degrees,
     // the joined edge table, the node universe) derives from it, and an
@@ -224,6 +230,7 @@ object Components {
       e0.select(col("src").as("node"))
         .union(e0.select(col("dst").as("node"))).distinct())
     var pr = nodes.withColumn("pr", lit(1000000L))
+    val truncate = iters > truncateAfter
     for (_ <- 1 to iters) {
       // One join + one shuffle per iteration: the damped base rides into
       // the aggregation as a per-node seed row (150000 + Σc ≡ Σ(c ∪
@@ -233,6 +240,8 @@ object Components {
           expr("(pr * 17) div (20 * od)").as("c"))
       pr = contrib.union(nodes.select(col("node"), lit(150000L).as("c")))
         .groupBy(col("node")).agg(sum(col("c")).as("pr"))
+      if (truncate)
+        pr = graft.ops.TransientCache.track(pr.localCheckpoint(true))
     }
     pr
   }

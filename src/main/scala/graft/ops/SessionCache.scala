@@ -37,7 +37,18 @@ object SessionCache {
     * LUT plans, driver-side state) — the [[getOrBuild]] pattern without
     * persist management: the builder owns any persistence of the
     * DataFrames it embeds. Same race contract: losers drop their build
-    * without touching caches. */
+    * without touching caches.
+    *
+    * BUILDER CONTRACT (required for the race to be leak-free): for a
+    * given key, every invocation of the builder must produce DataFrames
+    * whose logical plans CANONICALIZE EQUAL (deterministic build from the
+    * same inputs). Spark's CacheManager registers persisted entries by
+    * plan equality, so a race loser's persist() is then a no-op on the
+    * winner's entry and dropping the loser leaks nothing. A builder with
+    * nondeterministic plans (fresh random seeds, current-time literals)
+    * would leak the loser's cached blocks for the session — don't memo
+    * such builds. Every current builder (PQ codebooks, kNN graph,
+    * simhash signatures) is plan-deterministic by construction. */
   private val values =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Any]
 
@@ -50,5 +61,22 @@ object SessionCache {
         values.putIfAbsent((spark, key), built)
           .map(_.asInstanceOf[T]).getOrElse(built)
     }
+  }
+
+  /** Evict every entry belonging to `spark`, unpersisting cached tables —
+    * the cold-measurement hook behind Bench's cold pass: with the cache
+    * cleared before each query, a query pays the FULL build cost of the
+    * artifacts it normally shares (signature tables, kNN graph, PQ model,
+    * member catalog), so the amortization claim is measured rather than
+    * asserted. Model [[memo]] entries are evicted without touching
+    * storage: their builders own any embedded persists, which Spark's
+    * CacheManager would hand straight back to a plan-equal rebuild — so a
+    * truly cold measurement must pair this with
+    * `spark.catalog.clearCache()` (Bench's cold pass does). */
+  def clear(spark: SparkSession): Unit = {
+    cache.keys.filter(_._1 eq spark).foreach { k =>
+      cache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+    values.keys.filter(_._1 eq spark).foreach(values.remove)
   }
 }

@@ -46,6 +46,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(prE == Map(1L -> 150000L, 2L -> 277500L))
   }
 
+  test("pageRank: deep loop truncates lineage per round and matches an independent reference") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L), (4L, 2L))
+    val df = edges.toDF("src", "dst")
+
+    // Independent driver-side re-derivation of the integer recurrence
+    // (same contract as the scaladoc: pr' = 150000 + Σ (pr*17) div (20*od)).
+    val od = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var ref = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 10) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => ref(e._1) * 17 / (20 * od(e._1))).sum
+      }
+      ref = nodes.map(n => n -> (150000L + in.getOrElse(n, 0L))).toMap
+    }
+
+    val deep = Components.pageRank(df, "src", "dst", 10)          // truncates (> 4)
+    val got = deep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref, "10-iteration ranks must match the independent recurrence")
+
+    // Lineage bound: the checkpointed loop's plan holds ONE round over a
+    // materialized LogicalRDD; the unrolled loop's plan stacks all 10.
+    val unrolled = Components.pageRank(df, "src", "dst", 10, truncateAfter = 10)
+    def planSize(p: org.apache.spark.sql.DataFrame): Int =
+      p.queryExecution.optimizedPlan.collect { case n => n }.size
+    assert(planSize(deep) < planSize(unrolled) / 3,
+      s"truncated plan (${planSize(deep)} nodes) must be far smaller than " +
+        s"the unrolled plan (${planSize(unrolled)} nodes)")
+    assert(unrolled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == ref,
+      "truncation must not change values")
+    graft.ops.TransientCache.releaseAll()
+  }
+
   test("pageRank: ranks bounded below by damped base and conserve mass") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
