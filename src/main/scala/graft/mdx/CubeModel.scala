@@ -45,19 +45,24 @@ final case class HierarchyDef(
 final case class MeasureDef(name: String, aggregator: String, agg: Column)
 
 /** Aggregate-navigator definition: a pre-aggregated table of the fact at
-  * `grainCols` (level keys + captions of the covered hierarchies, i.e.
-  * the cube's addressable base grain), built once per session and rolled
-  * up by every query whose referenced columns fit the grain — the SSAS
-  * aggregation-design trick (ref aggregation usage
-  * `backend/olap_service.py:346-430` pivots always re-query; a cube
+  * `grainCols` (level keys + captions of the covered hierarchies), built
+  * once per session and rolled up by every query whose referenced columns
+  * fit the grain — the SSAS aggregation-design trick (ref aggregation
+  * usage `backend/olap_service.py:346-430` pivots always re-query; a cube
   * engine pre-aggregates). At 100 TB this is THE scan-elimination lever:
-  * the fact is touched once per session/build, every pivot reads a
-  * dimension-bounded table (|nations|×|brands|×|months|, ~52 k rows),
-  * invariant to fact growth. SUM/COUNT measures re-aggregate exactly
-  * (decimal sums of sums; counts sum). Queries referencing hierarchies
-  * outside `units`/`grainCols` (supplier geo, part leaf) fall back to
-  * the raw-fact path automatically. */
-final case class PreAggDef(units: Seq[String], grainCols: Seq[String])
+  * the fact is touched once per session per aggregate build, every pivot
+  * reads a dimension-bounded table, invariant to fact growth. SUM/COUNT
+  * measures re-aggregate exactly (decimal sums of sums; counts sum).
+  *
+  * A cube carries a LIST of aggregates (like an SSAS aggregation design):
+  * one wide base grain cannot cover every hierarchy cheaply — folding a
+  * second geography into the base grain would multiply its cardinality
+  * toward the fact's, destroying the invariance that makes navigation
+  * worth it. Instead each aggregate stays dimension-bounded and the
+  * lowerer picks the narrowest one that covers the query; queries no
+  * aggregate covers (part leaf — leaf grain would approach fact
+  * cardinality) fall back to the raw-fact path automatically. */
+final case class PreAggDef(name: String, units: Seq[String], grainCols: Seq[String])
 
 final case class CubeDef(
     name: String,
@@ -65,7 +70,7 @@ final case class CubeDef(
     joinUnits: Seq[JoinUnit],
     hierarchies: Seq[HierarchyDef],
     measures: Seq[MeasureDef],
-    preAgg: Option[PreAggDef] = None) {
+    preAggs: Seq[PreAggDef] = Nil) {
   def hierarchy(dim: String, hier: String): Option[HierarchyDef] =
     hierarchies.find(h =>
       h.dim.equalsIgnoreCase(dim) && h.hier.equalsIgnoreCase(hier))
@@ -146,12 +151,22 @@ object SalesCube {
       MeasureDef("count_order", "COUNT", count(lit(1)))
     ),
     // Base grain: customer-geo × part-brand × order year/month (and their
-    // captions). Part LEAF (p_partkey) is deliberately excluded — leaf
-    // grain would approach fact cardinality; leaf queries fall back.
-    preAgg = Some(PreAggDef(
-      units = Seq("orders", "custgeo", "part", "orderdate"),
-      grainCols = Seq("r_regionkey", "r_name", "n_nationkey", "n_name",
-        "p_brand", "order_year", "order_month")))
+    // captions), ~52 k rows. Part LEAF (p_partkey) is deliberately
+    // excluded — leaf grain would approach fact cardinality; leaf queries
+    // fall back. Supplier geo lives in its OWN aggregate below: folding
+    // it here would multiply the base grain ×25 toward fact cardinality.
+    preAggs = Seq(
+      PreAggDef("base",
+        units = Seq("orders", "custgeo", "part", "orderdate"),
+        grainCols = Seq("r_regionkey", "r_name", "n_nationkey", "n_name",
+          "p_brand", "order_year", "order_month")),
+      // Supplier-geo × time grain (|supp nations| × |months| ≈ 2 k rows):
+      // covers the supplier pivots (q37) that previously fell back to a
+      // raw-fact scan, keeping every covered pivot fact-growth-invariant.
+      PreAggDef("suppgeo",
+        units = Seq("suppgeo", "orders", "orderdate"),
+        grainCols = Seq("sn_nationkey", "sn_name",
+          "order_year", "order_month")))
   )
 
   /** Old-generation cube: the same fact but addressed through a
@@ -161,8 +176,8 @@ object SalesCube {
   val oldCube: CubeDef = cube.copy(
     name = "SalesOld",
     // No pre-agg: the legacy cube serves one addressing-compat query;
-    // building a second session pre-agg would cost more than it saves.
-    preAgg = None,
+    // building another session pre-agg would cost more than it saves.
+    preAggs = Nil,
     hierarchies = Seq(
       cube.hierarchies.head.copy(
         hier = "[Customer].[GeoOld]",

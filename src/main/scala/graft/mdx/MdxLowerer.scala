@@ -67,20 +67,22 @@ object MdxLowerer {
     val wantedUnits = (axisDims.map(_.h) ++ slicer.map(_._1) ++ props.map(_.h))
       .flatMap(_.units).distinct
 
-    // Aggregate navigation: when every referenced column fits the cube's
-    // pre-aggregated base grain and every measure re-aggregates (SUM /
-    // COUNT partials sum exactly), serve the query by rolling up the
+    // Aggregate navigation: when every referenced column fits one of the
+    // cube's pre-aggregated grains and every measure re-aggregates (SUM /
+    // COUNT partials sum exactly), serve the query by rolling up that
     // session-materialized pre-agg instead of re-scanning the fact —
     // the pivot cost becomes dimension-bounded, invariant to fact size.
+    // Among covering aggregates the NARROWEST grain wins (fewest grain
+    // columns ⇒ fewest rows to roll up), the SSAS navigator rule.
     val referencedCols = (
       axisDims.flatMap(ad => ad.level.keyCols :+ ad.level.captionCol) ++
         slicer.toSeq.flatMap(_._2.keyCols) ++
         props.flatMap(p => p.level.keyCols :+ p.level.captionCol)).distinct
-    val navigated = cube.preAgg.filter { pa =>
+    val navigated = cube.preAggs.filter { pa =>
       wantedUnits.forall(pa.units.contains) &&
         referencedCols.forall(pa.grainCols.contains) &&
         measures.forall(m => m.aggregator == "SUM" || m.aggregator == "COUNT")
-    }
+    }.sortBy(_.grainCols.size).headOption
     val fact0 = navigated match {
       case Some(pa) => preAggTable(spark, sfDir, cube, pa)
       case None     => attachUnits(spark, sfDir, cube, wantedUnits)
@@ -253,12 +255,12 @@ object MdxLowerer {
     PropRef(h, lvl)
   }
 
-  /** Session-materialized pre-aggregate of the cube's fact at the base
-    * grain (one fact scan per session; every navigated pivot rolls up
-    * this dimension-bounded table). */
+  /** Session-materialized pre-aggregate of the cube's fact at one of its
+    * declared grains (one fact scan per session per aggregate; every
+    * navigated pivot rolls up a dimension-bounded table). */
   private def preAggTable(spark: SparkSession, sfDir: String,
                           cube: CubeDef, pa: PreAggDef): DataFrame =
-    graft.ops.SessionCache.getOrBuild(spark, s"preagg:${cube.name}:$sfDir") {
+    graft.ops.SessionCache.getOrBuild(spark, s"preagg:${cube.name}:${pa.name}:$sfDir") {
       attachUnits(spark, sfDir, cube, pa.units)
         .groupBy(pa.grainCols.map(col): _*)
         .agg(cube.measures.head.agg.as(cube.measures.head.name),

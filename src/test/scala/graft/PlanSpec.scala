@@ -42,14 +42,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("MDX non-navigated path attaches only referenced join units + broadcasts") {
-    // Supplier geo is outside the pre-agg grain -> raw-fact path: only
-    // the suppgeo unit's scans, dims broadcast, no unreferenced tables.
+  test("q37: supplier pivot rolls up the suppgeo pre-aggregate, not the fact") {
+    // Round-5: supplier geo gained its own aggregate (CubeDef.preAggs
+    // "suppgeo", |supp nations|×|months| grain) — the pivot reads the
+    // cached table and re-aggregates instead of re-scanning lineitem.
     val p = plan("q37_mdx_supplier_nation")
+    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+      s"q37 not served from the suppgeo pre-aggregate:\n$p")
+    assert(p.contains("partial_"), s"no partial (map-side) aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("MDX non-navigated path attaches only referenced join units + broadcasts") {
+    // The old-generation cube declares no aggregates -> raw-fact path:
+    // only the custgeo/orders units' scans, dims broadcast, no
+    // unreferenced tables (part, supplier).
+    val p = plan("q38_mdx_oldcube")
+    assert(!p.contains("InMemoryRelation") && !p.contains("InMemoryTableScan"),
+      s"oldCube has no pre-aggregate to navigate to:\n$p")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("partial_"), s"no partial (map-side) aggregation:\n$p")
-    assert(!p.contains("part.parquet") && !p.contains("orders.parquet") &&
-      !p.contains("customer.parquet"),
+    assert(!p.contains("part.parquet") && !p.contains("supplier.parquet"),
       s"unreferenced dimension scanned:\n$p")
   }
 
