@@ -122,6 +122,26 @@ object JobService {
     }
   }
 
+  /** Crash recovery sweep: a runner that died mid-execution leaves its
+    * claim as an orphaned RUNNING event (the claim narrows the
+    * double-execution race; it cannot survive its claimant). Requeue any
+    * RUNNING job whose last transition is older than `staleAfterSeconds`
+    * by appending a fresh PENDING event — the append-only twin of the
+    * reference runner's stale-job reset (`backend/db_runner.py`'s
+    * status-machine recovery), after which any runner completes it
+    * normally. Returns the requeued ids. */
+  def requeueStale(spark: SparkSession, root: String,
+                   staleAfterSeconds: Long): Seq[String] = {
+    import spark.implicits._
+    val cutoff = new java.sql.Timestamp(
+      System.currentTimeMillis() - staleAfterSeconds * 1000L)
+    val stale = readJobs(spark, root)
+      .where(col("status") === Running && col("updated_at") < lit(cutoff))
+      .as[Job].collect()
+    stale.foreach(j => transition(spark, root, j, Pending))
+    stale.map(_.id).toSeq
+  }
+
   /** Batch runner loop body (Q2): claim and execute PENDING jobs. */
   def runPending(spark: SparkSession, root: String, sfDir: String): Int = {
     import spark.implicits._

@@ -246,4 +246,60 @@ class StreamingJobRunnerSpec extends AnyFunSuite {
       .where(org.apache.spark.sql.functions.col("status") === JobService.Pending)
       .count() == 0)
   }
+
+  test("crash recovery: checkpoint loss replays without double-execution; orphaned claims requeue to exactly one COMPLETED") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_sjobs_crash").toString
+    val mdx = "SELECT {[Measures].[sum_qty]} ON COLUMNS, NON EMPTY [Customer].[Geo].[Region].MEMBERS ON ROWS FROM [Sales]"
+    val id = JobService.submit(spark, root, "SALES", mdx)
+    JobService.streamingRunner(spark, root, sf).awaitTermination(180000)
+    assert(JobService.status(spark, root, id).get.status == JobService.Completed)
+    def statusCounts(): Map[String, Long] =
+      spark.read.parquet(s"$root/job_events").groupBy(col("status")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statusCounts().get(JobService.Running).contains(1L))
+    assert(statusCounts().get(JobService.Completed).contains(1L))
+    val resultRows = JobService.result(spark, root, id).count()
+
+    // Runner died AFTER executing but BEFORE its checkpoint commit: wipe
+    // the checkpoint, so the restarted runner replays every event from
+    // offset zero — the worst-case at-least-once redelivery. The
+    // claim-before-execute re-read must turn the replay into a no-op.
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    rmrf(java.nio.file.Paths.get(s"$root/runner_checkpoint"))
+    JobService.streamingRunner(spark, root, sf).awaitTermination(120000)
+    assert(statusCounts().get(JobService.Running).contains(1L),
+      "full replay must not re-claim a completed job")
+    assert(statusCounts().get(JobService.Completed).contains(1L),
+      "the job lands COMPLETED exactly once")
+    assert(JobService.result(spark, root, id).count() == resultRows)
+
+    // Runner died MID-execution: its durable claim is an orphaned RUNNING
+    // event. Simulate the orphan by appending the claim the dead runner
+    // left (the log is the public storage contract), then requeue stale
+    // claims and drain — COMPLETED exactly once for this job too.
+    import spark.implicits._
+    val orphan = JobService.submit(spark, root, "SALES", mdx)
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    Seq((orphan, "SALES", mdx, JobService.Running, "", 0.0, now, 0L))
+      .toDF("id", "catalog_code", "mdx_query", "status", "error_message",
+        "duration_seconds", "event_at", "seq")
+      .coalesce(1).write.mode("append").parquet(s"$root/job_events")
+    assert(JobService.status(spark, root, orphan).get.status == JobService.Running)
+    // A drain while the claim looks live must NOT steal the job...
+    assert(JobService.runPending(spark, root, sf) == 0)
+    // ...but once stale it requeues and completes exactly once.
+    assert(JobService.requeueStale(spark, root, 0) == Seq(orphan))
+    JobService.streamingRunner(spark, root, sf).awaitTermination(120000)
+    assert(JobService.status(spark, root, orphan).get.status == JobService.Completed)
+    assert(spark.read.parquet(s"$root/job_events")
+      .where(col("id") === orphan && col("status") === JobService.Completed)
+      .count() == 1, "orphaned job lands COMPLETED exactly once")
+  }
 }
