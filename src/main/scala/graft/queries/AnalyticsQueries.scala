@@ -76,11 +76,26 @@ object AnalyticsQueries {
           expr("CAST(floor(l_quantity) AS BIGINT)").as("x"),
           expr("CAST(floor(l_extendedprice) AS BIGINT)").as("y"))
       val st = j.groupBy(col("n_name")).agg(
-        count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          max(abs(col("x"))).as("mx"), max(abs(col("y"))).as("my"))
+        // The int64 bound above is now ENFORCED, not just asserted in
+        // prose: every combined moment is ≤ n²·m² (m = max|x|,|y|), so
+        // an in-plan assert_true fails the job loudly the moment data
+        // outgrows the exact-int64 envelope (silent ANSI-off wraparound
+        // would corrupt slope/corr with no error). The check rides the
+        // output `n` column (n + 0) so pruning cannot drop it.
+        .withColumn("n", col("n") + coalesce(
+          assert_true(
+            pow(col("n").cast("double"), 2)
+              * pow(greatest(col("mx"), col("my")).cast("double"), 2)
+              < lit(4.6e18),
+            lit("q90 moments would overflow int64: pre-aggregate per sub-split"))
+            .cast("long"),
+          lit(0L)))
       st.select(col("n_name"), col("n"),
           expr("CAST(n * sxy - sx * sy AS DOUBLE)").as("cov_d"),
           expr("CAST(n * sxx - sx * sx AS DOUBLE)").as("varx_d"),

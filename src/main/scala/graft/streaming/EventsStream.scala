@@ -90,23 +90,47 @@ object EventsStream {
     * one empty marker per seen user (O(distinct users), like
     * [[graft.streaming.DocumentsStream.dedupDocuments]]); a single-batch
     * run reproduces the batch first-seen table exactly
-    * (StreamingSpec-pinned), across batches the contract is
-    * first-arrival-wins (standard lateness caveat). */
-  def firstSeenUsers(spark: SparkSession, events: DataFrame): Dataset[FirstSeen] = {
+    * (StreamingSpec-pinned).
+    *
+    * Contract across batches is FIRST-ARRIVAL-WINS: an append-mode
+    * stream cannot retract an emitted row, so a late batch carrying an
+    * earlier event day for an already-seen user never corrects the
+    * emitted first_day (the batch q118 over the same closed input would
+    * show the earlier day — the lateness caveat in COVERAGE.md §2.10).
+    * Downstreams needing corrected days should treat this stream as the
+    * arrival log and re-derive min(day) in batch.
+    *
+    * `stateTtl` bounds the otherwise O(distinct users)-forever state,
+    * same contract as [[DocumentsStream.dedupDocuments]]: a user idle
+    * past the TTL is evicted (processing-time timeout, refreshed on
+    * re-arrival) and would re-emit on return — lifetime first-seen
+    * becomes sliding-horizon first-seen. Leave None for a bounded
+    * backfill. */
+  def firstSeenUsers(spark: SparkSession, events: DataFrame,
+                     stateTtl: Option[java.time.Duration] = None): Dataset[FirstSeen] = {
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.select(col("user_id").cast("long"),
         date_trunc("day", col("ts")).as("day"))
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SeenUser, FirstSeen](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state: GroupState[SeenUser]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
         case (user, it, state: GroupState[SeenUser]) =>
-          if (state.exists) Iterator.empty
-          else {
-            val firstDay = it.map(_._2).minBy(_.getTime)
-            state.update(SeenUser(true))
-            Iterator(FirstSeen(user, firstDay))
-          }
+          val out =
+            if (state.exists) Iterator.empty
+            else {
+              val firstDay = it.map(_._2).minBy(_.getTime)
+              state.update(SeenUser(true))
+              Iterator(FirstSeen(user, firstDay))
+            }
+          stateTtl.foreach(t => state.setTimeoutDuration(t.toMillis))
+          out
       }
   }
 
