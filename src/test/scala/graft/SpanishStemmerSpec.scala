@@ -106,6 +106,17 @@ class SpanishStemmerSpec extends AnyFunSuite {
     assert(stem("los") == "los")
   }
 
+  test("fuzz: never throws, never lengthens, deterministic on arbitrary input") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghijklmnñopqrstuvwxyzáéíóúü0123456789 .&[]#-"
+    (0 until 2000).foreach { _ =>
+      val w = Seq.fill(rnd.nextInt(16))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val s1 = stem(w)  // must not throw for ANY input, valid word or not
+      assert(s1.length <= w.length, s"'$w' grew to '$s1'")
+      assert(s1 == stem(w), s"nondeterministic for '$w'")
+    }
+  }
+
   test("RV region examples from the spec") {
     // macho->"ho", oliva->"va", trabajo->"bajo", áureo->"eo": observable
     // through step-3 behavior (suffix in/out of RV)
