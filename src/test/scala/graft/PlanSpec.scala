@@ -66,6 +66,24 @@ class PlanSpec extends AnyFunSuite {
       s"unreferenced dimension scanned:\n$p")
   }
 
+  test("q124 stemmed index: one scan, no joins, map-side partial aggregate") {
+    // The lexeme index is a typed flatMap over the corpus scan + one
+    // aggregate: stemming must add NO exchanges beyond the groupBy's.
+    val p = plan("q124_fts_stemmed_index")
+    assert(!p.contains("Join"), s"stemmed postings must not join:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") == 1,
+      s"lexeme index should read the corpus exactly once:\n$p")
+  }
+
+  test("q123 stemmed search: postings lookup joins doc attrs broadcast, stems filter before the aggregate") {
+    val p = plan("q123_fts_stemmed_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // needle stems are an in-plan isin filter, evaluated before the
+    // per-doc hit count — never a full-corpus contains scan
+    assert(p.contains("stem#") && p.contains("IN ("), s"no stem-set filter:\n$p")
+  }
+
   test("q53 as-of: a single key exchange + window, never a join pair blow-up") {
     val p = plan("q53_events_asof")
     assert(!p.contains("Join"), s"as-of lowered to a join (pair blow-up shape):\n$p")
