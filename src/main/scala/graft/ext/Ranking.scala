@@ -63,7 +63,53 @@ object Ranking {
                terms: Seq[String], k: Int): DataFrame = {
     val queryTerms = terms.flatMap(t => TextAnalysis.tokenizeJvm(
       TextAnalysis.normalizeJvm(TextAnalysis.foldAccentsJvm(t)))).distinct
-    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    bm25Core(postingsWithTf(docs, textCol, idCol),
+      docLengths(docs, textCol, idCol), queryTerms, k)
+  }
+
+  /** Lexeme-level (stemmed) postings with tf: the Snowball-Spanish stem
+    * of every token occurrence — the frequency table a
+    * `to_tsvector('spanish')` GIN index stores
+    * (ref `database/migrations/001_initial_schema.sql:87-88`). */
+  def stemmedPostingsWithTf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        TextAnalysis.tokenizeJvm(
+            TextAnalysis.normalizeEsJvm(Option(text).getOrElse("")))
+          .map(t => (id, graft.ext.SpanishStemmer.stem(t)))
+      }.toDF("doc_id", "term")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("tf"))
+  }
+
+  /** Per-doc token count under the Spanish-preserving tokenization
+    * (stemming never changes token COUNT, only token content, so this is
+    * the dl the stemmed score needs). */
+  def docLengthsEs(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      size(TextAnalysis.tokens(TextAnalysis.normalizeEs(col(textCol)))).as("dl"))
+
+  /** Stemmed BM25 — ranked retrieval over LEXEMES, the `ts_rank` +
+    * `plainto_tsquery('spanish')` semantics of the reference's search
+    * endpoints: needle "tablas" scores docs containing "table" because
+    * both stem to "tabl". Needles stem exactly once (Snowball is not
+    * idempotent). Same scoring, quantization and top-k plan as
+    * [[bm25TopK]]. */
+  def bm25TopKStemmed(docs: DataFrame, textCol: String, idCol: String,
+                      terms: Seq[String], k: Int): DataFrame = {
+    val queryStems = terms
+      .flatMap(t => TextAnalysis.tokenizeJvm(TextAnalysis.normalizeEsJvm(t)))
+      .map(graft.ext.SpanishStemmer.stem).distinct
+    bm25Core(stemmedPostingsWithTf(docs, textCol, idCol),
+      docLengthsEs(docs, textCol, idCol), queryStems, k)
+  }
+
+  private def bm25Core(post0: DataFrame, dl0: DataFrame,
+                       queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     // The term-filtered postings (tiny — query terms only) feed BOTH the
     // df_t aggregate and the candidate rows; the doc-length table feeds
     // both the corpus stats and the candidate join. Persist each once
@@ -71,9 +117,8 @@ object Ranking {
     // branch re-runs the full-corpus tokenize — the interpreted-HOF pass
     // that dominates this query.
     val post = graft.ops.TransientCache.persist(
-      postingsWithTf(docs, textCol, idCol)
-        .where(col("term").isin(queryTerms: _*)))
-    val dl = graft.ops.TransientCache.persist(docLengths(docs, textCol, idCol))
+      post0.where(col("term").isin(queryTerms: _*)))
+    val dl = graft.ops.TransientCache.persist(dl0)
     // Corpus stats: one tiny agg row, broadcast onto every candidate.
     val stats = dl.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("tot_dl"))
       .withColumn("avgdl", col("tot_dl").cast("double") / col("n_corpus").cast("double"))

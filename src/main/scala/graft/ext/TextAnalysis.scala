@@ -247,10 +247,14 @@ object TextAnalysis {
         .select(col("doc_id"))
   }
 
-  /** Spanish-preserving normalize twin: lowercase, keep a-z, 0-9 and the
-    * stemmer's alphabet á é í ó ú ü ñ (plain [[normalizeJvm]] would strip
+  /** Spanish-preserving normalize: lowercase, keep a-z, 0-9 and the
+    * stemmer's alphabet á é í ó ú ü ñ (plain [[normalize]] would strip
     * the accented letters the stemmer's region arithmetic needs). DuckDB
     * twin: `regexp_replace(lower(x), '[^a-z0-9áéíóúüñ ]', ' ', 'g')`. */
+  def normalizeEs(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z0-9áéíóúüñ ]", " ")
+
+  /** JVM twin of [[normalizeEs]]. */
   def normalizeEsJvm(text: String): String =
     text.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9áéíóúüñ ]", " ")
 

@@ -96,7 +96,16 @@ object StemmedFtsQueries {
         .groupBy(col("stem"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           countDistinct(col("term")).as("n_terms"))
-        .orderBy(col("stem")))
+        .orderBy(col("stem"))),
+
+    // Stemmed BM25 (F17 ranked retrieval): ts_rank over the Spanish
+    // lexeme index — Spanish-inflected needles (tablas, merges) rank
+    // docs containing table/merge because they share stems; scoring,
+    // quantization and top-k plan identical to q55's surface-term BM25.
+    "q125_fts_stemmed_bm25" -> ((s, d) =>
+      graft.ext.Ranking.bm25TopKStemmed(Tables.documents(s, d), "text",
+        "doc_id", Seq("tablas", "merges"), 10)
+        .orderBy(col("rank")))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -200,6 +209,47 @@ object StemmedFtsQueries {
          |SELECT s.stem, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
          |       CAST(count(DISTINCT t.term) AS BIGINT) AS n_terms
          |FROM tok t JOIN stems s USING (term)
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirrors PipelineQueries.bm25Sql token-for-token (same explicit
+    // parenthesization + floor-quantization), with the tf/df/candidate
+    // CTEs keyed on the golden-table stem instead of the surface term.
+    "q125_fts_stemmed_bm25" -> {
+      val stems = Seq("tabl", "merg") // stem("tablas"), stem("merges")
+      val inList = stems.map(t => s"'$t'").mkString(", ")
+      val fixedSum = stems.map(t =>
+        s"COALESCE(sum(CASE WHEN stem = '$t' THEN sc END), CAST(0.0 AS DOUBLE))")
+        .mkString("\n    + ")
+      s"""WITH stems(term, stem) AS (VALUES
+         |    ${valuesRows(docStems)}),
+         |tokf AS (SELECT doc_id, list_filter(string_split(
+         |    regexp_replace(lower(text), '[^a-z0-9áéíóúüñ ]', ' ', 'g'), ' '),
+         |    x -> len(x) > 0) t
+         |  FROM documents),
+         |post AS (SELECT doc_id, unnest(t) term FROM tokf),
+         |lex AS (SELECT p.doc_id, s.stem FROM post p JOIN stems s USING (term)),
+         |tf AS (SELECT stem, doc_id, count(*) tf
+         |       FROM lex WHERE stem IN ($inList) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, len(t) dl FROM tokf),
+         |stats AS (SELECT count(*) n_corpus, sum(dl) tot_dl,
+         |            CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) avgdl
+         |          FROM dl),
+         |dft AS (SELECT stem, count(*) df_t FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.stem,
+         |    ln(CAST(1.0 AS DOUBLE) +
+         |       (CAST(n_corpus AS DOUBLE) - CAST(df_t AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |       / (CAST(df_t AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |    * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |       / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))) sc
+         |  FROM tf JOIN dl USING (doc_id) JOIN dft USING (stem) CROSS JOIN stats),
+         |tot AS (SELECT doc_id,
+         |    $fixedSum s
+         |  FROM sc GROUP BY doc_id),
+         |q AS (SELECT doc_id, CAST(floor(s * CAST(1000.0 AS DOUBLE)) AS BIGINT) score_q FROM tot)
+         |SELECT doc_id, score_q,
+         |  CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank
+         |FROM q QUALIFY rank <= 10 ORDER BY rank""".stripMargin
+    }
   )
 }
