@@ -129,7 +129,14 @@ object JobService {
     * by appending a fresh PENDING event — the append-only twin of the
     * reference runner's stale-job reset (`backend/db_runner.py`'s
     * status-machine recovery), after which any runner completes it
-    * normally. Returns the requeued ids. */
+    * normally. Returns the requeued ids.
+    *
+    * Liveness contract: `staleAfterSeconds` must exceed the longest
+    * legitimate job runtime — requeueing a claim whose owner is merely
+    * SLOW (not dead) re-opens the double-execution window that the claim
+    * narrowed. Timeout-based recovery cannot distinguish the two without
+    * owner heartbeats; deployments running jobs longer than the sweep
+    * threshold should have runners heartbeat by re-appending RUNNING. */
   def requeueStale(spark: SparkSession, root: String,
                    staleAfterSeconds: Long): Seq[String] = {
     import spark.implicits._
