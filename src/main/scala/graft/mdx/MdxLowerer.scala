@@ -261,22 +261,51 @@ object MdxLowerer {
   private def preAggTable(spark: SparkSession, sfDir: String,
                           cube: CubeDef, pa: PreAggDef): DataFrame =
     graft.ops.SessionCache.getOrBuild(spark, s"preagg:${cube.name}:${pa.name}:$sfDir") {
-      attachUnits(spark, sfDir, cube, pa.units)
-        .groupBy(pa.grainCols.map(col): _*)
-        .agg(cube.measures.head.agg.as(cube.measures.head.name),
-          cube.measures.tail.map(m => m.agg.as(m.name)): _*)
+      preAggregateSlice(spark, sfDir, cube, pa, cube.fact(spark, sfDir))
     }
+
+  /** Pre-aggregate an arbitrary fact SLICE at `pa`'s grain — the partial
+    * form shared by session materialization and incremental maintenance:
+    * at 100 TB the aggregate is maintained per arriving fact partition
+    * (a day, a load batch) and [[mergePreAggs]]-folded, never rebuilt by
+    * re-scanning the whole fact. */
+  def preAggregateSlice(spark: SparkSession, sfDir: String, cube: CubeDef,
+                        pa: PreAggDef, fact: DataFrame): DataFrame =
+    attachUnits(spark, sfDir, cube, pa.units, fact)
+      .groupBy(pa.grainCols.map(col): _*)
+      .agg(cube.measures.head.agg.as(cube.measures.head.name),
+        cube.measures.tail.map(m => m.agg.as(m.name)): _*)
+
+  /** Merge partial pre-aggregates (SSAS incremental processing): every
+    * navigable measure re-aggregates by SUMMATION (decimal sums of sums,
+    * counts sum), so merge ≡ recompute EXACTLY — bit-identical, not
+    * approximately (MdxLowererSpec pins it; q126 oracle-gates it). This
+    * is what makes the aggregate maintainable: a fact delta folds in at
+    * the cost of the delta, and the navigator's own roll-up (`sum` over
+    * measure columns) is this same merge, so a query can even read the
+    * un-compacted union directly. */
+  def mergePreAggs(cube: CubeDef, pa: PreAggDef, parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "mergePreAggs needs at least one partial")
+    parts.reduce(_.unionByName(_))
+      .groupBy(pa.grainCols.map(col): _*)
+      .agg(sum(col(cube.measures.head.name)).as(cube.measures.head.name),
+        cube.measures.tail.map(m => sum(col(m.name)).as(m.name)): _*)
+  }
 
   /** Attach join units once each, honoring `requires` ordering. */
   private def attachUnits(spark: SparkSession, sfDir: String, cube: CubeDef,
-                          wanted: Seq[String]): DataFrame = {
+                          wanted: Seq[String]): DataFrame =
+    attachUnits(spark, sfDir, cube, wanted, cube.fact(spark, sfDir))
+
+  private def attachUnits(spark: SparkSession, sfDir: String, cube: CubeDef,
+                          wanted: Seq[String], fact: DataFrame): DataFrame = {
     val done = scala.collection.mutable.LinkedHashSet.empty[String]
     def add(name: String): Unit = if (!done.contains(name)) {
       cube.unit(name).requires.foreach(add)
       done += name
     }
     wanted.foreach(add)
-    done.foldLeft(cube.fact(spark, sfDir)) { (f, u) =>
+    done.foldLeft(fact) { (f, u) =>
       cube.unit(u).apply(spark, sfDir, f)
     }
   }

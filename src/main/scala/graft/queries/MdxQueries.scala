@@ -1,7 +1,8 @@
 package graft.queries
 
-import graft.mdx.MdxLowerer
+import graft.mdx.{MdxLowerer, SalesCube}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** MDX-subset queries (SURVEY.md §2.9) run end-to-end through the
   * parser → analyzer → lowerer, each hash-matched against a DuckDB oracle
@@ -85,7 +86,32 @@ object MdxQueries {
       """SELECT {[Measures].[sum_qty], [Measures].[count_order]} ON COLUMNS,
         | NON EMPTY [Customer].[GeoOld].Levels(2).MEMBERS ON ROWS
         |FROM [SalesOld]
-        |WHERE ([Customer].[GeoOld].&[2].&[7])""".stripMargin)
+        |WHERE ([Customer].[GeoOld].&[2].&[7])""".stripMargin),
+
+    // Incremental pre-aggregate maintenance (SSAS incremental
+    // processing): the fact arrives as two disjoint slices, each
+    // pre-aggregated at the base grain independently; mergePreAggs folds
+    // the partials and the merged aggregate answers a nation pivot. The
+    // oracle recomputes from the FULL fact — merge must equal recompute
+    // exactly (SUM/COUNT partials sum; decimal arithmetic, bit-stable).
+    "q126_preagg_merge" -> ((s, d) => {
+      val cube = SalesCube.cube
+      val pa = cube.preAggs.head
+      val fact = cube.fact(s, d)
+      val parts = Seq(
+        MdxLowerer.preAggregateSlice(s, d, cube, pa,
+          fact.where(col("l_orderkey") % 7 =!= 0)),
+        MdxLowerer.preAggregateSlice(s, d, cube, pa,
+          fact.where(col("l_orderkey") % 7 === 0)))
+      Parity.outputDoubles(
+        MdxLowerer.mergePreAggs(cube, pa, parts)
+          .groupBy(col("n_name"))
+          .agg(sum(col("sum_base_price")).as("sum_base_price"),
+            sum(col("count_order")).as("count_order"))
+          .select(col("n_name").as("nation"),
+            col("sum_base_price"), col("count_order"))
+          .orderBy(col("nation")))
+    })
   )
 
   private val factJoin =
@@ -185,6 +211,16 @@ object MdxQueries {
          |$factJoin
          |WHERE r_regionkey = 2 AND n_nationkey = 7
          |GROUP BY r_regionkey, n_nationkey, n_name
-         |ORDER BY r_regionkey, n_nationkey""".stripMargin
+         |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    // Recompute from the FULL fact: if the engine's two-slice merge
+    // diverged from a from-scratch build by even one bit, the hash fails.
+    "q126_preagg_merge" ->
+      s"""SELECT n_name AS nation,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  count(*) AS count_order
+         |$factJoin
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin
   )
 }

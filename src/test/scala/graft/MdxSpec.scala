@@ -123,4 +123,25 @@ class MdxLowererSpec extends AnyFunSuite {
     assert(rows.length == 50)
     assert(rows.exists(_.isNullAt(2)), "expected at least one empty cell at sf0.001")
   }
+  test("pre-aggregate merge == recompute, bit-identical") {
+    import org.apache.spark.sql.functions.col
+    val cube = SalesCube.cube
+    val pa = cube.preAggs.head
+    val fact = cube.fact(spark, sf)
+    val full = MdxLowerer.preAggregateSlice(spark, sf, cube, pa, fact)
+    val merged = MdxLowerer.mergePreAggs(cube, pa, Seq(
+      MdxLowerer.preAggregateSlice(spark, sf, cube, pa,
+        fact.where(col("l_orderkey") % 3 === 0)),
+      MdxLowerer.preAggregateSlice(spark, sf, cube, pa,
+        fact.where(col("l_orderkey") % 3 === 1)),
+      MdxLowerer.preAggregateSlice(spark, sf, cube, pa,
+        fact.where(col("l_orderkey") % 3 === 2))))
+    val key = pa.grainCols
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(key.map(col): _*).collect().map(_.toSeq).toSeq
+    // SUM partials are decimal, COUNT partials are long: summation is
+    // exact, so the three-way merge must be BIT-identical to the
+    // from-scratch build — not approximately equal.
+    assert(rows(merged) == rows(full))
+  }
 }
