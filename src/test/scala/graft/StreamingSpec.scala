@@ -286,4 +286,34 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
     assert(streamed.nonEmpty && streamed == batch)
   }
+  test("streaming pre-aggregate maintenance equals the from-scratch build") {
+    import graft.mdx.SalesCube
+    import graft.streaming.PreAggMaintainer
+    val cube = SalesCube.cube
+    val pa = cube.preAggs.head
+    val fact = Tables.lineitem(spark, sf)
+    // Three disjoint fact slices as three parquet files -> three
+    // micro-batches (maxFilesPerTrigger=1).
+    val dir = java.nio.file.Files.createTempDirectory("preagg_stream")
+    (0 until 3).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory("preagg_slice").toString
+      fact.where(col("l_orderkey") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, dir.resolve(s"slice_$i.parquet"))
+    }
+    val maintainer = new PreAggMaintainer(spark, sf, cube, pa)
+    val stream = spark.readStream.schema(fact.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = maintainer.runner(stream,
+      java.nio.file.Files.createTempDirectory("preagg_ckpt").toString)
+    q.awaitTermination(180000)
+    val maintained = maintainer.snapshot.get
+    val full = graft.mdx.MdxLowerer.preAggregateSlice(spark, sf, cube, pa, fact)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(pa.grainCols.map(col): _*).collect().map(_.toSeq).toSeq
+    // Folding three deltas must be BIT-identical to one full build.
+    assert(rows(maintained) == rows(full))
+  }
 }
