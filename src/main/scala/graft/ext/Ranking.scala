@@ -26,21 +26,32 @@ import org.apache.spark.sql.functions._
   * conditional aggregation, never a data-ordered float sum. */
 object Ranking {
 
+  /** One-pass accent-folded tokenization: (doc_id, token array). BOTH
+    * the postings and the doc-length tables derive from this single
+    * persisted frame, so a scoring query tokenizes the corpus ONCE —
+    * the interpreted fold+normalize+split HOF pass is what dominates
+    * retrieval, and deriving dl separately used to pay it twice. */
+  private def tokenizedFolded(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(TextAnalysis.normalize(
+        TextAnalysis.foldAccents(col(textCol)))).as("__toks"))
+
   /** Postings with term frequency: one row per (term, doc) with its
     * occurrence count, accent-folded and normalized like
     * [[TextAnalysis.invertedPostings]]. */
   def postingsWithTf(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(TextAnalysis.normalize(
-          TextAnalysis.foldAccents(col(textCol))))).as("term"))
+    postingsFromTokens(tokenizedFolded(df, textCol, idCol))
+
+  private def postingsFromTokens(tk: DataFrame): DataFrame =
+    tk.select(col("doc_id"), explode(col("__toks")).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).cast("int").as("tf"))
 
-  /** Per-doc token count under the same tokenization. */
+  /** Per-doc token count under the same tokenization (zero-token docs
+    * keep their dl=0 row — they belong in the corpus stats). */
   def docLengths(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-      size(TextAnalysis.tokens(TextAnalysis.normalize(
-        TextAnalysis.foldAccents(col(textCol))))).as("dl"))
+    tokenizedFolded(df, textCol, idCol)
+      .select(col("doc_id"), size(col("__toks")).as("dl"))
 
   /** BM25(k1=1.2, b=0.75) per-(doc, term) partial score column. Mirrors
     * the oracle's expression token-for-token. */
@@ -63,22 +74,32 @@ object Ranking {
                terms: Seq[String], k: Int): DataFrame = {
     val queryTerms = terms.flatMap(t => TextAnalysis.tokenizeJvm(
       TextAnalysis.normalizeJvm(TextAnalysis.foldAccentsJvm(t)))).distinct
-    bm25Core(postingsWithTf(docs, textCol, idCol),
-      docLengths(docs, textCol, idCol), queryTerms, k)
+    val tk = graft.ops.TransientCache.persist(
+      tokenizedFolded(docs, textCol, idCol))
+    bm25Core(postingsFromTokens(tk),
+      tk.select(col("doc_id"), size(col("__toks")).as("dl")), queryTerms, k)
   }
+
+  /** One-pass Spanish-preserving tokenization (the stemmer's alphabet
+    * keeps accents). */
+  private def tokenizedEs(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.tokens(TextAnalysis.normalizeEs(
+        col(textCol).cast("string"))).as("__toks"))
 
   /** Lexeme-level (stemmed) postings with tf: the Snowball-Spanish stem
     * of every token occurrence — the frequency table a
     * `to_tsvector('spanish')` GIN index stores
     * (ref `database/migrations/001_initial_schema.sql:87-88`). */
-  def stemmedPostingsWithTf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val spark = df.sparkSession
+  def stemmedPostingsWithTf(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    stemmedFromTokens(tokenizedEs(df, textCol, idCol))
+
+  private def stemmedFromTokens(tk: DataFrame): DataFrame = {
+    val spark = tk.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        TextAnalysis.tokenizeJvm(
-            TextAnalysis.normalizeEsJvm(Option(text).getOrElse("")))
+    tk.as[(Long, Seq[String])]
+      .flatMap { case (id, toks) =>
+        Option(toks).getOrElse(Seq.empty)
           .map(t => (id, graft.ext.SpanishStemmer.stem(t)))
       }.toDF("doc_id", "term")
       .groupBy(col("term"), col("doc_id"))
@@ -89,22 +110,24 @@ object Ranking {
     * (stemming never changes token COUNT, only token content, so this is
     * the dl the stemmed score needs). */
   def docLengthsEs(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-      size(TextAnalysis.tokens(TextAnalysis.normalizeEs(col(textCol)))).as("dl"))
+    tokenizedEs(df, textCol, idCol)
+      .select(col("doc_id"), size(col("__toks")).as("dl"))
 
   /** Stemmed BM25 — ranked retrieval over LEXEMES, the `ts_rank` +
     * `plainto_tsquery('spanish')` semantics of the reference's search
     * endpoints: needle "tablas" scores docs containing "table" because
     * both stem to "tabl". Needles stem exactly once (Snowball is not
     * idempotent). Same scoring, quantization and top-k plan as
-    * [[bm25TopK]]. */
+    * [[bm25TopK]]; same single shared tokenize pass. */
   def bm25TopKStemmed(docs: DataFrame, textCol: String, idCol: String,
                       terms: Seq[String], k: Int): DataFrame = {
     val queryStems = terms
       .flatMap(t => TextAnalysis.tokenizeJvm(TextAnalysis.normalizeEsJvm(t)))
       .map(graft.ext.SpanishStemmer.stem).distinct
-    bm25Core(stemmedPostingsWithTf(docs, textCol, idCol),
-      docLengthsEs(docs, textCol, idCol), queryStems, k)
+    val tk = graft.ops.TransientCache.persist(
+      tokenizedEs(docs, textCol, idCol))
+    bm25Core(stemmedFromTokens(tk),
+      tk.select(col("doc_id"), size(col("__toks")).as("dl")), queryStems, k)
   }
 
   private def bm25Core(post0: DataFrame, dl0: DataFrame,
