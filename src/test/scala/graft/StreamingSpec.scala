@@ -316,4 +316,19 @@ class StreamingSpec extends AnyFunSuite {
     // Folding three deltas must be BIT-identical to one full build.
     assert(rows(maintained) == rows(full))
   }
+  test("multimodal decode runs unchanged on a stream and equals the batch q43") {
+    import graft.ext.Multimodal
+    // The decode stage is a stateless typed mapPartitions — the same
+    // function must accept a streaming Dataset with no code change
+    // (per-partition codec init is exactly the micro-batch contract).
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+    val dir = java.nio.file.Files.createTempDirectory("media_stream").toString
+    media.write.mode("overwrite").parquet(dir)
+    val streamed = Multimodal.decode(spark,
+      spark.readStream.schema(media.schema).parquet(dir))
+    runAvailableNow(streamed.toDF(), "media_decoded", OutputMode.Append())
+    val got = spark.table("media_decoded").collect().map(_.toSeq).toSet
+    val batch = Multimodal.decode(spark, media).toDF().collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == batch)
+  }
 }
