@@ -97,10 +97,13 @@ object Ranking {
   private def stemmedFromTokens(tk: DataFrame): DataFrame = {
     val spark = tk.sparkSession
     import spark.implicits._
-    tk.as[(Long, Seq[String])]
+    // Null id/token-array rows carry no postings; they must drop BEFORE
+    // the primitive-Long decode (which throws on null) — while the dl
+    // side keeps them, mirroring the surface-term column pipeline.
+    tk.where(col("doc_id").isNotNull && col("__toks").isNotNull)
+      .as[(Long, Seq[String])]
       .flatMap { case (id, toks) =>
-        Option(toks).getOrElse(Seq.empty)
-          .map(t => (id, graft.ext.SpanishStemmer.stem(t)))
+        toks.map(t => (id, graft.ext.SpanishStemmer.stem(t)))
       }.toDF("doc_id", "term")
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).cast("int").as("tf"))

@@ -267,10 +267,14 @@ object TextAnalysis {
   def stemmedPostings(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // NULL id/text rows emit nothing (the chunkWindows contract) — and
+    // the null-id filter must come BEFORE the primitive-Long decode,
+    // which would otherwise throw on a null field.
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        tokenizeJvm(normalizeEsJvm(Option(text).getOrElse("")))
+        tokenizeJvm(normalizeEsJvm(text))
           .distinct.map(t => (id, t, SpanishStemmer.stem(t)))
       }.toDF("doc_id", "term", "stem")
   }

@@ -117,6 +117,22 @@ class SpanishStemmerSpec extends AnyFunSuite {
     }
   }
 
+  test("stemmed postings and BM25 tolerate null ids/texts (chunkWindows contract)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq((Some(1L), Some("canciones famosas")),
+        (None, Some("huérfano")), (Some(3L), None))
+      .toDF("doc_id", "text")
+    val postings = graft.ext.TextAnalysis.stemmedPostings(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    // only the well-formed row posts; null id/text rows emit nothing
+    assert(postings == Set((1L, "cancion"), (1L, "fam")))
+    val ranked = graft.ext.Ranking.bm25TopKStemmed(docs, "text", "doc_id",
+      Seq("canción"), 5).collect()
+    assert(ranked.map(_.getLong(0)).toSeq == Seq(1L))
+    graft.ops.TransientCache.releaseAll()
+  }
+
   test("RV region examples from the spec") {
     // macho->"ho", oliva->"va", trabajo->"bajo", áureo->"eo": observable
     // through step-3 behavior (suffix in/out of RV)
