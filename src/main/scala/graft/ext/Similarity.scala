@@ -263,4 +263,65 @@ object Similarity {
           lit(numT * numT) * col("na").cast("decimal(38,0)") * col("nb").cast("decimal(38,0)"))
       .select(col("vec_a"), col("vec_b"), col("dot"))
   }
+
+  /** Embedding hygiene audit — the QC gate a corpus runs BEFORE any ANN /
+    * near-dup / clustering pass trusts its vectors. Per group emits:
+    *
+    *   - `n_vecs`, `n_zero` (all-zero vectors break cosine: 0/0),
+    *   - `min_dim` / `max_dim` (ragged dimensionality — a poisoned shard
+    *     mixing models shows up here, not as a deep NaN later),
+    *   - `min_nq` / `max_nq` / `sum_nq` (quantized squared-norm envelope:
+    *     collapsed or exploding embeddings),
+    *   - `scatter` = n·Σ‖x‖² − Σ_d(Σx_d)² — n² × the within-group
+    *     variance around the centroid, kept in EXACT integer arithmetic
+    *     (no division), so "which label has collapsed to a point"
+    *     (near-zero scatter = embedding-model failure mode) is an exact,
+    *     engine-reproducible number.
+    *
+    * Scale shape: one narrow pass for norms (map-side-combined
+    * aggregate keyed by group), and one posexplode keyed by
+    * (group, dim) — dims are bounded (64 here), so the exploded stream
+    * partially aggregates to |groups|·dims rows before the shuffle.
+    * Nothing is ever collected; no join wider than |groups| rows.
+    * The scatter product n·Σ‖x‖² is guarded in-plan against silent
+    * int64 wraparound (q90's assert_true pattern): at data volumes where
+    * n²·d·m² approaches 2⁶³ the job fails loudly with the pre-aggregate
+    * prescription instead of emitting a wrapped statistic. */
+  def qcStats(emb: DataFrame, idCol: String, embCol: String,
+              groupCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val qe = graft.ops.TransientCache.persist(
+      emb.select(col(groupCol).as("grp"), quantize(col(embCol)).as("q")))
+    val base = qe.select(col("grp"), normQ(col("q")).as("nq"),
+      size(col("q")).as("dim"))
+    val agg1 = base.groupBy(col("grp")).agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when(col("nq") === 0, 1L).otherwise(0L)).as("n_zero"),
+      min(col("dim")).cast("long").as("min_dim"),
+      max(col("dim")).cast("long").as("max_dim"),
+      min(col("nq")).as("min_nq"),
+      max(col("nq")).as("max_nq"),
+      sum(col("nq")).as("sum_nq"),
+      max(col("nq")).as("m2max"))
+    val perDim = qe.select(col("grp"),
+        posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy(col("grp"), col("pos")).agg(sum(col("x")).as("sx"))
+    val ssx = perDim.groupBy(col("grp"))
+      .agg(sum(col("sx") * col("sx")).as("ssx"))
+    agg1.join(ssx, Seq("grp"))
+      // Overflow guard rides the output n_vecs column (q90 pattern):
+      // every term of scatter is <= n² · max‖x‖², so enforce that bound
+      // in double headroom below 2⁶³.
+      .withColumn("n_vecs", col("n_vecs") + coalesce(
+        assert_true(
+          pow(col("n_vecs").cast("double"), 2) * col("m2max").cast("double")
+            < lit(4.6e18),
+          lit("embedding QC scatter would overflow int64: " +
+            "pre-aggregate per sub-split and combine moments")).cast("long"),
+        lit(0L)))
+      .select(col("grp"), col("n_vecs"), col("n_zero"),
+        col("min_dim"), col("max_dim"),
+        col("min_nq"), col("max_nq"), col("sum_nq"),
+        (col("n_vecs") * col("sum_nq") - col("ssx")).as("scatter"))
+  }
 }

@@ -110,6 +110,12 @@ object ExtQueries {
       Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         col("vec_id") < 10, 3, 16, 2).orderBy("query_id", "rank")),
 
+    // Embedding hygiene audit per label: zero vectors, ragged dims,
+    // quantized-norm envelope, integer-exact within-group scatter.
+    "q127_embedding_qc" -> ((s, d) =>
+      Similarity.qcStats(Tables.embeddings(s, d), "vec_id", "embedding", "label")
+        .withColumnRenamed("grp", "label").orderBy("label")),
+
     // k-NN graph: every vector's top-3 neighbours within its IVF cell
     // (cell-local brute force — the scalable graph-build shape).
     "q63_knn_graph" -> ((s, d) =>
@@ -733,6 +739,31 @@ object ExtQueries {
         |       ELSE 1 END AS INT) AS n_frames,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN (length(text) // 256) // 4
         |       ELSE 0 END + 1 AS BIGINT) AS n_sampled
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q127_embedding_qc" ->
+      s"""$qeCtes,
+         |b AS (SELECT label,
+         |        CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) nq,
+         |        len(q) dim
+         |      FROM qe),
+         |a1 AS (SELECT label, CAST(count(*) AS BIGINT) n_vecs,
+         |        CAST(sum(CASE WHEN nq = 0 THEN 1 ELSE 0 END) AS BIGINT) n_zero,
+         |        CAST(min(dim) AS BIGINT) min_dim,
+         |        CAST(max(dim) AS BIGINT) max_dim,
+         |        CAST(min(nq) AS BIGINT) min_nq,
+         |        CAST(max(nq) AS BIGINT) max_nq,
+         |        CAST(sum(nq) AS BIGINT) sum_nq
+         |      FROM b GROUP BY label),
+         |pd AS (SELECT label, pos, CAST(sum(x) AS BIGINT) sx
+         |       FROM (SELECT label, unnest(q) x,
+         |               unnest(generate_series(1, len(q))) pos FROM qe)
+         |       GROUP BY label, pos),
+         |s2 AS (SELECT label, CAST(sum(sx * sx) AS BIGINT) ssx
+         |       FROM pd GROUP BY label)
+         |SELECT a1.label, n_vecs, n_zero, min_dim, max_dim,
+         |  min_nq, max_nq, sum_nq,
+         |  CAST(n_vecs * sum_nq - ssx AS BIGINT) AS scatter
+         |FROM a1 JOIN s2 USING (label) ORDER BY label""".stripMargin
   )
 }

@@ -218,6 +218,49 @@ class StrategyEquivalenceSpec extends AnyFunSuite {
     graft.ops.TransientCache.releaseAll()
   }
 
+  test("embedding QC: zero vectors, ragged dims, exact scatter") {
+    import spark.implicits._
+    // Group 0: two identical vectors (scatter must be exactly 0) plus an
+    // all-zero vector. Group 1: ragged dims (3 vs 5). Group 2: a hand-
+    // checkable pair.
+    val vecs = Seq(
+      (0L, 0, Array(0.5f, -0.25f, 1.0f)),
+      (1L, 0, Array(0.5f, -0.25f, 1.0f)),
+      (2L, 0, Array(0.0f, 0.0f, 0.0f)),
+      (3L, 1, Array(1.0f, 1.0f, 1.0f)),
+      (4L, 1, Array(1.0f, 1.0f, 1.0f, 1.0f, 1.0f)),
+      (5L, 2, Array(0.001f, 0.0f)),
+      (6L, 2, Array(0.0f, 0.002f)))
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val got = Similarity.qcStats(df, "vec_id", "embedding", "label")
+      .orderBy("grp").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    // Brute-force twin over the same quantization (floor(x*1000)).
+    def q(v: Array[Float]) = v.map(x => math.floor(x.toDouble * 1000).toLong)
+    val byGrp = vecs.groupBy(_._2).toSeq.sortBy(_._1).map { case (g, vs) =>
+      val qs = vs.map(v => q(v._3))
+      val nqs = qs.map(a => a.map(x => x * x).sum)
+      val dims = qs.map(_.length)
+      val maxDim = dims.max
+      val ssx = (0 until maxDim).map { d =>
+        val sx = qs.map(a => if (d < a.length) a(d) else 0L).sum
+        sx * sx
+      }.sum
+      (g, qs.size.toLong, nqs.count(_ == 0L).toLong,
+        dims.min.toLong, maxDim.toLong, nqs.min, nqs.max, nqs.sum,
+        qs.size * nqs.sum - ssx)
+    }
+    assert(got.toSeq == byGrp)
+    // A group of n identical vectors has scatter exactly 0.
+    val dup = Seq((0L, 0, Array(0.3f, 0.7f)), (1L, 0, Array(0.3f, 0.7f)))
+      .toDF("vec_id", "label", "embedding")
+    val s0 = Similarity.qcStats(dup, "vec_id", "embedding", "label")
+      .select("scatter").as[Long].head()
+    assert(s0 == 0L)
+    graft.ops.TransientCache.releaseAll()
+  }
+
   test("typed token profile equals the column-expression forms") {
     val docs = Tables.documents(spark, sf).limit(200)
     val typed = TextAnalysis.withTokenProfile(docs, "text")
