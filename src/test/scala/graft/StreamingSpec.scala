@@ -286,6 +286,44 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
     assert(streamed.nonEmpty && streamed == batch)
   }
+  test("streaming QC moment registers equal the batch embedding QC (multi-batch merge)") {
+    import graft.streaming.EmbeddingsStream
+    val dir = java.nio.file.Files.createTempDirectory("emb_qc")
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val (a, bHalf) = (emb.where(col("vec_id") % 2 === 0),
+      emb.where(col("vec_id") % 2 === 1))
+    def dump(name: String, mtime: Long, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("emb_part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    dump("b1.parquet", 1000000L, a)
+    dump("b2.parquet", 2000000L, bHalf)
+    val updates = EmbeddingsStream.qcMomentUpdates(spark,
+      EmbeddingsStream.readEmbeddings(spark, dir.toString, Some(1)))
+    runAvailableNow(updates.toDF(), "qc_regs", OutputMode.Update())
+    // n is add-monotone over updates, so max_by(n) per group is the
+    // final register; finish it into the batch QC schema.
+    val finalRegs = spark.table("qc_regs")
+      .groupBy(col("grp")).agg(max_by(
+        struct(col("n"), col("n_zero"), col("min_dim"), col("max_dim"),
+          col("min_nq"), col("max_nq"), col("sum_nq"), col("sx")),
+        col("n")).as("s"))
+      .select(col("grp"), col("s.*"))
+    val streamed = EmbeddingsStream.qcFromRegisters(finalRegs)
+      .collect().map(_.toSeq).map(s => (s.head, s.tail)).toMap
+    val batch = graft.ext.Similarity
+      .qcStats(emb, "vec_id", "embedding", "label")
+      .collect().map(_.toSeq).map(s => (s.head, s.tail)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    graft.ops.TransientCache.releaseAll()
+  }
+
   test("streaming pre-aggregate maintenance equals the from-scratch build") {
     import graft.mdx.SalesCube
     import graft.streaming.PreAggMaintainer
