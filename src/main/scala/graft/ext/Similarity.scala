@@ -87,6 +87,41 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("dot"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per anchor
+    * (query) vector, the top-k most-cosine-similar candidates whose label
+    * DIFFERS from the anchor's — the "hardest" negatives a trainer pairs
+    * with each anchor. Output (query_id, rank, vec_id, neg_label, dot).
+    *
+    * Scale shape = [[bruteForceTopK]]'s: the (small) anchor set
+    * broadcasts against the partitioned candidate scan — embarrassingly
+    * parallel, the label filter prunes at scan time, and only k rows per
+    * anchor survive the per-query window. At corpus scale, route the
+    * candidate side through the IVF cells first ([[ivfTopK]]'s
+    * structure) — the label predicate composes with any of the ANN
+    * variants unchanged. */
+  def hardNegatives(emb: DataFrame, idCol: String, embCol: String,
+                    labelCol: String, isQuery: Column, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val q = emb.select(col(idCol).as("query_id"),
+        col(labelCol).as("q_label"), quantize(col(embCol)).as("qv"))
+      .where(isQuery)
+    val c = emb.select(col(idCol).as("vec_id"),
+      col(labelCol).as("neg_label"), quantize(col(embCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id") &&
+        col("neg_label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"), col("neg_label"),
+        dotQ(col("qv"), col("cv")).as("dot"),
+        normQ(col("qv")).as("nq"), normQ(col("cv")).as("nc"))
+      .withColumn("cos",
+        col("dot").cast("double") / sqrt(col("nq").cast("double") * col("nc").cast("double")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("neg_label"), col("dot"))
+  }
+
   /** LSH-bucketed ANN: candidates restricted to the query's bucket. Same
     * output shape as brute force (recall traded for the 2^b fan-in cut). */
   def lshTopK(emb: DataFrame, idCol: String, embCol: String,

@@ -116,6 +116,12 @@ object ExtQueries {
       Similarity.qcStats(Tables.embeddings(s, d), "vec_id", "embedding", "label")
         .withColumnRenamed("grp", "label").orderBy("label")),
 
+    // Hard-negative mining: top-5 most-similar vectors with a DIFFERENT
+    // label per anchor (vec_id < 10) — contrastive-training pairs.
+    "q128_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", col("vec_id") < 10, 5).orderBy("query_id", "rank")),
+
     // k-NN graph: every vector's top-3 neighbours within its IVF cell
     // (cell-local brute force — the scalable graph-build shape).
     "q63_knn_graph" -> ((s, d) =>
@@ -764,6 +770,24 @@ object ExtQueries {
          |SELECT a1.label, n_vecs, n_zero, min_dim, max_dim,
          |  min_nq, max_nq, sum_nq,
          |  CAST(n_vecs * sum_nq - ssx AS BIGINT) AS scatter
-         |FROM a1 JOIN s2 USING (label) ORDER BY label""".stripMargin
+         |FROM a1 JOIN s2 USING (label) ORDER BY label""".stripMargin,
+
+    "q128_hard_negatives" ->
+      s"""$qeCtes,
+         |sc AS (SELECT q.vec_id query_id, c.vec_id vec_id, c.label neg_label,
+         |         CAST(list_dot_product(q.q, c.q) AS BIGINT) dot,
+         |         nq.n nq, nc.n nc
+         |       FROM qe q
+         |       JOIN qe c ON c.vec_id <> q.vec_id AND c.label <> q.label
+         |       JOIN nrm nq ON q.vec_id = nq.vec_id
+         |       JOIN nrm nc ON c.vec_id = nc.vec_id
+         |       WHERE q.vec_id < 10),
+         |r AS (SELECT query_id, vec_id, neg_label, dot,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+         |                   vec_id) rank
+         |      FROM sc)
+         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, neg_label, dot
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

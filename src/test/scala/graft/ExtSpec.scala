@@ -218,6 +218,40 @@ class StrategyEquivalenceSpec extends AnyFunSuite {
     graft.ops.TransientCache.releaseAll()
   }
 
+  test("hard negatives: label-excluded, and equal brute-force top-k after label filter") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val labels = emb.select(col("vec_id").as("query_id"),
+      col("label").as("q_label"))
+    val hn = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      col("vec_id") < 5, 3)
+    val rows = hn.join(labels, "query_id").collect()
+    assert(rows.nonEmpty)
+    // No negative may share its anchor's label.
+    assert(rows.forall(r =>
+      r.getInt(r.fieldIndex("neg_label")) != r.getInt(r.fieldIndex("q_label"))))
+    // Ranks are contiguous from 1 per anchor.
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(g.head.fieldIndex("rank"))).sorted
+        .sameElements(1 to g.size))
+    }
+    // Equivalence twin: brute-force top-k over a pre-filtered candidate
+    // set (anchor's label removed) must agree pair-for-pair. One anchor,
+    // pre-filter by its known label.
+    val anchorLabel = emb.where(col("vec_id") === 0)
+      .select("label").as[Int].head()
+    val pre = Similarity.bruteForceTopK(
+        emb.where(col("label") =!= anchorLabel || col("vec_id") === 0),
+        "vec_id", "embedding", col("vec_id") === 0, 3)
+      .select("query_id", "rank", "vec_id", "dot")
+      .collect().map(_.toSeq).toSeq
+    val direct = hn.where(col("query_id") === 0)
+      .select("query_id", "rank", "vec_id", "dot")
+      .collect().map(_.toSeq).toSeq
+    assert(direct == pre)
+    graft.ops.TransientCache.releaseAll()
+  }
+
   test("embedding QC: zero vectors, ragged dims, exact scatter") {
     import spark.implicits._
     // Group 0: two identical vectors (scatter must be exactly 0) plus an
