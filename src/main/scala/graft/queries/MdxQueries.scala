@@ -98,6 +98,12 @@ object MdxQueries {
       val cube = SalesCube.cube
       val pa = cube.preAggs.head
       val fact = cube.fact(s, d)
+      // Two independent slice builds. Measured (sf0.1, 5 warm iters):
+      // this settles ~2.3 s vs ~3.5 s for a one-pass (grain, slice)
+      // aggregation split through a persist — at TWO slices the persist
+      // barrier costs more than the saved scan. The one-pass form
+      // (preAggregateSliced) is the right shape only for many-slice
+      // backfills, where one scan amortizes over N partials.
       val parts = Seq(
         MdxLowerer.preAggregateSlice(s, d, cube, pa,
           fact.where(col("l_orderkey") % 7 =!= 0)),

@@ -144,4 +144,23 @@ class MdxLowererSpec extends AnyFunSuite {
     // from-scratch build — not approximately equal.
     assert(rows(merged) == rows(full))
   }
+
+  test("one-pass sliced pre-aggregation equals per-slice builds") {
+    import org.apache.spark.sql.functions.{col, pmod}
+    val cube = SalesCube.cube
+    val pa = cube.preAggs.head
+    val fact = cube.fact(spark, sf)
+    val attached = MdxLowerer.attachForPreAgg(spark, sf, cube, pa, fact)
+    val sliced = MdxLowerer.preAggregateSliced(cube, pa, attached,
+      pmod(col("l_orderkey"), org.apache.spark.sql.functions.lit(3)))
+    val key = pa.grainCols
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(key.map(col): _*).collect().map(_.toSeq).toSeq
+    (0 until 3).foreach { v =>
+      val fromSliced = sliced.where(col("__slice") === v).drop("__slice")
+      val independent = MdxLowerer.preAggregateSlice(spark, sf, cube, pa,
+        fact.where(pmod(col("l_orderkey"), org.apache.spark.sql.functions.lit(3)) === v))
+      assert(rows(fromSliced) == rows(independent), s"slice $v diverges")
+    }
+  }
 }
