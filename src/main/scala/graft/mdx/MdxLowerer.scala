@@ -255,6 +255,21 @@ object MdxLowerer {
     PropRef(h, lvl)
   }
 
+  /** Materialized-aggregate rewrite for RELATIONAL queries — the same
+    * navigator [[lower]] applies to MDX pivots, exposed for SQL-shaped
+    * callers: when every column a query filters or groups on sits in a
+    * declared grain, serve it from the narrowest covering
+    * session-materialized pre-aggregate (measures re-aggregate with
+    * `sum` over the partial columns — exact for SUM/COUNT partials).
+    * Returns None when no aggregate covers, and the caller scans the
+    * fact as usual. This is what keeps a covered query's cost
+    * dimension-bounded — invariant to fact growth. */
+  def coveringAggregate(spark: SparkSession, sfDir: String, cube: CubeDef,
+                        referencedCols: Seq[String]): Option[DataFrame] =
+    cube.preAggs.filter(pa => referencedCols.forall(pa.grainCols.contains))
+      .sortBy(_.grainCols.size).headOption
+      .map(pa => preAggTable(spark, sfDir, cube, pa))
+
   /** Session-materialized pre-aggregate of the cube's fact at one of its
     * declared grains (one fact scan per session per aggregate; every
     * navigated pivot rolls up a dimension-bounded table). */
