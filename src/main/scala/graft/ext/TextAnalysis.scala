@@ -444,13 +444,21 @@ object TextAnalysis {
     * row_number window runs on exactly k rows. */
   def vocabTopK(df: DataFrame, textCol: String, idCol: String,
                 k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // Both aggregations read the token rows; persist so the full-corpus
     // tokenize pass runs once (TransientCache: released by the runner).
     val toks = graft.ops.TransientCache.persist(tokenRows(df, textCol, idCol))
-    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    val docFreq = toks.select(col("token"), col("doc")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+    vocabTopKFromStats(
+      toks.groupBy(col("token")).agg(count(lit(1)).as("freq")),
+      toks.select(col("token"), col("doc")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("doc_freq")), k)
+  }
+
+  /** [[vocabTopK]] over prebuilt (token, freq) / (token, doc_freq)
+    * aggregates — the form the session-shared vocabulary artifacts feed
+    * (share aggregates, never the raw stream). */
+  def vocabTopKFromStats(freq: DataFrame, docFreq: DataFrame,
+                         k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val head = freq.join(docFreq, "token")
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
@@ -472,9 +480,15 @@ object TextAnalysis {
     * strings), one map-side-combined groupBy on the pair, TakeOrdered(k);
     * the pair vocabulary never leaves the executors. */
   def tokenPairTopK(df: DataFrame, textCol: String, idCol: String,
-                    k: Int): DataFrame = {
+                    k: Int): DataFrame =
+    tokenPairTopKFromCounts(tokenPairCounts(df, textCol, idCol), k)
+
+  /** [[tokenPairTopK]] over a prebuilt (tok_a, tok_b, n) count table —
+    * the session-shared-artifact form (share aggregates, never the raw
+    * pair stream). */
+  def tokenPairTopKFromCounts(counts: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val head = tokenPairCounts(df, textCol, idCol)
+    val head = counts
       .orderBy(col("n").desc, col("tok_a"), col("tok_b"))
       .limit(k)
     head.withColumn("rank", row_number().over(
@@ -487,8 +501,11 @@ object TextAnalysis {
     * need every pair's frequency (PMI collocations, merge scheduling).
     * One typed scan-speed flatMap + one map-side-combined groupBy. */
   def tokenPairCounts(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    tokenPairRows(df, textCol, idCol)
-      .groupBy(col("tok_a"), col("tok_b"))
+    tokenPairCountsFromPairs(tokenPairRows(df, textCol, idCol))
+
+  /** [[tokenPairCounts]] over a prebuilt pair stream. */
+  def tokenPairCountsFromPairs(pairRows: DataFrame): DataFrame =
+    pairRows.groupBy(col("tok_a"), col("tok_b"))
       .agg(count(lit(1)).as("n"))
 
   /** Document-level co-occurring token pairs (tok_a < tok_b, one count
@@ -548,15 +565,23 @@ object TextAnalysis {
     * per-group VOCABULARY (not the corpus). */
   def topTermsPerGroup(df: DataFrame, textCol: String, idCol: String,
                        groupCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = graft.ops.TransientCache.persist(
       tokenRows(df, textCol, idCol)
         .join(df.select(col(idCol).cast("long").as("doc"), col(groupCol)), "doc"))
-    val nDocs = df.where(col(idCol).isNotNull).select(col(idCol)).distinct().count()
-    val docFreq = toks.select(col("token"), col("doc")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
-    val tf = toks.groupBy(col(groupCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    topTermsFromStats(
+      toks.groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("tf")),
+      toks.select(col("token"), col("doc")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("doc_freq")),
+      df.where(col(idCol).isNotNull).select(col(idCol)).distinct().count(),
+      groupCol, k)
+  }
+
+  /** [[topTermsPerGroup]] over prebuilt (group, token, tf) and
+    * (token, doc_freq) aggregates — the session-shared-artifact form
+    * (share aggregates, never the raw stream). */
+  def topTermsFromStats(tf: DataFrame, docFreq: DataFrame,
+                        nDocs: Long, groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = tf.join(docFreq, "token")
       .withColumn("score_q",
         floor(lit(1000.0) * col("tf").cast("double") *

@@ -246,10 +246,9 @@ object AnalyticsQueries {
       // pairs feeds both the pair total and the scoring join — persisted
       // so the full-corpus pair flatMap + shuffle runs once (like uni)
       val pairs = graft.ops.TransientCache.persist(
-        TextAnalysis.tokenPairCounts(docs, "text", "doc_id"))
-      val uni = graft.ops.TransientCache.persist(
-        TextAnalysis.tokenRows(docs, "text", "doc_id")
-          .groupBy(col("token")).agg(count(lit(1)).as("cnt")))
+        ExtQueries.docSourcePairCounts(s, d)
+          .groupBy(col("tok_a"), col("tok_b")).agg(sum(col("n")).as("n")))
+      val uni = ExtQueries.docTokenCounts(s, d)
       val nTok = uni.agg(sum(col("cnt")).as("n_tok"))
       val mPair = pairs.agg(sum(col("n")).as("m_pair"))
       val scored = pairs.where(col("n") >= 5)
@@ -427,9 +426,7 @@ object AnalyticsQueries {
     // est = min over the 4 rows of the bucket the token lands in.
     "q104_cms_heavy_hitters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tc = graft.ops.TransientCache.persist(
-        TextAnalysis.tokenRows(docs, "text", "doc_id")
-          .groupBy(col("token")).agg(count(lit(1)).as("cnt")))
+      val tc = ExtQueries.docTokenCounts(s, d)
       // counts-first register build: hash the VOCABULARY (tc), not every
       // occurrence — Σcnt per bucket ≡ the per-occurrence register table
       // (Sketches.cmsRegisters, the streaming twin's fold; same
@@ -462,13 +459,13 @@ object AnalyticsQueries {
     // bigram (shuffle bounded by pair vocabulary, broadcast when small).
     "q105_lm_score" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val train = docs.where(col("source") =!= "src0")
       val pairRows = TextAnalysis.tokenPairRows(docs, "text", "doc_id")
-      val lmPairs = TextAnalysis.tokenPairCounts(train, "text", "doc_id")
-        .withColumnRenamed("n", "cxy")
+      val lmPairs = ExtQueries.docSourcePairCounts(s, d)
+        .where(col("source") =!= "src0")
+        .groupBy(col("tok_a"), col("tok_b")).agg(sum(col("n")).as("cxy"))
       val lmUni = graft.ops.TransientCache.persist(
-        TextAnalysis.tokenRows(train, "text", "doc_id")
-          .groupBy(col("token")).agg(count(lit(1)).as("cx")))
+        ExtQueries.docSourceTokenCounts(s, d).where(col("source") =!= "src0")
+          .groupBy(col("token")).agg(sum(col("cnt")).as("cx")))
       val vocab = lmUni.agg(count(lit(1)).as("v"))
       pairRows
         .join(lmPairs, Seq("tok_a", "tok_b"), "left")
@@ -617,9 +614,8 @@ object AnalyticsQueries {
     "q113_vocab_setops" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       def vocab(src: String): DataFrame =
-        TextAnalysis.tokenRows(docs.where(col("source") === src),
-          "text", "doc_id")
-          .select(col("token")).distinct()
+        ExtQueries.docSourceTokenCounts(s, d).where(col("source") === src)
+          .select(col("token"))
       // each vocabulary feeds four set operations: persisted, so the
       // tokenize + distinct runs once per side, not four times
       val a = graft.ops.TransientCache.persist(vocab("src1"))
@@ -668,9 +664,8 @@ object AnalyticsQueries {
       val docs = Tables.documents(s, d)
       val k = 16
       def hashes(src: String): DataFrame =
-        TextAnalysis.tokenRows(docs.where(col("source") === src),
-            "text", "doc_id")
-          .select(col("token")).distinct()
+        ExtQueries.docSourceTokenCounts(s, d).where(col("source") === src)
+          .select(col("token"))
           .select(expr(
             "CAST(conv(substring(md5(CAST(token AS BINARY)), 1, 8), 16, 10) AS BIGINT)")
             .as("h")).distinct()
@@ -823,9 +818,8 @@ object AnalyticsQueries {
     // the ppm score is engine-identical with no float anywhere.
     "q121_token_gini" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tf = TextAnalysis.tokenRows(docs, "text", "doc_id")
-        .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
-        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("f"))
+      val tf = ExtQueries.docSourceTokenCounts(s, d)
+        .select(col("source"), col("token"), col("cnt").as("f"))
       val w = Window.partitionBy(col("source")).orderBy(col("f"), col("token"))
       tf.withColumn("i", row_number().over(w).cast("bigint"))
         .groupBy(col("source"))

@@ -45,6 +45,61 @@ object ExtQueries {
       // reliable checkpoint/table here).
       Dedup.simhashComponents(simhashSigs(s, d), 2).localCheckpoint(true))
 
+  /** Shared per-session tokenize-once artifacts over the FULL
+    * `documents` table — a pipeline materializes its token stream once
+    * and every text query reads the stored artifact ([[simhashSigs]]
+    * contract; Bench's cold pass measures each build). Filtered
+    * consumers (per-source vocabularies, train-only LM counts) derive
+    * their slice by joining the doc→attribute map against the cached
+    * rows instead of re-tokenizing the corpus. */
+  private[queries] def docProfile(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"tok_profile:$d")(
+      TextAnalysis.withTokenProfile(Tables.documents(s, d), "text"))
+
+  /** Doc → source map for attaching provenance to token streams
+    * (broadcast-sized: one narrow row per document). */
+  private def docSourceMap(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc"), col("source"))
+
+  /** Shared per-(source, token) occurrence counts — the aggregate the
+    * per-source consumers (vocab set ops q113, KMV sketches q115,
+    * train-only LM counts q105, per-source tf q72/q121) slice with a
+    * filter. Only AGGREGATES are session-shared, never the raw token
+    * stream: a cached 10 M-row stream costs more to re-scan per query
+    * than the scan-speed typed tokenize it replaces (measured at sf0.1),
+    * while these vocabulary-sized tables amortize to near-zero. */
+  private[queries] def docSourceTokenCounts(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"src_tok_counts:$d")(
+      TextAnalysis.tokenRows(Tables.documents(s, d), "text", "doc_id")
+        .join(docSourceMap(s, d), "doc")
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt")))
+
+  /** Shared corpus unigram counts (token, cnt) — a rollup of
+    * [[docSourceTokenCounts]]. */
+  private[queries] def docTokenCounts(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"tok_counts:$d")(
+      docSourceTokenCounts(s, d)
+        .groupBy(col("token")).agg(sum(col("cnt")).as("cnt")))
+
+  /** Shared per-token document frequency (token, doc_freq) — the idf
+    * side of tf·idf scoring (q65, q72). */
+  private[queries] def docTokenDocFreq(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"tok_doc_freq:$d")(
+      TextAnalysis.tokenRows(Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("doc_freq")))
+
+  /** Shared per-(source, adjacent-pair) counts — see
+    * [[docSourceTokenCounts]]; feeds q82's merge table, q97's pair
+    * totals and q105's train-slice LM counts. */
+  private[queries] def docSourcePairCounts(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"src_pair_counts:$d")(
+      TextAnalysis.tokenPairRows(Tables.documents(s, d), "text", "doc_id")
+        .join(docSourceMap(s, d), "doc")
+        .groupBy(col("source"), col("tok_a"), col("tok_b"))
+        .agg(count(lit(1)).as("n")))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on normalized content (one shuffle on a
@@ -163,21 +218,21 @@ object ExtQueries {
     // q40–q42 all read from the one-pass typed token profile (scan-speed
     // map; the column-HOF forms are the equivalence-tested slow twins).
     "q40_text_langid" -> ((s, d) =>
-      TextAnalysis.withTokenProfile(Tables.documents(s, d), "text")
+      docProfile(s, d)
         .select(col("doc_id"), col("lang"), col("lang_detected"),
           col("s_en"), col("s_es"), col("s_de"), col("s_fr"))
         .orderBy("doc_id")),
 
     // Integer-exact quality scoring (diversity − stopword density).
     "q41_text_quality" -> ((s, d) =>
-      TextAnalysis.withTokenProfile(Tables.documents(s, d), "text")
+      docProfile(s, d)
         .select(col("doc_id"), col("n_tokens"), col("n_uniq"), col("n_stop"),
           col("quality"))
         .orderBy("doc_id")),
 
     // Token counting (whitespace + regex-subword) + canonical fingerprint.
     "q42_text_tokens" -> ((s, d) =>
-      TextAnalysis.withTokenProfile(Tables.documents(s, d), "text")
+      docProfile(s, d)
         .select(col("doc_id"), col("n_tokens").as("n_ws_tokens"),
           col("n_subword"), col("n_chars_norm"), col("fingerprint"))
         .orderBy("doc_id")),

@@ -80,7 +80,7 @@ object PipelineQueries {
     // Token-budget mixing plan per (lang, source) cell — integer-exact
     // shares and per-cell deterministic sampling rates (ppm).
     "q58_mixing_plan" -> ((s, d) => {
-      val prof = TextAnalysis.withTokenProfile(Tables.documents(s, d), "text")
+      val prof = ExtQueries.docProfile(s, d)
         .select(col("lang"), col("source"), col("n_tokens"))
       Sampling.mixingPlan(prof, "lang", "source", "n_tokens", 50000L)
         .orderBy(col("lang"), col("source"))
@@ -95,7 +95,7 @@ object PipelineQueries {
     // Greedy per-language sequence packing to a 512-token budget,
     // aggregated to the packing manifest.
     "q61_pack_sequences" -> ((s, d) => {
-      val prof = TextAnalysis.withTokenProfile(Tables.documents(s, d), "text")
+      val prof = ExtQueries.docProfile(s, d)
         .select(col("lang"), col("doc_id"), col("n_tokens"))
       Sampling.packSequences(prof, "lang", "doc_id", "n_tokens", 512L)
         .groupBy(col("lang"), col("seq_id"))
@@ -127,7 +127,9 @@ object PipelineQueries {
     // frequency (Zipf-head audit; TakeOrdered — the vocabulary is never
     // globally sorted).
     "q65_vocab_topk" -> ((s, d) =>
-      TextAnalysis.vocabTopK(Tables.documents(s, d), "text", "doc_id", 50)
+      TextAnalysis.vocabTopKFromStats(
+          ExtQueries.docTokenCounts(s, d).select(col("token"), col("cnt").as("freq")),
+          ExtQueries.docTokenDocFreq(s, d), 50)
         .orderBy(col("rank"))),
 
     // Corpus-wide duplicated-text share (Lee et al. 2022): ppm of each
@@ -168,10 +170,16 @@ object PipelineQueries {
 
     // Characteristic terms per source: top-5 tokens by tf*idf per
     // source (BM25-style floor(1000*s) score quantization).
-    "q72_top_terms_source" -> ((s, d) =>
-      TextAnalysis.topTermsPerGroup(Tables.documents(s, d), "text",
-          "doc_id", "source", 5)
-        .orderBy(col("source"), col("rank"))),
+    "q72_top_terms_source" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.topTermsFromStats(
+          ExtQueries.docSourceTokenCounts(s, d)
+            .select(col("source"), col("token"), col("cnt").as("tf")),
+          ExtQueries.docTokenDocFreq(s, d),
+          docs.where(col("doc_id").isNotNull).select(col("doc_id")).distinct().count(),
+          "source", 5)
+        .orderBy(col("source"), col("rank"))
+    }),
 
     // Integer-exact equi-width doc-length histogram per language
     // (width 64, 16 buckets, overflow tail in the last).
@@ -194,7 +202,7 @@ object PipelineQueries {
     // grouping-set breadth beyond q15's ROLLUP; grouping_id
     // disambiguates subtotal rows from genuine NULL groups.
     "q75_cube_tokens" -> ((s, d) => {
-      val prof = TextAnalysis.withTokenProfile(Tables.documents(s, d), "text")
+      val prof = ExtQueries.docProfile(s, d)
         .select(col("lang"), col("source"), col("n_tokens"))
       prof.cube(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -298,7 +306,7 @@ object PipelineQueries {
     // the rest are the drop set.
     "q67_dedup_keep_best" -> ((s, d) => {
       val comps = ExtQueries.simhashComps(s, d)
-      val qual = TextAnalysis.withTokenProfile(Tables.documents(s, d), "text")
+      val qual = ExtQueries.docProfile(s, d)
         .select(col("doc_id"), col("quality"))
       Components.canonicalPerComponent(comps, "doc", "comp", qual,
           "doc_id", "quality")
@@ -336,7 +344,9 @@ object PipelineQueries {
     // BPE merge-candidate statistics: top-50 adjacent token pairs by
     // corpus frequency (one merge round of a tokenizer build).
     "q82_bpe_pairs" -> ((s, d) =>
-      TextAnalysis.tokenPairTopK(Tables.documents(s, d), "text", "doc_id", 50)
+      TextAnalysis.tokenPairTopKFromCounts(
+          ExtQueries.docSourcePairCounts(s, d)
+            .groupBy(col("tok_a"), col("tok_b")).agg(sum(col("n")).as("n")), 50)
         .orderBy(col("rank"))),
 
     // Salted fact⋈dim join (skew lever for forced-shuffle plans): salt
@@ -365,9 +375,10 @@ object PipelineQueries {
     "q86_curation_pipeline" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val corpus = docs.where(col("source") =!= "src0")
       val bench = docs.where(col("source") === "src0")
-      val prof = TextAnalysis.withTokenProfile(corpus, "text")
+      // Profile filter is row-wise, so slicing the shared full-table
+      // profile equals profiling the pre-filtered corpus.
+      val prof = ExtQueries.docProfile(s, d).where(col("source") =!= "src0")
         .where(col("quality") >= 35 && col("n_tokens") >= 5)
         .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
       val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
