@@ -104,15 +104,32 @@ object TextAnalysis {
   def gopherFlags(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(normalize(col(textCol)))
     val enStops = enStopwords
-    df.withColumn("n_words", size(toks).cast("bigint"))
-      .withColumn("len_sum",
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("bigint")))
-      .withColumn("n_alpha",
-        size(filter(toks, t => t.rlike("[a-z]"))).cast("bigint"))
-      .withColumn("n_stop_present",
-        enStops.map(w => when(array_contains(toks, w), 1L).otherwise(0L))
-          .reduce(_ + _))
-      .withColumn("flag_word_count",
+    addGopherFlagCols(
+      df.withColumn("n_words", size(toks).cast("bigint"))
+        .withColumn("len_sum",
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("bigint")))
+        .withColumn("n_alpha",
+          size(filter(toks, t => t.rlike("[a-z]"))).cast("bigint"))
+        .withColumn("n_stop_present",
+          enStops.map(w => when(array_contains(toks, w), 1L).otherwise(0L))
+            .reduce(_ + _)))
+  }
+
+  /** [[gopherFlags]] derived from the one-pass token profile
+    * ([[withTokenProfile]]'s g_* columns) instead of re-walking the text
+    * with interpreted array HOFs — identical outputs (spec-pinned), at
+    * profile-read speed when the profile is a shared artifact. */
+  def gopherFlagsFromProfile(profile: DataFrame): DataFrame =
+    addGopherFlagCols(
+      profile.withColumn("n_words", col("n_tokens").cast("bigint"))
+        .withColumn("len_sum", col("g_len_sum"))
+        .withColumn("n_alpha", col("g_n_alpha"))
+        .withColumn("n_stop_present", col("g_stop_present")))
+
+  /** The Rae et al. 2021 rule thresholds over (n_words, len_sum,
+    * n_alpha, n_stop_present) — shared by both input forms. */
+  private def addGopherFlagCols(df: DataFrame): DataFrame =
+    df.withColumn("flag_word_count",
         col("n_words") >= 50L && col("n_words") <= 100000L)
       .withColumn("flag_mean_len",
         col("len_sum") >= lit(3L) * col("n_words") &&
@@ -122,7 +139,6 @@ object TextAnalysis {
       .withColumn("pass_gopher",
         col("flag_word_count") && col("flag_mean_len") &&
           col("flag_alpha") && col("flag_stop"))
-  }
 
   /** Canonical document fingerprint: md5 over the sorted distinct token
     * set — robust to word order, engine-portable. */
@@ -146,6 +162,7 @@ object TextAnalysis {
     val langNames = langStopwords.map(_._1)
     val langSets = langStopwords.map(_._2.toSet)
     val allStops = langStopwords.flatMap(_._2).toSet
+    val enStopsForGopher = enStopwords
     val outSchema = langNames.foldLeft(
         df.schema
           .add("n_tokens", IntegerType).add("n_uniq", IntegerType)
@@ -155,14 +172,20 @@ object TextAnalysis {
       .add("n_subword", IntegerType)
       .add("n_chars_norm", IntegerType)
       .add("fingerprint", StringType)
+      .add("g_len_sum", LongType)
+      .add("g_n_alpha", LongType)
+      .add("g_stop_present", LongType)
     val subword = java.util.regex.Pattern.compile("[a-z]+|[0-9]+")
     // NULL text must reproduce the column twins' null algebra, not crash:
     // size/filter/length of NULL are NULL; lang detection's NULL
     // conditions fall through every branch to 'und'; quality's
     // when(NULL > 0) takes the otherwise(0) branch; md5(NULL) is NULL.
+    // The gopher tails mirror the HOF twins' null algebra exactly:
+    // aggregate/size over a NULL array are NULL, but the stop-presence
+    // SUM of when(array_contains(NULL,w),1).otherwise(0) terms is 0.
     val nullStats: Seq[Any] =
       Seq(null, null, null) ++ langNames.map(_ => null) ++
-        Seq("und", 0L, null, null, null)
+        Seq("und", 0L, null, null, null, null, null, 0L)
     df.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
@@ -190,8 +213,25 @@ object TextAnalysis {
         val fp = md.digest(toks.distinct.sorted.mkString(" ")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           .map("%02x".format(_)).mkString
+        var lenSum = 0L; var nAlpha = 0L
+        var ti = 0
+        while (ti < toks.length) {
+          val t = toks(ti)
+          lenSum += t.length
+          var ci = 0; var hasAlpha = false
+          while (ci < t.length && !hasAlpha) {
+            val ch = t.charAt(ci)
+            if (ch >= 'a' && ch <= 'z') hasAlpha = true
+            ci += 1
+          }
+          if (hasAlpha) nAlpha += 1
+          ti += 1
+        }
+        val tokSet = toks.toSet
+        val stopPresent = enStopsForGopher.count(tokSet.contains).toLong
         Row.fromSeq(r.toSeq ++ (Seq(nTokens, nUniq, nStop) ++
-          scores.toSeq ++ Seq(detected, quality, nSub, norm.length, fp)))
+          scores.toSeq ++ Seq(detected, quality, nSub, norm.length, fp,
+            lenSum, nAlpha, stopPresent)))
         }
       }
     }(Encoders.row(outSchema))

@@ -49,7 +49,7 @@ object AnalyticsQueries {
     // Gopher quality rules (Rae et al. 2021): integer-exact boolean
     // flags per document — the standard pre-dedup quality gate.
     "q89_gopher_rules" -> ((s, d) =>
-      TextAnalysis.gopherFlags(Tables.documents(s, d), "text")
+      TextAnalysis.gopherFlagsFromProfile(ExtQueries.docProfile(s, d))
         .select(col("doc_id"), col("n_words"), col("len_sum"), col("n_alpha"),
           col("n_stop_present"), col("flag_word_count"), col("flag_mean_len"),
           col("flag_alpha"), col("flag_stop"), col("pass_gopher"))

@@ -219,22 +219,17 @@ object Relational {
 
     // Rollup subtotals = SSAS `All` members (SURVEY §2.4 note).
     "q15_rollup" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val o  = Tables.orders(s, d)
-      val c  = Tables.customer(s, d)
-      val n  = Tables.nation(s, d)
-      val r  = Tables.region(s, d)
-      // Same eager-aggregation shape as q02: per-order partial sums flow
-      // into the rollup, so the grouping-set expansion triples 150 k
-      // pre-agg rows, not 600 k raw lineitems.
-      val liAgg = li.groupBy(col("l_orderkey"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty_ok"))
-      Parity.outputDoubles(liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      // Covering-aggregate rewrite (q02's pattern): the rollup's leaf
+      // grain (region, nation) sits in the cube's base grain, and ROLLUP
+      // grouping sets are themselves sums of SUM partials — so the
+      // grouping-set expansion triples the ~52 k-row session
+      // pre-aggregate, never the raw fact. Decimal partial sums keep the
+      // result bit-identical to the flat star-join form.
+      val agg = graft.mdx.MdxLowerer.coveringAggregate(s, d,
+        graft.mdx.SalesCube.cube, Seq("r_name", "n_name")).get
+      Parity.outputDoubles(agg
         .rollup(col("r_name"), col("n_name"))
-        .agg(sum(col("qty_ok")).as("sum_qty"))
+        .agg(sum(col("sum_qty")).as("sum_qty"))
         .select(
           col("r_name").as("region"), col("n_name").as("nation"),
           col("sum_qty"),

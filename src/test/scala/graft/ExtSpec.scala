@@ -295,6 +295,23 @@ class StrategyEquivalenceSpec extends AnyFunSuite {
     graft.ops.TransientCache.releaseAll()
   }
 
+  test("gopher flags from the typed profile equal the HOF column form") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(300)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((-1L, null.asInstanceOf[String])) // null-text row
+        .toDF("doc_id", "text"))
+    val cols = Seq("doc_id", "n_words", "len_sum", "n_alpha",
+      "n_stop_present", "flag_word_count", "flag_mean_len", "flag_alpha",
+      "flag_stop", "pass_gopher")
+    val hof = TextAnalysis.gopherFlags(docs, "text")
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    val prof = TextAnalysis.gopherFlagsFromProfile(
+        TextAnalysis.withTokenProfile(docs, "text"))
+      .select(cols.map(col): _*).collect().map(_.toString).sorted
+    assert(hof.nonEmpty && (hof sameElements prof))
+  }
+
   test("typed token profile equals the column-expression forms") {
     val docs = Tables.documents(spark, sf).limit(200)
     val typed = TextAnalysis.withTokenProfile(docs, "text")
