@@ -133,18 +133,43 @@ object Ranking {
       tk.select(col("doc_id"), size(col("__toks")).as("dl")), queryStems, k)
   }
 
+  /** BM25 over a PREBUILT surface-term index (postings-with-tf + doc
+    * lengths) — the materialized-index form: the reference stores
+    * exactly this as its GIN index, and a session shares one build
+    * across queries. Inputs must NOT be re-persisted here (a transient
+    * release would evict the caller's shared artifact), so only the
+    * tiny term-filtered slice is transient-persisted. */
+  def bm25TopKFromIndex(postings: DataFrame, dls: DataFrame,
+                        terms: Seq[String], k: Int): DataFrame = {
+    val queryTerms = terms.flatMap(t => TextAnalysis.tokenizeJvm(
+      TextAnalysis.normalizeJvm(TextAnalysis.foldAccentsJvm(t)))).distinct
+    bm25Core(postings, dls, queryTerms, k, persistDl = false)
+  }
+
+  /** Stemmed twin of [[bm25TopKFromIndex]] (lexeme index + Spanish
+    * needle stemming). */
+  def bm25TopKStemmedFromIndex(postings: DataFrame, dls: DataFrame,
+                               terms: Seq[String], k: Int): DataFrame = {
+    val queryStems = terms
+      .flatMap(t => TextAnalysis.tokenizeJvm(TextAnalysis.normalizeEsJvm(t)))
+      .map(graft.ext.SpanishStemmer.stem).distinct
+    bm25Core(postings, dls, queryStems, k, persistDl = false)
+  }
+
   private def bm25Core(post0: DataFrame, dl0: DataFrame,
-                       queryTerms: Seq[String], k: Int): DataFrame = {
+                       queryTerms: Seq[String], k: Int,
+                       persistDl: Boolean = true): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     // The term-filtered postings (tiny — query terms only) feed BOTH the
     // df_t aggregate and the candidate rows; the doc-length table feeds
     // both the corpus stats and the candidate join. Persist each once
     // (TransientCache, runner-released): without it every unshared plan
     // branch re-runs the full-corpus tokenize — the interpreted-HOF pass
-    // that dominates this query.
+    // that dominates this query. (The filter of a cached index is a NEW
+    // plan, so transient-persisting it never touches the shared blocks.)
     val post = graft.ops.TransientCache.persist(
       post0.where(col("term").isin(queryTerms: _*)))
-    val dl = graft.ops.TransientCache.persist(dl0)
+    val dl = if (persistDl) graft.ops.TransientCache.persist(dl0) else dl0
     // Corpus stats: one tiny agg row, broadcast onto every candidate.
     val stats = dl.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("tot_dl"))
       .withColumn("avgdl", col("tot_dl").cast("double") / col("n_corpus").cast("double"))

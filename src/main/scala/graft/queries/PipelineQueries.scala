@@ -45,8 +45,8 @@ object PipelineQueries {
     // BM25-ranked disjunctive retrieval over the inverted index (the
     // ranking layer above q49's conjunctive candidate lookup).
     "q55_fts_bm25" -> ((s, d) =>
-      Ranking.bm25TopK(Tables.documents(s, d), "text", "doc_id",
-        Seq("spark", "merge"), 10)
+      Ranking.bm25TopKFromIndex(ExtQueries.ftsPostingsTf(s, d),
+          ExtQueries.ftsDocLengths(s, d), Seq("spark", "merge"), 10)
         .orderBy(col("rank"))),
 
     // Deterministic stratified Bernoulli sample: md5-draw vs per-language

@@ -53,6 +53,24 @@ object StemmedFtsQueries {
     23 -> "amigos trabajando en la tierra",
     24 -> "niños creciendo con años de esperanza")
 
+  /** Session-materialized stemmed-index artifacts (the
+    * `to_tsvector('spanish')` GIN index the reference stores): surface
+    * postings for search/audit, tf postings + doc lengths for ranking —
+    * build once per session, queries probe the stored index
+    * (ExtQueries.ftsInverted contract; Bench's cold pass measures the
+    * builds). */
+  private[queries] def stemSurfacePostings(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"fts_stem_surface:$d")(
+      TextAnalysis.stemmedPostings(Tables.documents(s, d), "text", "doc_id"))
+
+  private[queries] def stemPostingsTf(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"fts_stem_tf:$d")(
+      graft.ext.Ranking.stemmedPostingsWithTf(Tables.documents(s, d), "text", "doc_id"))
+
+  private[queries] def stemDocLengths(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"fts_stem_dl:$d")(
+      graft.ext.Ranking.docLengthsEs(Tables.documents(s, d), "text", "doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Stemmed lexeme index over real Spanish morphology: nation captions
@@ -82,8 +100,7 @@ object StemmedFtsQueries {
     // because index AND needle go through the same single stemming pass.
     "q123_fts_stemmed_search" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val postings = TextAnalysis.stemmedPostings(docs, "text", "doc_id")
-      TextAnalysis.searchAllStems(postings, Seq("tables", "values"))
+      TextAnalysis.searchAllStems(stemSurfacePostings(s, d), Seq("tables", "values"))
         .join(docs.select(col("doc_id"), col("source"), col("lang")), "doc_id")
         .orderBy(col("doc_id"))
     }),
@@ -92,7 +109,7 @@ object StemmedFtsQueries {
     // table grouped under its stem — verifies the complete 31-term
     // mapping (and the conflation counts) against the golden table.
     "q124_fts_stemmed_index" -> ((s, d) =>
-      TextAnalysis.stemmedPostings(Tables.documents(s, d), "text", "doc_id")
+      stemSurfacePostings(s, d)
         .groupBy(col("stem"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           countDistinct(col("term")).as("n_terms"))
@@ -103,8 +120,8 @@ object StemmedFtsQueries {
     // docs containing table/merge because they share stems; scoring,
     // quantization and top-k plan identical to q55's surface-term BM25.
     "q125_fts_stemmed_bm25" -> ((s, d) =>
-      graft.ext.Ranking.bm25TopKStemmed(Tables.documents(s, d), "text",
-        "doc_id", Seq("tablas", "merges"), 10)
+      graft.ext.Ranking.bm25TopKStemmedFromIndex(stemPostingsTf(s, d),
+        stemDocLengths(s, d), Seq("tablas", "merges"), 10)
         .orderBy(col("rank")))
   )
 
