@@ -59,6 +59,68 @@ object Sampling {
           .otherwise(lit("test")))
   }
 
+  /** Leakage-free (duplicate-aware) split: labels train/val/test on the
+    * GROUP key — a near-dup component id, a domain, an author — so every
+    * member of a group lands in the SAME split. This is the constraint
+    * that keeps near-duplicates from straddling train and test and
+    * silently inflating eval numbers (the split-stage twin of benchmark
+    * decontamination; see Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", §6 on train/test leakage through
+    * duplicates). Rows with NULL `groupCol` (no duplicate cluster) fall
+    * back to their own id — singleton groups. Same md5-draw algebra as
+    * [[splitAssign]]: deterministic on any engine, and the join that
+    * attaches the group key is the only shuffle (the draw itself stays
+    * map-side). Split SIZES now deviate from the rates by group-size
+    * variance — unavoidable under the grouping constraint. */
+  def groupAwareSplit(df: DataFrame, idCol: String, groupCol: String,
+                      trainRate: Double, valRate: Double): DataFrame =
+    splitAssign(
+      df.withColumn("group_key", coalesce(col(groupCol), col(idCol))),
+      "group_key", trainRate, valRate)
+
+  /** Quality-curriculum binning: per stratum, rank documents by
+    * `scoreCol` (best first, `idCol` tiebreak) into `nBins` equal-depth
+    * NTILE bins and report each bin's document count, token mass and
+    * score envelope — the manifest a curriculum schedule samples from
+    * (highest-quality bins early / upweighted, per the data-curriculum
+    * recipes in the public corpus papers). The window partitions BY
+    * STRATUM, never a global total order — each stratum bins
+    * independently, the shard shape that survives 100 TB. */
+  def curriculumBins(df: DataFrame, strataCol: String, scoreCol: String,
+                     idCol: String, tokensCol: String, nBins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.select(col(strataCol), col(idCol), col(scoreCol), col(tokensCol))
+      .withColumn("bin", ntile(nBins).over(w))
+      .groupBy(col(strataCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).as("bin_tokens"),
+        min(col(scoreCol)).as("min_score"),
+        max(col(scoreCol)).as("max_score"))
+  }
+
+  /** Greedy token-budget selection: per stratum, take documents in
+    * quality order (best first, `idCol` tiebreak) while the INCLUSIVE
+    * running token sum stays within `budgetTokens` — the "best N tokens
+    * per domain" selection step of a budgeted corpus build. Exact
+    * integer prefix sums; the window partitions BY STRATUM (shard
+    * shape, like [[packSequences]]). A head document alone larger than
+    * the budget is dropped with everything after it — the budget is a
+    * hard cap, not a lower bound. Returns the selected rows with their
+    * `cum_tokens` audit column. */
+  def budgetSelect(df: DataFrame, strataCol: String, scoreCol: String,
+                   idCol: String, tokensCol: String,
+                   budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(strataCol), col(idCol), col(scoreCol), col(tokensCol))
+      .withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .where(col("cum_tokens") <= budgetTokens)
+  }
+
   /** Stratified Bernoulli sample: per-stratum rates with a default for
     * unlisted strata. Returns the input rows that survive, plus the
     * `draw` and `threshold` columns for auditability. */

@@ -329,6 +329,19 @@ object ExtQueries {
        |  SELECT doc_id, list_filter(string_split($normSql, ' '), x -> len(x) > 0) t
        |  FROM documents)""".stripMargin
 
+  /** SQL twin of the profile's integer quality score over the `tok` CTE's
+    * `t` column (mirrors TextAnalysis quality: uniq-ratio minus stopword
+    * penalty, integer percent arithmetic — q41's oracle and the
+    * curriculum/budget oracles share it so they cannot drift). */
+  private[queries] val stopListSql: String =
+    graft.ext.TextAnalysis.langStopwords.flatMap(_._2)
+      .map(w => s"'$w'").mkString(", ")
+  private[queries] val qualitySql: String =
+    s"""CAST(CASE WHEN len(t) > 0
+       |    THEN (100 * len(list_distinct(t))) // len(t)
+       |         - (50 * len(list_filter(t, x -> x IN ($stopListSql)))) // len(t)
+       |    ELSE 0 END AS BIGINT)""".stripMargin
+
   /** The q68 integer-exact two-pass k-means chain (offset quantization,
     * lowest-id seeds, one ×10-integer-mean Lloyd update): ends at `a1`
     * (pass-1 assignment) and `a2` (final assignment `c2` + distance `d`).
@@ -740,13 +753,8 @@ object ExtQueries {
          |SELECT doc_id,
          |  CAST(len(t) AS INT) AS n_tokens,
          |  CAST(len(list_distinct(t)) AS INT) AS n_uniq,
-         |  CAST(len(list_filter(t, x -> x IN (${TextAnalysis.langStopwords
-             .flatMap(_._2).map(w => s"'$w'").mkString(", ")}))) AS INT) AS n_stop,
-         |  CAST(CASE WHEN len(t) > 0
-         |    THEN (100 * len(list_distinct(t))) // len(t)
-         |         - (50 * len(list_filter(t, x -> x IN (${TextAnalysis.langStopwords
-             .flatMap(_._2).map(w => s"'$w'").mkString(", ")})))) // len(t)
-         |    ELSE 0 END AS BIGINT) AS quality
+         |  CAST(len(list_filter(t, x -> x IN ($stopListSql))) AS INT) AS n_stop,
+         |  $qualitySql AS quality
          |FROM tok ORDER BY doc_id""".stripMargin,
 
     "q42_text_tokens" ->

@@ -395,7 +395,42 @@ object PipelineQueries {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
         .orderBy(col("split"), col("lang"))
-    })
+    }),
+
+    // Leakage-free split: every SimHash near-dup component (the shared
+    // q54 session artifact) lands WHOLE in one split — the draw runs on
+    // the component id, singleton docs on their own id. Near-identical
+    // train/test pairs are how eval numbers silently inflate; this is
+    // the split-stage guard (Lee et al. 2022 §6).
+    "q129_leakage_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val comps = ExtQueries.simhashComps(s, d)
+        .select(col("doc").as("doc_id"), col("comp"))
+      Sampling.groupAwareSplit(
+          docs.join(comps, Seq("doc_id"), "left"), "doc_id", "comp", 0.8, 0.1)
+        .select(col("doc_id"), col("group_key"), col("draw"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality-curriculum manifest: per-source NTILE(4) bins over the
+    // shared profile's quality score — doc counts, token mass and score
+    // envelope per bin, the table a curriculum sampler schedules from.
+    "q130_curriculum_bins" -> ((s, d) =>
+      Sampling.curriculumBins(
+          ExtQueries.docProfile(s, d)
+            .select(col("source"), col("doc_id"), col("quality"), col("n_tokens")),
+          "source", "quality", "doc_id", "n_tokens", 4)
+        .orderBy(col("source"), col("bin"))),
+
+    // Greedy per-source token-budget selection: best-quality documents
+    // first until each source's inclusive running token sum hits the
+    // budget — the "top N tokens per domain" cut of a budgeted corpus.
+    "q131_budget_select" -> ((s, d) =>
+      Sampling.budgetSelect(
+          ExtQueries.docProfile(s, d)
+            .select(col("source"), col("doc_id"), col("quality"), col("n_tokens")),
+          "source", "quality", "doc_id", "n_tokens", 800L)
+        .orderBy(col("doc_id")))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -524,6 +559,59 @@ object PipelineQueries {
          |    ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // q54's component CTE + q79's split algebra, drawn on the group key.
+    "q129_leakage_split" -> {
+      val t80 = graft.ext.Sampling.hexThreshold(0.8)
+      val t90 = graft.ext.Sampling.hexThreshold(0.9)
+      s"""WITH RECURSIVE ${ExtQueries.simhashHammingCtes.stripPrefix("WITH ")},
+         |e AS (SELECT doc_a a, doc_b b FROM hp
+         |      UNION SELECT doc_b, doc_a FROM hp),
+         |r AS (SELECT a AS node, a AS reach FROM e
+         |      UNION
+         |      SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+         |comp AS (SELECT node AS doc_id, min(reach) AS component
+         |         FROM r GROUP BY node),
+         |g AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_key
+         |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, group_key,
+         |  substr(md5(CAST(group_key AS VARCHAR)), 1, 8) AS draw,
+         |  CASE WHEN substr(md5(CAST(group_key AS VARCHAR)), 1, 8) < '$t80' THEN 'train'
+         |    WHEN substr(md5(CAST(group_key AS VARCHAR)), 1, 8) < '$t90' THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "q130_curriculum_bins" ->
+      s"""${ExtQueries.tokCte},
+         |q AS (SELECT doc_id, ${ExtQueries.qualitySql} quality,
+         |        CAST(len(t) AS INT) n_tokens FROM tok),
+         |j AS (SELECT d.source, q.doc_id, q.quality, q.n_tokens
+         |      FROM q JOIN documents d USING (doc_id)),
+         |b AS (SELECT source, quality, n_tokens,
+         |        NTILE(4) OVER (PARTITION BY source
+         |          ORDER BY quality DESC, doc_id) bin
+         |      FROM j)
+         |SELECT source, CAST(bin AS INT) AS bin, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+         |  CAST(min(quality) AS BIGINT) AS min_score,
+         |  CAST(max(quality) AS BIGINT) AS max_score
+         |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    "q131_budget_select" ->
+      s"""${ExtQueries.tokCte},
+         |q AS (SELECT doc_id, ${ExtQueries.qualitySql} quality,
+         |        CAST(len(t) AS INT) n_tokens FROM tok),
+         |j AS (SELECT d.source, q.doc_id, q.quality, q.n_tokens
+         |      FROM q JOIN documents d USING (doc_id)),
+         |c AS (SELECT source, doc_id, quality, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY quality DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          AS cum_tokens
+         |      FROM j)
+         |SELECT source, doc_id, quality, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin,
 
     "q75_cube_tokens" ->
       s"""${ExtQueries.tokCte},

@@ -194,6 +194,72 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s1 == s2 && s1.nonEmpty)
   }
 
+  test("groupAwareSplit: groups move whole; NULL group falls back to own id") {
+    import spark.implicits._
+    // Groups chosen so different keys land in different splits at 0.5/0.25.
+    val df = Seq(
+      (1L, Some(10L)), (2L, Some(10L)), (3L, Some(10L)), // one component
+      (4L, Some(20L)), (5L, Some(20L)),                  // another
+      (6L, None), (7L, None))                            // singletons
+      .toDF("doc_id", "grp")
+    val got = Sampling.groupAwareSplit(df, "doc_id", "grp", 0.5, 0.25)
+      .select("doc_id", "group_key", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val byGroup = got.groupBy(_._2)
+    // every member of a group carries the same split label
+    byGroup.foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.size == 1, s"group split torn: $rows")
+    }
+    assert(byGroup(10L).map(_._1).toSet == Set(1L, 2L, 3L))
+    // singletons keep their own id as group key
+    assert(got.find(_._1 == 6L).get._2 == 6L)
+    assert(got.find(_._1 == 7L).get._2 == 7L)
+    // the label is exactly splitAssign on the group key: same id -> same
+    // split whether it arrives as a group key or a doc id
+    val direct = Sampling.splitAssign(
+        Seq(10L, 20L, 6L, 7L).toDF("doc_id"), "doc_id", 0.5, 0.25)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (_, g, s) => assert(direct(g) == s) }
+  }
+
+  test("curriculumBins: equal-depth bins, best scores first, token mass exact") {
+    import spark.implicits._
+    // 10 docs in one stratum, scores 10..1, tokens = score*10
+    val df = (1L to 10L).map(i => ("s", i, 11L - i, (11 - i).toInt * 10))
+      .toDF("source", "doc_id", "quality", "n_tokens")
+    val got = Sampling.curriculumBins(df, "source", "quality", "doc_id",
+        "n_tokens", 4)
+      .orderBy("bin").collect()
+    // NTILE(4) over 10 rows -> depths 3,3,2,2
+    assert(got.map(_.getAs[Long]("n_docs")).toSeq == Seq(3L, 3L, 2L, 2L))
+    // bin 1 = top scores 10,9,8 -> tokens 100+90+80
+    assert(got(0).getAs[Long]("bin_tokens") == 270L)
+    assert(got(0).getAs[Long]("min_score") == 8L &&
+      got(0).getAs[Long]("max_score") == 10L)
+    // bins descend: every bin's max <= previous bin's min
+    got.sliding(2).foreach { case Array(hi, lo) =>
+      assert(lo.getAs[Long]("max_score") <= hi.getAs[Long]("min_score"))
+    }
+  }
+
+  test("budgetSelect: inclusive cap, straddler dropped, tiebreak by id") {
+    import spark.implicits._
+    val df = Seq(
+      ("s", 1L, 5L, 40), ("s", 2L, 5L, 30),  // tie on score -> id order
+      ("s", 3L, 4L, 30), ("s", 4L, 3L, 50),
+      ("t", 9L, 9L, 500))                    // own stratum, over budget alone
+      .toDF("source", "doc_id", "quality", "n_tokens")
+    val got = Sampling.budgetSelect(df, "source", "quality", "doc_id",
+        "n_tokens", 100L)
+      .orderBy("doc_id").collect()
+    // s: cum 40, 70, 100 (== budget, kept inclusive), 150 (dropped)
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(got.map(_.getAs[Long]("cum_tokens")).toSeq == Seq(40L, 70L, 100L))
+    // t's only doc exceeds the budget alone -> stratum empty (hard cap)
+    assert(!got.exists(_.getAs[String]("source") == "t"))
+  }
+
   test("quantile scale path: percentile_approx rank error within its bound") {
     // q57 uses exact interpolated percentiles (engine-parity-exact); the
     // 100 TB path is percentile_approx (SCALE.md) — pin its contract: for
