@@ -24,8 +24,13 @@ object Bench {
       case Some(pats) => SparkEntry.queries.filter { case (n, _) => pats.exists(n.contains) }
       case None => SparkEntry.queries
     }
+    // A thrown query must never masquerade as a timing (round-5 verdict
+    // item 3: two analysis-time crashes looked like 15x speedups). Failed
+    // names are tracked per pass, reported in BENCH_SUMMARY, and excluded
+    // from every total.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def runPass(cold: Boolean): Map[String, Double] =
-      selected.map { case (name, fn) =>
+      selected.flatMap { case (name, fn) =>
         if (cold) {
           // Cold = no cross-query amortization: evict the session-shared
           // artifacts (signature tables, kNN graph, PQ model, member
@@ -36,10 +41,15 @@ object Bench {
           spark.catalog.clearCache()
         }
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        finally graft.ops.TransientCache.releaseAll()
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed += name
+            false
+          }
+          finally graft.ops.TransientCache.releaseAll()
+        if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
       }
     // SPARK_GRAFT_BENCH_COLD=1 -> cold-only (dev loop); default runs the
     // warm iterations first (headline, comparable across rounds) and then
@@ -48,18 +58,20 @@ object Bench {
     val perIter = if (coldOnly) Seq.empty else (1 to iters).map(_ => runPass(cold = false))
     val cold = runPass(cold = true)
     val warmed = if (coldOnly) cold else perIter.last
-    val qs = warmed.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = warmed.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (warmed.nonEmpty) warmed.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
-    val iterTotals = (perIter.map(_.values.sum) :+ coldTotal).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iteration_totals":$iterTotals,"cold_total":$coldTotal,"sf":"$sfDir"}""")
-    // The full line above can exceed the driver's output-tail capture.
-    // Repeat the load-bearing numbers LAST and SHORT so they always
-    // survive: totals + the slowest 20 warmed queries.
+    val iterTotals = (perIter.map(_.values.sum) :+ coldTotal).map(r3).mkString("[", ",", "]")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Summary FIRST (human/tail-grep), full metric JSON as the LAST stdout
+    // line — round-5's BENCH had "parsed": null in the driver artifact, so
+    // keep the machine-readable line last, pure JSON, and 3-decimal-compact.
     val slowest = warmed.toSeq.sortBy(-_._2).take(20)
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""BENCH_SUMMARY {"total":$total,"cold_total":$coldTotal,"n_queries":${warmed.size},"slowest20":$slowest}""")
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""BENCH_SUMMARY {"total":${r3(total)},"cold_total":${r3(coldTotal)},"n_queries":${warmed.size},"failed":$failedJson,"slowest20":$slowest}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"iteration_totals":$iterTotals,"cold_total":${r3(coldTotal)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

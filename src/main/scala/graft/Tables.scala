@@ -24,24 +24,40 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
-  /** `events.parquet` stores TIMESTAMP(NANOS) which Spark has no native
-    * type for; with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * every session builder) it reads as nanos-since-epoch LongType, which
-    * we truncate to a microsecond TimestampType column. */
+  /** Normalizes `events.ts` to session-local TimestampType regardless of
+    * how the parquet writer encoded it. Observed encodings across testdata
+    * generations:
+    *  - TIMESTAMP(NANOS): no native Spark type; with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set in every session
+    *    builder) it reads as nanos-since-epoch LongType → truncate to µs.
+    *  - timestamp[us] without timezone: reads as TIMESTAMP_NTZ → cast to
+    *    TimestampType. Wall-clock identity because every GraftSession pins
+    *    `spark.sql.session.timeZone=UTC`.
+    * Everything downstream (watermarks, `unix_micros`, window frames)
+    * assumes plain TimestampType; this loader is the single choke point. */
   def events(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = load(spark, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 
-  /** Register every table as a temp view (DMV-style SQL surface, SURVEY §2.1 S2). */
+  /** Register every table as a temp view (DMV-style SQL surface, SURVEY §2.1 S2).
+    * `events` goes through [[events]] so the SQL surface sees the same
+    * normalized TimestampType `ts` as the DataFrame surface. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
 
 /** Local SparkSession factory used by tests AND the Verify/Bench mains —

@@ -65,9 +65,17 @@ object EventsStream {
       }
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val raw = spark.readStream.schema(batchSchema).parquet(streamDir)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    // Same ts normalization contract as Tables.events: watermarks require
+    // plain TimestampType, so both the nanos-as-long and the NTZ parquet
+    // encodings are folded to it here (NTZ→TZ is wall-clock identity: every
+    // GraftSession pins UTC).
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1 h windowed counts/sums with a 1 h watermark — streaming
