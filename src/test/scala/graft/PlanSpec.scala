@@ -98,6 +98,22 @@ class PlanSpec extends AnyFunSuite {
       s"as-of should shuffle exactly once (on the key):\n$p")
   }
 
+  test("q71 retention: distinct-first, cohort side broadcast, no extra exchange") {
+    // r4→r5 bench drift on this query (0.43→0.54 s) was audited in round 6:
+    // no plan change, local[32] noise. This pins the audited shape — at most
+    // 2 hash exchanges (the (user,week) distinct and the final cohort
+    // grouping; the per-user cohort min rides the distinct's partitioning)
+    // and a broadcast join for the cohort side, never a sort-merge join.
+    val p = plan("q71_retention_cohorts")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cohort join should broadcast the per-user minima:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"cohort join must not shuffle both sides:\n$p")
+    val hashEx = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashEx <= 3, s"retention grew an extra shuffle (hash exchanges=$hashEx):\n$p")
+  }
+
   test("q59 range join: banded equi-join, no cartesian/BNLJ/theta shape") {
     val p = plan("q59_click_conversions")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
