@@ -110,8 +110,13 @@ object JobService {
     transition(spark, root, job, Running)
     val t0 = System.nanoTime()
     try {
-      MdxLowerer.run(spark, sfDir, job.mdx_query)
-        .write.mode(SaveMode.Overwrite).parquet(resultPath(root, job.id))
+      job.mdx_query match {
+        case MaintainRe(cubeName, paName, predicate) =>
+          runMaintenance(spark, root, sfDir, job.id, cubeName, paName, predicate)
+        case mdx =>
+          MdxLowerer.run(spark, sfDir, mdx)
+            .write.mode(SaveMode.Overwrite).parquet(resultPath(root, job.id))
+      }
       transition(spark, root, job, Completed,
         duration = (System.nanoTime() - t0) / 1e9)
     } catch {
@@ -120,6 +125,60 @@ object JobService {
           error = Option(e.getMessage).getOrElse(e.getClass.getName).take(500),
           duration = (System.nanoTime() - t0) / 1e9)
     }
+  }
+
+  /** Pre-aggregate maintenance as a JOB (SSAS "Process Incremental"
+    * submitted to the processing queue): payload
+    * `MAINTAIN PREAGG <cube>.<preagg> WHERE <fact delta predicate>`.
+    * Any runner (batch loop or streaming foreachBatch) claims and
+    * executes it like an MDX job — same PENDING→RUNNING→COMPLETED
+    * machine, same crash-recovery requeue. */
+  private val MaintainRe =
+    """(?s)\s*MAINTAIN\s+PREAGG\s+(\w+)\.(\w+)\s+WHERE\s+(.+?)\s*""".r
+
+  private def aggStatePath(root: String, cube: String, pa: String) =
+    s"$root/preagg_state/$cube.$pa"
+
+  /** One maintenance run: pre-aggregate ONLY the delta slice at the
+    * declared grain, merge it into the stored aggregate, swap the state
+    * dir, and publish the merged aggregate as the job result. Work is
+    * delta-sized + one merge shuffle bounded by the grain cardinality —
+    * never a history rebuild ([[graft.streaming.PreAggMaintainer]] is the
+    * continuous form of the same fold; this is its queued, claim-guarded
+    * form). The write-new-then-rename swap is the local-FS stand-in for a
+    * table-format transactional commit (Delta/Iceberg). */
+  private def runMaintenance(spark: SparkSession, root: String, sfDir: String,
+                             jobId: String, cubeName: String, paName: String,
+                             predicate: String): Unit = {
+    val cube = graft.mdx.SalesCube.registry.getOrElse(cubeName,
+      throw new IllegalArgumentException(s"unknown cube $cubeName"))
+    val pa = cube.preAggs.find(_.name == paName).getOrElse(
+      throw new IllegalArgumentException(s"unknown preagg $cubeName.$paName"))
+    val delta = cube.fact(spark, sfDir).where(expr(predicate))
+    val part = MdxLowerer.preAggregateSlice(spark, sfDir, cube, pa, delta)
+    val statePath = aggStatePath(root, cubeName, paName)
+    val haveState = new java.io.File(statePath).exists()
+    val merged =
+      if (haveState)
+        MdxLowerer.mergePreAggs(cube, pa,
+          Seq(spark.read.parquet(statePath), part))
+      else part
+    val next = new java.io.File(s"$statePath.next-$jobId")
+    merged.write.mode(SaveMode.Overwrite).parquet(next.getPath)
+    val live = new java.io.File(statePath)
+    val retired = new java.io.File(s"$statePath.old-$jobId")
+    if (haveState && !live.renameTo(retired))
+      throw new java.io.IOException(s"could not retire $statePath")
+    if (!next.renameTo(live))
+      throw new java.io.IOException(s"could not publish $statePath")
+    delete(retired)
+    spark.read.parquet(statePath)
+      .write.mode(SaveMode.Overwrite).parquet(resultPath(root, jobId))
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(delete)
+    f.delete(); ()
   }
 
   /** Crash recovery sweep: a runner that died mid-execution leaves its

@@ -247,6 +247,37 @@ class StreamingJobRunnerSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("pre-agg maintenance composes with the streaming job runner: submit -> claim -> merge -> COMPLETED") {
+    // Round-5 verdict item 7: PreAggStream (the fold) and the job service
+    // (crash-safe claims) were built separately; this drives a maintenance
+    // MERGE *through* the foreachBatch runner and pins merge ≡ recompute.
+    val root = java.nio.file.Files.createTempDirectory("graft_maint").toString
+    val cube = graft.mdx.SalesCube.cube
+    val pa = cube.preAggs.head
+    // Two maintenance jobs over disjoint fact slices (history, then delta).
+    val j1 = JobService.submit(spark, root, "SALES",
+      "MAINTAIN PREAGG Sales.base WHERE l_orderkey % 7 != 0")
+    JobService.streamingRunner(spark, root, sf).awaitTermination(180000)
+    assert(JobService.status(spark, root, j1).get.status == JobService.Completed)
+    val j2 = JobService.submit(spark, root, "SALES",
+      "MAINTAIN PREAGG Sales.base WHERE l_orderkey % 7 = 0")
+    JobService.streamingRunner(spark, root, sf).awaitTermination(180000)
+    assert(JobService.status(spark, root, j2).get.status == JobService.Completed)
+    // The maintained aggregate (job 2's result) must be BIT-identical to a
+    // from-scratch build over the full fact — SUM/COUNT partials merge
+    // exactly, same contract as q126 and the streaming maintainer.
+    val full = graft.mdx.MdxLowerer.preAggregateSlice(spark, sf, cube, pa,
+      cube.fact(spark, sf))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(pa.grainCols.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(rows(JobService.result(spark, root, j2)) == rows(full))
+    // A malformed maintenance payload fails the job, never the runner.
+    val j3 = JobService.submit(spark, root, "SALES",
+      "MAINTAIN PREAGG Sales.nope WHERE 1 = 1")
+    JobService.streamingRunner(spark, root, sf).awaitTermination(120000)
+    assert(JobService.status(spark, root, j3).get.status == JobService.Failed)
+  }
+
   test("crash recovery: checkpoint loss replays without double-execution; orphaned claims requeue to exactly one COMPLETED") {
     import org.apache.spark.sql.functions.col
     val root = java.nio.file.Files.createTempDirectory("graft_sjobs_crash").toString
