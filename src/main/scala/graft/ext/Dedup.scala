@@ -489,4 +489,94 @@ object Dedup {
       .where(lit(denJ) * col("n_inter") >=
         lit(numJ) * (col("n_a") + col("n_b") - col("n_inter")))
   }
+
+  /** Overlapping token `window`-gram hashes WITH 1-based positions:
+    * `(doc, pos, h)` — the positional twin of [[shingleRows]] (which
+    * dedups and drops positions). One typed flatMap at scan speed; rows
+    * emitted = tokens − window + 1 per doc (linear in corpus tokens).
+    *
+    * `h` is the first 60 bits of the window's md5 as a non-negative
+    * BIGINT (`('0x'||substr(md5(g),1,15))::BIGINT` on the SQL side) —
+    * an 8-byte join/shuffle key instead of a 32-char string, with a
+    * ~2^-60 pairwise collision rate that both engines reproduce
+    * identically (a collision is part of the operator's contract, the
+    * md5-prefix discipline of [[minhashSignatures]]). */
+  def windowHashRows(df: DataFrame, textCol: String, idCol: String,
+                     window: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        // First 15 hex chars = top 60 bits of the digest, as a Long.
+        def h60(b: Array[Byte]): Long = {
+          var v = 0L
+          var i = 0
+          while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+          v >>> 4
+        }
+        rows.flatMap { case (doc, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val toks = TextAnalysis.tokenizeJvm(TextAnalysis.normalizeJvm(text))
+            if (toks.length < window) Iterator.empty
+            else (0 to toks.length - window).iterator.map { i =>
+              val g = toks.slice(i, i + window).mkString(" ")
+              (doc, i + 1L, h60(md.digest(g.getBytes("UTF-8"))))
+            }
+          }
+        }
+      }
+      .toDF("doc", "pos", "h")
+  }
+
+  /** Cross-document MAXIMAL shared token spans — the ExactSubstr
+    * deduplication of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better", §4.1), re-expressed for a shuffle engine.
+    * The paper builds a single-machine suffix array; the distributed
+    * shape is: overlapping `window`-token hashes with positions
+    * ([[windowHashRows]]) → posting-list self-join (pairs only form for
+    * docs sharing a concrete window — the gram-bucketed discipline of
+    * [[ngramJaccardPairs]]) → per (pair, diagonal pa−pb) consecutive-
+    * position chaining (a gaps-and-islands window) recovers every maximal
+    * shared span of ≥ `minSpan` tokens exactly.
+    *
+    * Boilerplate guard: window hashes with more than `maxPostings` total
+    * occurrences are dropped BEFORE pairing — their expansion is
+    * quadratic and they are precisely the boilerplate a frequency filter
+    * would kill anyway. The cap is part of the operator's CONTRACT (the
+    * oracle applies the same HAVING), not a silent truncation.
+    *
+    * 100 TB shape: postings shuffle is linear in corpus tokens; pair
+    * expansion is ≤ maxPostings² per distinct window; the islands window
+    * shuffles once on (a, b, diag). Returns
+    * `(a, b, a_pos, b_pos, span_tokens)`, a < b, positions 1-based. */
+  def sharedSpans(df: DataFrame, textCol: String, idCol: String,
+                  window: Int = 10, minSpan: Int = 15,
+                  maxPostings: Int = 50): DataFrame = {
+    // The postings feed the frequency gate AND both sides of the pair
+    // join — persist once instead of re-tokenizing/md5-ing the corpus
+    // three times (released by the runner via TransientCache).
+    val w = graft.ops.TransientCache.persist(
+      windowHashRows(df, textCol, idCol, window))
+    val rare = w.groupBy(col("h")).agg(count(lit(1)).as("n_post"))
+      .where(col("n_post") <= maxPostings).select(col("h"))
+    val wf = w.join(rare, "h")
+    val pairs = wf.as("x").join(wf.as("y"),
+        col("x.h") === col("y.h") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"),
+        col("x.pos").as("pa"), col("y.pos").as("pb"),
+        (col("x.pos") - col("y.pos")).as("diag"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a"), col("b"), col("diag")).orderBy(col("pa"))
+    pairs
+      .withColumn("grp", col("pa") - row_number().over(win))
+      .groupBy(col("a"), col("b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("a_pos"), min(col("pb")).as("b_pos"),
+        (count(lit(1)) + (window - 1)).as("span_tokens"))
+      .where(col("span_tokens") >= minSpan)
+      .select(col("a"), col("b"), col("a_pos"), col("b_pos"), col("span_tokens"))
+  }
 }

@@ -190,4 +190,60 @@ object Sampling {
       .select(col(strataCol), col(sourceCol), col("n_docs"), col("n_tokens"),
         col("share_ppm"), col("cell_budget"), col("sample_rate_ppm"))
   }
+
+  /** DSIR importance scores — Data Selection via Importance Resampling
+    * (Xie et al. 2023, arXiv:2302.03169): score every raw document by how
+    * target-like its hashed-bigram profile is, so a top-k (or
+    * Gumbel-noised) selection resamples the raw corpus toward the target
+    * distribution.
+    *
+    * Faithful to the paper's hashed n-gram variant: features are adjacent
+    * token bigrams hashed into `buckets` buckets; bucket log-probabilities
+    * are Laplace-smoothed (+1 / +buckets) bag-of-bigram estimates over the
+    * TARGET slice (rows where `isTarget`) vs the FULL raw corpus; a doc's
+    * score is Σ_b count_b(doc) · log(p_target(b)/p_raw(b)).
+    *
+    * Engine parity: the per-bucket log-ratio collapses to ONE ln() of a
+    * rational of exact integer counts, quantized floor(×1000) to BIGINT
+    * (the q97/q105 discipline); doc scores are then pure BIGINT
+    * Σ count·λ — bit-stable under any summation order.
+    *
+    * 100 TB shape: one pair-row scan, one (doc,bucket) map-side-combined
+    * groupBy, a `buckets`-row model table broadcast back onto it — the
+    * model is fixed-size driver state exactly like the PQ codebooks. */
+  def dsirScores(df: DataFrame, textCol: String, idCol: String,
+                 isTarget: Column, buckets: Int = 512): DataFrame = {
+    val pairs = TextAnalysis.tokenPairRows(df, textCol, idCol)
+      .withColumn("bucket", expr(
+        s"CAST(conv(substring(md5(CAST(concat(tok_a, '_', tok_b) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % $buckets"))
+    // (doc, bucket) counts feed both the model fit and the scoring join —
+    // persist the compact profile instead of re-running the pair scan
+    // twice (released by the runner via TransientCache).
+    val docBuckets = graft.ops.TransientCache.persist(
+      pairs.groupBy(col("doc"), col("bucket"))
+        .agg(count(lit(1)).as("c")))
+    val flags = df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc"), isTarget.as("is_target"))
+    val withFlag = docBuckets.join(flags, "doc")
+    // Per-bucket counts for target and raw (raw = everything).
+    val model = withFlag.groupBy(col("bucket"))
+      .agg(sum(when(col("is_target"), col("c")).otherwise(lit(0L))).as("tc"),
+        sum(col("c")).as("rc"))
+    // Totals are two scalars; cross-joined as a 1-row broadcast literal.
+    val totals = model.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
+    val lambda = model.crossJoin(broadcast(totals))
+      // λ_b = floor(1000·ln( (tc+1)/(tt+B) ÷ (rc+1)/(rt+B) )) — one ln of
+      // an integer rational; +1/+B Laplace keeps target-absent buckets
+      // finite (they score negative, as they should).
+      .withColumn("lambda", expr(
+        s"""CAST(floor(1000 * ln(
+           |  (CAST(tc + 1 AS DOUBLE) * CAST(rt + $buckets AS DOUBLE)) /
+           |  (CAST(rc + 1 AS DOUBLE) * CAST(tt + $buckets AS DOUBLE))
+           |)) AS BIGINT)""".stripMargin))
+      .select(col("bucket"), col("lambda"))
+    docBuckets.join(broadcast(lambda), "bucket")
+      .groupBy(col("doc"))
+      .agg(sum(col("c") * col("lambda")).as("score"),
+        sum(col("c")).as("n_bigrams"))
+  }
 }

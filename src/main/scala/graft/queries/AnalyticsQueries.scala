@@ -56,50 +56,63 @@ object AnalyticsQueries {
         .orderBy(col("doc_id"))),
 
     // Per-nation OLS regression of line price (whole units) on quantity:
-    // all moment sums are integer-exact (one map-side-combined aggregate
-    // over the star join); only the FINAL slope/intercept/corr divisions
-    // run in double — deterministic given exact operands.
+    // all moment sums are integer-exact; only the FINAL slope/intercept/
+    // corr divisions run in double — deterministic given exact operands
+    // (int64→double casts round identically in every engine; >2^63 would
+    // go through DECIMAL here vs HUGEINT in DuckDB, whose double casts
+    // can differ by 1 ulp — observed on this query's corr in round 4).
     //
-    // Every combined moment stays WITHIN int64 (whole-unit prices:
-    // n·Σy² ≤ 24k·2.6e14 ≈ 6e18 < 2^63 at sf0.1) — this is what makes
-    // the strict compare exact: int64→double casts round identically in
-    // every engine, while a >2^63 value goes through DECIMAL here vs
-    // HUGEINT in DuckDB, whose double casts can differ by 1 ulp
-    // (observed on q90's corr before this bound). At a scale where the
-    // moments outgrow int64, pre-aggregate per sub-split and combine —
-    // don't widen to decimal.
+    // ANCHORED two-pass (round 6): raw quadratic moments (Σy², n·Σy²)
+    // outgrow int64 around sf0.1 — the old single-pass guard tripped
+    // there, so the query could not run at bench scale. Pass 1 takes
+    // linear sums only (never overflow: n·max ≈ 6e13 at sf100); each
+    // nation's integer anchor is its floor mean (sx div n). Pass 2
+    // aggregates DEVIATION moments against the broadcast anchors. Shift
+    // invariance makes the identities EXACT and unchanged —
+    //   n·Σx'y' − Σx'Σy' = n·Σxy − ΣxΣy  (same int64, bit-identical
+    // outputs, oracle untouched) — while every intermediate is now
+    // deviation-sized: Σy'² grows with n·spread², not n·max², pushing
+    // the exact-int64 envelope from sf≈0.05 to sf≈10 per nation slice.
     "q90_price_regression" -> ((s, d) => {
-      val j = Tables.lineitem(s, d)
-        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
-        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
-        .select(col("n_name"),
-          expr("CAST(floor(l_quantity) AS BIGINT)").as("x"),
-          expr("CAST(floor(l_extendedprice) AS BIGINT)").as("y"))
-      val st = j.groupBy(col("n_name")).agg(
-          count(lit(1)).as("n"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"),
-          max(abs(col("x"))).as("mx"), max(abs(col("y"))).as("my"))
-        // The int64 bound above is now ENFORCED, not just asserted in
-        // prose: every combined moment is ≤ n²·m² (m = max|x|,|y|), so
-        // an in-plan assert_true fails the job loudly the moment data
-        // outgrows the exact-int64 envelope (silent ANSI-off wraparound
-        // would corrupt slope/corr with no error). The check rides the
-        // output `n` column (n + 0) so pruning cannot drop it.
+      val j = graft.ops.TransientCache.persist(
+        Tables.lineitem(s, d)
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name"),
+            expr("CAST(floor(l_quantity) AS BIGINT)").as("x"),
+            expr("CAST(floor(l_extendedprice) AS BIGINT)").as("y")))
+      val anchors = j.groupBy(col("n_name")).agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+        .select(col("n_name"), col("n"), col("sx"), col("sy"),
+          expr("sx div n").as("ax"), expr("sy div n").as("ay"))
+      val st = j.join(broadcast(anchors), "n_name")
+        .select(col("n_name"), col("n"), col("sx"), col("sy"),
+          (col("x") - col("ax")).as("dx"), (col("y") - col("ay")).as("dy"))
+        .groupBy(col("n_name"), col("n"), col("sx"), col("sy")).agg(
+          sum(col("dx")).as("cx"), sum(col("dy")).as("cy"),
+          sum(col("dx") * col("dy")).as("cxy"),
+          sum(col("dx") * col("dx")).as("cxx"),
+          sum(col("dy") * col("dy")).as("cyy"))
+        // The envelope is ENFORCED, not asserted in prose: the final
+        // identities multiply n into the centered moments (and |cx|,
+        // |cy| < n by floor-mean anchoring), so fail loudly BEFORE any
+        // long product the moment data outgrows exact int64 — silent
+        // wraparound would corrupt slope/corr with no error. The check
+        // rides the output `n` column (n + 0) so pruning can't drop it.
         .withColumn("n", col("n") + coalesce(
           assert_true(
-            pow(col("n").cast("double"), 2)
-              * pow(greatest(col("mx"), col("my")).cast("double"), 2)
+            col("n").cast("double") *
+              greatest(col("cxx").cast("double"), col("cyy").cast("double"),
+                abs(col("cxy")).cast("double"))
+              + col("n").cast("double") * col("n").cast("double")
               < lit(4.6e18),
-            lit("q90 moments would overflow int64: pre-aggregate per sub-split"))
+            lit("q90 anchored moments would overflow int64: add a sub-split level"))
             .cast("long"),
           lit(0L)))
       st.select(col("n_name"), col("n"),
-          expr("CAST(n * sxy - sx * sy AS DOUBLE)").as("cov_d"),
-          expr("CAST(n * sxx - sx * sx AS DOUBLE)").as("varx_d"),
-          expr("CAST(n * syy - sy * sy AS DOUBLE)").as("vary_d"),
+          expr("CAST(n * cxy - cx * cy AS DOUBLE)").as("cov_d"),
+          expr("CAST(n * cxx - cx * cx AS DOUBLE)").as("varx_d"),
+          expr("CAST(n * cyy - cy * cy AS DOUBLE)").as("vary_d"),
           col("sx").cast("double").as("sx_d"), col("sy").cast("double").as("sy_d"))
         .withColumn("slope", col("cov_d") / col("varx_d"))
         .select(col("n_name"), col("n"), col("slope"),

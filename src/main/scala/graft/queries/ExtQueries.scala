@@ -161,6 +161,16 @@ object ExtQueries {
       Dedup.simhashHammingPairsFromSigs(simhashSigs(s, d), 2)
         .orderBy("doc_a", "doc_b")),
 
+    // ExactSubstr dedup (Lee et al. 2022): maximal cross-doc shared token
+    // spans >= 15 tokens, via positional window postings + diagonal
+    // chaining — the distributed re-expression of the paper's suffix
+    // array. Window hashes over 50 postings are contract-dropped
+    // (boilerplate guard; the oracle applies the identical HAVING).
+    "q132_shared_spans" -> ((s, d) =>
+      Dedup.sharedSpans(Tables.documents(s, d), "text", "doc_id",
+          window = 10, minSpan = 15, maxPostings = 50)
+        .orderBy("a", "b", "a_pos", "b_pos")),
+
     // Embedding near-dup pairs: cosine >= 0.3 within label blocks,
     // integer-exact threshold.
     "q26_embed_neardup" -> ((s, d) =>
@@ -587,6 +597,27 @@ object ExtQueries {
     "q25_dedup_simhash" -> simhashSql,
 
     "q48_simhash_hamming" -> simhashHammingSql,
+
+    "q132_shared_spans" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split($normSql, ' '), x -> len(x) > 0) t
+         |  FROM documents),
+         |w AS (SELECT doc_id, i,
+         |        ('0x' || substr(md5(array_to_string(t[i:i+9], ' ')), 1, 15))::BIGINT h
+         |      FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 9)) AS i) s
+         |      WHERE len(t) >= 10),
+         |rare AS (SELECT h FROM w GROUP BY h HAVING count(*) <= 50),
+         |wf AS (SELECT w.* FROM w JOIN rare USING (h)),
+         |p AS (SELECT x.doc_id a, y.doc_id b, x.i pa, y.i pb, x.i - y.i diag
+         |      FROM wf x JOIN wf y ON x.h = y.h AND x.doc_id < y.doc_id),
+         |g AS (SELECT a, b, diag, pa, pb,
+         |        pa - row_number() OVER (PARTITION BY a, b, diag ORDER BY pa) grp
+         |      FROM p)
+         |SELECT a, b, min(pa) AS a_pos, min(pb) AS b_pos,
+         |  count(*) + 9 AS span_tokens
+         |FROM g GROUP BY a, b, diag, grp
+         |HAVING count(*) + 9 >= 15
+         |ORDER BY a, b, a_pos, b_pos""".stripMargin,
 
     "q26_embed_neardup" ->
       s"""$qeCtes,

@@ -430,7 +430,21 @@ object PipelineQueries {
           ExtQueries.docProfile(s, d)
             .select(col("source"), col("doc_id"), col("quality"), col("n_tokens")),
           "source", "quality", "doc_id", "n_tokens", 800L)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed-bigram
+    // log-ratio scores against the Spanish slice as the target
+    // distribution; the 100 highest-scoring docs are the resampled
+    // selection (deterministic top-k stand-in for the Gumbel draw).
+    "q133_dsir_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Sampling.dsirScores(docs, "text", "doc_id", col("lang") === "es", 512)
+        .join(docs.select(col("doc_id").as("doc"), col("lang")), "doc")
+        .orderBy(desc("score"), col("doc"))
+        .limit(100)
+        .select(col("doc").as("doc_id"), col("lang"),
+          col("score"), col("n_bigrams"))
+    })
   )
 
   // ---------------------------------------------------------------- oracles
@@ -612,6 +626,30 @@ object PipelineQueries {
          |      FROM j)
          |SELECT source, doc_id, quality, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin,
+
+    "q133_dsir_select" ->
+      s"""${ExtQueries.tokCte},
+         |pr AS (SELECT doc_id, t[i] || '_' || t[i+1] g
+         |       FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+         |       WHERE len(t) >= 2),
+         |b AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 512 bucket FROM pr),
+         |db AS (SELECT doc_id, bucket, count(*) c FROM b GROUP BY 1, 2),
+         |m AS (SELECT bucket,
+         |        sum(CASE WHEN d.lang = 'es' THEN c ELSE 0 END) tc,
+         |        sum(c) rc
+         |      FROM db JOIN documents d USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT sum(tc) tt, sum(rc) rt FROM m),
+         |lam AS (SELECT bucket,
+         |          CAST(floor(1000 * ln(
+         |            (CAST(tc + 1 AS DOUBLE) * CAST(rt + 512 AS DOUBLE)) /
+         |            (CAST(rc + 1 AS DOUBLE) * CAST(tt + 512 AS DOUBLE)))) AS BIGINT) lambda
+         |        FROM m, tot),
+         |sc AS (SELECT doc_id, CAST(sum(c * lambda) AS BIGINT) score,
+         |         CAST(sum(c) AS BIGINT) n_bigrams
+         |       FROM db JOIN lam USING (bucket) GROUP BY 1)
+         |SELECT sc.doc_id, d.lang, score, n_bigrams
+         |FROM sc JOIN documents d USING (doc_id)
+         |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
 
     "q75_cube_tokens" ->
       s"""${ExtQueries.tokCte},

@@ -23,6 +23,38 @@ class ExtSpec extends AnyFunSuite {
     assert(groups.agg(sum("n_docs")).as[Long].head() == docs.count())
   }
 
+
+  test("sharedSpans: finds the planted maximal span with exact positions") {
+    // Doc 1 and doc 2 share tokens 21..40 of doc 1 (= tokens 1..20 of
+    // doc 2); windows of 10 chain into ONE maximal 20-token span.
+    val shared = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val d1 = (1 to 20).map(i => s"alpha$i").mkString(" ") + " " + shared
+    val d2 = shared + " " + (1 to 20).map(i => s"omega$i").mkString(" ")
+    val d3 = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val got = Dedup.sharedSpans(docs, "text", "doc_id",
+      window = 10, minSpan = 15, maxPostings = 50).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("a") == 1L && r.getAs[Long]("b") == 2L)
+    assert(r.getAs[Long]("a_pos") == 21L && r.getAs[Long]("b_pos") == 1L)
+    assert(r.getAs[Long]("span_tokens") == 20L)
+    graft.ops.TransientCache.releaseAll()
+  }
+
+  test("sharedSpans: sub-minSpan overlaps and over-cap boilerplate are dropped") {
+    val short = (1 to 12).map(i => s"s$i").mkString(" ")   // 12 < minSpan 15
+    val d1 = short + " " + (1 to 10).map(i => s"a$i").mkString(" ")
+    val d2 = short + " " + (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    assert(Dedup.sharedSpans(docs, "text", "doc_id", 10, 15, 50).count() == 0)
+    // Same span but boilerplate-capped at maxPostings=1: no pairs at all.
+    val long = (1 to 20).map(i => s"s$i").mkString(" ")
+    val docs2 = Seq((1L, long), (2L, long)).toDF("doc_id", "text")
+    assert(Dedup.sharedSpans(docs2, "text", "doc_id", 10, 15, 1).count() == 0)
+    graft.ops.TransientCache.releaseAll()
+  }
+
   test("minhash signature agreement is 8/8 for identical shingle sets") {
     val df = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "totally different words here")).toDF("doc_id", "text")
     val pairs = Dedup.lshCandidatePairs(

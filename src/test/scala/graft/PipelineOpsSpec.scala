@@ -125,6 +125,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.forall(_.getAs[Long]("score_q") > 0))
   }
 
+
+  test("dsirScores: bigram-profile log-ratio ranks target-like docs above unlike ones") {
+    import spark.implicits._
+    // Target slice (lang=es) is all "uno dos" bigrams; raw doc 10 repeats
+    // the target's bigrams, raw doc 11 shares none — the importance
+    // log-ratio must rank 10 above 11.
+    val docs = Seq(
+      (1L, "uno dos uno dos uno dos uno dos", "es"),
+      (2L, "uno dos tres uno dos tres", "es"),
+      (10L, "uno dos uno dos", "en"),
+      (11L, "cat dog cat dog", "en")
+    ).toDF("doc_id", "text", "lang")
+    val scores = graft.ext.Sampling
+      .dsirScores(docs, "text", "doc_id", col("lang") === "es", 64)
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("score")).toMap
+    assert(scores(10L) > scores(11L))
+    // Target members outrank the target-unlike doc too (absolute sign is
+    // smoothing-dependent at toy counts — only ranking is contractual).
+    assert(scores(1L) > scores(11L) && scores(2L) > scores(11L))
+    graft.ops.TransientCache.releaseAll()
+  }
+
+  test("dsirScores: empty input and single-token docs produce no rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(graft.ext.Sampling.dsirScores(empty, "text", "doc_id",
+      col("lang") === "es").count() == 0)
+    val tiny = Seq((1L, "solo", "es")).toDF("doc_id", "text", "lang")
+    assert(graft.ext.Sampling.dsirScores(tiny, "text", "doc_id",
+      col("lang") === "es").count() == 0)
+    graft.ops.TransientCache.releaseAll()
+  }
+
   test("asOf: null keys never match (SQL join semantics)") {
     import spark.implicits._
     val left = Seq((1L, Option.empty[Long], ts(50)), (2L, Option(7L), ts(50)))
