@@ -579,4 +579,36 @@ object Dedup {
       .where(col("span_tokens") >= minSpan)
       .select(col("a"), col("b"), col("a_pos"), col("b_pos"), col("span_tokens"))
   }
+
+  /** The REWRITE half of ExactSubstr dedup (Lee et al. 2022 drop the
+    * duplicated substring, not the document): given [[sharedSpans]]
+    * output, excise every span occurrence from its b-side (higher-id)
+    * document — the lower id keeps the first occurrence — and return
+    * each doc's surviving normalized text with before/after token
+    * counts. Docs without spans pass through unchanged.
+    *
+    * 100 TB shape: excised positions explode to span_tokens rows per
+    * span (output-sized, spans are rare), the kill is one anti-join on
+    * (doc, pos), and the rebuild is a per-doc sort_array over kept
+    * tokens — all hash-partitioned on the doc id, no driver state. */
+  def removeSharedSpans(df: DataFrame, spans: DataFrame,
+                        textCol: String, idCol: String): DataFrame = {
+    val excised = spans.select(col("b").as("doc"),
+        explode(sequence(col("b_pos"), col("b_pos") + col("span_tokens") - 1))
+          .as("pos"))
+      .distinct()
+    val kept = TextAnalysis.tokenPosRows(df, textCol, idCol)
+      .join(excised, Seq("doc", "pos"), "left_anti")
+    kept.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_after"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("token")))),
+          s => s("token")), " ").as("text_dedup"))
+      // Right join back so token-free docs still appear (n_after = 0).
+      .join(df.where(col(idCol).isNotNull)
+          .select(col(idCol).cast("long").as("doc")),
+        Seq("doc"), "right")
+      .select(col("doc"), coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

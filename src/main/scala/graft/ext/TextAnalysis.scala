@@ -469,6 +469,23 @@ object TextAnalysis {
       .toDF("doc", "token")
   }
 
+  /** [[tokenRows]] WITH 1-based positions — `(doc, pos, token)`, the
+    * addressable form a span-rewrite (or any positional op) joins
+    * against. Same normalization contract; same NULL contract. */
+  def tokenPosRows(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (doc, text) =>
+        if (text == null) Iterator.empty
+        else tokenizeJvm(normalizeJvm(text)).iterator.zipWithIndex
+          .map { case (t, i) => (doc, i + 1L, t) }
+      }
+      .toDF("doc", "pos", "token")
+  }
+
   /** Corpus vocabulary head: the k most frequent tokens with total
     * occurrence count and document frequency — the Zipf-head inspection
     * every corpus audit starts with (and the stopword/boilerplate

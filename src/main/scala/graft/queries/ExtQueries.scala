@@ -20,6 +20,15 @@ object ExtQueries {
     graft.ops.SessionCache.getOrBuild(s, s"simhash_sigs:$d")(
       Dedup.simhashSignatures(Tables.documents(s, d), "text", "doc_id"))
 
+  /** Shared per-session ExactSubstr span table over `documents`
+    * (window 10, minSpan 15, cap 50) — consumed by q132 (the spans) and
+    * q134 (the rewrite); a pipeline materializes the span table once,
+    * then audits AND excises from the same artifact. */
+  private[queries] def sharedSpansTable(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"shared_spans:$d")(
+      Dedup.sharedSpans(Tables.documents(s, d), "text", "doc_id",
+        window = 10, minSpan = 15, maxPostings = 50))
+
   /** Shared per-session cell-local kNN graph over `embeddings` (k=3,
     * nlist=16) — consumed by q63 (the graph itself) and q93 (PageRank
     * over it); like [[simhashSigs]], a persisted artifact in a real
@@ -166,10 +175,24 @@ object ExtQueries {
     // chaining — the distributed re-expression of the paper's suffix
     // array. Window hashes over 50 postings are contract-dropped
     // (boilerplate guard; the oracle applies the identical HAVING).
+    // The span table is a session artifact shared with q134's rewrite.
     "q132_shared_spans" -> ((s, d) =>
-      Dedup.sharedSpans(Tables.documents(s, d), "text", "doc_id",
-          window = 10, minSpan = 15, maxPostings = 50)
+      sharedSpansTable(s, d)
         .orderBy("a", "b", "a_pos", "b_pos")),
+
+    // The rewrite half of ExactSubstr dedup: excise every shared span
+    // from its b-side (higher-id) doc — first occurrence wins — and
+    // return the surviving normalized text with before/after counts.
+    // Probes the same session span artifact as q132; n_before rides the
+    // shared token profile.
+    "q134_span_rewrite" -> ((s, d) =>
+      Dedup.removeSharedSpans(Tables.documents(s, d), sharedSpansTable(s, d),
+          "text", "doc_id")
+        .join(docProfile(s, d)
+          .select(col("doc_id").as("doc"), col("n_tokens").as("n_before")), "doc")
+        .select(col("doc").as("doc_id"), col("n_before"),
+          col("n_after"), col("text_dedup"))
+        .orderBy("doc_id")),
 
     // Embedding near-dup pairs: cosine >= 0.3 within label blocks,
     // integer-exact threshold.
@@ -618,6 +641,40 @@ object ExtQueries {
          |FROM g GROUP BY a, b, diag, grp
          |HAVING count(*) + 9 >= 15
          |ORDER BY a, b, a_pos, b_pos""".stripMargin,
+
+    "q134_span_rewrite" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split($normSql, ' '), x -> len(x) > 0) t
+         |  FROM documents),
+         |w AS (SELECT doc_id, i,
+         |        ('0x' || substr(md5(array_to_string(t[i:i+9], ' ')), 1, 15))::BIGINT h
+         |      FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 9)) AS i) s
+         |      WHERE len(t) >= 10),
+         |rare AS (SELECT h FROM w GROUP BY h HAVING count(*) <= 50),
+         |wf AS (SELECT w.* FROM w JOIN rare USING (h)),
+         |p AS (SELECT x.doc_id a, y.doc_id b, x.i pa, y.i pb, x.i - y.i diag
+         |      FROM wf x JOIN wf y ON x.h = y.h AND x.doc_id < y.doc_id),
+         |g AS (SELECT a, b, diag, pa, pb,
+         |        pa - row_number() OVER (PARTITION BY a, b, diag ORDER BY pa) grp
+         |      FROM p),
+         |sp AS (SELECT b, min(pb) b_pos, count(*) + 9 span_tokens
+         |       FROM g GROUP BY a, b, diag, grp HAVING count(*) + 9 >= 15),
+         |ex AS (SELECT DISTINCT doc_id, pos FROM (
+         |        SELECT b doc_id, unnest(generate_series(b_pos, b_pos + span_tokens - 1)) pos
+         |        FROM sp) u),
+         |tp AS (SELECT doc_id, i pos, t[i] tok
+         |       FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s),
+         |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+         |         WHERE NOT EXISTS (SELECT 1 FROM ex
+         |           WHERE ex.doc_id = tp.doc_id AND ex.pos = tp.pos)),
+         |agg AS (SELECT doc_id, count(*) n_after,
+         |          string_agg(tok, ' ' ORDER BY pos) text_dedup
+         |        FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(t.t) AS INT) AS n_before,
+         |  CAST(coalesce(agg.n_after, 0) AS BIGINT) AS n_after,
+         |  coalesce(agg.text_dedup, '') AS text_dedup
+         |FROM documents d JOIN tok t USING (doc_id) LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q26_embed_neardup" ->
       s"""$qeCtes,

@@ -55,6 +55,27 @@ class ExtSpec extends AnyFunSuite {
     graft.ops.TransientCache.releaseAll()
   }
 
+
+  test("removeSharedSpans: excises b-side occurrence only; a-side and clean docs intact") {
+    val shared = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val d1 = (1 to 20).map(i => s"alpha$i").mkString(" ") + " " + shared
+    val d2 = shared + " " + (1 to 20).map(i => s"omega$i").mkString(" ")
+    val d3 = (1 to 5).map(i => s"clean$i").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val spans = Dedup.sharedSpans(docs, "text", "doc_id", 10, 15, 50)
+    val out = Dedup.removeSharedSpans(docs, spans, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (r.getAs[Long]("n_after"), r.getAs[String]("text_dedup"))).toMap
+    // Doc 1 (a-side, lower id) keeps everything.
+    assert(out(1L)._1 == 40L && out(1L)._2.endsWith("shared20"))
+    // Doc 2 (b-side) loses exactly the 20 shared tokens, keeps its tail.
+    assert(out(2L)._1 == 20L && out(2L)._2 ==
+      (1 to 20).map(i => s"omega$i").mkString(" "))
+    // Doc 3 untouched.
+    assert(out(3L) == ((5L, (1 to 5).map(i => s"clean$i").mkString(" "))))
+    graft.ops.TransientCache.releaseAll()
+  }
+
   test("minhash signature agreement is 8/8 for identical shingle sets") {
     val df = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "totally different words here")).toDF("doc_id", "text")
     val pairs = Dedup.lshCandidatePairs(
