@@ -179,4 +179,14 @@ object DocumentsStream {
     * doc-length table at read time.) */
   def postingsUpdates(docs: DataFrame): DataFrame =
     graft.ext.TextAnalysis.invertedPostings(docs, "text", "doc_id")
+
+  /** Append-only maintenance of the ExactSubstr window-posting index
+    * (the artifact behind q132/q134's span table): window hashes are a
+    * pure per-document function, so each micro-batch appends its own
+    * docs' `(doc, pos, h)` postings with zero state — the same
+    * stateless-index discipline as [[postingsUpdates]]. The frequency
+    * gate and diagonal chaining stay query-time: they are corpus-global
+    * and read the maintained index, they don't constrain its build. */
+  def windowPostingsUpdates(docs: DataFrame, window: Int = 10): DataFrame =
+    graft.ext.Dedup.windowHashRows(docs, "text", "doc_id", window)
 }

@@ -74,6 +74,66 @@ class PipelinePropertySpec extends AnyFunSuite {
     }
   }
 
+
+  test("sharedSpans equals the brute-force per-diagonal run scan on planted corpora") {
+    import graft.ext.Dedup
+    import spark.implicits._
+    for (seed <- 1L to 5L) {
+      val rnd = new scala.util.Random(seed)
+      def vocab() = s"w${rnd.nextInt(200)}"
+      // Random docs, then plant segments of doc A into doc B so real
+      // >=minSpan shared runs exist (pure chance would make none).
+      val base = (1L to 8L).map { id =>
+        id -> Array.fill(30 + rnd.nextInt(40))(vocab())
+      }.toMap
+      val planted = base.map { case (id, toks) =>
+        if (id <= 2 || rnd.nextBoolean()) id -> toks
+        else {
+          val src = base(1L + rnd.nextInt(2))
+          val segLen = 12 + rnd.nextInt(19)
+          val from = rnd.nextInt(math.max(1, src.length - segLen))
+          val seg = src.slice(from, from + segLen)
+          val at = rnd.nextInt(toks.length)
+          id -> (toks.take(at) ++ seg ++ toks.drop(at))
+        }
+      }
+      val docs = planted.toSeq.map { case (id, t) => (id, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val window = 10; val minSpan = 15
+      val got = Dedup.sharedSpans(docs, "text", "doc_id", window, minSpan, 100000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // Reference: for every pair and diagonal, scan maximal equal runs.
+      val ids = planted.keys.toSeq.sorted
+      val expected = (for {
+        ai <- ids.indices.iterator; bi <- (ai + 1 until ids.length).iterator
+        (a, b) = (ids(ai), ids(bi))
+        (ta, tb) = (planted(a), planted(b))
+        d <- (-(tb.length - 1) to (ta.length - 1)).iterator
+        runs = {
+          val i0 = math.max(0, d); val j0 = i0 - d
+          val steps = math.min(ta.length - i0, tb.length - j0)
+          val rs = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+          var k = 0; var runStart = -1
+          while (k < steps) {
+            val eq = ta(i0 + k) == tb(j0 + k)
+            if (eq && runStart < 0) runStart = k
+            if ((!eq || k == steps - 1) && runStart >= 0) {
+              val runEnd = if (eq) k else k - 1
+              rs += ((runStart, runEnd - runStart + 1)); runStart = -1
+            }
+            k += 1
+          }
+          rs.toList
+        }
+        (st, len) <- runs.iterator if len >= minSpan
+      } yield (a, b, (math.max(0, d) + st + 1).toLong,
+        (math.max(0, d) - d + st + 1).toLong, len.toLong)).toSet
+      assert(got == expected, s"seed $seed diverged: got ${got.size}, expected ${expected.size}")
+      graft.ops.TransientCache.releaseAll()
+    }
+  }
+
   test("chunkWindows covers every token exactly per the stride arithmetic") {
     import spark.implicits._
     for (seed <- 1L to 6L) {
