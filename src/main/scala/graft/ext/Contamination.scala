@@ -33,13 +33,20 @@ object Contamination {
     * [[duplicateGramShare]]).
     */
   def benchmarkOverlap(candidates: DataFrame, benchmark: DataFrame,
-                       textCol: String, idCol: String, n: Int): DataFrame = {
-    val candGrams = Dedup.shingleRows(candidates, textCol, idCol, n)
-    val benchGrams = Dedup.shingleRows(benchmark, textCol, idCol, n)
-      .select(col("s")).distinct()
+                       textCol: String, idCol: String, n: Int): DataFrame =
+    benchmarkOverlapFromShingles(
+      Dedup.shingleRows(candidates, textCol, idCol, n),
+      Dedup.shingleRows(benchmark, textCol, idCol, n))
+
+  /** [[benchmarkOverlap]] over prebuilt `(doc, s)` shingle streams — the
+    * session-artifact form: a pipeline shingles its corpus once and
+    * slices candidate/benchmark views off the stored table. */
+  def benchmarkOverlapFromShingles(candGrams: DataFrame,
+                                   benchGrams: DataFrame): DataFrame = {
+    val bench = benchGrams.select(col("s")).distinct()
       .withColumn("hit", lit(1))
     candGrams
-      .join(broadcast(benchGrams), Seq("s"), "left")
+      .join(broadcast(bench), Seq("s"), "left")
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
       .select(col("doc").as("doc_id"), col("n_grams"), col("n_hit"),
@@ -110,12 +117,17 @@ object Contamination {
     * gram is one row on the build side.
     */
   def duplicateGramShare(df: DataFrame, textCol: String, idCol: String,
-                         n: Int, minDf: Int = 2): DataFrame = {
+                         n: Int, minDf: Int = 2): DataFrame =
     // The gram table feeds both the doc-frequency aggregate and the join
     // probe; persist so the typed shingle pass runs once (TransientCache:
     // the runner releases it after materialization).
-    val grams = graft.ops.TransientCache.persist(
-      Dedup.shingleRows(df, textCol, idCol, n))
+    duplicateGramShareFromShingles(graft.ops.TransientCache.persist(
+      Dedup.shingleRows(df, textCol, idCol, n)), minDf)
+
+  /** [[duplicateGramShare]] over a prebuilt (already-persisted) `(doc, s)`
+    * shingle stream — the session-artifact form. */
+  def duplicateGramShareFromShingles(grams: DataFrame,
+                                     minDf: Int = 2): DataFrame = {
     val gramDf = grams.groupBy(col("s")).agg(count(lit(1)).as("gram_df"))
     grams.join(gramDf, "s")
       .groupBy(col("doc"))

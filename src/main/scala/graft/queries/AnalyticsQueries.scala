@@ -227,13 +227,14 @@ object AnalyticsQueries {
     // of its distinct trigrams — containment |A∩B|/|A|, not Jaccard, so
     // a small benchmark item embedded in a large doc still trips it.
     "q96_containment" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      // candGrams feeds both the pair hits and the per-doc sizes —
-      // persisted so the candidate shingle pass runs once
-      val candGrams = graft.ops.TransientCache.persist(Dedup.shingleRows(
-        docs.where(col("source") =!= "src0"), "text", "doc_id", 3))
-      val benchGrams = Dedup.shingleRows(
-        docs.where(col("source") === "src0"), "text", "doc_id", 3)
+      // Both slices come off the session trigram artifact (already
+      // persisted) — no per-query shingle scan, no TransientCache needed.
+      val sh = ExtQueries.trigramShingles(s, d)
+      val srcMap = ExtQueries.docSourceMap(s, d)
+      val candGrams = sh.join(broadcast(srcMap
+        .where(col("source") =!= "src0").select(col("doc"))), "doc")
+      val benchGrams = sh.join(broadcast(srcMap
+        .where(col("source") === "src0").select(col("doc"))), "doc")
       val hits = candGrams.as("c")
         .join(benchGrams.as("b"), col("c.s") === col("b.s"))
         .groupBy(col("c.doc").as("doc"), col("b.doc").as("bench_doc"))
@@ -314,10 +315,9 @@ object AnalyticsQueries {
     // happens INSIDE each gram's posting (bounded by sources², never
     // docs²).
     "q100_source_overlap" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
       val sg = graft.ops.TransientCache.persist(
-        Dedup.shingleRows(docs, "text", "doc_id", 3)
-          .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
+        ExtQueries.trigramShingles(s, d)
+          .join(ExtQueries.docSourceMap(s, d), "doc")
           .select(col("source"), col("s")).distinct())
       val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
       // pair INSIDE each gram's posting list: collect the sorted source

@@ -20,6 +20,16 @@ object ExtQueries {
     graft.ops.SessionCache.getOrBuild(s, s"simhash_sigs:$d")(
       Dedup.simhashSignatures(Tables.documents(s, d), "text", "doc_id"))
 
+  /** Shared per-session distinct-trigram shingle table `(doc, s)` over
+    * the FULL `documents` corpus — consumed by q64 (decontamination),
+    * q69 (duplicated-gram share), q96 (containment) and q100 (source
+    * overlap), which previously each paid their own corpus shingle scan.
+    * Candidate/benchmark slices are carved off by joining the doc→source
+    * map, never by re-shingling. */
+  private[queries] def trigramShingles(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"trigram_shingles:$d")(
+      Dedup.shingleRows(Tables.documents(s, d), "text", "doc_id", 3))
+
   /** Shared per-session ExactSubstr span table over `documents`
     * (window 10, minSpan 15, cap 50) — consumed by q132 (the spans) and
     * q134 (the rewrite); a pipeline materializes the span table once,
@@ -67,7 +77,7 @@ object ExtQueries {
 
   /** Doc → source map for attaching provenance to token streams
     * (broadcast-sized: one narrow row per document). */
-  private def docSourceMap(s: SparkSession, d: String): DataFrame =
+  private[queries] def docSourceMap(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id").cast("long").as("doc"), col("source"))
 

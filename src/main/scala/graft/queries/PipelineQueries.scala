@@ -115,11 +115,15 @@ object PipelineQueries {
     // benchmark set (here: source 'src0' stands in for the eval suite;
     // its gram set broadcasts).
     "q64_decontaminate" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Contamination.benchmarkOverlap(
-          docs.where(col("source") =!= "src0"),
-          docs.where(col("source") === "src0"),
-          "text", "doc_id", 3)
+      // Both sides are slices of the session trigram artifact (carved by
+      // the broadcast doc->source map), not fresh shingle scans.
+      val sh = ExtQueries.trigramShingles(s, d)
+      val srcMap = ExtQueries.docSourceMap(s, d)
+      Contamination.benchmarkOverlapFromShingles(
+          sh.join(broadcast(srcMap.where(col("source") =!= "src0")
+            .select(col("doc"))), "doc"),
+          sh.join(broadcast(srcMap.where(col("source") === "src0")
+            .select(col("doc"))), "doc"))
         .orderBy(col("doc_id"))
     }),
 
@@ -135,8 +139,8 @@ object PipelineQueries {
     // Corpus-wide duplicated-text share (Lee et al. 2022): ppm of each
     // doc's distinct trigrams that occur in >= 2 documents.
     "q69_dup_gram_share" -> ((s, d) =>
-      Contamination.duplicateGramShare(Tables.documents(s, d), "text",
-          "doc_id", 3)
+      Contamination.duplicateGramShareFromShingles(
+          ExtQueries.trigramShingles(s, d))
         .orderBy(col("doc_id"))),
 
     // Ordered event funnel: users completing view -> click -> purchase,
