@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Components, Contamination, Dedup, Ranking, Sampling, TextAnalysis}
+import graft.ext.{Components, Contamination, Dedup, Ranking, Sampling, Similarity, TextAnalysis}
 import graft.ops.{AsOfJoin, Funnel, RangeJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -436,6 +436,30 @@ object PipelineQueries {
           "source", "quality", "doc_id", "n_tokens", 800L)
         .orderBy(col("doc_id"))),
 
+    // Hybrid retrieval rank fusion (Cormack et al. 2009 RRF): the BM25
+    // lexical top-50 and the embedding cosine top-50 (query vector 0,
+    // vec_id aligns 1:1 with doc_id) fused by reciprocal rank,
+    // quantized integer-exact (1e9 div (60+rank)) — the standard
+    // lexical+semantic hybrid search shape, both legs riding session
+    // index artifacts.
+    "q135_hybrid_rrf" -> ((s, d) => {
+      val lex = Ranking.bm25TopKFromIndex(ExtQueries.ftsPostingsTf(s, d),
+          ExtQueries.ftsDocLengths(s, d), Seq("spark", "merge"), 50)
+        .select(col("doc_id"), col("rank").as("lex_rank"))
+      val sem = Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id",
+          "embedding", col("vec_id") === 0, 50)
+        .select(col("vec_id").cast("long").as("doc_id"), col("rank").as("sem_rank"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+          coalesce(col("sem_rank"), lit(0)).as("sem_rank"),
+          (coalesce(expr("1000000000 div (60 + lex_rank)"), lit(0L)) +
+            coalesce(expr("1000000000 div (60 + sem_rank)"), lit(0L)))
+            .as("rrf_score"))
+        .orderBy(desc("rrf_score"), col("doc_id"))
+        .limit(20)
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): hashed-bigram
     // log-ratio scores against the Spanish slice as the target
     // distribution; the 100 highest-scoring docs are the resampled
@@ -630,6 +654,30 @@ object PipelineQueries {
          |      FROM j)
          |SELECT source, doc_id, quality, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin,
+
+    "q135_hybrid_rrf" ->
+      s"""${ExtQueries.qeCtes},
+         |m0 AS (SELECT c.vec_id doc_id,
+         |         row_number() OVER (ORDER BY
+         |           CAST(list_dot_product(q0.q, c.q) AS DOUBLE)
+         |             / sqrt(CAST(n0.n AS DOUBLE) * CAST(nc.n AS DOUBLE)) DESC,
+         |           c.vec_id) rnk
+         |       FROM qe c
+         |       CROSS JOIN (SELECT q FROM qe WHERE vec_id = 0) q0
+         |       CROSS JOIN (SELECT n FROM nrm WHERE vec_id = 0) n0
+         |       JOIN nrm nc ON c.vec_id = nc.vec_id
+         |       WHERE c.vec_id <> 0),
+         |m AS (SELECT doc_id, rnk FROM m0 WHERE rnk <= 50),
+         |l AS (SELECT doc_id, rank rnk FROM (${bm25Sql(Seq("spark", "merge"), 50)})),
+         |f AS (SELECT coalesce(l.doc_id, m.doc_id) doc_id, l.rnk lr, m.rnk mr
+         |      FROM l FULL JOIN m ON l.doc_id = m.doc_id)
+         |SELECT doc_id,
+         |  CAST(coalesce(lr, 0) AS INT) AS lex_rank,
+         |  CAST(coalesce(mr, 0) AS INT) AS sem_rank,
+         |  CAST(coalesce(1000000000 // (60 + lr), 0)
+         |     + coalesce(1000000000 // (60 + mr), 0) AS BIGINT) AS rrf_score
+         |FROM f
+         |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q133_dsir_select" ->
       s"""${ExtQueries.tokCte},

@@ -36,6 +36,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairsAuto(emptyDocs, "text", "doc_id").count() == 0)
     assert(Dedup.simhashComponents(
       Dedup.simhashSignatures(emptyDocs, "text", "doc_id")).count() == 0)
+    val noSpans = Dedup.sharedSpans(emptyDocs, "text", "doc_id")
+    assert(noSpans.count() == 0)
+    assert(Dedup.removeSharedSpans(emptyDocs, noSpans, "text", "doc_id").count() == 0)
     graft.ops.TransientCache.releaseAll()
   }
 

@@ -114,6 +114,28 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx <= 3, s"retention grew an extra shuffle (hash exchanges=$hashEx):\n$p")
   }
 
+
+  test("q132 spans: postings equi-join on the 60-bit key, no cartesian/BNLJ") {
+    val p = plan("q132_shared_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span pairing fell back to an unbounded pair shape:\n$p")
+    assert(p.contains("hashpartitioning"), p)
+  }
+
+  test("q133 DSIR: the bucket model joins broadcast onto the doc profiles") {
+    val p = plan("q133_dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 512-row lambda model must broadcast, not shuffle the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q135 hybrid RRF: the query vector broadcasts against the candidate scan") {
+    val p = plan("q135_hybrid_rrf")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"semantic leg should broadcast the single query vector:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q59 range join: banded equi-join, no cartesian/BNLJ/theta shape") {
     val p = plan("q59_click_conversions")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
