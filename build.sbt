@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: at 8g the full 135-query bench is GC-bound — the session
+  // artifact layer's working set (persisted shingle/signature/posting
+  // tables) plus shuffle state thrashes old-gen and every query pays a
+  // diffuse ~25% tax (measured round 6: warm total 96.7s at 8g vs 72.8s
+  // at 16g, same code). The machine has 128 GiB; SPARK_DRIVER_MEM still
+  // overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
