@@ -224,6 +224,46 @@ object Sampling {
       .groupBy(col("doc"), col("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** Doc-local twin of [[dsirBucketCounts]]: the per-doc bucket counting
+    * happens inside one typed mapPartitions (no corpus-global aggregate),
+    * so the profile can be maintained APPEND-ONLY on a document stream —
+    * exact, because bucket counts are a pure per-document function.
+    * Spec-pinned equal to the batch groupBy (PipelineOpsSpec). */
+  def dsirBucketCountsLocal(df: DataFrame, textCol: String, idCol: String,
+                            buckets: Int = 512): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (doc, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val t = TextAnalysis.tokenizeJvm(TextAnalysis.normalizeJvm(text))
+            if (t.length < 2) Iterator.empty
+            else {
+              val m = scala.collection.mutable.HashMap.empty[Long, Long]
+              var i = 0
+              while (i < t.length - 1) {
+                // First 8 md5 hex chars = first 4 digest bytes, matching
+                // the batch path's conv(substring(md5(g),1,8),16,10).
+                val dig = md.digest((t(i) + "_" + t(i + 1)).getBytes("UTF-8"))
+                var v = 0L; var j = 0
+                while (j < 4) { v = (v << 8) | (dig(j) & 0xffL); j += 1 }
+                val b = v % buckets
+                m.update(b, m.getOrElse(b, 0L) + 1L)
+                i += 1
+              }
+              m.iterator.map { case (b, c) => (doc, b, c) }
+            }
+          }
+        }
+      }
+      .toDF("doc", "bucket", "c")
+  }
+
   def dsirScores(df: DataFrame, textCol: String, idCol: String,
                  isTarget: Column, buckets: Int = 512): DataFrame = {
     // (doc, bucket) counts feed both the model fit and the scoring join —

@@ -189,4 +189,13 @@ object DocumentsStream {
     * and read the maintained index, they don't constrain its build. */
   def windowPostingsUpdates(docs: DataFrame, window: Int = 10): DataFrame =
     graft.ext.Dedup.windowHashRows(docs, "text", "doc_id", window)
+
+  /** Append-only maintenance of the DSIR hashed-bigram profile (q133's
+    * session artifact): `(doc, bucket, c)` counts are a pure per-document
+    * function, so each micro-batch appends its docs' rows statelessly.
+    * The model refit (512-row λ table) stays query-time — it is a cheap
+    * corpus-global aggregate over the maintained profile, re-runnable
+    * against any target slice without touching the corpus again. */
+  def dsirProfileUpdates(docs: DataFrame, buckets: Int = 512): DataFrame =
+    graft.ext.Sampling.dsirBucketCountsLocal(docs, "text", "doc_id", buckets)
 }

@@ -147,6 +147,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     graft.ops.TransientCache.releaseAll()
   }
 
+
+  test("dsirBucketCountsLocal equals the batch groupBy profile") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(key(graft.ext.Sampling.dsirBucketCountsLocal(docs, "text", "doc_id", 512)) ==
+      key(graft.ext.Sampling.dsirBucketCounts(docs, "text", "doc_id", 512)))
+    graft.ops.TransientCache.releaseAll()
+  }
+
   test("dsirScores: empty input and single-token docs produce no rows") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")

@@ -343,6 +343,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+
+  test("streaming DSIR profile maintenance equals the batch bucket counts (append-only)") {
+    import graft.streaming.DocumentsStream
+    val dir = java.nio.file.Files.createTempDirectory("docs_dsir")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+    val (a, bHalf) = (docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1))
+    def dump(name: String, mtime: Long, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs_part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    dump("b1.parquet", 1000000L, a)
+    dump("b2.parquet", 2000000L, bHalf)
+    val updates = DocumentsStream.dsirProfileUpdates(
+      DocumentsStream.readDocuments(spark, dir.toString, Some(1)))
+    runAvailableNow(updates, "dsir_appends", OutputMode.Append())
+    val streamed = spark.table("dsir_appends")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ext.Sampling.dsirBucketCounts(docs, "text", "doc_id", 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming QC moment registers equal the batch embedding QC (multi-batch merge)") {
     import graft.streaming.EmbeddingsStream
     val dir = java.nio.file.Files.createTempDirectory("emb_qc")
