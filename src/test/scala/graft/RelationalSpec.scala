@@ -27,6 +27,19 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("the registered surface is fully oracle-gated and never shrinks") {
+    // Round-5 lesson: two queries vanished from CORRECTNESS without a red
+    // row. With Verify's _ERR sentinels a failure is now visible, and this
+    // pin makes a silent registry shrink (or an oracle-less query, which
+    // the driver only rows-only-checks) a named red test.
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"oracle/registry drift: ${
+        (SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet) ++
+        (SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet)}")
+    assert(SparkEntry.queries.size >= 135,
+      s"registry shrank: ${SparkEntry.queries.size} < 135")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
