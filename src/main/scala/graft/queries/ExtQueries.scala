@@ -190,6 +190,22 @@ object ExtQueries {
       sharedSpansTable(s, d)
         .orderBy("a", "b", "a_pos", "b_pos")),
 
+    // Span families: connected components over the shared-span pair
+    // graph — documents transitively joined by >=15-token exact overlaps
+    // form one family (the unit a span-dedup pass processes together, and
+    // the third consumer of the session span artifact). Window-partitioned
+    // family sizes ride the membership table.
+    "q136_span_families" -> ((s, d) => {
+      val pairs = sharedSpansTable(s, d).select(col("a"), col("b")).distinct()
+      val comps = graft.ext.Components.connectedComponentsAuto(pairs, "a", "b")
+      comps
+        .withColumn("n_members", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))
+        .select(col("node").as("doc_id"), col("comp").as("family"),
+          col("n_members"))
+        .orderBy("doc_id")
+    }),
+
     // The rewrite half of ExactSubstr dedup: excise every shared span
     // from its b-side (higher-id) doc — first occurrence wins — and
     // return the surviving normalized text with before/after counts.
@@ -651,6 +667,32 @@ object ExtQueries {
          |FROM g GROUP BY a, b, diag, grp
          |HAVING count(*) + 9 >= 15
          |ORDER BY a, b, a_pos, b_pos""".stripMargin,
+
+    "q136_span_families" ->
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, list_filter(string_split($normSql, ' '), x -> len(x) > 0) t
+         |  FROM documents),
+         |w AS (SELECT doc_id, i,
+         |        ('0x' || substr(md5(array_to_string(t[i:i+9], ' ')), 1, 15))::BIGINT h
+         |      FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 9)) AS i) s
+         |      WHERE len(t) >= 10),
+         |rare AS (SELECT h FROM w GROUP BY h HAVING count(*) <= 50),
+         |wf AS (SELECT w.* FROM w JOIN rare USING (h)),
+         |p AS (SELECT x.doc_id a, y.doc_id b, x.i pa, y.i pb, x.i - y.i diag
+         |      FROM wf x JOIN wf y ON x.h = y.h AND x.doc_id < y.doc_id),
+         |g AS (SELECT a, b, diag, pa,
+         |        pa - row_number() OVER (PARTITION BY a, b, diag ORDER BY pa) grp
+         |      FROM p),
+         |sp AS (SELECT a, b FROM g GROUP BY a, b, diag, grp
+         |       HAVING count(*) + 9 >= 15),
+         |e AS (SELECT DISTINCT a, b FROM sp UNION SELECT DISTINCT b, a FROM sp),
+         |r AS (SELECT a AS node, a AS reach FROM e
+         |      UNION
+         |      SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+         |c AS (SELECT node AS doc_id, min(reach) AS family FROM r GROUP BY node)
+         |SELECT doc_id, family,
+         |  count(*) OVER (PARTITION BY family) AS n_members
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q134_span_rewrite" ->
       s"""WITH tok AS (
