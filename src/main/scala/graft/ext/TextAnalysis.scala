@@ -346,6 +346,39 @@ object TextAnalysis {
     * emits the chunk's md5 + counters, not the duplicated text, so the
     * output stays doc-count-×-chunks narrow. Rows with NULL id/text or
     * zero tokens produce no chunks. */
+  /** Per-chunk language ID over NON-overlapping `window`-token blocks —
+    * the code-switching / mixed-language QC signal (a doc whose chunks
+    * disagree on language is template spam, concatenation junk, or
+    * genuine code-switching; all three need flagging before training).
+    * One row per non-empty chunk: `(doc, chunk_idx, chunk_lang)`, with
+    * EXACTLY [[withLangId]]'s detection rule per chunk — the first
+    * priority-order language achieving the positive maximum stopword-hit
+    * count, else `und`. Typed flatMap at scan speed; the per-chunk
+    * argmax is O(|langs|) JVM work. */
+  def chunkLangRows(df: DataFrame, textCol: String, idCol: String,
+                    window: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lists = langStopwords.map { case (l, sw) => (l, sw.toSet) }
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (doc, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val toks = tokenizeJvm(normalizeJvm(text))
+          toks.grouped(window).zipWithIndex.map { case (chunk, i) =>
+            val scores = lists.map { case (_, sw) => chunk.count(sw) }
+            val m = scores.max
+            val lang = if (m == 0) "und" else lists(scores.indexOf(m))._1
+            (doc, i, lang)
+          }
+        }
+      }
+      .toDF("doc", "chunk_idx", "chunk_lang")
+  }
+
   def chunkWindows(df: DataFrame, textCol: String, idCol: String,
                    window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")

@@ -299,6 +299,33 @@ object ExtQueries {
           col("s_en"), col("s_es"), col("s_de"), col("s_fr"))
         .orderBy("doc_id")),
 
+    // Mixed-language / code-switching QC: per-doc consistency of chunk-
+    // level language ID over non-overlapping 32-token blocks — chunks
+    // disagreeing with the majority flag template spam, concatenation
+    // junk, or genuine code-switching. Same detection rule as q40, per
+    // chunk; ppm integer-exact.
+    "q137_lang_consistency" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ch = TextAnalysis.chunkLangRows(Tables.documents(s, d), "text", "doc_id", 32)
+      val tot = ch.groupBy(col("doc")).agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("chunk_lang") =!= "und", 1L).otherwise(0L)).as("n_det"))
+      val maj = ch.where(col("chunk_lang") =!= "und")
+        .groupBy(col("doc"), col("chunk_lang")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc"))
+          .orderBy(desc("c"), col("chunk_lang"))))
+        .where(col("rn") === 1)
+        .select(col("doc"), col("chunk_lang").as("majority_lang"),
+          col("c").as("n_majority"))
+      tot.join(maj, Seq("doc"), "left")
+        .select(col("doc").as("doc_id"), col("n_chunks"), col("n_det"),
+          coalesce(col("majority_lang"), lit("und")).as("majority_lang"),
+          coalesce(col("n_majority"), lit(0L)).as("n_majority"))
+        .withColumn("consistency_ppm", expr(
+          "CASE WHEN n_det > 0 THEN (1000000 * n_majority) div n_det ELSE 0 END"))
+        .orderBy("doc_id")
+    }),
+
     // Integer-exact quality scoring (diversity − stopword density).
     "q41_text_quality" -> ((s, d) =>
       docProfile(s, d)
@@ -887,6 +914,50 @@ object ExtQueries {
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q40_text_langid" -> langIdSql,
+
+    "q137_lang_consistency" -> {
+      val langs = TextAnalysis.langStopwords
+      val scores = langs.map { case (l, sw) =>
+        val inList = sw.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(c, x -> x IN ($inList))) AS INT) s_$l"
+      }.mkString(",\n    ")
+      val names = langs.map(_._1)
+      val detect = names.zipWithIndex.map { case (l, i) =>
+        val earlier = names.take(i).map(o => s"s_$l > s_$o")
+        val later = names.drop(i + 1).map(o => s"s_$l >= s_$o")
+        val conds = (earlier ++ later :+ s"s_$l > 0").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("\n    ")
+      s"""$tokCte,
+         |ch AS (SELECT doc_id, i,
+         |         t[i * 32 + 1 : least((i + 1) * 32, len(t))] c
+         |       FROM tok, LATERAL (SELECT unnest(generate_series(0,
+         |         CAST(ceil(len(t) / 32.0) AS INT) - 1)) AS i) s
+         |       WHERE len(t) > 0),
+         |sc AS (SELECT doc_id, i,
+         |    $scores
+         |  FROM ch),
+         |dt AS (SELECT doc_id, i,
+         |    CASE $detect ELSE 'und' END lang_d
+         |  FROM sc),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_chunks,
+         |          CAST(sum(CASE WHEN lang_d <> 'und' THEN 1 ELSE 0 END) AS BIGINT) n_det
+         |        FROM dt GROUP BY 1),
+         |mc AS (SELECT doc_id, lang_d, count(*) cnt FROM dt
+         |       WHERE lang_d <> 'und' GROUP BY 1, 2),
+         |mj AS (SELECT doc_id, lang_d, cnt,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY cnt DESC, lang_d) rn
+         |       FROM mc)
+         |SELECT t.doc_id, n_chunks, n_det,
+         |  coalesce(m.lang_d, 'und') AS majority_lang,
+         |  CAST(coalesce(m.cnt, 0) AS BIGINT) AS n_majority,
+         |  CAST(CASE WHEN n_det > 0 THEN (1000000 * coalesce(m.cnt, 0)) // n_det
+         |       ELSE 0 END AS BIGINT) AS consistency_ppm
+         |FROM tot t LEFT JOIN (SELECT * FROM mj WHERE rn = 1) m USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
 
     "q41_text_quality" ->
       s"""$tokCte

@@ -76,6 +76,18 @@ class ExtSpec extends AnyFunSuite {
     graft.ops.TransientCache.releaseAll()
   }
 
+
+  test("chunkLangRows: code-switched doc yields disagreeing chunk languages") {
+    // 32 Spanish-stopword tokens then 32 English ones: chunk 0 detects
+    // es, chunk 1 detects en — the mixed-language signal q137 aggregates.
+    val es = Seq.fill(8)("el la los las").mkString(" ")
+    val en = Seq.fill(8)("the is of and").mkString(" ")
+    val docs = Seq((1L, es + " " + en), (2L, "zz yy xx ww")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkLangRows(docs, "text", "doc_id", 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set((1L, 0, "es"), (1L, 1, "en"), (2L, 0, "und")))
+  }
+
   test("minhash signature agreement is 8/8 for identical shingle sets") {
     val df = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "totally different words here")).toDF("doc_id", "text")
     val pairs = Dedup.lshCandidatePairs(
