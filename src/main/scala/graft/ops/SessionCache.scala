@@ -15,6 +15,27 @@ object SessionCache {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Per-session log of cache-miss build cost (key -> cumulative
+    * seconds). Artifact builds are the one cross-query cost in the
+    * engine, and charging them to whichever query happens to run first
+    * made round-over-round per-query comparisons ambiguous (r6 verdict
+    * item 2). Misses are timed HERE — the single choke point through
+    * which every session artifact is born — and Bench drains the log
+    * per pass so warm totals decompose into query work + artifact
+    * builds. */
+  private val buildLog =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, scala.collection.concurrent.TrieMap[String, Double]]
+
+  private def recordBuild(spark: SparkSession, key: String, secs: Double): Unit = {
+    val m = buildLog.getOrElseUpdate(spark, scala.collection.concurrent.TrieMap.empty)
+    m.put(key, m.getOrElse(key, 0.0) + secs)
+  }
+
+  /** Return and clear the accumulated artifact-build seconds for this
+    * session (key -> seconds since the last drain). */
+  def drainBuildLog(spark: SparkSession): Map[String, Double] =
+    buildLog.remove(spark).map(_.toMap).getOrElse(Map.empty)
+
   def getOrBuild(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
     cache.get((spark, key)) match {
@@ -28,8 +49,21 @@ object SessionCache {
         // "cached" table would silently recompute forever after. The
         // loser's persist was a no-op on the already-cached plan, so
         // dropping the reference leaks nothing.
+        val t0 = System.nanoTime()
         val built = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cache.putIfAbsent((spark, key), built).getOrElse(built)
+        val winner = cache.putIfAbsent((spark, key), built).getOrElse(built)
+        if (winner eq built) {
+          // Materialize eagerly so the full build cost lands inside this
+          // timed window instead of leaking into whichever consumer
+          // query's action happens to touch the artifact first. The
+          // first consumer would have paid exactly this cost anyway
+          // (these are session artifacts, fully consumed downstream);
+          // eager count() just pins the attribution. Race losers skip:
+          // the winner's entry is the one the session will read.
+          built.count()
+          recordBuild(spark, key, (System.nanoTime() - t0) / 1e9)
+        }
+        winner
     }
   }
 
@@ -57,9 +91,13 @@ object SessionCache {
     values.get((spark, key)) match {
       case Some(v) => v.asInstanceOf[T]
       case None =>
+        // Model builders run their own actions (k-means fits, codebook
+        // training), so timing the closure captures the real cost.
+        val t0 = System.nanoTime()
         val built = build
-        values.putIfAbsent((spark, key), built)
-          .map(_.asInstanceOf[T]).getOrElse(built)
+        val prior = values.putIfAbsent((spark, key), built)
+        if (prior.isEmpty) recordBuild(spark, key, (System.nanoTime() - t0) / 1e9)
+        prior.map(_.asInstanceOf[T]).getOrElse(built)
     }
   }
 
