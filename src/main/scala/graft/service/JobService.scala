@@ -146,7 +146,22 @@ object JobService {
     * never a history rebuild ([[graft.streaming.PreAggMaintainer]] is the
     * continuous form of the same fold; this is its queued, claim-guarded
     * form). The write-new-then-rename swap is the local-FS stand-in for a
-    * table-format transactional commit (Delta/Iceberg). */
+    * table-format transactional commit (Delta/Iceberg).
+    *
+    * CRASH SAFETY under the at-least-once requeue machine: the merge is
+    * not idempotent (folding the same delta twice double-counts SUM/COUNT
+    * partials), and the two renames are not atomic together — so the run
+    * is made recoverable instead:
+    *   - every published state dir carries `_maintained_by-<jobId>`
+    *     marker files (underscore-prefixed → invisible to parquet
+    *     readers), carried forward across merges. A requeued job whose id
+    *     is already marked in the live state skips the merge and only
+    *     (re)publishes its result — the crash happened after the swap.
+    *   - [[recoverState]] runs before the merge: a live dir missing
+    *     because a prior attempt died between retire and publish is
+    *     restored from the surviving complete `.next-*` (preferred: it
+    *     holds the finished merge) or `.old-*` (pre-merge state) dir —
+    *     never treated as "no history". */
   private def runMaintenance(spark: SparkSession, root: String, sfDir: String,
                              jobId: String, cubeName: String, paName: String,
                              predicate: String): Unit = {
@@ -154,10 +169,20 @@ object JobService {
       throw new IllegalArgumentException(s"unknown cube $cubeName"))
     val pa = cube.preAggs.find(_.name == paName).getOrElse(
       throw new IllegalArgumentException(s"unknown preagg $cubeName.$paName"))
+    val statePath = aggStatePath(root, cubeName, paName)
+    recoverState(statePath)
+    val live = new java.io.File(statePath)
+    val haveState = live.exists()
+    val priorMarkers = if (haveState) markerNames(live) else Seq.empty
+    if (priorMarkers.contains(markerName(jobId))) {
+      // This job's merge is already in the published state (crash between
+      // publish and the COMPLETED transition): idempotent completion.
+      spark.read.parquet(statePath)
+        .write.mode(SaveMode.Overwrite).parquet(resultPath(root, jobId))
+      return
+    }
     val delta = cube.fact(spark, sfDir).where(expr(predicate))
     val part = MdxLowerer.preAggregateSlice(spark, sfDir, cube, pa, delta)
-    val statePath = aggStatePath(root, cubeName, paName)
-    val haveState = new java.io.File(statePath).exists()
     val merged =
       if (haveState)
         MdxLowerer.mergePreAggs(cube, pa,
@@ -165,15 +190,59 @@ object JobService {
       else part
     val next = new java.io.File(s"$statePath.next-$jobId")
     merged.write.mode(SaveMode.Overwrite).parquet(next.getPath)
-    val live = new java.io.File(statePath)
+    (priorMarkers :+ markerName(jobId)).distinct.foreach { n =>
+      new java.io.File(next, n).createNewFile()
+    }
     val retired = new java.io.File(s"$statePath.old-$jobId")
     if (haveState && !live.renameTo(retired))
       throw new java.io.IOException(s"could not retire $statePath")
-    if (!next.renameTo(live))
+    if (!next.renameTo(live)) {
+      if (haveState) retired.renameTo(live) // undo the retire; state survives
       throw new java.io.IOException(s"could not publish $statePath")
+    }
     delete(retired)
     spark.read.parquet(statePath)
       .write.mode(SaveMode.Overwrite).parquet(resultPath(root, jobId))
+  }
+
+  private def markerName(jobId: String) = s"_maintained_by-$jobId"
+
+  private def markerNames(dir: java.io.File): Seq[String] =
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .map(_.getName).filter(_.startsWith("_maintained_by-")).toSeq
+
+  /** Restore a maintenance state dir left torn by a crashed swap, then
+    * sweep swap leftovers. If the live dir is missing, a prior attempt
+    * died between retiring the old state and publishing the new one: the
+    * finished merge survives as a complete `.next-<jobId>` dir (parquet
+    * commit protocol wrote its `_SUCCESS`) — rename it into place, so the
+    * claiming job's marker check then turns the re-run into an idempotent
+    * republish. With no complete next, the retired `.old-<jobId>` dir IS
+    * the pre-merge state — restore it and let the re-run merge normally.
+    * Either way a requeued job can never observe "no state" and rebuild
+    * from the delta alone. */
+  private def recoverState(statePath: String): Unit = {
+    val live = new java.io.File(statePath)
+    val parent = live.getParentFile
+    val name = live.getName
+    val siblings = Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
+    val nexts = siblings.filter(_.getName.startsWith(s"$name.next-"))
+    val olds = siblings.filter(_.getName.startsWith(s"$name.old-"))
+    if (!live.exists()) {
+      val completeNext =
+        nexts.find(n => new java.io.File(n, "_SUCCESS").exists())
+      val restored = completeNext.orElse(olds.headOption)
+      restored.foreach { d =>
+        if (!d.renameTo(live))
+          throw new java.io.IOException(s"could not restore $statePath from ${d.getName}")
+      }
+    }
+    // Leftovers from a crash after publish (orphaned .old-*) or before
+    // retire (incomplete .next-*) are garbage once live exists.
+    if (live.exists()) {
+      nexts.filter(_.exists()).foreach(delete)
+      olds.filter(_.exists()).foreach(delete)
+    }
   }
 
   private def delete(f: java.io.File): Unit = {
@@ -195,17 +264,40 @@ object JobService {
     * SLOW (not dead) re-opens the double-execution window that the claim
     * narrowed. Timeout-based recovery cannot distinguish the two without
     * owner heartbeats; deployments running jobs longer than the sweep
-    * threshold should have runners heartbeat by re-appending RUNNING. */
+    * threshold should have runners heartbeat by re-appending RUNNING.
+    *
+    * BOUNDED RETRY (ref `scanner/DGIS_SCAN_2_stable.py:152-167` — 3
+    * tries, exponential spacing): a job that keeps killing its runner
+    * would otherwise requeue forever. Attempt count = RUNNING events in
+    * the log (each claim appends one — the log IS the retry counter, no
+    * schema change). A stale claim with `maxAttempts` tries transitions
+    * FAILED instead of PENDING; below the cap, attempt k is only swept
+    * after `staleAfterSeconds * 2^(k-1)` — the reference's 2^n backoff
+    * re-expressed on the sweep horizon. */
   def requeueStale(spark: SparkSession, root: String,
-                   staleAfterSeconds: Long): Seq[String] = {
+                   staleAfterSeconds: Long, maxAttempts: Int = 3): Seq[String] = {
     import spark.implicits._
-    val cutoff = new java.sql.Timestamp(
-      System.currentTimeMillis() - staleAfterSeconds * 1000L)
-    val stale = readJobs(spark, root)
-      .where(col("status") === Running && col("updated_at") < lit(cutoff))
-      .as[Job].collect()
-    stale.foreach(j => transition(spark, root, j, Pending))
-    stale.map(_.id).toSeq
+    val now = System.currentTimeMillis()
+    val running = readJobs(spark, root)
+      .where(col("status") === Running).as[Job].collect()
+    if (running.isEmpty) return Seq.empty
+    val attempts = events(spark, root).where(col("status") === Running)
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    running.toSeq.flatMap { j =>
+      val n = attempts.getOrElse(j.id, 1L)
+      val horizonMs =
+        staleAfterSeconds * 1000L * (1L << math.min(n - 1, 16L).toInt)
+      if (j.updated_at.getTime >= now - horizonMs) None
+      else if (n >= maxAttempts) {
+        transition(spark, root, j, Failed,
+          error = s"gave up after $n attempts (max $maxAttempts)")
+        None
+      } else {
+        transition(spark, root, j, Pending)
+        Some(j.id)
+      }
+    }
   }
 
   /** Batch runner loop body (Q2): claim and execute PENDING jobs. */

@@ -333,4 +333,106 @@ class StreamingJobRunnerSpec extends AnyFunSuite {
       .where(col("id") === orphan && col("status") === JobService.Completed)
       .count() == 1, "orphaned job lands COMPLETED exactly once")
   }
+
+  // The dead runner's durable claim, written straight to the public log
+  // contract (same shape as the crash-recovery test above). Stamped NOW so
+  // it is the job's latest event; by the time the sweep reads the clock,
+  // the parquet append has advanced it past the claim, so staleAfter=0
+  // sees the claim as stale.
+  private def appendOrphanClaim(root: String, id: String, mdx: String): Unit = {
+    import spark.implicits._
+    val past = new java.sql.Timestamp(System.currentTimeMillis())
+    Seq((id, "SALES", mdx, JobService.Running, "", 0.0, past, 0L))
+      .toDF("id", "catalog_code", "mdx_query", "status", "error_message",
+        "duration_seconds", "event_at", "seq")
+      .coalesce(1).write.mode("append").parquet(s"$root/job_events")
+  }
+
+  test("bounded retry: a job that keeps killing its runner lands FAILED after maxAttempts, never loops") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_jobs_poison").toString
+    val mdx = "SELECT {[Measures].[sum_qty]} ON COLUMNS FROM [Sales]"
+    val id = JobService.submit(spark, root, "SALES", mdx)
+    // Poisoned-job loop: each cycle the runner claims (RUNNING) and dies
+    // before writing any terminal state; the sweep finds the orphan.
+    appendOrphanClaim(root, id, mdx) // attempt 1
+    assert(JobService.requeueStale(spark, root, 0) == Seq(id))
+    appendOrphanClaim(root, id, mdx) // attempt 2
+    assert(JobService.requeueStale(spark, root, 0) == Seq(id))
+    appendOrphanClaim(root, id, mdx) // attempt 3 = maxAttempts
+    assert(JobService.requeueStale(spark, root, 0).isEmpty,
+      "at the cap the sweep must not requeue")
+    val j = JobService.status(spark, root, id).get
+    assert(j.status == JobService.Failed && j.error_message.contains("gave up"))
+    // Terminal: further sweeps and drains are no-ops; the job stays FAILED.
+    assert(JobService.requeueStale(spark, root, 0).isEmpty)
+    assert(JobService.runPending(spark, root, sf) == 0)
+    assert(JobService.status(spark, root, id).get.status == JobService.Failed)
+    assert(spark.read.parquet(s"$root/job_events")
+      .where(col("status") === JobService.Failed).count() == 1)
+  }
+
+  test("maintenance crash-safety: torn swaps recover history; post-publish replay never double-folds") {
+    val root = java.nio.file.Files.createTempDirectory("graft_maint_crash").toString
+    val cube = graft.mdx.SalesCube.cube
+    val pa = cube.preAggs.head
+    val statePath = s"$root/preagg_state/Sales.${pa.name}"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(pa.grainCols.map(col): _*).collect().map(_.toSeq).toSeq
+    val full = graft.mdx.MdxLowerer.preAggregateSlice(spark, sf, cube, pa,
+      cube.fact(spark, sf))
+
+    // History fold.
+    val j1 = JobService.submit(spark, root, "SALES",
+      "MAINTAIN PREAGG Sales.base WHERE l_orderkey % 7 != 0")
+    JobService.runPending(spark, root, sf)
+    assert(JobService.status(spark, root, j1).get.status == JobService.Completed)
+
+    // Crash window 1: a dead job retired the live dir and died before
+    // publishing (its .next never completed). The surviving .old-<id> IS
+    // the pre-merge state; the next maintenance run must restore it — not
+    // rebuild from its delta alone and silently drop all folded history.
+    assert(new java.io.File(statePath).renameTo(
+      new java.io.File(s"$statePath.old-deadjob")))
+    val j2 = JobService.submit(spark, root, "SALES",
+      "MAINTAIN PREAGG Sales.base WHERE l_orderkey % 7 = 0")
+    JobService.runPending(spark, root, sf)
+    assert(JobService.status(spark, root, j2).get.status == JobService.Completed)
+    assert(rows(JobService.result(spark, root, j2)) == rows(full),
+      "history must survive a retire-then-die swap")
+
+    // Crash window 2: the claimant published the merged state (marker
+    // inside) but died before its COMPLETED transition. The at-least-once
+    // requeue re-runs the SAME job id; the marker must turn the re-run
+    // into an idempotent republish, not a second fold of the same delta.
+    import spark.implicits._
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    Seq((j2, "SALES", "MAINTAIN PREAGG Sales.base WHERE l_orderkey % 7 = 0",
+        JobService.Pending, "", 0.0, now, 1L))
+      .toDF("id", "catalog_code", "mdx_query", "status", "error_message",
+        "duration_seconds", "event_at", "seq")
+      .coalesce(1).write.mode("append").parquet(s"$root/job_events")
+    JobService.runPending(spark, root, sf)
+    assert(JobService.status(spark, root, j2).get.status == JobService.Completed)
+    assert(rows(spark.read.parquet(statePath)) == rows(full),
+      "replaying a published merge must not double-count SUM/COUNT partials")
+    assert(rows(JobService.result(spark, root, j2)) == rows(full))
+
+    // Crash window 3: a dead job finished its merge (.next complete, with
+    // _SUCCESS) and died between retiring live and publishing. Recovery
+    // must prefer the COMPLETE next dir over treating state as missing.
+    assert(new java.io.File(statePath).renameTo(
+      new java.io.File(s"$statePath.next-deadjob2")))
+    val j3 = JobService.submit(spark, root, "SALES",
+      "MAINTAIN PREAGG Sales.base WHERE l_orderkey < 0") // empty delta
+    JobService.runPending(spark, root, sf)
+    assert(JobService.status(spark, root, j3).get.status == JobService.Completed)
+    assert(rows(spark.read.parquet(statePath)) == rows(full),
+      "a complete .next dir is the finished merge and must be restored")
+    // Swap leftovers are swept once the live dir is healthy again.
+    val leftovers = Option(new java.io.File(s"$root/preagg_state").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .map(_.getName).filter(n => n.contains(".old-") || n.contains(".next-"))
+    assert(leftovers.isEmpty, s"swap leftovers not swept: ${leftovers.toSeq}")
+  }
 }
