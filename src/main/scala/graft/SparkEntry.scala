@@ -10,6 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
+  /** THE registry size, declared once. README/COVERAGE cite this number
+    * and `RelationalSpec` asserts `queries.size == registrySize` — so a
+    * count drifting (a query landing without the docs, or a registry
+    * edit silently shrinking the surface) is a red test, not a doc bug.
+    * Update this constant in the same commit that adds or removes a
+    * query. */
+  val registrySize: Int = 138
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q02_revenue_by_nation")(spark, "/root/testdata/sf0.001")

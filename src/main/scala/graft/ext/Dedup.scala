@@ -580,6 +580,64 @@ object Dedup {
       .select(col("a"), col("b"), col("a_pos"), col("b_pos"), col("span_tokens"))
   }
 
+  /** Paragraph-grain ExactSubstr: [[sharedSpans]] with the document
+    * stream cut into non-overlapping `chunkTokens`-token chunks and
+    * spans confined to a single chunk on BOTH sides. At corpus scale the
+    * doc-grain pair graph has a failure mode the paper's §4.1 footnote
+    * warns about: one boilerplate footer shared by many documents chains
+    * otherwise-unrelated docs into one giant family. At chunk grain the
+    * family unit is `(doc, chunk)` — the footer CHUNKS cluster with each
+    * other while every body chunk keeps its own neighborhood, so
+    * boilerplate can never transitively merge unrelated bodies.
+    *
+    * Mechanics: window postings keep only windows lying fully inside one
+    * chunk (`floor((pos-1)/C) == floor((pos+w-2)/C)`); the frequency cap
+    * is applied over the confined postings (contract, oracle-mirrored);
+    * pairs form on equal window hash for `(doc,chunk)` lexicographically
+    * ascending units — which keeps INTRA-doc cross-chunk pairs, i.e.
+    * within-document boilerplate repeats are first-class spans too; the
+    * gaps-and-islands chain runs per (unit pair, within-chunk diagonal).
+    * Same 100 TB shape as [[sharedSpans]]: linear postings, capped
+    * quadratic expansion per hash, one islands shuffle.
+    *
+    * Returns `(a, a_chunk, b, b_chunk, a_pos, b_pos, span_tokens)` with
+    * positions 1-based WITHIN the chunk and `(a, a_chunk) < (b, b_chunk)`. */
+  def sharedSpansChunked(df: DataFrame, textCol: String, idCol: String,
+                         window: Int = 10, minSpan: Int = 15,
+                         maxPostings: Int = 50,
+                         chunkTokens: Int = 64): DataFrame = {
+    require(chunkTokens >= window, "chunk must hold at least one window")
+    val w = graft.ops.TransientCache.persist(
+      windowHashRows(df, textCol, idCol, window))
+    val wc = w
+      .withColumn("chunk", floor((col("pos") - 1) / chunkTokens))
+      .where(floor((col("pos") + (window - 2)) / chunkTokens) === col("chunk"))
+      .withColumn("cpos", col("pos") - col("chunk") * chunkTokens)
+    val rare = wc.groupBy(col("h")).agg(count(lit(1)).as("n_post"))
+      .where(col("n_post") <= maxPostings).select(col("h"))
+    val wf = wc.join(rare, "h")
+    val pairs = wf.as("x").join(wf.as("y"),
+        col("x.h") === col("y.h") &&
+          (col("x.doc") < col("y.doc") ||
+            (col("x.doc") === col("y.doc") && col("x.chunk") < col("y.chunk"))))
+      .select(col("x.doc").as("a"), col("x.chunk").as("a_chunk"),
+        col("y.doc").as("b"), col("y.chunk").as("b_chunk"),
+        col("x.cpos").as("pa"), col("y.cpos").as("pb"),
+        (col("x.cpos") - col("y.cpos")).as("diag"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a"), col("a_chunk"), col("b"), col("b_chunk"), col("diag"))
+      .orderBy(col("pa"))
+    pairs
+      .withColumn("grp", col("pa") - row_number().over(win))
+      .groupBy(col("a"), col("a_chunk"), col("b"), col("b_chunk"),
+        col("diag"), col("grp"))
+      .agg(min(col("pa")).as("a_pos"), min(col("pb")).as("b_pos"),
+        (count(lit(1)) + (window - 1)).as("span_tokens"))
+      .where(col("span_tokens") >= minSpan)
+      .select(col("a"), col("a_chunk"), col("b"), col("b_chunk"),
+        col("a_pos"), col("b_pos"), col("span_tokens"))
+  }
+
   /** The REWRITE half of ExactSubstr dedup (Lee et al. 2022 drop the
     * duplicated substring, not the document): given [[sharedSpans]]
     * output, excise every span occurrence from its b-side (higher-id)

@@ -206,6 +206,30 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Paragraph-grain span families: ExactSubstr spans confined to
+    // 64-token chunks, components over (doc, chunk) units — the grain at
+    // which a shared boilerplate footer clusters only the footer chunks
+    // instead of transitively chaining unrelated documents into one
+    // family (the q136 failure mode at corpus scale). Unit id =
+    // doc*1e6 + chunk, decoded back to columns for the result.
+    "q138_chunk_span_families" -> ((s, d) => {
+      val pairs = Dedup.sharedSpansChunked(Tables.documents(s, d),
+          "text", "doc_id", window = 10, minSpan = 15, maxPostings = 50,
+          chunkTokens = 64)
+        .select((col("a") * 1000000L + col("a_chunk")).as("ua"),
+          (col("b") * 1000000L + col("b_chunk")).as("ub"))
+        .distinct()
+      val comps = graft.ext.Components.connectedComponentsAuto(pairs, "ua", "ub")
+      comps
+        .withColumn("n_members", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))))
+        .select(((col("node") - col("node") % 1000000L) / 1000000L)
+            .cast("long").as("doc_id"),
+          (col("node") % 1000000L).as("chunk_idx"),
+          col("comp").as("family"), col("n_members"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // The rewrite half of ExactSubstr dedup: excise every shared span
     // from its b-side (higher-id) doc — first occurrence wins — and
     // return the surviving normalized text with before/after counts.
@@ -720,6 +744,41 @@ object ExtQueries {
          |SELECT doc_id, family,
          |  count(*) OVER (PARTITION BY family) AS n_members
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q138_chunk_span_families" ->
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, list_filter(string_split($normSql, ' '), x -> len(x) > 0) t
+         |  FROM documents),
+         |w AS (SELECT doc_id, i,
+         |        ('0x' || substr(md5(array_to_string(t[i:i+9], ' ')), 1, 15))::BIGINT h,
+         |        (i - 1) // 64 chunk
+         |      FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 9)) AS i) s
+         |      WHERE len(t) >= 10),
+         |wc AS (SELECT doc_id, i - chunk * 64 cpos, h, chunk FROM w
+         |       WHERE (i + 8) // 64 = chunk),
+         |rare AS (SELECT h FROM wc GROUP BY h HAVING count(*) <= 50),
+         |wf AS (SELECT wc.* FROM wc JOIN rare USING (h)),
+         |p AS (SELECT x.doc_id a, x.chunk ac, y.doc_id b, y.chunk bc,
+         |        x.cpos pa, y.cpos pb, x.cpos - y.cpos diag
+         |      FROM wf x JOIN wf y ON x.h = y.h
+         |        AND (x.doc_id < y.doc_id
+         |          OR (x.doc_id = y.doc_id AND x.chunk < y.chunk))),
+         |g AS (SELECT a, ac, b, bc, diag, pa,
+         |        pa - row_number() OVER (
+         |          PARTITION BY a, ac, b, bc, diag ORDER BY pa) grp
+         |      FROM p),
+         |sp AS (SELECT a * 1000000 + ac ua, b * 1000000 + bc ub
+         |       FROM g GROUP BY a, ac, b, bc, diag, grp
+         |       HAVING count(*) + 9 >= 15),
+         |e AS (SELECT DISTINCT ua a, ub b FROM sp
+         |      UNION SELECT DISTINCT ub, ua FROM sp),
+         |r AS (SELECT a AS node, a AS reach FROM e
+         |      UNION
+         |      SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+         |c AS (SELECT node, min(reach) AS family FROM r GROUP BY node)
+         |SELECT node // 1000000 AS doc_id, node % 1000000 AS chunk_idx,
+         |  family, count(*) OVER (PARTITION BY family) AS n_members
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q134_span_rewrite" ->
       s"""WITH tok AS (

@@ -39,6 +39,7 @@ class EmptyInputSpec extends AnyFunSuite {
     val noSpans = Dedup.sharedSpans(emptyDocs, "text", "doc_id")
     assert(noSpans.count() == 0)
     assert(Dedup.removeSharedSpans(emptyDocs, noSpans, "text", "doc_id").count() == 0)
+    assert(Dedup.sharedSpansChunked(emptyDocs, "text", "doc_id").count() == 0)
     assert(TextAnalysis.chunkLangRows(emptyDocs, "text", "doc_id", 32).count() == 0)
     graft.ops.TransientCache.releaseAll()
   }

@@ -56,6 +56,38 @@ class ExtSpec extends AnyFunSuite {
   }
 
 
+  test("sharedSpansChunked: a shared footer clusters footer chunks only — bodies stay unchained") {
+    // The corpus-scale q136 failure mode, miniaturized: doc 1 and doc 2
+    // share only a boilerplate footer; doc 2 and doc 3 share only a body.
+    // Doc-grain components chain all three into ONE family; chunk-grain
+    // components must keep footer-chunk and body-chunk families apart
+    // and leave doc 1's body in no family at all.
+    val footer = (1 to 20).map(i => s"foot$i").mkString(" ")
+    val bodyA = (1 to 32).map(i => s"alpha$i").mkString(" ")
+    val bodyB = (1 to 32).map(i => s"beta$i").mkString(" ")
+    val tail = (1 to 10).map(i => s"tail$i").mkString(" ")
+    val docs = Seq(
+      (1L, bodyA + " " + footer),
+      (2L, bodyB + " " + footer),
+      (3L, bodyB + " " + tail)).toDF("doc_id", "text")
+    val docPairs = Dedup.sharedSpans(docs, "text", "doc_id", 10, 15, 50)
+      .select(col("a"), col("b")).distinct()
+    val docComps = graft.ext.Components.connectedComponentsAuto(docPairs, "a", "b")
+    assert(docComps.count() == 3 &&
+      docComps.select("comp").distinct().count() == 1,
+      "doc grain chains unrelated bodies through the footer")
+    // 32-token chunks: chunk 0 = body, chunk 1 = footer in every doc.
+    val spans = Dedup.sharedSpansChunked(docs, "text", "doc_id", 10, 15, 50, 32)
+    val units = spans.select((col("a") * 100 + col("a_chunk")).as("ua"),
+      (col("b") * 100 + col("b_chunk")).as("ub")).distinct()
+    val comps = graft.ext.Components.connectedComponentsAuto(units, "ua", "ub")
+      .select("node", "comp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(101L -> 101L, 201L -> 101L, 200L -> 200L, 300L -> 200L),
+      s"expected footer family {101,201} and body family {200,300}, got $comps")
+    graft.ops.TransientCache.releaseAll()
+  }
+
   test("removeSharedSpans: excises b-side occurrence only; a-side and clean docs intact") {
     val shared = (1 to 20).map(i => s"shared$i").mkString(" ")
     val d1 = (1 to 20).map(i => s"alpha$i").mkString(" ") + " " + shared

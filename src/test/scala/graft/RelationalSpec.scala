@@ -36,8 +36,13 @@ class RelationalSpec extends AnyFunSuite {
       s"oracle/registry drift: ${
         (SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet) ++
         (SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet)}")
-    assert(SparkEntry.queries.size >= 135,
-      s"registry shrank: ${SparkEntry.queries.size} < 135")
+    // EXACT count against the single declared constant README cites
+    // (r6 verdict item 7: hand-maintained doc counts briefly said "136"
+    // one commit before q137 landed — drift is now a red test).
+    assert(SparkEntry.queries.size == SparkEntry.registrySize,
+      s"registry count drift: ${SparkEntry.queries.size} queries but " +
+        s"SparkEntry.registrySize = ${SparkEntry.registrySize}; update the " +
+        "constant (and README/COVERAGE) in the same commit")
   }
 
   test("entry returns rows") {
