@@ -250,4 +250,54 @@ object Multimodal {
     decoded.toDF().where(col("n_frames") > 0)
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
+
+  /** Perceptual signature over the DECODED data stream: 32-bit
+    * block-mean hash (the structure of Yang, Gao & Tian 2006, "Block
+    * Mean Value Based Image Perceptual Hashing" — split the payload into
+    * 32 equal blocks, bit j = [mean of block j >= global mean]), emitted
+    * as a `(doc, simhash)` '0'/'1'-string table SHAPED FOR the text
+    * SimHash machinery — [[Dedup.simhashHammingPairsFromSigs]] bands and
+    * verifies these signatures unchanged, making media near-dup
+    * first-class next to text near-dup.
+    *
+    * The block compare is integer-exact (`S_j·n >= S·n_j`, no division),
+    * reproducible bit-for-bit by a SQL oracle; codepoint values are the
+    * "pixel intensities" (the decoded stream here is the container's
+    * data payload; a real image deploy decompresses pixels first — same
+    * signature, different byte source). Products stay under 2^63 for
+    * payloads up to ~16M codepoints; invalid containers and empty
+    * payloads emit no signature (garbage must never cluster). One typed
+    * map at scan speed, zero shuffle — the signature table is the only
+    * thing that ever moves. */
+  def blockhashSignatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      val (format, _, _, body) = decodeBytes(r.payload)
+      if (format == "invalid") None
+      else {
+        val cps = new String(body, "UTF-8").codePoints().toArray
+        val n = cps.length
+        if (n == 0) None
+        else {
+          val sj = new Array[Long](32)
+          val nj = new Array[Long](32)
+          var tot = 0L
+          var i = 0
+          while (i < n) {
+            val b = (i.toLong * 32 / n).toInt
+            sj(b) += cps(i); nj(b) += 1; tot += cps(i)
+            i += 1
+          }
+          val bits = new StringBuilder(32)
+          var j = 0
+          while (j < 32) {
+            bits.append(if (nj(j) > 0 && sj(j) * n >= tot * nj(j)) '1' else '0')
+            j += 1
+          }
+          Some((r.media_id, bits.toString))
+        }
+      }
+    }.toDF("doc", "simhash")
+  }
 }

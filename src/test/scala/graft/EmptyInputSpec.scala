@@ -40,6 +40,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(noSpans.count() == 0)
     assert(Dedup.removeSharedSpans(emptyDocs, noSpans, "text", "doc_id").count() == 0)
     assert(Dedup.sharedSpansChunked(emptyDocs, "text", "doc_id").count() == 0)
+    assert(graft.ext.Multimodal.blockhashSignatures(
+      graft.ext.Multimodal.mediaFromDocuments(emptyDocs)).count() == 0)
     assert(TextAnalysis.chunkLangRows(emptyDocs, "text", "doc_id", 32).count() == 0)
     graft.ops.TransientCache.releaseAll()
   }

@@ -261,6 +261,34 @@ class ExtSpec extends AnyFunSuite {
       .where(col("media_id") === 0).count()
     assert(sampled == (row.n_frames + 3) / 4)
   }
+
+  test("blockhash: identical payloads collide at Hamming 0; garbage and empties emit nothing") {
+    import graft.ext.Multimodal.MediaRecord
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val media = Seq(
+      MediaRecord(1L, "image", Multimodal.encodePng(4, 4, body.getBytes("UTF-8")), "s"),
+      // Same data stream in a DIFFERENT container: the signature reads
+      // the decoded payload, so the format must not matter.
+      MediaRecord(2L, "image", Multimodal.encodeBmp(9, 9, body.getBytes("UTF-8")), "s"),
+      // Structurally different stream (descending numerals + mixed
+      // token lengths): blockhash keys on the block-mean PROFILE, so a
+      // different profile — not merely different letters — must flip bits.
+      MediaRecord(3L, "image", Multimodal.encodePng(4, 4,
+        (40 to 1 by -1).map(i => "z" * (i % 7 + 1) + i).mkString(" ")
+          .getBytes("UTF-8")), "s"),
+      MediaRecord(4L, "image", Array[Byte](1, 2, 3), "s"),          // garbage
+      MediaRecord(5L, "image", Multimodal.encodePng(4, 4, Array.empty), "s"))
+      .toDF()
+    val sigs = Multimodal.blockhashSignatures(media)
+    val byDoc = sigs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDoc.keySet == Set(1L, 2L, 3L), "garbage/empty payloads must emit no signature")
+    assert(byDoc(1L) == byDoc(2L), "same decoded stream => same signature across containers")
+    assert(byDoc(1L) != byDoc(3L))
+    val pairs = Dedup.simhashHammingPairsFromSigs(sigs, 0).collect()
+    assert(pairs.length == 1 &&
+      pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L &&
+      pairs.head.getInt(2) == 0)
+  }
 }
 
 /** Cross-strategy equivalence: alternate implementations of the same
