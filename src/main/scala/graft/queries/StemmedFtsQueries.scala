@@ -122,7 +122,33 @@ object StemmedFtsQueries {
     "q125_fts_stemmed_bm25" -> ((s, d) =>
       graft.ext.Ranking.bm25TopKStemmedFromIndex(stemPostingsTf(s, d),
         stemDocLengths(s, d), Seq("tablas", "merges"), 10)
-        .orderBy(col("rank")))
+        .orderBy(col("rank"))),
+
+    // Hybrid retrieval, stemmed edition (r6 verdict item 6): q135's
+    // BM25+ANN reciprocal-rank fusion with the lexical leg swapped to
+    // the STEMMED lexeme index — the better retriever, since inflected
+    // needles recall morphological variants the surface-term leg
+    // misses. Both legs are session index artifacts; the fusion joins
+    // two k-row tables; reciprocal ranks integer-quantized as in q135.
+    "q140_hybrid_rrf_stemmed" -> ((s, d) => {
+      val lex = graft.ext.Ranking.bm25TopKStemmedFromIndex(
+          stemPostingsTf(s, d), stemDocLengths(s, d),
+          Seq("tablas", "merges"), 50)
+        .select(col("doc_id"), col("rank").as("lex_rank"))
+      val sem = graft.ext.Similarity.bruteForceTopK(Tables.embeddings(s, d),
+          "vec_id", "embedding", col("vec_id") === 0, 50)
+        .select(col("vec_id").cast("long").as("doc_id"),
+          col("rank").as("sem_rank"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+          coalesce(col("sem_rank"), lit(0)).as("sem_rank"),
+          (coalesce(expr("1000000000 div (60 + lex_rank)"), lit(0L)) +
+            coalesce(expr("1000000000 div (60 + sem_rank)"), lit(0L)))
+            .as("rrf_score"))
+        .orderBy(desc("rrf_score"), col("doc_id"))
+        .limit(20)
+    })
   )
 
   // ---------------------------------------------------------------- oracles
@@ -231,7 +257,41 @@ object StemmedFtsQueries {
     // Mirrors PipelineQueries.bm25Sql token-for-token (same explicit
     // parenthesization + floor-quantization), with the tf/df/candidate
     // CTEs keyed on the golden-table stem instead of the surface term.
-    "q125_fts_stemmed_bm25" -> {
+    "q125_fts_stemmed_bm25" -> stemmedBm25Sql(10),
+
+    // Stemmed lexical leg + ANN leg fused by RRF — q135's fusion with
+    // the BETTER lexical retriever (the lexeme index conflates
+    // inflections, so "tablas"/"merges" recall table/merge docs the
+    // surface-term leg misses). Fusion arithmetic identical to q135.
+    "q140_hybrid_rrf_stemmed" ->
+      s"""${ExtQueries.qeCtes},
+         |m0 AS (SELECT c.vec_id doc_id,
+         |         row_number() OVER (ORDER BY
+         |           CAST(list_dot_product(q0.q, c.q) AS DOUBLE)
+         |             / sqrt(CAST(n0.n AS DOUBLE) * CAST(nc.n AS DOUBLE)) DESC,
+         |           c.vec_id) rnk
+         |       FROM qe c
+         |       CROSS JOIN (SELECT q FROM qe WHERE vec_id = 0) q0
+         |       CROSS JOIN (SELECT n FROM nrm WHERE vec_id = 0) n0
+         |       JOIN nrm nc ON c.vec_id = nc.vec_id
+         |       WHERE c.vec_id <> 0),
+         |m AS (SELECT doc_id, rnk FROM m0 WHERE rnk <= 50),
+         |l AS (SELECT doc_id, rank rnk FROM (${stemmedBm25Sql(50)})),
+         |f AS (SELECT coalesce(l.doc_id, m.doc_id) doc_id, l.rnk lr, m.rnk mr
+         |      FROM l FULL JOIN m ON l.doc_id = m.doc_id)
+         |SELECT doc_id,
+         |  CAST(coalesce(lr, 0) AS INT) AS lex_rank,
+         |  CAST(coalesce(mr, 0) AS INT) AS sem_rank,
+         |  CAST(coalesce(1000000000 // (60 + lr), 0)
+         |     + coalesce(1000000000 // (60 + mr), 0) AS BIGINT) AS rrf_score
+         |FROM f
+         |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
+  )
+
+  /** The q125 stemmed-BM25 oracle, parameterized by k so the RRF fusion
+    * oracle (q140) can embed the identical scoring text as its lexical
+    * leg — one statement of the convention, two consumers. */
+  private def stemmedBm25Sql(k: Int): String = {
       val stems = Seq("tabl", "merg") // stem("tablas"), stem("merges")
       val inList = stems.map(t => s"'$t'").mkString(", ")
       val fixedSum = stems.map(t =>
@@ -266,7 +326,6 @@ object StemmedFtsQueries {
          |q AS (SELECT doc_id, CAST(floor(s * CAST(1000.0 AS DOUBLE)) AS BIGINT) score_q FROM tot)
          |SELECT doc_id, score_q,
          |  CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank
-         |FROM q QUALIFY rank <= 10 ORDER BY rank""".stripMargin
-    }
-  )
+         |FROM q QUALIFY rank <= $k ORDER BY rank""".stripMargin
+  }
 }
