@@ -292,6 +292,18 @@ object Sampling {
       // λ_b = floor(1000·ln( (tc+1)/(tt+B) ÷ (rc+1)/(rt+B) )) — one ln of
       // an integer rational; +1/+B Laplace keeps target-absent buckets
       // finite (they score negative, as they should).
+      //
+      // ACCEPTED RISK (r6 advice): unlike the engine's integer-exact
+      // paths, λ's exactness vs the DuckDB oracle rests on JVM Math.log
+      // and libm agreeing to the last ulp on the same rational — neither
+      // ln is correctly rounded, so a 1-ulp divergence EXACTLY at a
+      // floor(1000·ln) quantization boundary would flip λ by 1. Same
+      // posture as the q97 PMI / q105 LM-score logs (documented there):
+      // the operands are identical integer rationals on both sides, the
+      // boundary set has measure ~0 over them, and three rounds of
+      // oracle runs have never tripped it. If it ever does, the fix is
+      // mechanical: compare λ with a ±1 tolerance on boundary buckets or
+      // move the quantization into the integer domain via exp-bracketing.
       .withColumn("lambda", expr(
         s"""CAST(floor(1000 * ln(
            |  (CAST(tc + 1 AS DOUBLE) * CAST(rt + $buckets AS DOUBLE)) /

@@ -92,20 +92,34 @@ object AnalyticsQueries {
           sum(col("dx")).as("cx"), sum(col("dy")).as("cy"),
           sum(col("dx") * col("dy")).as("cxy"),
           sum(col("dx") * col("dx")).as("cxx"),
-          sum(col("dy") * col("dy")).as("cyy"))
-        // The envelope is ENFORCED, not asserted in prose: the final
-        // identities multiply n into the centered moments (and |cx|,
-        // |cy| < n by floor-mean anchoring), so fail loudly BEFORE any
-        // long product the moment data outgrows exact int64 — silent
-        // wraparound would corrupt slope/corr with no error. The check
-        // rides the output `n` column (n + 0) so pruning can't drop it.
+          sum(col("dy") * col("dy")).as("cyy"),
+          // Un-overflowable witnesses (max of single deviations): the
+          // moments above are int64 SUMS that can wrap silently with
+          // ANSI off — a wrapped moment could satisfy the envelope check
+          // it exists to trip (r6 advice). n·max-deviation products bound
+          // every moment AND every partial sum a priori, from inputs
+          // arithmetic cannot have corrupted.
+          max(abs(col("dx"))).as("mdx"), max(abs(col("dy"))).as("mdy"))
+        // The envelope is ENFORCED, not asserted in prose: first the
+        // a-priori bound (n·mdx·mdy etc. — proves cxy/cxx/cyy did not
+        // wrap), then the final-identity bound (n into the now-trusted
+        // moments), so fail loudly BEFORE any long product the moment
+        // data outgrows exact int64 — silent wraparound would corrupt
+        // slope/corr with no error. The check rides the output `n`
+        // column (n + 0) so pruning can't drop it.
         .withColumn("n", col("n") + coalesce(
           assert_true(
-            col("n").cast("double") *
+            (col("n").cast("double") *
+              greatest(
+                col("mdx").cast("double") * col("mdx").cast("double"),
+                col("mdy").cast("double") * col("mdy").cast("double"),
+                col("mdx").cast("double") * col("mdy").cast("double"))
+              < lit(4.6e18)) &&
+            (col("n").cast("double") *
               greatest(col("cxx").cast("double"), col("cyy").cast("double"),
                 abs(col("cxy")).cast("double"))
               + col("n").cast("double") * col("n").cast("double")
-              < lit(4.6e18),
+              < lit(4.6e18)),
             lit("q90 anchored moments would overflow int64: add a sub-split level"))
             .cast("long"),
           lit(0L)))
