@@ -704,6 +704,57 @@ object TextAnalysis {
         min(col(valCol)).as("lo"), max(col(valCol)).as("hi"))
   }
 
+  /** Content-defined chunking (the LBFS/rsync cut-point scheme,
+    * Muthitacharoen et al. SOSP 2001, re-expressed for a corpus engine):
+    * split the normalized text at every position whose Karp–Rabin
+    * 5-gram hash ≡ 0 (mod 61), then fingerprint each variable-length
+    * chunk with MD5. Unlike fixed-stride windows ([[chunkWindows]]), the
+    * cut points move WITH the content — an insertion near the head
+    * shifts boundaries only locally, so downstream dedup still matches
+    * every unchanged tail chunk. The gram hash is the exact-BIGINT q47
+    * formula (Σ ascii·31^j, no modulus), so a SQL oracle reproduces the
+    * cuts bit-for-bit.
+    *
+    * Contract (mirrored by the q142 oracle): cuts are 1-based gram
+    * positions i in [2, len-4] with g(i) % 61 == 0; a cut at i STARTS a
+    * new chunk at i; docs whose normalization is empty emit nothing;
+    * docs shorter than 5 chars are one whole-text chunk. One typed pass
+    * per doc, zero shuffle, output sized in chunks. */
+  def cdcChunkHashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (doc, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val norm = normalizeJvm(text)
+          val n = norm.length
+          if (n == 0) Iterator.empty
+          else {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val starts = scala.collection.mutable.ArrayBuffer(0)
+            var j = 1 // 0-based cut candidates = 1..n-5 (1-based 2..len-4)
+            while (j + 5 <= n) {
+              var g = 0L; var p = 1L; var t = 0
+              while (t < 5) { g += p * norm.charAt(j + t).toLong; p *= 31; t += 1 }
+              if (g % 61 == 0) starts += j
+              j += 1
+            }
+            starts += n
+            (0 until starts.length - 1).iterator.map { c =>
+              val chunk = norm.substring(starts(c), starts(c + 1))
+              val h = md.digest(chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                .map("%02x".format(_)).mkString
+              md.reset()
+              (doc, h)
+            }
+          }
+        }
+      }
+      .toDF("doc", "chunk_hash")
+  }
+
   /** Karp–Rabin rolling-hash fingerprint over character 5-grams: per
     * position i, g(i) = Σ_j ascii(c_{i+j})·31^j (exact BIGINT — max
     * ~1.2e8, no modulus needed, so any engine reproduces it); the doc

@@ -83,6 +83,14 @@ object GraftFunctions {
           throw new IllegalArgumentException(
             s"graft_dot expects 2 arguments, got ${children.size}")
         ArrayDotLong(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContainsLong].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2)
+          throw new IllegalArgumentException(
+            s"graft_bloom_contains expects 2 arguments, got ${children.size}")
+        BloomContainsLong(children.head, children(1))
       }))
 
   def register(spark: SparkSession): Unit = {

@@ -23,6 +23,49 @@ object ScaleOps {
     saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Build a Bloom filter over `small`'s join keys, distributed: each
+    * partition folds its keys into a fixed-size word array (map-side,
+    * no shuffle of keys), and the arrays OR together on the driver —
+    * driver state is `2^log2Bits` BITS regardless of row count (the
+    * model-sized-driver-state rule). Returns the wire form consumed by
+    * `graft_bloom_contains`. An empty build side yields the all-zero
+    * filter, which rejects every probe — the correct semi-join result. */
+  def bloomFilterB64(small: DataFrame, keyCol: String,
+                     log2Bits: Int = 20, k: Int = 5): String = {
+    require(log2Bits >= 6 && log2Bits <= 30, s"log2Bits out of range: $log2Bits")
+    val numWords = 1 << (log2Bits - 6)
+    val mask = (1 << log2Bits) - 1
+    val keys = small.select(col(keyCol).cast("long").as("k")).na.drop()
+    val words = keys.queryExecution.toRdd
+      .treeAggregate(new Array[Long](numWords))(
+        seqOp = (w, row) => {
+          graft.functions.BloomCodec.add(w, mask, k, row.getLong(0)); w
+        },
+        combOp = (a, b) => {
+          var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
+        })
+    graft.functions.BloomCodec.encode(k, words)
+  }
+
+  /** Two-phase runtime-filtered equi-join: build a Bloom filter from the
+    * (already filtered) small side, prune the big side BEFORE its shuffle
+    * with the codegen'd `graft_bloom_contains` probe, then run the exact
+    * join — false positives drop out there, so the result is row-identical
+    * to the plain join (which is what the q141 oracle checks). At 100 TB
+    * this is the difference between shuffling the whole fact table and
+    * shuffling only the ~selectivity fraction that can possibly match;
+    * it complements `broadcast()` (which removes the shuffle but caps the
+    * build side by executor memory — a Bloom filter caps it by BITS). */
+  def bloomPruneJoin(big: DataFrame, small: DataFrame,
+                     bigKey: String, smallKey: String,
+                     log2Bits: Int = 20, k: Int = 5): DataFrame = {
+    val b64 = bloomFilterB64(small, smallKey, log2Bits, k)
+    graft.functions.GraftFunctions.register(big.sparkSession)
+    big.where(call_function("graft_bloom_contains",
+        col(bigKey).cast("long"), lit(b64)))
+      .join(small, col(bigKey) === col(smallKey))
+  }
+
   /** Persist a DataFrame bucketed+sorted on its join key: two tables
     * bucketed the same way equi-join with NO shuffle exchange (the
     * Spark analogue of the reference's Postgres b-tree co-location,

@@ -369,6 +369,24 @@ object ExtQueries {
       TextAnalysis.rollingHashFingerprint(Tables.documents(s, d), "text", "doc_id")
         .orderBy("doc")),
 
+    // Content-defined chunk dedup (LBFS cut points over the q47 gram
+    // hash): variable-boundary chunks survive head insertions, so the
+    // cross-doc shared-chunk share catches shifted duplicates that
+    // fixed-stride windows (q60) miss. Chunk-hash grouped — the same
+    // shuffle shape as exact dedup, never docs².
+    "q142_cdc_chunks" -> ((s, d) => {
+      val pairs = TextAnalysis.cdcChunkHashes(Tables.documents(s, d), "text", "doc_id")
+      val docFreq = pairs.groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc")).as("nd"))
+      pairs.join(docFreq, "chunk_hash")
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_chunks"))
+        .withColumn("shared_ppm",
+          expr("(1000000 * n_shared_chunks) div n_chunks"))
+        .orderBy(col("doc"))
+    }),
+
     // S8: real JDBC upsert round-trip (embedded Derby standing in for the
     // reference's Postgres ON CONFLICT loader): create → bulk-load batch 1
     // → upsert batch 2 (updates keys < 10) → read back. The oracle
@@ -1064,6 +1082,31 @@ object ExtQueries {
          |      WHERE length(norm) >= 5)
          |SELECT doc, count(*) AS n_grams, min(g) AS min_hash, max(g) AS max_hash
          |FROM g GROUP BY doc ORDER BY doc""".stripMargin
+    },
+
+    // Mirrors the cdcChunkHashes contract: 1-based cuts i in [2, len-4]
+    // where the q47 gram hash at i is ≡ 0 (mod 61); a cut STARTS a chunk.
+    "q142_cdc_chunks" -> {
+      val gram = (0 until 5).map(j =>
+        s"${math.pow(31, j).toLong} * ascii(substr(norm, i + $j, 1))").mkString(" + ")
+      s"""WITH nn AS (SELECT doc_id AS doc, $normSql AS norm FROM documents),
+         |n2 AS (SELECT doc, norm, length(norm) AS len FROM nn WHERE length(norm) >= 1),
+         |cuts AS (
+         |  SELECT doc, i AS s
+         |  FROM n2, LATERAL (SELECT unnest(generate_series(2, len - 4)) AS i) t
+         |  WHERE len >= 6 AND CAST($gram AS BIGINT) % 61 = 0),
+         |starts AS (SELECT doc, 1 AS s FROM n2 UNION ALL SELECT doc, s FROM cuts),
+         |bounds AS (
+         |  SELECT doc, s,
+         |    coalesce(lead(s) OVER (PARTITION BY doc ORDER BY s), len + 1) AS e, norm
+         |  FROM starts JOIN n2 USING (doc)),
+         |h AS (SELECT doc, md5(substr(norm, s, e - s)) AS ch FROM bounds),
+         |df AS (SELECT ch, count(DISTINCT doc) AS nd FROM h GROUP BY 1)
+         |SELECT doc, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+         |  CAST((1000000 * sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS shared_ppm
+         |FROM h JOIN df USING (ch)
+         |GROUP BY doc ORDER BY doc""".stripMargin
     },
 
     "q39_jdbc_upsert" ->

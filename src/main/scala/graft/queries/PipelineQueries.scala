@@ -370,6 +370,50 @@ object PipelineQueries {
         .transform(Parity.outputDoubles)
     }),
 
+    // Skew salt plan: turn the per-key frequency profile into the
+    // partitioning DECISION — for the heaviest shuffle keys, the salt
+    // factor that would spread each one to <= T rows per reducer, and
+    // the post-salt max reducer load that results (all integer-exact
+    // ceil division). This is the measured input the q83 salting lever
+    // and AQE's skew threshold otherwise take on faith.
+    "q143_salt_plan" -> ((s, d) => {
+      val target = 4096L
+      // TakeOrdered head FIRST (distributed top-k), THEN the rank window
+      // over only 20 rows — the q65 shape; a global row_number over the
+      // whole vocabulary would single-partition it.
+      val head = ExtQueries.docTokenCounts(s, d)
+        .orderBy(col("cnt").desc, col("token")).limit(20)
+        .withColumn("salt", expr(s"(cnt + ${target - 1}) div $target"))
+        .withColumn("post_salt_rows", expr("(cnt + salt - 1) div salt"))
+      head.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("token"))))
+        .select(col("rank"), col("token"), col("cnt"), col("salt"),
+          col("post_salt_rows"))
+        .orderBy(col("rank"))
+    }),
+
+    // Bloom-pruned fact⋈dim join (runtime-filter lever, complement of
+    // q83's salting): the selective dim predicate (p_size <= 2, ~4% of
+    // parts) is compiled into a fixed-size bit filter that prunes the
+    // fact BEFORE its shuffle; the exact join then removes the bloom's
+    // false positives, so the result is exactly the plain join's — which
+    // is what the oracle checks.
+    "q141_bloom_prune_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      val p = Tables.part(s, d).where(col("p_size") <= 2)
+        .select(col("p_partkey"), col("p_brand"))
+      graft.ops.ScaleOps.bloomPruneJoin(li, p, "l_partkey", "p_partkey")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .as("revenue"))
+        .orderBy(col("p_brand"))
+        .transform(Parity.outputDoubles)
+    }),
+
     // End-to-end curation pipeline — the operators above composed the way
     // a training-data build actually chains them, as ONE declarative DAG
     // (Catalyst sees every stage; nothing materializes between steps):
@@ -989,6 +1033,23 @@ object PipelineQueries {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q143_salt_plan" ->
+      s"""${ExtQueries.tokCte},
+         |p AS (SELECT doc_id, unnest(t) token FROM tok),
+         |f AS (SELECT token, CAST(count(*) AS BIGINT) cnt FROM p GROUP BY 1),
+         |s AS (SELECT token, cnt, CAST((cnt + 4095) // 4096 AS BIGINT) AS salt FROM f)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+         |  token, cnt, salt,
+         |  CAST((cnt + salt - 1) // salt AS BIGINT) AS post_salt_rows
+         |FROM s QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q141_bloom_prune_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q86_curation_pipeline" -> {

@@ -190,6 +190,21 @@ object DocumentsStream {
   def windowPostingsUpdates(docs: DataFrame, window: Int = 10): DataFrame =
     graft.ext.Dedup.windowHashRows(docs, "text", "doc_id", window)
 
+  /** Append-only maintenance of the MinHash signature table (the
+    * artifact behind q23's LSH banding join): a document's signature is
+    * a pure per-document function of its own shingles, so each
+    * micro-batch appends its docs' `(doc_id, h0..h{n-1})` rows with zero
+    * state. The quadratic half of the pipeline — banding, bucket join,
+    * candidate verification — stays query-time over the maintained
+    * table, exactly like the batch session artifact: ingest pays
+    * signature cost once per NEW doc, near-dup queries pay only the
+    * band join over signatures that already exist. Uses the typed
+    * one-pass signature builder (no aggregation) so the stream stays a
+    * stateless Append projection — the groupBy form would demand a
+    * watermark it has no event time for. */
+  def minhashSignatureUpdates(docs: DataFrame, nHashes: Int = 8): DataFrame =
+    graft.ext.Dedup.minhashSignaturesTyped(docs, "text", "doc_id", nHashes)
+
   /** Append-only maintenance of the DSIR hashed-bigram profile (q133's
     * session artifact): `(doc, bucket, c)` counts are a pure per-document
     * function, so each micro-batch appends its docs' rows statelessly.

@@ -24,6 +24,31 @@ class ExtSpec extends AnyFunSuite {
   }
 
 
+  test("cdc chunks: head insertion preserves the unchanged tail's chunk hashes") {
+    // The property fixed-stride windows lack: prepending words shifts
+    // every stride-aligned window, but content-defined cut points
+    // re-synchronize, so the tail chunks hash identically.
+    val base = (1 to 200).map(i => s"word$i stuff$i").mkString(" ")
+    val shifted = "inserted preamble goes here " + base
+    val df = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.cdcChunkHashes(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val h1 = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = chunks.filter(_._1 == 2L).map(_._2).toSet
+    val common = h1.intersect(h2).size
+    assert(common.toDouble / h1.size > 0.8,
+      s"only $common/${h1.size} chunks survived a head insertion")
+  }
+
+  test("cdc chunks: concatenation of chunks reconstructs the norm; short docs are one chunk") {
+    val df = Seq((1L, "Tiny."), (2L, ""), (3L, (1 to 50).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.cdcChunkHashes(df, "text", "doc_id").collect()
+    assert(got.count(_.getLong(0) == 1L) == 1) // len<6 -> single chunk
+    assert(!got.exists(_.getLong(0) == 2L))    // empty norm -> nothing
+    assert(got.count(_.getLong(0) == 3L) >= 1)
+  }
+
   test("sharedSpans: finds the planted maximal span with exact positions") {
     // Doc 1 and doc 2 share tokens 21..40 of doc 1 (= tokens 1..20 of
     // doc 2); windows of 10 chain into ONE maximal 20-token span.

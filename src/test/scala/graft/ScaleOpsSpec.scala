@@ -38,6 +38,57 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("bloom-pruned join returns exactly the plain-join rows (false positives removed)") {
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_extendedprice")
+    val p = Tables.part(spark, sf).where(col("p_size") <= 2)
+      .select("p_partkey", "p_brand")
+    val plain = li.join(p, col("l_partkey") === col("p_partkey")).count()
+    val pruned = ScaleOps.bloomPruneJoin(li, p, "l_partkey", "p_partkey").count()
+    assert(pruned == plain)
+    // A deliberately tiny, collision-heavy filter must STILL be exact —
+    // the trailing join owns correctness, the bloom only owns pruning.
+    val tiny = ScaleOps.bloomPruneJoin(li, p, "l_partkey", "p_partkey",
+      log2Bits = 6, k = 2).count()
+    assert(tiny == plain)
+  }
+
+  test("bloom filter has no false negatives and nontrivial pruning power") {
+    import graft.functions.BloomCodec
+    val keys = (0L until 2000L).map(_ * 7919L)
+    val words = new Array[Long](1 << (16 - 6))
+    keys.foreach(k => BloomCodec.add(words, (1 << 16) - 1, 5, k))
+    val bloom = BloomCodec.decode(BloomCodec.encode(5, words))
+    assert(keys.forall(BloomCodec.contains(bloom, _)), "false negative")
+    // ~2k keys in 64k bits, k=5 → theoretical fp ≈ 0.2%; allow 2%.
+    val probes = (1L to 20000L).map(_ * 104729L + 13L).filterNot(keys.contains)
+    val fp = probes.count(BloomCodec.contains(bloom, _))
+    assert(fp.toDouble / probes.size < 0.02, s"fp rate too high: $fp/${probes.size}")
+  }
+
+  test("empty build side yields an all-reject filter, not an error") {
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_extendedprice")
+    val p = Tables.part(spark, sf).where(col("p_size") < -1)
+      .select("p_partkey", "p_brand")
+    assert(ScaleOps.bloomPruneJoin(li, p, "l_partkey", "p_partkey").count() == 0L)
+  }
+
+  test("bloom probe prunes the fact below its shuffle and stays in codegen") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = SparkEntry.queries("q141_bloom_prune_join")(spark, sf)
+        .queryExecution.executedPlan.toString
+      // The probe must sit in the fact-side scan stage, i.e. appear
+      // BEFORE (deeper than) the first exchange in the fact branch.
+      assert(plan.contains("graft_bloom_contains"), s"probe missing:\n$plan")
+      val probeIdx = plan.indexOf("graft_bloom_contains")
+      val scanIdx = plan.indexOf("Scan parquet", probeIdx)
+      assert(scanIdx > 0, s"probe not attached to the parquet scan stage:\n$plan")
+      assert(!plan.substring(probeIdx, scanIdx).contains("Exchange"),
+        s"an exchange sits between the bloom probe and the fact scan:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("approx_count_distinct tracks exact cardinality within 5% (A8 scale path)") {
     val m = MemberCatalog.members(spark, sf)
     val exact = m.select(countDistinct(col("MIEMBRO_UNIQUE_NAME"))).head().getLong(0)

@@ -344,6 +344,34 @@ class StreamingSpec extends AnyFunSuite {
   }
 
 
+  test("streaming MinHash signature maintenance equals the batch signatures (append-only)") {
+    import graft.streaming.DocumentsStream
+    val dir = java.nio.file.Files.createTempDirectory("docs_minhash")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+    val (a, bHalf) = (docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1))
+    def dump(name: String, mtime: Long, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs_part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    dump("b1.parquet", 1000000L, a)
+    dump("b2.parquet", 2000000L, bHalf)
+    val updates = DocumentsStream.minhashSignatureUpdates(
+      DocumentsStream.readDocuments(spark, dir.toString, Some(1)))
+    runAvailableNow(updates, "minhash_appends", OutputMode.Append())
+    val streamed = spark.table("minhash_appends")
+      .collect().map(_.toSeq.toList).toSet
+    val batch = graft.ext.Dedup.minhashSignatures(docs, "text", "doc_id", 8)
+      .collect().map(_.toSeq.toList).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming DSIR profile maintenance equals the batch bucket counts (append-only)") {
     import graft.streaming.DocumentsStream
     val dir = java.nio.file.Files.createTempDirectory("docs_dsir")
