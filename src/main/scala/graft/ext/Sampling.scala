@@ -315,4 +315,72 @@ object Sampling {
       .agg(sum(col("c") * col("lambda")).as("score"),
         sum(col("c")).as("n_bigrams"))
   }
+
+  /** UniMax language-balanced budget allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining", ICLR 2023) — the successor
+    * to q120's temperature sampling: given per-language token masses, a
+    * total token budget and a per-language epoch cap E, water-fill the
+    * budget uniformly across languages, capping each language at E
+    * epochs of its own data (so low-resource languages are never
+    * repeated past E, and the freed budget flows to the rest).
+    *
+    * The paper's greedy (ascending by n_l: give each language
+    * min(E·n_l, remaining/langs_left)) admits a closed form because the
+    * capped set is always an ascending-order PREFIX: language i (1-based
+    * rank by (n_l, lang)) is capped iff
+    * `E·n_i·(L−i+1) < B − E·prefix_{i−1}` — an all-integer predicate
+    * (the proof is the standard water-filling exchange argument; the
+    * predicate is monotone, true exactly on the prefix, which
+    * `SamplingPropertySpec` pins against the sequential greedy). Every
+    * uncapped language then gets `(B − E·capped_mass) div (L−k)` — floor
+    * division, with the sub-token remainder reported in `alloc_rem` on
+    * each uncapped row rather than silently spread.
+    *
+    * Input: `counts` = one row per language `(langCol, tokensCol)` with
+    * exact BIGINT token masses. The budget is `budgetPpm` ppm of the
+    * total corpus token mass (floor), so the same query is meaningful at
+    * every scale factor. Output: (lang, n_tokens, capped, alloc_tokens,
+    * epochs_ppm) — integer-exact on any engine.
+    *
+    * 100 TB shape: `counts` is language-cardinality (≤ a few hundred
+    * rows — model-sized), so the global window and the two 1-row
+    * cross-joined scalar aggregates are driver-trivial; all corpus-scale
+    * work happened upstream in the groupBy that produced `counts`. */
+  def unimaxAlloc(counts: DataFrame, langCol: String, tokensCol: String,
+                  budgetPpm: Long, epochCap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = counts.select(col(langCol).as("lang"),
+      col(tokensCol).cast("bigint").as("n_tokens"))
+    val asc = Window.orderBy(col("n_tokens"), col("lang"))
+    val prior = asc.rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = base
+      .withColumn("i", row_number().over(asc).cast("bigint"))
+      .withColumn("prefix", coalesce(sum(col("n_tokens")).over(prior), lit(0L)))
+      .withColumn("n_langs", count(lit(1)).over(Window.partitionBy()))
+      // ppm numerator through DECIMAL(38,0): 1e6 × a 100 TB corpus'
+      // ~1e13 tokens would overflow the ANSI bigint product (the
+      // mixingPlan discipline; DuckDB twin: HUGEINT).
+      .withColumn("budget", expr(
+        s"CAST((CAST($budgetPpm AS DECIMAL(38,0)) * sum(n_tokens) OVER ()) div 1000000 AS BIGINT)"))
+      .withColumn("capped", expr(
+        s"$epochCap * n_tokens * (n_langs - i + 1) < budget - $epochCap * prefix"))
+    val caps = ranked.agg(
+      sum(when(col("capped"), col("n_tokens")).otherwise(lit(0L))).as("capped_mass"),
+      sum(when(col("capped"), lit(1L)).otherwise(lit(0L))).as("k"),
+      count(lit(1)).as("n_l"))
+    ranked.crossJoin(broadcast(caps))
+      .withColumn("alloc_tokens", expr(
+        s"""CASE WHEN capped THEN $epochCap * n_tokens
+           |     WHEN n_l = k THEN CAST(0 AS BIGINT)
+           |     ELSE (budget - $epochCap * capped_mass) div (n_l - k) END""".stripMargin))
+      .withColumn("alloc_rem", expr(
+        s"""CASE WHEN capped OR n_l = k THEN CAST(0 AS BIGINT)
+           |     ELSE (budget - $epochCap * capped_mass) % (n_l - k) END""".stripMargin))
+      .withColumn("epochs_ppm", expr(
+        "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (1000000 * alloc_tokens) div n_tokens END"))
+      .select(col("lang"), col("n_tokens"), col("capped"),
+        col("alloc_tokens"), col("alloc_rem"), col("epochs_ppm"))
+  }
 }

@@ -414,6 +414,23 @@ object PipelineQueries {
         .transform(Parity.outputDoubles)
     }),
 
+    // UniMax language-balanced budget allocation (Chung et al. 2023):
+    // water-fill 95% of the corpus token mass across languages with a
+    // 1-epoch per-language cap — the successor to q120's temperature
+    // sampling (caps repetition of low-resource languages instead of
+    // upweighting them past usefulness). At this corpus the four
+    // lower-mass languages cap at one full epoch and the high-resource
+    // language absorbs the leftover — the regime the paper targets.
+    // Closed-form prefix predicate, all-integer; PipelinePropertySpec
+    // pins it against the paper's sequential greedy.
+    "q144_unimax_alloc" -> ((s, d) => {
+      val counts = ExtQueries.docProfile(s, d)
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tokens").cast("bigint")).as("n_tokens"))
+      Sampling.unimaxAlloc(counts, "lang", "n_tokens", 950000L, 1L)
+        .orderBy(col("lang"))
+    }),
+
     // End-to-end curation pipeline — the operators above composed the way
     // a training-data build actually chains them, as ONE declarative DAG
     // (Catalyst sees every stage; nothing materializes between steps):
@@ -1051,6 +1068,33 @@ object PipelineQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size <= 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q144_unimax_alloc" ->
+      s"""${ExtQueries.tokCte},
+         |c AS (SELECT lang, CAST(sum(len(t)) AS BIGINT) n_tokens
+         |      FROM tok JOIN documents USING (doc_id) GROUP BY 1),
+         |r AS (SELECT lang, n_tokens,
+         |        CAST(row_number() OVER (ORDER BY n_tokens, lang) AS BIGINT) i,
+         |        CAST(COALESCE(sum(n_tokens) OVER (ORDER BY n_tokens, lang
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) prefix,
+         |        CAST(count(*) OVER () AS BIGINT) n_langs,
+         |        CAST((CAST(950000 AS HUGEINT) * sum(n_tokens) OVER ()) // 1000000 AS BIGINT) budget
+         |      FROM c),
+         |f AS (SELECT *, (1 * n_tokens * (n_langs - i + 1) < budget - 1 * prefix) capped FROM r),
+         |g AS (SELECT CAST(sum(CASE WHEN capped THEN n_tokens ELSE 0 END) AS BIGINT) capped_mass,
+         |        CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) k,
+         |        CAST(count(*) AS BIGINT) n_l FROM f),
+         |a AS (SELECT lang, n_tokens, capped,
+         |        CAST(CASE WHEN capped THEN 1 * n_tokens
+         |             WHEN n_l = k THEN 0
+         |             ELSE (budget - 1 * capped_mass) // (n_l - k) END AS BIGINT) alloc_tokens,
+         |        CAST(CASE WHEN capped OR n_l = k THEN 0
+         |             ELSE (budget - 1 * capped_mass) % (n_l - k) END AS BIGINT) alloc_rem
+         |      FROM f, g)
+         |SELECT lang, n_tokens, capped, alloc_tokens, alloc_rem,
+         |  CAST(CASE WHEN n_tokens = 0 THEN 0
+         |       ELSE (1000000 * alloc_tokens) // n_tokens END AS BIGINT) epochs_ppm
+         |FROM a ORDER BY lang""".stripMargin,
 
     "q86_curation_pipeline" -> {
       val sw = graft.ext.TextAnalysis.langStopwords

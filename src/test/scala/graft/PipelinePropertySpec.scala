@@ -158,4 +158,58 @@ class PipelinePropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("unimaxAlloc closed form equals the paper's sequential greedy on random masses") {
+    import spark.implicits._
+    // Exact-rational sequential greedy (Chung et al. 2023 Alg. 1):
+    // ascending by (n, lang), share = remaining/langsLeft with BigInt
+    // rationals so no float rounding can mask a divergence.
+    def greedy(masses: Seq[(String, Long)], budget: BigInt, e: Long)
+        : (Set[String], BigInt, Int) = {
+      var remNum = budget; var remDen = BigInt(1)
+      var capped = Set.empty[String]
+      val sorted = masses.sortBy { case (l, n) => (n, l) }
+      var left = sorted.size
+      sorted.foreach { case (lang, n) =>
+        // capped iff E*n < remNum/remDen/left  <=>  E*n*left*remDen < remNum
+        if (BigInt(e) * n * left * remDen < remNum) {
+          capped += lang
+          remNum = remNum - BigInt(e) * n * remDen // subtract E*n
+        } else {
+          // alloc = rem/left: rem' = rem*(left-1)/left
+          remNum *= BigInt(left - 1); remDen *= BigInt(left)
+        }
+        left -= 1
+      }
+      val cappedMass = masses.filter(m => capped(m._1)).map(m => BigInt(m._2)).sum
+      (capped, budget - BigInt(e) * cappedMass, masses.size - capped.size)
+    }
+    for (seed <- 1L to 12L) {
+      val rnd = new scala.util.Random(seed)
+      val nLangs = 2 + rnd.nextInt(8)
+      val masses = (0 until nLangs).map(i =>
+        (f"l$i%02d", rnd.nextInt(5000).toLong))
+      val budgetPpm = 50000L + rnd.nextInt(900000)
+      val e = 1L + rnd.nextInt(3)
+      val total = masses.map(_._2).sum
+      val budget = (BigInt(budgetPpm) * total) / 1000000
+      val got = graft.ext.Sampling
+        .unimaxAlloc(masses.toDF("lang", "n_tokens"), "lang", "n_tokens",
+          budgetPpm, e)
+        .select("lang", "capped", "alloc_tokens")
+        .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+      val (expCapped, leftover, uncapped) = greedy(masses, budget, e)
+      assert(got.filter(_._2).map(_._1).toSet == expCapped, s"seed $seed capped set")
+      got.foreach { case (lang, capped, alloc) =>
+        val n = masses.find(_._1 == lang).get._2
+        if (capped) assert(alloc == e * n, s"seed $seed $lang capped alloc")
+        else assert(BigInt(alloc) == leftover / uncapped,
+          s"seed $seed $lang uncapped alloc")
+      }
+      // budget conservation: allocations + reported remainder == budget
+      val allocSum = got.map(r => BigInt(r._3)).sum
+      val rem = if (uncapped == 0) BigInt(0) else leftover % uncapped
+      assert(allocSum + rem == budget, s"seed $seed budget not conserved")
+    }
+  }
 }
