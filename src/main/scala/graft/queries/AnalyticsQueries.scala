@@ -55,6 +55,36 @@ object AnalyticsQueries {
           col("flag_alpha"), col("flag_stop"), col("pass_gopher"))
         .orderBy(col("doc_id"))),
 
+    // Weak-supervised quality classifier (the CCNet/LLaMA "train a cheap
+    // classifier, score the corpus" stage): multinomial Naive Bayes over
+    // hashed unigrams, trained IN-ENGINE on the q89 Gopher labels, then
+    // applied back to every document. Output: per-source confusion
+    // counts between the heuristic labels and the trained model — the
+    // audit a pipeline runs before trusting the classifier on unlabeled
+    // data. All-BIGINT except the λ/prior ln (q133 accepted-risk).
+    "q145_nb_quality" -> ((s, d) => {
+      val labels = TextAnalysis
+        .gopherFlagsFromProfile(ExtQueries.docProfile(s, d))
+        .select(col("doc_id").cast("long").as("doc"),
+          col("pass_gopher").as("clean"))
+      // (doc, bucket, c) feeds BOTH the model fit and the scoring join —
+      // persist the compact profile instead of re-tokenizing (released
+      // by the runner via TransientCache, the dsirScores discipline).
+      val docBuckets = graft.ops.TransientCache.persist(
+        graft.ext.QualityClassifier.bucketCounts(
+          Tables.documents(s, d), "text", "doc_id", 256))
+      val scored = graft.ext.QualityClassifier
+        .trainAndScore(docBuckets, labels, 256)
+      scored.join(ExtQueries.docSourceMap(s, d), "doc")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("clean"), lit(1L)).otherwise(lit(0L))).as("n_label_clean"),
+          sum(when(col("pred_clean"), lit(1L)).otherwise(lit(0L))).as("n_pred_clean"),
+          sum(when(col("pred_clean") === col("clean"), lit(1L)).otherwise(lit(0L)))
+            .as("n_agree"))
+        .orderBy(col("source"))
+    }),
+
     // Per-nation OLS regression of line price (whole units) on quantity:
     // all moment sums are integer-exact; only the FINAL slope/intercept/
     // corr divisions run in double — deterministic given exact operands
@@ -965,6 +995,54 @@ object AnalyticsQueries {
          |   AND (5 * n_alpha >= 4 * n_words)
          |   AND (n_stop_present >= 2)) AS pass_gopher
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q145_nb_quality" -> {
+      val stopPresent = enStopList
+        .map(w => s"CASE WHEN list_contains(t, '$w') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""${ExtQueries.tokCte},
+         |s AS (SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) n_words,
+         |    CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) len_sum,
+         |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) n_alpha,
+         |    CAST($stopPresent AS BIGINT) n_stop_present
+         |  FROM tok),
+         |lab AS (SELECT doc_id,
+         |    ((n_words >= 50 AND n_words <= 100000)
+         |     AND (len_sum >= 3 * n_words AND len_sum <= 10 * n_words)
+         |     AND (5 * n_alpha >= 4 * n_words)
+         |     AND (n_stop_present >= 2)) clean
+         |  FROM s),
+         |p AS (SELECT doc_id, unnest(t) token FROM tok),
+         |b AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 bucket FROM p),
+         |db AS (SELECT doc_id, bucket, count(*) c FROM b GROUP BY 1, 2),
+         |m AS (SELECT bucket,
+         |        sum(CASE WHEN clean THEN c ELSE 0 END) cc,
+         |        sum(CASE WHEN NOT clean THEN c ELSE 0 END) dc
+         |      FROM db JOIN lab USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT sum(cc) tc, sum(dc) td FROM m),
+         |nl AS (SELECT sum(CASE WHEN clean THEN 1 ELSE 0 END) n_clean,
+         |         sum(CASE WHEN NOT clean THEN 1 ELSE 0 END) n_dirty FROM lab),
+         |lam AS (SELECT bucket,
+         |          CAST(floor(1000 * ln(
+         |            (CAST(cc + 1 AS DOUBLE) * CAST(td + 256 AS DOUBLE)) /
+         |            (CAST(dc + 1 AS DOUBLE) * CAST(tc + 256 AS DOUBLE)))) AS BIGINT) lambda
+         |        FROM m, tot),
+         |pr AS (SELECT CAST(floor(1000 * ln(
+         |          CAST(n_clean AS DOUBLE) / CAST(n_dirty AS DOUBLE))) AS BIGINT) prior_q
+         |       FROM nl),
+         |sc AS (SELECT doc_id, CAST(sum(c * lambda) AS BIGINT) ll
+         |       FROM db JOIN lam USING (bucket) GROUP BY 1),
+         |ds AS (SELECT lab.doc_id, clean,
+         |         COALESCE(ll, 0) + prior_q score_q
+         |       FROM lab LEFT JOIN sc USING (doc_id), pr)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_label_clean,
+         |  CAST(sum(CASE WHEN score_q > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_clean,
+         |  CAST(sum(CASE WHEN (score_q > 0) = clean THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+         |FROM ds JOIN documents USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "q90_price_regression" ->

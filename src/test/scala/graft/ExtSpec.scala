@@ -493,4 +493,51 @@ class StrategyEquivalenceSpec extends AnyFunSuite {
       assert(perDoc(minDoc) == sig, s"cluster signature mismatch for doc $minDoc")
     }
   }
+
+  test("NB quality classifier matches the brute-force reference and separates planted classes") {
+    import spark.implicits._
+    val buckets = 64
+    // Planted separable corpus: clean docs speak 'alpha/bravo', dirty
+    // docs 'zulu/yankee'; one doc (id 99) has NO tokens -> prior-only.
+    val docs = ((1L to 10L).map(i => (i, "alpha bravo alpha charlie")) ++
+      (11L to 20L).map(i => (i, "zulu yankee zulu xray")) :+ (99L -> ""))
+      .toList.toDF("doc_id", "text")
+    val labels = ((1L to 10L).map((_, true)) ++ (11L to 20L).map((_, false)) :+
+      (99L -> true)).toList.toDF("doc", "clean")
+    val db = graft.ext.QualityClassifier.bucketCounts(docs, "text", "doc_id", buckets)
+    val got = graft.ext.QualityClassifier.trainAndScore(db, labels, buckets)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // Brute-force reference with the same formulas, hashing via the same
+    // first-4-md5-bytes convention.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(tok: String): Long = {
+      val dig = md.digest(tok.getBytes("UTF-8"))
+      var v = 0L; var j = 0
+      while (j < 4) { v = (v << 8) | (dig(j) & 0xffL); j += 1 }
+      v % buckets
+    }
+    val toks = Map("clean" -> Seq("alpha", "bravo", "alpha", "charlie"),
+      "dirty" -> Seq("zulu", "yankee", "zulu", "xray"))
+    val cc = toks("clean").flatMap(t => Seq.fill(10)(bucket(t)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dc = toks("dirty").flatMap(t => Seq.fill(10)(bucket(t)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (tc, td) = (cc.values.sum, dc.values.sum)
+    def lambda(b: Long): Long = math.floor(1000.0 * math.log(
+      ((cc.getOrElse(b, 0L) + 1).toDouble * (td + buckets)) /
+        ((dc.getOrElse(b, 0L) + 1).toDouble * (tc + buckets)))).toLong
+    val priorQ = math.floor(1000.0 * math.log(11.0 / 10.0)).toLong
+    def score(ts: Seq[String]): Long =
+      ts.groupBy(bucket).map { case (b, occ) => occ.size * lambda(b) }.sum + priorQ
+    (1L to 10L).foreach { i =>
+      val (cl, s, pred) = got(i)
+      assert(cl && pred && s == score(toks("clean")), s"doc $i")
+    }
+    (11L to 20L).foreach { i =>
+      val (cl, s, pred) = got(i)
+      assert(!cl && !pred && s == score(toks("dirty")), s"doc $i")
+    }
+    // token-free doc: prior-only score, predicted by the class prior
+    assert(got(99L)._2 == priorQ && got(99L)._3 == (priorQ > 0L))
+  }
 }
