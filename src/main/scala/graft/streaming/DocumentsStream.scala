@@ -17,6 +17,13 @@ final case class RegUpdate(g: String, bucket: Int, r: Int)
 final case class CmsState(n: Long)
 final case class CmsUpdate(j: Int, bucket: Int, n: Long)
 
+/** First claimer of an LSH band bucket (streaming near-dup state; one
+  * long per distinct bucket) and the match event a later collision
+  * emits. Top-level + public for Spark's state encoder codegen. */
+final case class BandClaim(firstDoc: Long)
+final case class BandMatch(band: Int, key: String, doc_id: Long,
+                           first_doc: Long)
+
 /** Structured Streaming surface over the `documents` corpus — the
   * incremental ingest shape of the training-data pipeline (documents
   * arrive continuously; dedup must decide per arrival, not per corpus
@@ -213,4 +220,72 @@ object DocumentsStream {
     * against any target slice without touching the corpus again. */
   def dsirProfileUpdates(docs: DataFrame, buckets: Int = 512): DataFrame =
     graft.ext.Sampling.dsirBucketCountsLocal(docs, "text", "doc_id", buckets)
+
+  /** Streaming near-dup DETECTION at ingest — the stateful half that
+    * [[minhashSignatureUpdates]] deliberately leaves query-time, for
+    * pipelines that must flag a near-duplicate the moment it arrives
+    * (spam floods, re-crawls) instead of at the next corpus-wide band
+    * join: keyed state per LSH band bucket holds the FIRST document that
+    * claimed the bucket; every later arrival colliding in that bucket
+    * emits a `(band, key, doc_id, first_doc)` match event. A document is
+    * a near-dup candidate at ingest iff it emits ≥1 match — the same
+    * candidate predicate as the batch q23 banding join, restricted to
+    * earlier-ingested partners (a stream cannot see the future; within
+    * one micro-batch "earlier" = lower doc id, so a single-batch run
+    * emits exactly the batch pairs with the bucket-min as partner —
+    * StreamingSpec-pinned). Like the batch operator, matches are LSH
+    * CANDIDATES: verification against full signatures (n_agree) stays
+    * downstream, joining the match events to the maintained signature
+    * table.
+    *
+    * State is ONE long per distinct non-empty (band, bucket) —
+    * O(distinct buckets) ≤ nBands·distinct-signatures, the keyed-state
+    * analogue of the batch band join's build side, uniform under the
+    * md5-derived keys. `stateTtl` turns lifetime detection into
+    * sliding-window detection, same eviction contract (and caveat) as
+    * [[dedupDocuments]]. */
+  def lshNearDupAtIngest(spark: SparkSession, docs: DataFrame,
+                         nHashes: Int = 8, bandSize: Int = 2,
+                         stateTtl: Option[java.time.Duration] = None)
+      : Dataset[BandMatch] = {
+    import spark.implicits._
+    require(nHashes % bandSize == 0, "bands must tile the signature")
+    val nBands = nHashes / bandSize
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val sigs = graft.ext.Dedup
+      .minhashSignaturesTyped(docs, "text", "doc_id", nHashes)
+    val bandStructs = (0 until nBands).map { b =>
+      val key = concat(
+        (0 until bandSize).map(r => col(s"h${b * bandSize + r}")): _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    sigs.select(col("doc"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("doc"))
+      .as[(Int, String, Long)]
+      .groupByKey(t => t._1 + "|" + t._2)
+      .flatMapGroupsWithState[BandClaim, BandMatch](
+        OutputMode.Append(), timeoutConf) {
+        case (_, it, state: GroupState[BandClaim]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toArray.sortBy(_._3)
+            val (band, key) = (rows.head._1, rows.head._2)
+            val out =
+              if (state.exists)
+                rows.iterator.map(r =>
+                  BandMatch(band, key, r._3, state.get.firstDoc))
+              else {
+                state.update(BandClaim(rows.head._3))
+                rows.iterator.drop(1).map(r =>
+                  BandMatch(band, key, r._3, rows.head._3))
+              }
+            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            out
+          }
+      }
+  }
 }

@@ -483,4 +483,58 @@ class StreamingSpec extends AnyFunSuite {
     val batch = Multimodal.decode(spark, media).toDF().collect().map(_.toSeq).toSet
     assert(got.nonEmpty && got == batch)
   }
+
+  test("streaming LSH near-dup detection: single batch equals the bucket-min batch predicate") {
+    import graft.streaming.DocumentsStream
+    val matches = DocumentsStream.lshNearDupAtIngest(spark,
+      DocumentsStream.readDocuments(spark, sf))
+    runAvailableNow(matches.toDF(), "lsh_ingest_1b", OutputMode.Append())
+    val got = spark.table("lsh_ingest_1b")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // batch reference: per (band, key) bucket, every non-min doc matches
+    // the bucket min — the q23 banding predicate with earliest-partner
+    val sigs = graft.ext.Dedup.minhashSignaturesTyped(
+      Tables.documents(spark, sf), "text", "doc_id")
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("key"))
+    }
+    val expected = sigs
+      .select(col("doc"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("bk.band"), col("bk.key"), col("doc"))
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+      .groupBy(_._1).iterator.flatMap { case ((band, key), rows) =>
+        val docs = rows.map(_._2).sorted
+        docs.drop(1).map(d => (band, key, d, docs.head))
+      }.toSet
+    assert(got.nonEmpty && got == expected)
+  }
+
+  test("streaming LSH near-dup detection flags a cross-batch re-crawl against the original") {
+    import graft.streaming.DocumentsStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs_lsh_2b")
+    def writeAs(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs_part").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different content with no overlap whatsoever here now"
+    // batch 2: doc 3 = re-crawl of doc 1 (identical shingles -> identical
+    // signature -> collides in ALL 4 bands, partner = original doc 1)
+    writeAs("b1.parquet", 1000000L, Seq(1L -> a, 2L -> b))
+    writeAs("b2.parquet", 2000000L, Seq(3L -> a))
+    val matches = DocumentsStream.lshNearDupAtIngest(spark,
+      DocumentsStream.readDocuments(spark, dir.toString, Some(1)))
+    runAvailableNow(matches.toDF(), "lsh_ingest_2b", OutputMode.Append())
+    val got = spark.table("lsh_ingest_2b")
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3))).toSet
+    assert(got == (0 until 4).map(band => (band, 3L, 1L)).toSet,
+      s"expected doc 3 to match doc 1 in all bands, got $got")
+  }
 }
