@@ -287,6 +287,30 @@ object TextAnalysis {
         .select(col("doc_id"))
   }
 
+  /** Exact-phrase search over POSITIONAL postings `(doc, pos, token)`
+    * ([[tokenPosRows]] grain — the phrase half of a positional inverted
+    * index): each phrase word contributes a term-filtered leg shifted to
+    * its candidate start position (`pos − i`); intersecting the legs on
+    * `(doc, start)` leaves exactly the starts where all words line up
+    * consecutively. Returns `(doc, n_hits)` for docs with ≥1 occurrence.
+    *
+    * 100 TB shape: the term predicate prunes each leg BEFORE any
+    * shuffle — with postings stored term-bucketed (the q49 GIN-layout
+    * contract) a phrase probe reads only its own words' posting lists,
+    * never the corpus; the leg join keys on (doc, start), output-sized.
+    * Repeated words work: each leg is the same list at a different
+    * offset. */
+  def phraseHits(posPostings: DataFrame, phrase: Seq[String]): DataFrame = {
+    val words = phrase.flatMap(w => tokenizeJvm(normalizeJvm(w)))
+    require(words.nonEmpty, "empty phrase")
+    val legs = words.zipWithIndex.map { case (w, i) =>
+      posPostings.where(col("token") === w)
+        .select(col("doc"), (col("pos") - i).as("start"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc", "start")))
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Spanish-preserving normalize: lowercase, keep a-z, 0-9 and the
     * stemmer's alphabet á é í ó ú ü ñ (plain [[normalize]] would strip
     * the accented letters the stemmer's region arithmetic needs). DuckDB

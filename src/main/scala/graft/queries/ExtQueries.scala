@@ -430,6 +430,18 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Exact-phrase search over positional postings — the phrase-query
+    // half of the q49 inverted index (tsquery '<->' / Lucene
+    // PhraseQuery semantics): term-pruned posting legs intersect on
+    // (doc, candidate start), so the probe reads only the phrase
+    // words' lists, never the corpus. TakeOrdered top-k output.
+    "q146_phrase_search" -> ((s, d) =>
+      TextAnalysis.phraseHits(
+          TextAnalysis.tokenPosRows(Tables.documents(s, d), "text", "doc_id"),
+          Seq("table", "scan"))
+        .select(col("doc").as("doc_id"), col("n_hits"))
+        .orderBy(col("n_hits").desc, col("doc_id")).limit(20)),
+
     // Multimodal decode: REAL container parsing — each document is
     // encoded as an actual PNG/BMP/GIF file (by doc_id mod 3) and the
     // decode reads dimensions/format/payload from the bytes alone; the
@@ -1115,6 +1127,14 @@ object ExtQueries {
         |  CAST(CASE WHEN n_nationkey < 10 THEN n_regionkey + 100 ELSE n_regionkey END AS BIGINT) AS region_key,
         |  CAST(CASE WHEN n_nationkey < 10 THEN 2 ELSE 1 END AS INT) AS batch
         |FROM nation ORDER BY member_key""".stripMargin,
+
+    "q146_phrase_search" ->
+      s"""$tokCte,
+         |h AS (SELECT doc_id, CAST(len(list_filter(range(1, len(t)),
+         |        i -> t[i] = 'table' AND t[i+1] = 'scan')) AS BIGINT) n_hits
+         |      FROM tok)
+         |SELECT doc_id, n_hits FROM h WHERE n_hits > 0
+         |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
 
     "q49_fts_inverted" ->
       s"""WITH tok AS (

@@ -314,6 +314,24 @@ class ExtSpec extends AnyFunSuite {
       pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L &&
       pairs.head.getInt(2) == 0)
   }
+
+  test("phraseHits: consecutive-only matches, overlapping repeats, multi-word") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta"),  // "alpha beta" twice
+      (2L, "beta alpha"),                   // reversed: no hit
+      (3L, "alpha x beta"),                 // gap: no hit
+      (4L, "go go go"),                     // "go go" overlaps: 2 hits
+      (5L, "one two three four")            // 3-word phrase hit
+    ).toDF("doc_id", "text")
+    val pos = TextAnalysis.tokenPosRows(docs, "text", "doc_id")
+    def hits(phrase: String*): Map[Long, Long] =
+      TextAnalysis.phraseHits(pos, phrase).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits("alpha", "beta") == Map(1L -> 2L))
+    assert(hits("go", "go") == Map(4L -> 2L))
+    assert(hits("two", "three", "four") == Map(5L -> 1L))
+    assert(hits("gamma", "beta").isEmpty)
+  }
 }
 
 /** Cross-strategy equivalence: alternate implementations of the same
