@@ -359,4 +359,69 @@ object Similarity {
         col("min_nq"), col("max_nq"), col("sum_nq"),
         (col("n_vecs") * col("sum_nq") - col("ssx")).as("scatter"))
   }
+
+  /** MMR diversified re-ranking (Carbonell & Goldstein 1998) over an
+    * ANN candidate list: greedily pick the item maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked — the
+    * standard retrieval-diversification pass after a top-k (dedups
+    * near-identical hits a plain cosine ranking stacks together).
+    *
+    * Engine parity: relevance and pairwise similarity are
+    * floor(10⁶·cos) BIGINTs over exact integer dots (the ANN family's
+    * quantization); with λ = num/den the greedy comparison is the pure
+    * integer `num·rel − (den−num)·maxsim` with an id tie-break, so the
+    * selection is engine-identical (the one float op is the shared
+    * cos→ppm floor every ANN oracle already performs).
+    *
+    * 100 TB shape: the corpus-scale work is the distributed relevance
+    * scan + TakeOrdered top-`kCand`; the greedy is inherently
+    * sequential but runs over a BOUNDED candidate set — `kCand` rels +
+    * kCand² pair sims (computed in-engine, collected count-gated like
+    * the PQ codebooks/centroids), never the corpus. */
+  def mmrRerank(emb: DataFrame, idCol: String, embCol: String,
+                queryId: Long, kCand: Int, k: Int,
+                lambdaNum: Long = 7, lambdaDen: Long = 10): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val base = emb.select(col(idCol).cast("long").as("vec_id"),
+      quantize(col(embCol)).as("qv"))
+    val q = base.where(col("vec_id") === queryId)
+      .select(col("qv").as("query_v"), normQ(col("qv")).as("nq"))
+    def cosQ(dot: Column, na: Column, nb: Column): Column =
+      floor(lit(1000000) * dot.cast("double") /
+        sqrt(na.cast("double") * nb.cast("double"))).cast("long")
+    val cand = base.where(col("vec_id") =!= queryId).crossJoin(broadcast(q))
+      .select(col("vec_id"), col("qv"),
+        cosQ(dotQ(col("qv"), col("query_v")), normQ(col("qv")), col("nq"))
+          .as("rel_q"))
+      .orderBy(col("rel_q").desc, col("vec_id")).limit(kCand)
+    val c = graft.ops.TransientCache.persist(cand)
+    val rels = c.select(col("vec_id"), col("rel_q")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sims = c.as("a").join(c.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        cosQ(dotQ(col("a.qv"), col("b.qv")),
+          normQ(col("a.qv")), normQ(col("b.qv"))).as("sim_q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val remaining = scala.collection.mutable.TreeSet.empty[Long] ++ rels.keys
+    while (picked.size < math.min(k, rels.size)) {
+      val best = remaining.toSeq.map { v =>
+        val maxSim =
+          if (picked.isEmpty) 0L
+          else picked.map(p => sims((v, p))).max
+        val score =
+          if (picked.isEmpty) lambdaDen * rels(v) // first pick: pure relevance
+          else lambdaNum * rels(v) - (lambdaDen - lambdaNum) * maxSim
+        (v, score)
+      }.maxBy { case (v, s) => (s, -v) } // score desc, id asc
+      picked += best._1
+      remaining -= best._1
+    }
+    import spark.implicits._
+    picked.toSeq.zipWithIndex
+      .map { case (v, i) => (i + 1, v, rels(v)) }
+      .toDF("rank", "vec_id", "rel_q")
+  }
 }

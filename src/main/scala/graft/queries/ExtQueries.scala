@@ -260,6 +260,15 @@ object ExtQueries {
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         col("vec_id") < 10, 3, 8).orderBy("query_id", "rank")),
 
+    // MMR diversified re-rank (Carbonell & Goldstein 1998, λ=0.7): the
+    // top-20 cosine candidates for query vec 0, greedily re-picked to
+    // 8 by integer 7·rel − 3·maxsim — the diversification pass that
+    // keeps a result page from stacking near-identical hits. Oracle is
+    // an independent recursive-CTE implementation of the same greedy.
+    "q147_mmr_rerank" -> ((s, d) =>
+      Similarity.mmrRerank(Tables.embeddings(s, d), "vec_id", "embedding",
+        0L, 20, 8).orderBy("rank")),
+
     // IVF ANN top-3: 16 deterministic centroids, 2 probed cells.
     "q29_ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -889,6 +898,44 @@ object ExtQueries {
          |      FROM sc)
          |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dot
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q147_mmr_rerank" ->
+      s"""WITH RECURSIVE ${qeCtes.stripPrefix("WITH ")},
+         |qv AS (SELECT q, n FROM qe JOIN nrm USING (vec_id) WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT e.vec_id,
+         |    CAST(floor(1000000 * CAST(list_dot_product(e.q, qv.q) AS DOUBLE)
+         |      / sqrt(CAST(ne.n AS DOUBLE) * CAST(qv.n AS DOUBLE))) AS BIGINT) rel_q
+         |  FROM qe e JOIN nrm ne USING (vec_id) CROSS JOIN qv
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY rel_q DESC, e.vec_id LIMIT 20),
+         |sim AS (
+         |  SELECT a.vec_id va, b.vec_id vb,
+         |    CAST(floor(1000000 * CAST(list_dot_product(ea.q, eb.q) AS DOUBLE)
+         |      / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))) AS BIGINT) sim_q
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+         |  JOIN qe ea ON ea.vec_id = a.vec_id JOIN qe eb ON eb.vec_id = b.vec_id
+         |  JOIN nrm na ON na.vec_id = a.vec_id JOIN nrm nb ON nb.vec_id = b.vec_id),
+         |mmr AS (
+         |  SELECT 1 AS rank,
+         |    (SELECT vec_id FROM cand ORDER BY rel_q DESC, vec_id LIMIT 1) AS picked,
+         |    [(SELECT vec_id FROM cand ORDER BY rel_q DESC, vec_id LIMIT 1)] AS sel
+         |  UNION ALL
+         |  SELECT rank + 1,
+         |    (SELECT c.vec_id FROM cand c
+         |     WHERE NOT list_contains(sel, c.vec_id)
+         |     ORDER BY 7 * c.rel_q - 3 * (SELECT max(s.sim_q) FROM sim s
+         |       WHERE s.va = c.vec_id AND list_contains(sel, s.vb)) DESC, c.vec_id
+         |     LIMIT 1),
+         |    list_append(sel, (SELECT c.vec_id FROM cand c
+         |     WHERE NOT list_contains(sel, c.vec_id)
+         |     ORDER BY 7 * c.rel_q - 3 * (SELECT max(s.sim_q) FROM sim s
+         |       WHERE s.va = c.vec_id AND list_contains(sel, s.vb)) DESC, c.vec_id
+         |     LIMIT 1))
+         |  FROM mmr WHERE rank < 8)
+         |SELECT CAST(rank AS INT) rank, CAST(picked AS BIGINT) vec_id,
+         |  (SELECT rel_q FROM cand WHERE vec_id = picked) rel_q
+         |FROM mmr ORDER BY rank""".stripMargin,
 
     "q28_ann_lsh_topk" ->
       s"""$qeCtes,

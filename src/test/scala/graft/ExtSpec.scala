@@ -332,6 +332,26 @@ class ExtSpec extends AnyFunSuite {
     assert(hits("two", "three", "four") == Map(5L -> 1L))
     assert(hits("gamma", "beta").isEmpty)
   }
+
+  test("mmrRerank: λ=1 degenerates to relevance order; λ=0.7 breaks up a near-dup cluster") {
+    // query 0 along e1; candidates 1,2 = EXACT duplicates (sim = 1e6,
+    // quantized math exact), 3 = equally relevant mirror image (same
+    // rel_q by symmetry, pairwise sim 975609 < 1e6) — so pure relevance
+    // orders by id while MMR must break up the duplicate pair.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.9f, -0.1f))).toDF("vec_id", "embedding")
+    val pure = Similarity.mmrRerank(emb, "vec_id", "embedding", 0L, 3, 3,
+        lambdaNum = 10, lambdaDen = 10)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(pure == Seq(1L, 2L, 3L), s"λ=1 should be id-tiebroken relevance, got $pure")
+    val div = Similarity.mmrRerank(emb, "vec_id", "embedding", 0L, 3, 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(div == Seq(1L, 3L, 2L),
+      s"λ=0.7 should pull the diverse vec 3 ahead of exact-dup 2, got $div")
+  }
 }
 
 /** Cross-strategy equivalence: alternate implementations of the same
