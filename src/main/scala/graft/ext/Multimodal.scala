@@ -251,10 +251,17 @@ object Multimodal {
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
 
-  /** Perceptual signature over the DECODED data stream: 32-bit
-    * block-mean hash (the structure of Yang, Gao & Tian 2006, "Block
+  /** Perceptual signature over the DECODED data stream: `nBits`-block
+    * mean hash (the structure of Yang, Gao & Tian 2006, "Block
     * Mean Value Based Image Perceptual Hashing" — split the payload into
-    * 32 equal blocks, bit j = [mean of block j >= global mean]), emitted
+    * `nBits` equal blocks, bit j = [mean of block j >= global mean];
+    * q139 uses the 32-bit default — this corpus' near-dup payloads land
+    * at Hamming 3-8 of 32, and the loose 5/32 threshold is what makes
+    * them findable. The banding fan-in that threshold implies is bounded
+    * by the 5-6-bit bucket keys (see SCALE.md: at a corpus where that
+    * bucket population explodes, WIDEN the signature — the 64-bit path
+    * in `simhashHammingPairsFromSigs` — and tighten the relative
+    * threshold rather than adding bands), emitted
     * as a `(doc, simhash)` '0'/'1'-string table SHAPED FOR the text
     * SimHash machinery — [[Dedup.simhashHammingPairsFromSigs]] bands and
     * verifies these signatures unchanged, making media near-dup
@@ -269,7 +276,7 @@ object Multimodal {
     * payloads emit no signature (garbage must never cluster). One typed
     * map at scan speed, zero shuffle — the signature table is the only
     * thing that ever moves. */
-  def blockhashSignatures(media: DataFrame): DataFrame = {
+  def blockhashSignatures(media: DataFrame, nBits: Int = 32): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].flatMap { r =>
@@ -280,18 +287,18 @@ object Multimodal {
         val n = cps.length
         if (n == 0) None
         else {
-          val sj = new Array[Long](32)
-          val nj = new Array[Long](32)
+          val sj = new Array[Long](nBits)
+          val nj = new Array[Long](nBits)
           var tot = 0L
           var i = 0
           while (i < n) {
-            val b = (i.toLong * 32 / n).toInt
+            val b = (i.toLong * nBits / n).toInt
             sj(b) += cps(i); nj(b) += 1; tot += cps(i)
             i += 1
           }
-          val bits = new StringBuilder(32)
+          val bits = new StringBuilder(nBits)
           var j = 0
-          while (j < 32) {
+          while (j < nBits) {
             bits.append(if (nj(j) > 0 && sj(j) * n >= tot * nj(j)) '1' else '0')
             j += 1
           }
