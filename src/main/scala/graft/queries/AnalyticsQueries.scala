@@ -228,6 +228,36 @@ object AnalyticsQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // TextRank keyword centrality (Mihalcea & Tarau 2004): PageRank over
+    // the undirected adjacent-token co-occurrence graph — the q93
+    // integer PageRank machinery composed with the q82/q97 shared pair
+    // artifact; tokens map to dense ids (vocabulary-sized window) and
+    // back. Edges keep only pairs co-occurring >= 3 times: on this
+    // word-salad corpus the unfiltered window graph is near-regular
+    // (every rank ties), while the frequency-gated graph has real
+    // structure for centrality to rank. Top-20 = the keyword skeleton.
+    "q148_textrank" -> ((s, d) => {
+      val pairs = ExtQueries.docSourcePairCounts(s, d)
+        .where(col("tok_a") =!= col("tok_b"))
+        .groupBy(col("tok_a"), col("tok_b")).agg(sum(col("n")).as("n"))
+        .where(col("n") >= 3L)
+        .select(col("tok_a"), col("tok_b"))
+      val vocab = pairs.select(col("tok_a").as("token"))
+        .union(pairs.select(col("tok_b").as("token"))).distinct()
+        .withColumn("id",
+          row_number().over(Window.orderBy(col("token"))).cast("long"))
+      val e = pairs
+        .union(pairs.select(col("tok_b").as("tok_a"), col("tok_a").as("tok_b")))
+        .distinct()
+        .join(vocab.select(col("token").as("tok_a"), col("id").as("src")), "tok_a")
+        .join(vocab.select(col("token").as("tok_b"), col("id").as("dst")), "tok_b")
+        .select(col("src"), col("dst"))
+      Components.pageRank(e, "src", "dst", 3)
+        .join(vocab, col("node") === col("id"))
+        .select(col("token"), col("pr"))
+        .orderBy(col("pr").desc, col("token")).limit(20)
+    }),
+
     // Unpivot (stack): wide per-doc metrics to long (metric, value)
     // form, then one aggregate per metric — the reshape that feeds any
     // generic metric store.
@@ -1117,6 +1147,24 @@ object AnalyticsQueries {
          |${prIter(2)},
          |${prIter(3)}
          |SELECT node AS vec_id, pr FROM p3 ORDER BY vec_id""".stripMargin,
+
+    "q148_textrank" ->
+      s"""${ExtQueries.tokCte},
+         |pp AS (SELECT t[i] a, t[i+1] b
+         |       FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+         |       WHERE len(t) >= 2),
+         |e1 AS (SELECT a, b FROM pp WHERE a <> b
+         |       GROUP BY 1, 2 HAVING count(*) >= 3),
+         |edges AS (SELECT a u, b v FROM e1 UNION SELECT b, a FROM e1),
+         |od AS (SELECT u, count(*) od FROM edges GROUP BY 1),
+         |nd AS (SELECT DISTINCT node FROM
+         |       (SELECT u node FROM edges UNION ALL SELECT v FROM edges)),
+         |p0 AS (SELECT node, CAST(1000000 AS BIGINT) pr FROM nd),
+         |${prIter(1)},
+         |${prIter(2)},
+         |${prIter(3)}
+         |SELECT node AS token, pr FROM p3
+         |ORDER BY pr DESC, token LIMIT 20""".stripMargin,
 
     "q94_metric_unpivot" ->
       s"""${ExtQueries.tokCte},
