@@ -165,6 +165,31 @@ object ExtQueries {
       Dedup.ngramJaccardPairsAuto(Tables.documents(s, d), "text", "doc_id", 2, 1, 5)
         .orderBy("doc_a", "doc_b")),
 
+    // LSH quality audit — the dedup twin of q109's ANN recall: the
+    // MinHash-LSH candidate set (q23's predicate) scored against the
+    // EXACT n-gram-Jaccard ground truth (q24's predicate) as integer
+    // confusion counts + ppm recall/precision. This is the measurement
+    // that justifies (or indicts) the banding parameters before anyone
+    // trusts them at corpus scale.
+    "q149_lsh_dedup_recall" -> ((s, d) => {
+      val truth = Dedup
+        .ngramJaccardPairsAuto(Tables.documents(s, d), "text", "doc_id", 2, 1, 5)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+      val pred = Dedup.lshCandidatePairs(
+          graft.ops.SessionCache.getOrBuild(s, s"minhash_sigs:$d")(
+            Dedup.minhashSignaturesTyped(Tables.documents(s, d), "text", "doc_id", 8)),
+          8, 2)
+        .where(col("n_agree") >= 4)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("p"))
+      truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(sum(col("t")).as("n_truth"), sum(col("p")).as("n_pred"),
+          sum(when(col("t").isNotNull && col("p").isNotNull, lit(1L))
+            .otherwise(lit(0L))).as("n_tp"))
+        .select(col("n_truth"), col("n_pred"), col("n_tp"),
+          expr("(1000000 * n_tp) div n_truth").as("recall_ppm"),
+          expr("(1000000 * n_tp) div n_pred").as("precision_ppm"))
+    }),
+
     // 32-bit SimHash near-dup clusters (single groupBy on the signature).
     // The signature table is built ONCE per session (SessionCache) and
     // shared with q48 — the production pipeline shape, where signatures
@@ -591,9 +616,12 @@ object ExtQueries {
        |shl AS (SELECT doc_id, list(DISTINCT w || ' ' || t[i+1]) sl
        |        FROM u WHERE i < len(t) GROUP BY doc_id)""".stripMargin
 
-  private def minhashSigSql: String = {
-    // Mirrors Dedup.minhashSignatures: hash p = min 8-hex slice p%4 of
-    // md5 number p/4 (two md5s -> eight independent 32-bit hashes).
+  /** CTE chain ending at `lshp(doc_a, doc_b, n_agree)` = the verified
+    * MinHash-LSH candidate pair set (bands of 2, >= 4/8 agreeing) —
+    * shared by the q23 pair oracle and the q149 recall-audit oracle.
+    * Mirrors Dedup.minhashSignatures: hash p = min 8-hex slice p%4 of
+    * md5 number p/4 (two md5s -> eight independent 32-bit hashes). */
+  private def lshPairCtes: String = {
     val hs = (0 until 8).map(p =>
       s"list_min(list_transform(sl, s -> substr(md5('${p / 4}|' || s), ${(p % 4) * 8 + 1}, 8))) h$p")
       .mkString(",\n    ")
@@ -609,12 +637,16 @@ object ExtQueries {
        |  $bands),
        |cand AS (SELECT DISTINCT a.doc da, b.doc db
        |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc)
-       |SELECT da AS doc_a, db AS doc_b, CAST($agree AS INT) AS n_agree
-       |FROM cand JOIN sig sa ON da = sa.doc JOIN sig sb ON db = sb.doc
-       |WHERE $agree >= 4
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc),
+       |lshp AS (SELECT da doc_a, db doc_b, CAST($agree AS INT) n_agree
+       |         FROM cand JOIN sig sa ON da = sa.doc JOIN sig sb ON db = sb.doc
+       |         WHERE $agree >= 4)""".stripMargin
   }
+
+  private def minhashSigSql: String =
+    s"""$lshPairCtes
+       |SELECT doc_a, doc_b, n_agree FROM lshp
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Per-doc simhash CTE shared by the cluster and hamming-pair oracles. */
   private[queries] def simhashSigCtes: String = {
@@ -750,6 +782,29 @@ object ExtQueries {
          |JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE 5 * i >= 1 * (ca.n + cb.n - i)
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q149_lsh_dedup_recall" ->
+      s"""$lshPairCtes,
+         |sh2 AS (SELECT DISTINCT doc_id, w || ' ' || t[i+1] s FROM u WHERE i < len(t)),
+         |cnt AS (SELECT doc_id, count(*) n FROM sh2 GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i
+         |          FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN cnt ca ON doc_a = ca.doc_id
+         |          JOIN cnt cb ON doc_b = cb.doc_id
+         |          WHERE 5 * i >= 1 * (ca.n + cb.n - i)),
+         |fj AS (SELECT CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END t,
+         |         CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END p
+         |       FROM truth t FULL OUTER JOIN lshp p
+         |         ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b),
+         |agg2 AS (SELECT CAST(sum(t) AS BIGINT) n_truth,
+         |           CAST(sum(p) AS BIGINT) n_pred,
+         |           CAST(sum(t * p) AS BIGINT) n_tp FROM fj)
+         |SELECT n_truth, n_pred, n_tp,
+         |  CAST((1000000 * n_tp) // n_truth AS BIGINT) recall_ppm,
+         |  CAST((1000000 * n_tp) // n_pred AS BIGINT) precision_ppm
+         |FROM agg2""".stripMargin,
 
     "q25_dedup_simhash" -> simhashSql,
 
