@@ -73,4 +73,39 @@ object Sinks {
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
+
+  /** Small-file compaction: rewrite a parquet dataset into
+    * ⌈rows / targetRows⌉ files (the OPTIMIZE/bin-packing maintenance
+    * pass every lakehouse runs — a 100 TB table accreted from streaming
+    * micro-batches or per-key upserts degrades into millions of KB-sized
+    * files whose open/footer cost dominates scans; compaction restores
+    * scan-speed reads without touching a single row). Same
+    * write-tmp-then-swap publish as [[upsertParquet]]; rows and schema
+    * are asserted unchanged by ServiceSpec. Returns the file count. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                     targetRows: Long): Int = {
+    require(targetRows > 0, "targetRows must be positive")
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val nFiles = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    val tmp = path + "_compact_tmp"
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // Publish by RENAME, not rewrite: a read-back rewrite would re-split
+    // on maxPartitionBytes and undo the very file layout being built.
+    // retire-then-swap keeps the old generation until the new one is
+    // in place (the JobService .old discipline, minus its job marker).
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "_compact_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compact: could not retire $path")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p)) {
+      fs.rename(old, p) // roll back so the dataset never vanishes
+      throw new java.io.IOException(s"compact: could not publish $tmp")
+    }
+    fs.delete(old, true)
+    nFiles
+  }
 }

@@ -108,6 +108,41 @@ class ServiceSpec extends AnyFunSuite {
     assert(up == Map(1L -> "v2", 2L -> "w"))
   }
 
+  test("compactParquet: bin-packs small files, preserves rows/schema, and survives re-reads") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val path = s"$dir/tbl"
+    val rows = (1L to 1000L).map(i => (i, s"v$i"))
+    // simulate streaming accretion: 50 small files
+    rows.toDF("k", "v").repartition(50).write.parquet(path)
+    def files() = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() == 50)
+    val n = Sinks.compactParquet(spark, path, targetRows = 250)
+    assert(n == 4 && files() == 4, s"expected 4 files, got ${files()}")
+    val back = spark.read.parquet(path)
+    assert(back.schema.fieldNames.toSet == Set("k", "v"))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      .sameElements(rows.sorted))
+  }
+
+  test("schema evolution: mergeSchema unifies accreted generations; old rows null new columns") {
+    // The data-lake reality at 100 TB: a column lands mid-stream and the
+    // table's older files simply don't have it. mergeSchema reads must
+    // present the union schema with nulls for pre-evolution rows.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$dir/t/gen=1")
+    Seq((2L, "b", 9L)).toDF("k", "v", "extra").write.parquet(s"$dir/t/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.schema.fieldNames.contains("extra"))
+    val byK = merged.collect().map(r =>
+      r.getLong(r.fieldIndex("k")) ->
+        (if (r.isNullAt(r.fieldIndex("extra"))) None
+         else Some(r.getLong(r.fieldIndex("extra"))))).toMap
+    assert(byK == Map(1L -> None, 2L -> Some(9L)))
+  }
+
   test("ORC round-trip preserves the member-catalog schema and rows") {
     // Another Spark-native columnar format for the catalog export path:
     // schema (incl. nested/long types) and rows must survive unchanged.
