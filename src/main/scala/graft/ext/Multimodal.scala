@@ -307,4 +307,31 @@ object Multimodal {
       }
     }.toDF("doc", "simhash")
   }
+
+  /** Frame-grain content segments of each VIDEO payload: the decoded GIF
+    * data stream split at the same 256-byte sub-block granule [[decode]]
+    * counts frames at (frame f = bytes [256f, 256f+256); the trailing
+    * partial block is a frame, matching `n_frames = len/256 + 1`).
+    * Output (media_id, frame_idx, frame_str) — the per-frame content a
+    * perceptual/video dedup stage hashes. Still formats and invalid
+    * payloads emit nothing (a single still has no frame sequence to
+    * compare). One typed flatMap at scan speed; the explode stays inside
+    * the stage. The hash itself is applied by the CALLER as a codegen'd
+    * `md5` column so the hot loop stays whole-stage. */
+  def frameSegments(media: DataFrame, frameLen: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      val (format, _, _, body) = decodeBytes(r.payload)
+      if (format != "gif") Iterator.empty
+      else {
+        val n = body.length / frameLen + 1
+        (0 until n).iterator.map { f =>
+          val lo = f * frameLen
+          val hi = math.min(lo + frameLen, body.length)
+          (r.media_id, f, new String(body, lo, hi - lo, "UTF-8"))
+        }
+      }
+    }.toDF("media_id", "frame_idx", "frame_str")
+  }
 }

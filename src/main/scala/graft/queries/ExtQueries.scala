@@ -508,6 +508,45 @@ object ExtQueries {
         .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
           col("hamming"))
         .orderBy("media_a", "media_b")
+    }),
+
+    // Video near-dup by shared FRAME content (the video twin of q139's
+    // whole-payload hash): each decoded video splits at the GIF
+    // sub-block granule into frames, frames hash with codegen'd md5,
+    // and two videos pair IFF they share a frame hash — a postings join
+    // inside each hash bucket (never videos²), frequency-capped at 50
+    // owners per hash as CONTRACT (the oracle applies the same HAVING,
+    // so the boilerplate guard can never silently change the answer —
+    // q132's cap discipline). Overlap is set-grain Jaccard over each
+    // video's DISTINCT frame hashes, integer-exact in ppm. At 100 TB
+    // the frame-hash table is the only thing that shuffles, and a hot
+    // intro/outro frame is exactly what the cap bounds.
+    "q150_video_frame_neardup" -> ((s, d) => {
+      val fh = graft.ops.TransientCache.persist(
+        Multimodal.frameSegments(
+            Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+          .select(col("media_id"),
+            md5(col("frame_str").cast("binary")).as("h"))
+          .distinct())
+      val ok = fh.groupBy(col("h")).agg(count(lit(1)).as("nown"))
+        .where(col("nown") <= 50).select(col("h"))
+      val shared = fh.as("a").join(fh.as("b"), Seq("h"))
+        .where(col("a.media_id") < col("b.media_id"))
+        .join(ok, Seq("h"), "left_semi")
+        .groupBy(col("a.media_id").as("media_a"),
+          col("b.media_id").as("media_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      val cnt = fh.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+      shared
+        .join(cnt.select(col("media_id").as("media_a"), col("nf").as("n_a")),
+          Seq("media_a"))
+        .join(cnt.select(col("media_id").as("media_b"), col("nf").as("n_b")),
+          Seq("media_b"))
+        .select(col("media_a"), col("media_b"), col("n_shared"),
+          col("n_a"), col("n_b"),
+          expr("(1000000 * n_shared) div (n_a + n_b - n_shared)")
+            .as("jaccard_ppm"))
+        .orderBy("media_a", "media_b")
     })
   )
 
@@ -1302,6 +1341,35 @@ object ExtQueries {
          |SELECT media_a, media_b, hamming FROM hp WHERE hamming <= 5
          |ORDER BY media_a, media_b""".stripMargin
     },
+
+    // Frames reconstruct from the generation formula: a video is
+    // doc_id % 3 = 2, its decoded data stream is the utf-8 text, and
+    // frame f is the 256-byte block starting at f*256 (trailing partial
+    // block included — n_frames = len // 256 + 1, q43's formula). The
+    // 50-owner frequency cap is applied to the PAIRING only, exactly as
+    // the Spark plan does.
+    "q150_video_frame_neardup" ->
+      """WITH vid AS (
+        |  SELECT doc_id, text, length(text) n FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT doc_id, md5(substr(text, CAST(f * 256 + 1 AS INT), 256)) h
+        |  FROM vid,
+        |    LATERAL (SELECT unnest(generate_series(0, n // 256)) AS f) s),
+        |fh AS (SELECT DISTINCT doc_id, h FROM fr),
+        |ok AS (SELECT h FROM fh GROUP BY h HAVING count(*) <= 50),
+        |cnt AS (SELECT doc_id, count(*) nf FROM fh GROUP BY doc_id),
+        |pr AS (
+        |  SELECT a.doc_id media_a, b.doc_id media_b, count(*) shared
+        |  FROM fh a JOIN fh b USING (h) JOIN ok USING (h)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT media_a, media_b, shared AS n_shared,
+        |  ca.nf AS n_a, cb.nf AS n_b,
+        |  (1000000 * shared) // (ca.nf + cb.nf - shared) AS jaccard_ppm
+        |FROM pr
+        |JOIN cnt ca ON ca.doc_id = media_a
+        |JOIN cnt cb ON cb.doc_id = media_b
+        |ORDER BY media_a, media_b""".stripMargin,
 
     "q44_frame_sample" ->
       """SELECT doc_id AS media_id,

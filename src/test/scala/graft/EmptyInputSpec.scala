@@ -42,6 +42,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.sharedSpansChunked(emptyDocs, "text", "doc_id").count() == 0)
     assert(graft.ext.Multimodal.blockhashSignatures(
       graft.ext.Multimodal.mediaFromDocuments(emptyDocs)).count() == 0)
+    assert(graft.ext.Multimodal.frameSegments(
+      graft.ext.Multimodal.mediaFromDocuments(emptyDocs)).count() == 0)
     assert(TextAnalysis.chunkLangRows(emptyDocs, "text", "doc_id", 32).count() == 0)
     graft.ops.TransientCache.releaseAll()
   }

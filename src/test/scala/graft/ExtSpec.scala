@@ -315,6 +315,24 @@ class ExtSpec extends AnyFunSuite {
       pairs.head.getInt(2) == 0)
   }
 
+  test("frameSegments: concatenation rebuilds the decoded stream; stills/garbage emit none") {
+    import graft.ext.Multimodal.MediaRecord
+    val body = ("x" * 300) + "tail"            // 2 frames: 256 + 48 bytes
+    val media = Seq(
+      MediaRecord(1L, "video", Multimodal.encodeGif(3, 3, body.getBytes("UTF-8")), "s"),
+      MediaRecord(2L, "image", Multimodal.encodePng(3, 3, body.getBytes("UTF-8")), "s"),
+      MediaRecord(3L, "video", Array[Byte](9, 9), "s"))
+    .toDF()
+    val segs = Multimodal.frameSegments(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(segs.forall(_._1 == 1L), "only the decodable GIF emits frames")
+    val rebuilt = segs.sortBy(_._2).map(_._3).mkString
+    assert(rebuilt == body, "frames must tile the decoded stream exactly")
+    assert(segs.length == body.length / 256 + 1,
+      "frame count must match decode()'s n_frames formula")
+    assert(segs.map(_._3.length).toSeq == Seq(256, body.length - 256))
+  }
+
   test("phraseHits: consecutive-only matches, overlapping repeats, multi-word") {
     val docs = Seq(
       (1L, "alpha beta gamma alpha beta"),  // "alpha beta" twice
