@@ -781,6 +781,59 @@ object AnalyticsQueries {
           (col("n_a") + col("n_b") - col("n_union")).as("n_intersect"))
     }),
 
+    // KMV overlap MATRIX: q115's two-source sketch algebra extended to
+    // ALL source pairs at sketch cost — ONE pass over the corpus builds
+    // a k=32 sketch per source (a per-source window top-k), and every
+    // pairwise union/intersection estimate derives from the SKETCHES
+    // alone (k-min of A∪B is a subset of K(A) ∪ K(B), the KMV closure
+    // property — Beyer et al. 2007). At 100 TB this is the only
+    // tractable shape for a sources² similarity matrix: after the one
+    // corpus aggregate, the pair stage touches 20·k = 640 rows, so
+    // adding a source costs one sketch, not a corpus re-scan. The pair
+    // expansion is sketch×pairs (both driver-trivial), never data×data.
+    "q151_kmv_overlap_matrix" -> ((s, d) => {
+      val k = 32
+      val h = ExtQueries.docSourceTokenCounts(s, d)
+        .select(col("source"),
+          expr("CAST(conv(substring(md5(CAST(token AS BINARY)), 1, 8), 16, 10) AS BIGINT)")
+            .as("h"))
+        .distinct()
+      val wS = Window.partitionBy(col("source")).orderBy(col("h"))
+      val sk = graft.ops.TransientCache.persist(
+        h.withColumn("rn", row_number().over(wS)).where(col("rn") <= k)
+          .select(col("source"), col("h")))
+      val per = sk.groupBy(col("source"))
+        .agg(max(col("h")).as("hk"), count(lit(1)).as("ns"))
+      val pairs = per.as("pa").join(per.as("pb"),
+          col("pa.source") < col("pb.source"))
+        .select(col("pa.source").as("source_a"), col("pb.source").as("source_b"),
+          col("pa.hk").as("hk_a"), col("pa.ns").as("ns_a"),
+          col("pb.hk").as("hk_b"), col("pb.ns").as("ns_b"))
+      val unionRows = pairs.select(col("source_a"), col("source_b"))
+        .join(sk, col("source") === col("source_a") ||
+          col("source") === col("source_b"))
+        .select(col("source_a"), col("source_b"), col("h")).distinct()
+      val wU = Window.partitionBy(col("source_a"), col("source_b"))
+        .orderBy(col("h"))
+      val us = unionRows.withColumn("rn", row_number().over(wU))
+        .where(col("rn") <= k)
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(max(col("h")).as("hk_u"), count(lit(1)).as("ns_u"))
+      def est(hk: String, ns: String): Column =
+        when(col(ns) < k, col(ns))
+          .otherwise(floor(lit((k - 1) * 4294967296.0) /
+            col(hk).cast("double")).cast("long"))
+      pairs.join(us, Seq("source_a", "source_b"))
+        .select(col("source_a"), col("source_b"),
+          est("hk_a", "ns_a").as("est_a"), est("hk_b", "ns_b").as("est_b"),
+          est("hk_u", "ns_u").as("est_union"))
+        .withColumn("est_intersect",
+          col("est_a") + col("est_b") - col("est_union"))
+        .withColumn("jaccard_ppm",
+          expr("(1000000 * greatest(est_intersect, CAST(0 AS BIGINT))) div est_union"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // 2-itemset co-occurrence mining: top-30 token pairs by the number
     // of documents containing BOTH (market-basket level 1) — pairs
     // expand map-side from each doc's sorted distinct token set, never
@@ -1433,6 +1486,46 @@ object AnalyticsQueries {
          |  CAST(n_union AS BIGINT) AS n_union,
          |  CAST(n_a + n_b - n_union AS BIGINT) AS n_intersect
          |FROM es, ex""".stripMargin,
+
+    // All-pairs matrix twin of q115: per-source k=32 sketches via a
+    // ranked window, pairwise union sketches from the SKETCH rows only
+    // (KMV closure), identical integer-exact estimate formula.
+    "q151_kmv_overlap_matrix" ->
+      s"""${ExtQueries.tokCte},
+         |p AS (SELECT doc_id, unnest(t) token FROM tok),
+         |st AS (SELECT DISTINCT d.source,
+         |         ('0x' || substr(md5(token), 1, 8))::BIGINT h
+         |       FROM p JOIN documents d USING (doc_id)),
+         |sk AS (SELECT source, h FROM (
+         |         SELECT source, h,
+         |           row_number() OVER (PARTITION BY source ORDER BY h) rn
+         |         FROM st) WHERE rn <= 32),
+         |per AS (SELECT source, max(h) hk, count(*) ns FROM sk GROUP BY source),
+         |pr AS (SELECT a.source source_a, b.source source_b,
+         |         a.hk hk_a, a.ns ns_a, b.hk hk_b, b.ns ns_b
+         |       FROM per a JOIN per b ON a.source < b.source),
+         |uh AS (SELECT DISTINCT p.source_a, p.source_b, s.h
+         |       FROM pr p JOIN sk s
+         |         ON s.source = p.source_a OR s.source = p.source_b),
+         |ur AS (SELECT source_a, source_b, h,
+         |         row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) rn
+         |       FROM uh),
+         |us AS (SELECT source_a, source_b, max(h) hk_u, count(*) ns_u
+         |       FROM ur WHERE rn <= 32 GROUP BY 1, 2),
+         |fin AS (SELECT p.source_a, p.source_b,
+         |    CASE WHEN ns_a < 32 THEN CAST(ns_a AS BIGINT)
+         |      ELSE CAST(floor(31 * 4294967296.0 / CAST(hk_a AS DOUBLE)) AS BIGINT) END est_a,
+         |    CASE WHEN ns_b < 32 THEN CAST(ns_b AS BIGINT)
+         |      ELSE CAST(floor(31 * 4294967296.0 / CAST(hk_b AS DOUBLE)) AS BIGINT) END est_b,
+         |    CASE WHEN ns_u < 32 THEN CAST(ns_u AS BIGINT)
+         |      ELSE CAST(floor(31 * 4294967296.0 / CAST(hk_u AS DOUBLE)) AS BIGINT) END est_union
+         |  FROM pr p JOIN us u
+         |    ON u.source_a = p.source_a AND u.source_b = p.source_b)
+         |SELECT source_a, source_b, est_a, est_b, est_union,
+         |  est_a + est_b - est_union AS est_intersect,
+         |  (1000000 * greatest(est_a + est_b - est_union, CAST(0 AS BIGINT)))
+         |    // est_union AS jaccard_ppm
+         |FROM fin ORDER BY source_a, source_b""".stripMargin,
 
     "q114_keyset_page" ->
       s"""${Relational.mcte},

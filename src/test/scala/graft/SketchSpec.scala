@@ -68,4 +68,23 @@ class SketchSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(salted == plain && plain.nonEmpty)
   }
+
+  test("KMV closure: k-min of a union is recoverable from the two sketches alone") {
+    // The property q151's pair stage rests on (Beyer et al. 2007): the
+    // k smallest hashes of A∪B all lie inside K(A) ∪ K(B), so the union
+    // sketch — and thus every pairwise estimate — derives from
+    // sketch-sized state without touching raw data. Deterministic
+    // LCG-scrambled "hashes" over overlapping integer sets.
+    val k = 16
+    def h(x: Int): Long = (x * 2654435761L + 1013904223L) % 1000000007L
+    for (seed <- Seq(1, 7, 42)) {
+      val a = (0 until 300).map(i => h(seed * 1000 + i)).toSet
+      val b = (0 until 300).map(i => h(seed * 1000 + 150 + i)).toSet // 50% overlap
+      def kmin(s: Set[Long]) = s.toSeq.sorted.take(k)
+      val fromSketches = kmin((kmin(a) ++ kmin(b)).toSet)
+      val fromUnion = kmin(a ++ b)
+      assert(fromSketches == fromUnion,
+        s"seed $seed: union k-min must be computable from the sketches")
+    }
+  }
 }
