@@ -476,6 +476,50 @@ object TextAnalysis {
     }(Encoders.row(outSchema))
   }
 
+  /** Token-run collapse (the word-grain elongation/spam normalization
+    * step of web-text cleaning): runs of the SAME token longer than
+    * `maxRun` are truncated to `maxRun`, keeping the run's first
+    * occurrences ("go go go go x" -> "go go x"). The keep rule is
+    * position-local — token i survives unless the `maxRun` ORIGINAL
+    * predecessors all equal it — so the rewrite is one typed pass at
+    * scan speed, zero shuffle, and a SQL oracle states the identical
+    * rule with lag() windows. Output (doc_id, n_tokens, n_removed,
+    * text_clean); docs with no tokens (or null text/id) emit nothing.
+    * Distinct from [[repetitionProfile]] (which MEASURES repetition):
+    * this is the transform that removes it. */
+  def collapseTokenRuns(df: DataFrame, textCol: String, idCol: String,
+                        maxRun: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = new StructType()
+      .add("doc_id", LongType).add("n_tokens", LongType)
+      .add("n_removed", LongType).add("text_clean", StringType)
+    val textIdx = df.schema.fieldIndex(textCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(idIdx) || r.isNullAt(textIdx)) Iterator.empty
+        else {
+          val doc = r.get(idIdx).asInstanceOf[Number].longValue()
+          val toks = tokenizeJvm(normalizeJvm(r.getString(textIdx)))
+          if (toks.isEmpty) Iterator.empty
+          else {
+            val kept = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+            var removed = 0L
+            var run = 0
+            var i = 0
+            while (i < toks.length) {
+              if (i > 0 && toks(i) == toks(i - 1)) run += 1 else run = 1
+              if (run <= maxRun) kept += toks(i) else removed += 1
+              i += 1
+            }
+            Iterator(Row(doc, toks.length.toLong, removed, kept.mkString(" ")))
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** PII patterns for [[withPiiRedaction]]. Kept to the regex subset
     * that Java regex and RE2 (DuckDB/Go engines) evaluate identically:
     * character classes + bounded/unbounded repetition, no lookaround, no

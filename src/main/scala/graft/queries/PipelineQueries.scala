@@ -110,6 +110,18 @@ object PipelineQueries {
       TextAnalysis.repetitionProfile(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // Token-run collapse: the TRANSFORM q62 only measures — runs of the
+    // same token longer than 2 truncate to 2 (word-grain elongation /
+    // spam normalization). Keep rule is position-local (token i drops
+    // iff its 2 original predecessors equal it), so the rewrite is one
+    // typed pass at scan speed and the oracle states the same rule with
+    // lag() windows; only docs that actually changed are output (the
+    // cleaned-delta shape a pipeline writes back).
+    "q152_run_collapse" -> ((s, d) =>
+      TextAnalysis.collapseTokenRuns(Tables.documents(s, d), "text", "doc_id")
+        .where(col("n_removed") > 0)
+        .orderBy(col("doc_id"))),
+
     // Benchmark decontamination (GPT-3 appendix-C recipe): per candidate
     // doc, how many of its distinct trigrams occur anywhere in the
     // benchmark set (here: source 'src0' stands in for the eval suite;
@@ -990,6 +1002,24 @@ object PipelineQueries {
          |  CAST((1000000 * (n_bigrams - n_distinct)) // n_bigrams AS BIGINT) AS dup_ppm,
          |  CAST((1000000 * mx) // n_bigrams AS BIGINT) AS top_ppm
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // Keep rule stated positionally with lag(): token i drops iff both
+    // original predecessors equal it (truncates every run to 2, keeping
+    // the first occurrences) — exactly the JVM pass's rule.
+    "q152_run_collapse" ->
+      s"""${ExtQueries.tokCte},
+         |u AS (SELECT doc_id, unnest(t) w, generate_subscripts(t, 1) i
+         |      FROM tok),
+         |k AS (SELECT doc_id, w, i,
+         |        CASE WHEN w = lag(w, 1) OVER win AND w = lag(w, 2) OVER win
+         |          THEN 0 ELSE 1 END keep
+         |      FROM u WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_tokens,
+         |          CAST(count(*) FILTER (keep = 0) AS BIGINT) n_removed,
+         |          string_agg(w, ' ' ORDER BY i) FILTER (keep = 1) text_clean
+         |        FROM k GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_removed, text_clean
+         |FROM agg WHERE n_removed > 0 ORDER BY doc_id""".stripMargin,
 
     "q59_click_conversions" ->
       """WITH c AS (SELECT event_id, user_id, ts,

@@ -45,6 +45,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.ext.Multimodal.frameSegments(
       graft.ext.Multimodal.mediaFromDocuments(emptyDocs)).count() == 0)
     assert(TextAnalysis.chunkLangRows(emptyDocs, "text", "doc_id", 32).count() == 0)
+    assert(TextAnalysis.collapseTokenRuns(emptyDocs, "text", "doc_id").count() == 0)
     graft.ops.TransientCache.releaseAll()
   }
 

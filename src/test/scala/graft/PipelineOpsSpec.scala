@@ -362,6 +362,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("dup_ppm") == 500000L && r.getAs[Long]("top_ppm") == 500000L)
   }
 
+  test("collapseTokenRuns: runs truncate to 2 keeping first; shorter runs untouched") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    val df = Seq(
+      (1L, "go go go go x go go"),   // run of 4 -> 2 (2 removed); trailing run of 2 kept
+      (2L, "a a b b a"),             // no run over 2
+      (3L, ""),                      // tokenless -> no row
+      (4L, "z z z")).toDF("doc_id", "text")
+    val got = TextAnalysis.collapseTokenRuns(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("text_clean")))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L))
+    assert(got(1L) == ((7L, 2L, "go go x go go")))
+    assert(got(2L) == ((5L, 0L, "a a b b a")))
+    assert(got(4L) == ((3L, 1L, "z z")))
+  }
+
   test("mixingPlan: integer-exact shares; over-budget cells downsample, empty keep all") {
     import spark.implicits._
     val df = Seq(
