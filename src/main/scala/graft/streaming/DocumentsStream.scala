@@ -212,6 +212,15 @@ object DocumentsStream {
   def minhashSignatureUpdates(docs: DataFrame, nHashes: Int = 8): DataFrame =
     graft.ext.Dedup.minhashSignaturesTyped(docs, "text", "doc_id", nHashes)
 
+  /** Run-collapse normalization at ingest (q152's transform applied
+    * where a pipeline actually wants it — before anything downstream
+    * sees the raw text): the keep rule is position-local within one
+    * document, so the rewrite is a stateless per-batch map and a
+    * single-pass stream output is row-identical to the batch operator
+    * (StreamingSpec-pinned). */
+  def runCollapseUpdates(docs: DataFrame, maxRun: Int = 2): DataFrame =
+    graft.ext.TextAnalysis.collapseTokenRuns(docs, "text", "doc_id", maxRun)
+
   /** Append-only maintenance of the DSIR hashed-bigram profile (q133's
     * session artifact): `(doc, bucket, c)` counts are a pure per-document
     * function, so each micro-batch appends its docs' rows statelessly.

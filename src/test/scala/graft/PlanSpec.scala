@@ -202,6 +202,35 @@ class PlanSpec extends AnyFunSuite {
     assert(n > 0 && n == docs.where(col("lang") === "en").count())
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // The runtime counterpart of the static PartitionFilters assertion
+    // above: the fact's partition-column predicate is NOT in the query —
+    // it exists only as a filter on the joined dim — so pruning can only
+    // happen via DPP (the dim's broadcast result re-used as a
+    // dynamicpruning subquery inside the fact scan's PartitionFilters).
+    // At 100 TB this is the star-join scan killer: the fact reads only
+    // the partitions the filtered dim can possibly match.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dpp_fact").toString
+    val fact = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.sink.Sinks.writePartitioned(fact, dir, Seq("lang"))
+    // the dim must be a real scan (a LocalRelation's filter constant-
+    // folds away, and DPP requires a selective predicate on the build
+    // side to survive into the optimized plan)
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp_dim").toString
+    Seq(("en", 1L), ("fr", 2L), ("es", 3L)).toDF("lang", "grp")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = spark.read.parquet(dir)
+      .join(dim.where(col("grp") === 1L), "lang")
+    val expected = fact.where(col("lang") === "en").count()
+    assert(joined.count() == expected && expected > 0)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"fact scan has no dynamicpruning PartitionFilter:\n$p")
+  }
+
   test("bucketed tables join with zero exchange (co-located join)") {
     // Pre-clean: a previous JVM killed mid-test leaves managed-table
     // files under the persistent warehouse dir, which would fail

@@ -344,6 +344,22 @@ class StreamingSpec extends AnyFunSuite {
   }
 
 
+  test("streaming run-collapse at ingest equals the batch q152 transform") {
+    import graft.streaming.DocumentsStream
+    val dir = java.nio.file.Files.createTempDirectory("docs_runcollapse")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+    docs.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val updates = DocumentsStream.runCollapseUpdates(
+      DocumentsStream.readDocuments(spark, dir.toString, Some(1)))
+    runAvailableNow(updates, "runcollapse_appends", OutputMode.Append())
+    val streamed = spark.table("runcollapse_appends")
+      .collect().map(_.toSeq.toList).toSet
+    val batch = graft.ext.TextAnalysis.collapseTokenRuns(docs, "text", "doc_id")
+      .collect().map(_.toSeq.toList).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming MinHash signature maintenance equals the batch signatures (append-only)") {
     import graft.streaming.DocumentsStream
     val dir = java.nio.file.Files.createTempDirectory("docs_minhash")
