@@ -16,6 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** Trained BPE merge list shared by q153 (the merge table) and q154
+    * (the corpus encode): one collect of the CAPPED word-frequency head
+    * (top-1000 — model-sized by construction), then the pure driver
+    * training loop. The corpus-scale work is the session `tok_counts`
+    * artifact both queries already ride. */
+  private def bpeMerges(s: SparkSession, d: String): Seq[graft.ext.Bpe.Merge] = {
+    val wf = ExtQueries.docTokenCounts(s, d)
+      .orderBy(col("cnt").desc, col("token")).limit(1000)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.ext.Bpe.trainMerges(wf, 8)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Point-in-time attribution: each purchase joined to the user's most
@@ -365,6 +377,44 @@ object PipelineQueries {
             .groupBy(col("tok_a"), col("tok_b")).agg(sum(col("n")).as("n")), 50)
         .orderBy(col("rank"))),
 
+    // Full iterative BPE tokenizer TRAINING (Sennrich et al. 2016) —
+    // q82's single-step pair statistics run to completion: 8 merge
+    // rounds over the word-frequency table (the session tok_counts
+    // artifact capped to the top-1000 words — model-sized driver state,
+    // the centroid discipline; cap is CONTRACT, oracle-mirrored).
+    // Deterministic total order per round (count desc, pair asc); the
+    // oracle replays the identical loop as 8 unrolled SQL iterations
+    // over guarded-string segmentations.
+    "q153_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      val merges = bpeMerges(s, d)
+      merges.map(m => (m.rank, m.symA, m.symB, m.pairCount))
+        .toDF("rank", "sym_a", "sym_b", "pair_count")
+        .orderBy(col("rank"))
+    }),
+
+    // Corpus ENCODE under the trained merges: the tokenize step of the
+    // pipeline. Merges bake into the plan as a chain of codegen'd
+    // replace() calls over each token's guarded char segmentation —
+    // scan-speed, no lookup table, unseen words encode by rule. Output:
+    // per-source encoded token mass + the chars-per-symbol compression
+    // the tokenizer achieves (the number a tokenizer build is judged
+    // by), integer-exact in ppm.
+    "q154_bpe_encode" -> ((s, d) => {
+      val merges = bpeMerges(s, d)
+      graft.queries.ExtQueries.docSourceTokenCounts(s, d)
+        .withColumn("n_syms",
+          graft.ext.Bpe.encodedLenCol(col("token"), merges).cast("long"))
+        .withColumn("n_ch", length(col("token")).cast("long"))
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          sum(col("cnt") * col("n_ch")).as("n_chars"),
+          sum(col("cnt") * col("n_syms")).as("n_bpe_tokens"))
+        .withColumn("compression_ppm",
+          expr("(1000000 * n_bpe_tokens) div n_chars"))
+        .orderBy(col("source"))
+    }),
+
     // Salted fact⋈dim join (skew lever for forced-shuffle plans): salt
     // disappears before the aggregate, so the result is exactly the
     // plain join's — which is what the oracle checks.
@@ -603,6 +653,36 @@ object PipelineQueries {
        |u AS (SELECT doc_id, t, unnest(t) w, generate_subscripts(t, 1) i FROM tok),
        |g AS (SELECT DISTINCT doc_id, w || ' ' || t[i+1] || ' ' || t[i+2] s
        |      FROM u WHERE i + 2 <= len(t))""".stripMargin
+
+  /** Unrolled SQL twin of the BPE training loop: s0 = guarded char
+    * segmentations of the capped word-frequency head; each round i
+    * extracts adjacent symbol pairs, picks the (count desc, pair asc)
+    * winner b{i}, and rewrites segmentations with the contract's single
+    * non-overlapping replace. Shared by the q153 and q154 oracles so
+    * the training they verify cannot drift. */
+  private def bpeTrainSql(rounds: Int): String = {
+    val base =
+      s"""${ExtQueries.tokCte},
+         |pp AS (SELECT unnest(t) token FROM tok),
+         |wf AS (SELECT token, CAST(count(*) AS BIGINT) cnt FROM pp
+         |       GROUP BY 1 ORDER BY cnt DESC, token LIMIT 1000),
+         |s0 AS MATERIALIZED (SELECT token, cnt,
+         |         ' ' || array_to_string(string_split(token, ''), ' ') || ' ' seg
+         |       FROM wf)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""p$i AS (SELECT t.cnt, t.sym[j.j] a, t.sym[j.j + 1] b
+         |  FROM (SELECT cnt, string_split(trim(seg), ' ') sym FROM s${i - 1}) t,
+         |  LATERAL (SELECT unnest(generate_series(1, len(t.sym) - 1)) j) j),
+         |c$i AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) n FROM p$i GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT a, b, n FROM c$i ORDER BY n DESC, a, b LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT token, cnt,
+         |  replace(seg,
+         |    ' ' || (SELECT a FROM b$i) || ' ' || (SELECT b FROM b$i) || ' ',
+         |    ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') seg
+         |  FROM s${i - 1})""".stripMargin
+    }
+    (base +: iters).mkString(",\n")
+  }
 
   val oracles: Map[String, String] = Map(
 
@@ -1074,6 +1154,48 @@ object PipelineQueries {
          |SELECT CAST(row_number() OVER (ORDER BY n DESC, tok_a, tok_b) AS INT) AS rank,
          |  tok_a, tok_b, n
          |FROM f QUALIFY rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q153_bpe_train" -> {
+      val rows = (1 to 8).map(i =>
+        s"SELECT CAST($i AS INT) AS rank, a AS sym_a, b AS sym_b, n AS pair_count FROM b$i")
+        .mkString("\n  UNION ALL ")
+      s"""${bpeTrainSql(8)}
+         |SELECT rank, sym_a, sym_b, pair_count FROM (
+         |  $rows)
+         |ORDER BY rank""".stripMargin
+    },
+
+    "q154_bpe_encode" -> {
+      // encode ALL distinct corpus tokens (not just the capped training
+      // head) under the trained merges — e0..e8 is the same replace
+      // chain the Spark plan bakes in.
+      val encodeChain = (1 to 8).map { i =>
+        s"""e$i AS MATERIALIZED (SELECT token,
+           |  replace(seg,
+           |    ' ' || (SELECT a FROM b$i) || ' ' || (SELECT b FROM b$i) || ' ',
+           |    ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') seg
+           |  FROM e${i - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""${bpeTrainSql(8)},
+         |allw AS (SELECT DISTINCT token FROM pp),
+         |e0 AS MATERIALIZED (SELECT token,
+         |         ' ' || array_to_string(string_split(token, ''), ' ') || ' ' seg
+         |       FROM allw),
+         |$encodeChain,
+         |wl AS (SELECT token,
+         |         CAST(len(string_split(trim(seg), ' ')) AS BIGINT) n_syms
+         |       FROM e8),
+         |src AS (SELECT d.source, p.token
+         |        FROM (SELECT doc_id, unnest(t) token FROM tok) p
+         |        JOIN documents d USING (doc_id)),
+         |agg AS (SELECT source, CAST(count(*) AS BIGINT) n_tokens,
+         |          CAST(sum(length(token)) AS BIGINT) n_chars,
+         |          CAST(sum(n_syms) AS BIGINT) n_bpe_tokens
+         |        FROM src JOIN wl USING (token) GROUP BY 1)
+         |SELECT source, n_tokens, n_chars, n_bpe_tokens,
+         |  (1000000 * n_bpe_tokens) // n_chars AS compression_ppm
+         |FROM agg ORDER BY source""".stripMargin
+    },
 
     "q83_salted_join" ->
       """SELECT n_name, count(*) AS n_items,

@@ -362,6 +362,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("dup_ppm") == 500000L && r.getAs[Long]("top_ppm") == 500000L)
   }
 
+  test("BPE: training learns the frequency-ordered merges and encode applies them") {
+    import graft.ext.Bpe
+    // classic toy vocab: "lo" wins round 1 (9+4+3 weighted), then "low".
+    val wf = Seq(("low", 9L), ("lower", 4L), ("lowest", 3L), ("newer", 5L))
+    val merges = Bpe.trainMerges(wf, 3)
+    assert(merges.map(m => (m.symA, m.symB)) == Seq(("l", "o"), ("lo", "w"), ("e", "r")))
+    assert(merges.head.pairCount == 16L)        // 9 + 4 + 3
+    assert(merges(2).pairCount == 9L)           // lower(4) + newer(5)
+    // encode via the same applyMerge chain: unseen word still encodes
+    val seg = merges.foldLeft(Bpe.guardedSeg("lowered"))((s, m) =>
+      Bpe.applyMerge(s, m.symA, m.symB))
+    assert(seg.trim.split(" ").toSeq == Seq("low", "er", "e", "d"))
+    // contract: single non-overlapping pass over the guarded string —
+    // occurrences separated by another symbol both merge, but abutting
+    // occurrences (which share a guard space) merge only the first
+    // (identical to SQL replace(); canonical BPE would merge both)
+    assert(Bpe.applyMerge(Bpe.guardedSeg("abcab"), "a", "b").trim == "ab c ab")
+    assert(Bpe.applyMerge(Bpe.guardedSeg("abab"), "a", "b").trim == "ab a b")
+    assert(Bpe.applyMerge(Bpe.guardedSeg("aaa"), "a", "a").trim == "aa a")
+    assert(Bpe.trainMerges(Seq.empty, 5).isEmpty)
+    assert(Bpe.trainMerges(Seq(("x", 7L)), 5).isEmpty) // 1-char word: no pairs
+  }
+
   test("collapseTokenRuns: runs truncate to 2 keeping first; shorter runs untouched") {
     import spark.implicits._
     import graft.ext.TextAnalysis
