@@ -377,6 +377,37 @@ object PipelineQueries {
             .groupBy(col("tok_a"), col("tok_b")).agg(sum(col("n")).as("n")), 50)
         .orderBy(col("rank"))),
 
+    // Rank-ensemble quality filter (the DataComp/Dolma-style multi-
+    // signal blend): three independent per-doc signals — integer
+    // quality score, Gopher dup-bigram ppm, token length — each ranked
+    // WITHIN ITS LANGUAGE (signals aren't comparable across languages,
+    // and the per-lang window is the shardable shape: no global sort),
+    // then blended by integer rank sum; top-5 per language survive.
+    // Rank-blending needs no signal normalization — exactly why
+    // production filters ensemble ranks, not raw scores.
+    "q155_quality_ensemble" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val prof = ExtQueries.docProfile(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("quality"), col("n_tokens").cast("long").as("n_tokens"))
+      val rep = TextAnalysis.repetitionProfile(
+          Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("dup_ppm"))
+      def w(first: org.apache.spark.sql.Column) =
+        Window.partitionBy(col("lang")).orderBy(first, col("doc_id"))
+      prof.join(rep, "doc_id")
+        .withColumn("r_q", row_number().over(w(col("quality").desc)))
+        .withColumn("r_rep", row_number().over(w(col("dup_ppm"))))
+        .withColumn("r_len", row_number().over(w(col("n_tokens").desc)))
+        .withColumn("sum_rank",
+          (col("r_q") + col("r_rep") + col("r_len")).cast("long"))
+        .withColumn("rank", row_number().over(w(col("sum_rank"))))
+        .where(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("doc_id"), col("quality"),
+          col("dup_ppm"), col("n_tokens"), col("sum_rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // Full iterative BPE tokenizer TRAINING (Sennrich et al. 2016) —
     // q82's single-step pair statistics run to completion: 8 merge
     // rounds over the word-frequency table (the session tok_counts
@@ -1154,6 +1185,34 @@ object PipelineQueries {
          |SELECT CAST(row_number() OVER (ORDER BY n DESC, tok_a, tok_b) AS INT) AS rank,
          |  tok_a, tok_b, n
          |FROM f QUALIFY rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q155_quality_ensemble" ->
+      s"""${ExtQueries.tokCte},
+         |base AS (SELECT d.doc_id, d.lang,
+         |           CAST(len(t) AS BIGINT) n_tokens,
+         |           ${ExtQueries.qualitySql} quality
+         |         FROM tok JOIN documents d USING (doc_id)),
+         |u AS (SELECT doc_id, t, unnest(t) w2, generate_subscripts(t, 1) i
+         |      FROM tok),
+         |g AS (SELECT doc_id, w2 || ' ' || t[i + 1] g FROM u WHERE i < len(t)),
+         |cnt AS (SELECT doc_id, g, count(*) c FROM g GROUP BY 1, 2),
+         |rep AS (SELECT doc_id,
+         |          CAST((1000000 * (sum(c) - count(*))) // sum(c) AS BIGINT) dup_ppm
+         |        FROM cnt GROUP BY doc_id),
+         |j AS (SELECT b.doc_id, b.lang, b.quality, rep.dup_ppm, b.n_tokens
+         |      FROM base b JOIN rep USING (doc_id)),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) r_q,
+         |    row_number() OVER (PARTITION BY lang ORDER BY dup_ppm, doc_id) r_rep,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id) r_len
+         |  FROM j),
+         |f AS (SELECT doc_id, lang, quality, dup_ppm, n_tokens,
+         |        CAST(r_q + r_rep + r_len AS BIGINT) sum_rank FROM r),
+         |t2 AS (SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY sum_rank, doc_id)
+         |      AS INT) rank FROM f)
+         |SELECT lang, rank, doc_id, quality, dup_ppm, n_tokens, sum_rank
+         |FROM t2 WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "q153_bpe_train" -> {
       val rows = (1 to 8).map(i =>

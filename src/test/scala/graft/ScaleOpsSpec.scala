@@ -18,6 +18,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // The runtime half of the skew story (q104 detects, q143 plans the
+    // salt, q83 salts by hand): one hot key owns ~200k of 210k left
+    // rows, so its shuffle partition dwarfs the median and AQE's skew
+    // handler must split it — visible as skew=true on the SMJ in the
+    // final adaptive plan. Thresholds are lowered to make the local
+    // fixture register as skewed; on a real cluster the defaults (256MB)
+    // play the same role.
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.get(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(0, 210000L)
+        .select(when(col("id") < 200000L, lit(7L)).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val right = spark.range(0, 1000L).select(col("id").as("k"), lit("d").as("tag"))
+      val joined = left.join(right, "k")
+      // materialize THIS QueryExecution (count() would spawn its own,
+      // leaving this one's adaptive plan un-executed and skew-free),
+      // then assert on its final adaptive plan
+      val n = joined.queryExecution.toRdd.count()
+      // only the hot key lands in the right side's [0, 1000) key range
+      assert(n == 200000L)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed partition:\n${p.take(4000)}")
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("bucketed tables equi-join without a shuffle exchange") {
     val members = MemberCatalog.members(spark, sf)
     val children = members.where(col("PARENT_UNIQUE_NAME").isNotNull)
