@@ -212,4 +212,43 @@ class PipelinePropertySpec extends AnyFunSuite {
       assert(allocSum + rem == budget, s"seed $seed budget not conserved")
     }
   }
+
+  test("BPE: every merge chain partitions the word; round-1 winner is the brute argmax") {
+    import graft.ext.Bpe
+    val rnd = new scala.util.Random(424242)
+    for (trial <- 1 to 25) {
+      // small alphabet + short words force heavy pair collisions,
+      // ties, and abutting self-pairs (the contract's edge case)
+      val vocab = (1 to 12).map { _ =>
+        val w = (1 to (2 + rnd.nextInt(5)))
+          .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+        (w, 1L + rnd.nextInt(9))
+      }.distinct
+      val merges = Bpe.trainMerges(vocab, 6)
+      // invariant: a segmentation is a PARTITION of the word — applying
+      // the chain to any word (trained or unseen) concatenates back
+      val unseen = Seq("abcd", "dcba", "aaaa", "x")
+      (vocab.map(_._1) ++ unseen).foreach { w =>
+        val seg = merges.foldLeft(Bpe.guardedSeg(w))((s, m) =>
+          Bpe.applyMerge(s, m.symA, m.symB))
+        assert(seg.trim.split(" ").filter(_.nonEmpty).mkString == w,
+          s"trial $trial: chain broke word '$w' -> '$seg'")
+      }
+      // round 1 must pick the brute-force (count desc, pair asc) argmax
+      // over adjacent CHAR pairs weighted by frequency
+      if (merges.nonEmpty) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (w, f) =>
+          w.sliding(2).filter(_.length == 2).foreach { p =>
+            val k = (p(0).toString, p(1).toString)
+            counts(k) = counts.getOrElse(k, 0L) + f
+          }
+        }
+        val ((ea, eb), en) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        val m1 = merges.head
+        assert((m1.symA, m1.symB, m1.pairCount) == ((ea, eb, en)),
+          s"trial $trial: round-1 merge ${(m1.symA, m1.symB, m1.pairCount)} != brute ${(ea, eb, en)}")
+      }
+    }
+  }
 }
