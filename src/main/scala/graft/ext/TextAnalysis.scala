@@ -587,6 +587,26 @@ object TextAnalysis {
       .toDF("doc", "pos", "token")
   }
 
+  /** Proximity (slop) search over the positional postings — the tsquery
+    * `a <-> b` generalized to `a <N> b` / Lucene PhraseQuery-with-slop:
+    * per doc, ordered occurrence pairs of the two terms at token
+    * distance 1..`slop`, counted with the tightest gap kept. Like
+    * [[phraseHits]] the probe touches ONLY the two terms' posting
+    * lists (term-pruned legs), never the corpus; the per-doc pair
+    * expansion is bounded by the terms' within-doc frequencies. */
+  def proximityHits(posPostings: DataFrame, termA: String, termB: String,
+                    slop: Int): DataFrame = {
+    require(slop >= 1, "slop must be >= 1")
+    val a = posPostings.where(col("token") === termA)
+      .select(col("doc"), col("pos").cast("long").as("pa"))
+    val b = posPostings.where(col("token") === termB)
+      .select(col("doc"), col("pos").cast("long").as("pb"))
+    a.join(b, Seq("doc"))
+      .where(col("pb") > col("pa") && col("pb") - col("pa") <= slop)
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pb") - col("pa")).as("min_gap"))
+  }
+
   /** Corpus vocabulary head: the k most frequent tokens with total
     * occurrence count and document frequency — the Zipf-head inspection
     * every corpus audit starts with (and the stopword/boilerplate

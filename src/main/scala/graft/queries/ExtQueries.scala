@@ -476,6 +476,17 @@ object ExtQueries {
         .select(col("doc").as("doc_id"), col("n_hits"))
         .orderBy(col("n_hits").desc, col("doc_id")).limit(20)),
 
+    // Proximity search: 'table' within 3 tokens BEFORE-to-AFTER of
+    // 'scan' (tsquery a <N> b / PhraseQuery slop) — q146's exact-phrase
+    // probe relaxed to a bounded gap; same term-pruned posting legs,
+    // tightest gap reported.
+    "q156_proximity_search" -> ((s, d) =>
+      TextAnalysis.proximityHits(
+          TextAnalysis.tokenPosRows(Tables.documents(s, d), "text", "doc_id"),
+          "table", "scan", 3)
+        .select(col("doc").as("doc_id"), col("n_hits"), col("min_gap"))
+        .orderBy(col("n_hits").desc, col("doc_id")).limit(20)),
+
     // Multimodal decode: REAL container parsing — each document is
     // encoded as an actual PNG/BMP/GIF file (by doc_id mod 3) and the
     // decode reads dimensions/format/payload from the bytes alone; the
@@ -1275,6 +1286,19 @@ object ExtQueries {
          |        i -> t[i] = 'table' AND t[i+1] = 'scan')) AS BIGINT) n_hits
          |      FROM tok)
          |SELECT doc_id, n_hits FROM h WHERE n_hits > 0
+         |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q156_proximity_search" ->
+      s"""$tokCte,
+         |u AS (SELECT doc_id, unnest(t) w, generate_subscripts(t, 1) i FROM tok),
+         |a AS (SELECT doc_id, i pa FROM u WHERE w = 'table'),
+         |b AS (SELECT doc_id, i pb FROM u WHERE w = 'scan'),
+         |h AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) n_hits,
+         |        CAST(min(pb - pa) AS BIGINT) min_gap
+         |      FROM a JOIN b ON a.doc_id = b.doc_id
+         |        AND b.pb > a.pa AND b.pb - a.pa <= 3
+         |      GROUP BY 1)
+         |SELECT doc_id, n_hits, min_gap FROM h
          |ORDER BY n_hits DESC, doc_id LIMIT 20""".stripMargin,
 
     "q49_fts_inverted" ->

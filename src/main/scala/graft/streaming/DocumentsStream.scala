@@ -16,6 +16,8 @@ final case class RegState(r: Int)
 final case class RegUpdate(g: String, bucket: Int, r: Int)
 final case class CmsState(n: Long)
 final case class CmsUpdate(j: Int, bucket: Int, n: Long)
+final case class PsiBinState(n: Long)
+final case class PsiBinUpdate(bin: Long, n: Long)
 
 /** First claimer of an LSH band bucket (streaming near-dup state; one
   * long per distinct bucket) and the match event a later collision
@@ -107,6 +109,34 @@ object DocumentsStream {
           val n = state.getOption.map(_.n).getOrElse(0L) + it.size
           state.update(CmsState(n))
           CmsUpdate(j, bucket, n)
+      }
+  }
+
+  /** Streaming drift-monitor registers — the incremental half of the
+    * q119 PSI audit: the CURRENT population's histogram is maintained
+    * per arriving document against FROZEN reference bin edges (`gmin`,
+    * `binWidth` are deployment constants — in production the reference
+    * histogram is a calibrated artifact; q119's in-query min/max IS
+    * that calibration run). Out-of-range values clamp into the edge
+    * bins (a frozen range must absorb drifted tails, never drop them).
+    * State is one long per occupied bin (≤ `nBins`); the PSI itself
+    * stays query-time register math over (maintained cur counts, frozen
+    * ref counts) — exactly the HLL/CMS register-maintenance contract. */
+  def psiBinUpdates(spark: SparkSession, docs: DataFrame, valueCol: String,
+                    gmin: Long, binWidth: Long,
+                    nBins: Int = 64): Dataset[PsiBinUpdate] = {
+    import spark.implicits._
+    require(binWidth >= 1 && nBins >= 2)
+    docs.select(
+        expr(s"least(greatest((CAST($valueCol AS BIGINT) - $gmin) div $binWidth," +
+          s" CAST(0 AS BIGINT)), CAST(${nBins - 1} AS BIGINT))").as("bin"))
+      .as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[PsiBinState, PsiBinUpdate](GroupStateTimeout.NoTimeout()) {
+        case (bin, it, state: GroupState[PsiBinState]) =>
+          val n = state.getOption.map(_.n).getOrElse(0L) + it.size
+          state.update(PsiBinState(n))
+          PsiBinUpdate(bin, n)
       }
   }
 

@@ -333,6 +333,19 @@ class ExtSpec extends AnyFunSuite {
     assert(segs.map(_._3.length).toSeq == Seq(256, body.length - 256))
   }
 
+  test("proximityHits: ordered pairs within slop only; tightest gap reported") {
+    val docs = Seq(
+      (1L, "alpha x beta"),          // gap 2: within slop 3
+      (2L, "alpha x y z beta"),      // gap 4: outside slop
+      (3L, "beta alpha"),            // wrong order: no hit
+      (4L, "alpha beta alpha x beta") // pairs: (1,2) g1, (1,5) g4✗, (3,5) g2 -> 2 hits, min 1
+    ).toDF("doc_id", "text")
+    val pos = TextAnalysis.tokenPosRows(docs, "text", "doc_id")
+    val got = TextAnalysis.proximityHits(pos, "alpha", "beta", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1L, 2L)), 4L -> ((2L, 1L))))
+  }
+
   test("phraseHits: consecutive-only matches, overlapping repeats, multi-word") {
     val docs = Seq(
       (1L, "alpha beta gamma alpha beta"),  // "alpha beta" twice

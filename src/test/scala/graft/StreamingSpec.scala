@@ -1,6 +1,7 @@
 package graft
 
 import graft.streaming.EventsStream
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.scalatest.funsuite.AnyFunSuite
@@ -286,6 +287,46 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
     assert(streamed.nonEmpty && streamed == batch)
   }
+  test("streaming PSI bin registers equal the batch histogram (q119 bin formula)") {
+    import graft.streaming.DocumentsStream
+    val dir = java.nio.file.Files.createTempDirectory("docs_psi")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    // "cur" population = odd doc ids (q119's split), streamed in two
+    // batches; bin edges frozen from the full corpus like a calibrated
+    // reference artifact
+    val Row(gmin: Long, gmax: Long) =
+      docs.agg(min(col("n_chars")), max(col("n_chars"))).head()
+    val w = math.max((gmax - gmin + 63) / 64, 1L)
+    val cur = docs.where(col("doc_id") % 2 === 1)
+    val (a, bHalf) = (cur.where(col("doc_id") % 4 === 1),
+      cur.where(col("doc_id") % 4 === 3))
+    def dump(name: String, mtime: Long, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs_part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    dump("b1.parquet", 1000000L, a)
+    dump("b2.parquet", 2000000L, bHalf)
+    val updates = DocumentsStream.psiBinUpdates(spark,
+      DocumentsStream.readDocuments(spark, dir.toString, Some(1)),
+      "n_chars", gmin, w)
+    runAvailableNow(updates.toDF(), "psi_regs", OutputMode.Update())
+    val streamed = spark.table("psi_regs")
+      .groupBy(col("bin")).agg(max(col("n")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = cur
+      .select(expr(s"least(greatest((CAST(n_chars AS BIGINT) - $gmin) div $w," +
+        " CAST(0 AS BIGINT)), CAST(63 AS BIGINT))").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming postings maintenance equals the batch inverted index (append-only)") {
     import graft.streaming.DocumentsStream
     val dir = java.nio.file.Files.createTempDirectory("docs_postings")
