@@ -308,6 +308,116 @@ object Multimodal {
     }.toDF("doc", "simhash")
   }
 
+  // ---- audio: real RIFF/WAVE container codec + sample extraction ----
+
+  private def putLEShort(buf: Array[Byte], off: Int, v: Int): Unit = {
+    buf(off) = v.toByte; buf(off + 1) = (v >>> 8).toByte
+  }
+
+  /** Real WAV container (RIFF/WAVE, PCM): "RIFF" + riff size + "WAVE",
+    * canonical 16-byte "fmt " chunk (format 1 = PCM, mono, 16-bit,
+    * little-endian byte rate / block align per spec), "data" chunk with
+    * the samples as signed 16-bit LE. Every field is exactly per the
+    * WAVE format spec, so any RIFF chunk walker reads this file and
+    * [[parseWav]] reads any real mono-PCM WAV's samples. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+    putLE(out, 4, 36 + dataLen)
+    "WAVE".getBytes("US-ASCII").copyToArray(out, 8)
+    "fmt ".getBytes("US-ASCII").copyToArray(out, 12)
+    putLE(out, 16, 16)                    // fmt chunk size
+    putLEShort(out, 20, 1)                // PCM
+    putLEShort(out, 22, 1)                // mono
+    putLE(out, 24, sampleRate)
+    putLE(out, 28, sampleRate * 2)        // byte rate
+    putLEShort(out, 32, 2)                // block align
+    putLEShort(out, 34, 16)               // bits per sample
+    "data".getBytes("US-ASCII").copyToArray(out, 36)
+    putLE(out, 40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      putLEShort(out, 44 + i * 2, samples(i) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  private def leSShort(b: Array[Byte], off: Int): Short =
+    ((b(off) & 0xff) | (b(off + 1) << 8)).toShort
+
+  /** Parse a real WAV: RIFF/WAVE magic, then walk the chunk chain —
+    * require a PCM mono 16-bit "fmt " chunk before "data" (other chunk
+    * types are skipped per the RIFF contract: readers ignore chunks
+    * they don't know). Truncated or non-PCM payloads → None. */
+  def parseWav(p: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (p.length < 44 || !isType(p, 0, "RIFF") || !isType(p, 8, "WAVE"))
+      return None
+    var off = 12
+    var rate = -1
+    while (off + 8 <= p.length) {
+      val len = leInt(p, off + 4)
+      if (len < 0 || off + 8 + len > p.length) return None
+      if (isType(p, off, "fmt ")) {
+        if (len < 16) return None
+        val fmt = leShort(p, off + 8)
+        val ch = leShort(p, off + 10)
+        val bits = leShort(p, off + 22)
+        if (fmt != 1 || ch != 1 || bits != 16) return None
+        rate = leInt(p, off + 12)
+      } else if (isType(p, off, "data")) {
+        if (rate <= 0) return None        // data before fmt: malformed
+        val n = len / 2
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) { samples(i) = leSShort(p, off + 8 + i * 2); i += 1 }
+        return Some((rate, samples))
+      }
+      off += 8 + len + (len & 1)          // RIFF chunks are word-aligned
+    }
+    None
+  }
+
+  /** Wrap the documents table as REAL mono-PCM WAV files: sample i is
+    * the codepoint of text character i (the same codepoint-as-intensity
+    * contract [[blockhashSignatures]] uses), 8 kHz — so an independent
+    * oracle can reconstruct the exact sample stream from the text while
+    * the decode itself sees only RIFF bytes. Empty docs become
+    * zero-sample (still valid) WAVs. */
+  def audioFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        val cps = Option(text).getOrElse("").codePoints().toArray
+        val samples = new Array[Short](cps.length)
+        var i = 0
+        while (i < cps.length) { samples(i) = cps(i).toShort; i += 1 }
+        MediaRecord(id, "audio", encodeWav(8000, samples), source)
+      }.toDF()
+  }
+
+  /** Decode stage for audio: one row per PCM sample, `(media_id, i, v)`
+    * with i 1-based — the long-form stream the declarative fingerprint
+    * pipeline (peak picking, landmark pairing) consumes. Non-WAV or
+    * corrupt payloads emit nothing (garbage never fingerprints). Typed
+    * flatMap at scan speed; the explode stays inside the stage. */
+  def audioSampleRows(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      parseWav(r.payload) match {
+        case None => Iterator.empty
+        case Some((_, samples)) =>
+          samples.iterator.zipWithIndex.map { case (v, i) =>
+            (r.media_id, (i + 1).toLong, v.toInt)
+          }
+      }
+    }.toDF("media_id", "i", "v")
+  }
+
   /** Frame-grain content segments of each VIDEO payload: the decoded GIF
     * data stream split at the same 256-byte sub-block granule [[decode]]
     * counts frames at (frame f = bytes [256f, 256f+256); the trailing

@@ -569,6 +569,94 @@ object AnalyticsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Kneser-Ney interpolated bigram LM scoring (Kneser & Ney 1995;
+    // Chen & Goodman 1999) — the depth twin of q105's Laplace model:
+    // absolute discount D = 0.75 on seen bigrams, with the freed mass
+    // backing off to the CONTINUATION distribution (in how many distinct
+    // contexts does this word appear — the "San Francisco" correction:
+    // 'francisco' is frequent but only ever follows 'san', so its
+    // continuation probability is tiny where a unigram backoff would
+    // overrate it). Continuation counts are Laplace-floored so OOV words
+    // keep a nonzero probability; an unseen CONTEXT scores by the
+    // continuation distribution alone. All model tables are integer
+    // count artifacts (bigram-type counts, fan-out/fan-in type counts,
+    // vocab size); D = 0.75 is exactly representable in binary, the
+    // discounted ratio and interpolation evaluate in a fixed written
+    // order, and the single ln() quantizes to floor(×1000) BEFORE the
+    // per-doc sum — q105's order-independence rule; the documented
+    // ln-parity posture (Sampling.scala DSIR notes) applies.
+    "q158_kn_lm_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairRows = TextAnalysis.tokenPairRows(docs, "text", "doc_id")
+      val lmPairs = graft.ops.TransientCache.persist(
+        ExtQueries.docSourcePairCounts(s, d)
+          .where(col("source") =!= "src0")
+          .groupBy(col("tok_a"), col("tok_b")).agg(sum(col("n")).as("cxy")))
+      val ctx = lmPairs.groupBy(col("tok_a"))
+        .agg(sum(col("cxy")).as("c1"), count(lit(1)).as("n1f"))
+      val cont = lmPairs.groupBy(col("tok_b")).agg(count(lit(1)).as("n1r"))
+      val nn = lmPairs.agg(count(lit(1)).as("n1all"))
+      val vocab = ExtQueries.docSourceTokenCounts(s, d)
+        .where(col("source") =!= "src0")
+        .select(col("token")).distinct().agg(count(lit(1)).as("v"))
+      pairRows
+        .join(lmPairs, Seq("tok_a", "tok_b"), "left")
+        .join(ctx, Seq("tok_a"), "left")
+        .join(cont, Seq("tok_b"), "left")
+        .crossJoin(nn).crossJoin(vocab)
+        .withColumn("lp_q", expr(
+          "CAST(floor(1000 * ln(" +
+            "CASE WHEN c1 IS NULL " +
+            "THEN CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(n1all + v + 1 AS DOUBLE) " +
+            "ELSE greatest(CAST(COALESCE(cxy, 0) AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE) " +
+            "+ 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE) " +
+            "* (CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(n1all + v + 1 AS DOUBLE)) " +
+            "END)) AS BIGINT)"))
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("sum_lp_q"))
+        .select(col("doc").as("doc_id"), col("n_bigrams"), col("sum_lp_q"),
+          expr("CAST(floor(CAST(sum_lp_q AS DOUBLE) / n_bigrams) AS BIGINT)")
+            .as("avg_lp_q"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Entity resolution by blocking + edit distance (Fellegi & Sunter
+    // 1969 record-linkage shape, Newcombe-style blocking): distinct
+    // part names block on their final token, candidate pairs form ONLY
+    // inside a block (never names² — the one structural rule every
+    // 100 TB linkage pipeline lives by), match = codegen'd
+    // levenshtein <= 2, and matched names resolve to entities as
+    // connected components over the match graph (transitive chaining is
+    // the textbook ER caveat and is intentional: the oracle replays it
+    // with a recursive CTE). Canonical entity = the name of the
+    // min-partkey member, deterministic whatever the component
+    // algorithm. Output: one row per distinct name with its entity and
+    // both grains' part counts.
+    "q159_entity_resolution" -> ((s, d) => {
+      val nm = graft.ops.TransientCache.persist(
+        Tables.part(s, d).groupBy(col("p_name"))
+          .agg(min(col("p_partkey")).as("id"), count(lit(1)).as("n_parts")))
+      val blk = nm.select(col("p_name"), col("id"),
+        element_at(split(col("p_name"), " "), -1).as("noun"))
+      val e0 = blk.as("a").join(blk.as("b"),
+          col("a.noun") === col("b.noun") && col("a.id") < col("b.id"))
+        .where(levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
+        .select(col("a.id").as("ida"), col("b.id").as("idb"))
+      val comps = graft.ext.Components.connectedComponentsAuto(e0, "ida", "idb")
+      val lbl = nm.join(comps, nm("id") === comps("node"), "left")
+        .select(col("p_name"), col("id"), col("n_parts"),
+          coalesce(col("comp"), col("id")).as("lbl"))
+      val entity = lbl.join(
+        broadcast(nm.select(col("id").as("lbl"), col("p_name").as("entity"))),
+        Seq("lbl"))
+      val tot = entity.groupBy(col("entity"))
+        .agg(count(lit(1)).as("n_names"), sum(col("n_parts")).as("entity_parts"))
+      entity.join(tot, Seq("entity"))
+        .select(col("p_name"), col("entity"), col("n_parts"),
+          col("n_names"), col("entity_parts"))
+        .orderBy(col("p_name"))
+    }),
+
     // Incremental aggregate maintenance: yesterday's persisted daily
     // aggregate merged with today's delta re-aggregate — the
     // "don't recompute the world" pattern every 100 TB rollup table
@@ -1713,6 +1801,67 @@ object AnalyticsQueries {
          |  CAST(sum(lp_q) AS BIGINT) AS sum_lp_q,
          |  CAST(floor(CAST(sum(lp_q) AS DOUBLE) / count(*)) AS BIGINT) AS avg_lp_q
          |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same CASE structure, operand order and quantization as the Spark
+    // expression — the double arithmetic is IEEE-identical term by term,
+    // and the one ln() rides the documented parity posture.
+    "q158_kn_lm_score" ->
+      s"""${ExtQueries.tokCte},
+         |u AS (SELECT doc_id, t, unnest(t) w, generate_subscripts(t, 1) i FROM tok),
+         |pr AS (SELECT doc_id, w tok_a, t[i+1] tok_b FROM u WHERE i < len(t)),
+         |tr AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+         |lmp AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) cxy
+         |        FROM pr JOIN tr USING (doc_id) GROUP BY 1, 2),
+         |ctx AS (SELECT tok_a, CAST(sum(cxy) AS BIGINT) c1,
+         |          CAST(count(*) AS BIGINT) n1f
+         |        FROM lmp GROUP BY 1),
+         |cont AS (SELECT tok_b, CAST(count(*) AS BIGINT) n1r FROM lmp GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) n1all FROM lmp),
+         |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) v
+         |       FROM u JOIN tr USING (doc_id)),
+         |sc AS (SELECT pr.doc_id,
+         |    CAST(floor(1000 * ln(
+         |      CASE WHEN c1 IS NULL
+         |      THEN CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(n1all + v + 1 AS DOUBLE)
+         |      ELSE greatest(CAST(COALESCE(cxy, 0) AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+         |        + 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
+         |          * (CAST(COALESCE(n1r, 0) + 1 AS DOUBLE) / CAST(n1all + v + 1 AS DOUBLE))
+         |      END)) AS BIGINT) lp_q
+         |  FROM pr LEFT JOIN lmp USING (tok_a, tok_b)
+         |  LEFT JOIN ctx ON pr.tok_a = ctx.tok_a
+         |  LEFT JOIN cont ON pr.tok_b = cont.tok_b
+         |  CROSS JOIN nn CROSS JOIN vv)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(lp_q) AS BIGINT) AS sum_lp_q,
+         |  CAST(floor(CAST(sum(lp_q) AS DOUBLE) / count(*)) AS BIGINT) AS avg_lp_q
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Components via recursive reachability-to-minimum (the q136 oracle
+    // pattern) — an independent algorithm from the Spark union-find /
+    // pointer-jumping path, same labels.
+    "q159_entity_resolution" ->
+      """WITH nm AS (SELECT p_name, min(p_partkey) id,
+        |              CAST(count(*) AS BIGINT) n_parts
+        |            FROM part GROUP BY p_name),
+        |blk AS (SELECT p_name, id, split_part(p_name, ' ', 2) noun FROM nm),
+        |e0 AS (SELECT a.id ida, b.id idb FROM blk a JOIN blk b
+        |       ON a.noun = b.noun AND a.id < b.id
+        |       WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |edges AS (SELECT ida, idb FROM e0 UNION SELECT idb, ida FROM e0),
+        |reach AS (
+        |  WITH RECURSIVE r(id, m) AS (
+        |    SELECT id, id FROM nm
+        |    UNION
+        |    SELECT e.idb, r.m FROM r JOIN edges e ON e.ida = r.id)
+        |  SELECT id, min(m) lbl FROM r GROUP BY id),
+        |ent AS (SELECT r.id, n2.p_name entity
+        |        FROM reach r JOIN nm n2 ON n2.id = r.lbl),
+        |tot AS (SELECT entity, CAST(count(*) AS BIGINT) n_names,
+        |          CAST(sum(n_parts) AS BIGINT) entity_parts
+        |        FROM ent JOIN nm ON nm.id = ent.id GROUP BY 1)
+        |SELECT nm.p_name, ent.entity, nm.n_parts, tot.n_names, tot.entity_parts
+        |FROM nm JOIN ent ON ent.id = nm.id JOIN tot ON tot.entity = ent.entity
+        |ORDER BY nm.p_name""".stripMargin,
 
     "q104_cms_heavy_hitters" ->
       s"""${ExtQueries.tokCte},

@@ -558,6 +558,66 @@ object ExtQueries {
           expr("(1000000 * n_shared) div (n_a + n_b - n_shared)")
             .as("jaccard_ppm"))
         .orderBy("media_a", "media_b")
+    }),
+
+    // Audio near-dup by shared constellation landmarks — the audio leg
+    // of the multimodal dedup trio (image q139, video q150): each doc
+    // becomes a REAL mono-PCM RIFF/WAV (Multimodal.audioFromDocuments),
+    // and the decoded sample stream is fingerprinted with the landmark
+    // scheme of Wang 2003 ("An Industrial-Strength Audio Search
+    // Algorithm") re-expressed declaratively: peak picking is two
+    // window maxima (a sample is a peak iff it beats the previous 4
+    // strictly, the next 4 non-strictly — leftmost-of-plateau dedup —
+    // and sits above the doc mean, `v·n > Σv` integer-exact), and a
+    // landmark is an anchor peak + its next TWO peaks (three values +
+    // both gaps) via lead() over the per-doc peak sequence — bounded
+    // fan-out 1, no self-join at fingerprint time. Two payloads match
+    // iff they share >= 8 distinct landmarks (measured: chance
+    // collisions die by 7 on this corpus, true near-dups sit at 13-55),
+    // with a 50-owner frequency cap per landmark key as CONTRACT (the
+    // oracle applies the same HAVING, q132's cap discipline). The key
+    // is shift-invariant (relative gaps only) so shared audio snippets
+    // match at any offset. At 100 TB the landmark table is the only
+    // thing that shuffles and the pair join never leaves a landmark
+    // bucket.
+    "q157_audio_fingerprint" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val samples = Multimodal.audioSampleRows(
+        Multimodal.audioFromDocuments(Tables.documents(s, d)))
+      val tot = samples.groupBy("media_id")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+      val wPrev = Window.partitionBy("media_id").orderBy("i").rowsBetween(-4, -1)
+      val wNext = Window.partitionBy("media_id").orderBy("i").rowsBetween(1, 4)
+      val peaks = samples
+        .withColumn("pmax", max(col("v")).over(wPrev))
+        .withColumn("nmax", max(col("v")).over(wNext))
+        .join(tot, "media_id")
+        .where(col("v") * col("cnt") > col("sv") &&
+          col("v") > coalesce(col("pmax"), lit(-1)) &&
+          col("v") >= coalesce(col("nmax"), lit(-1)))
+        .select(col("media_id"), col("i"), col("v"))
+      val wp = Window.partitionBy("media_id").orderBy("i")
+      val lands = graft.ops.TransientCache.persist(peaks
+        .withColumn("v2", lead(col("v"), 1).over(wp))
+        .withColumn("i2", lead(col("i"), 1).over(wp))
+        .withColumn("v3", lead(col("v"), 2).over(wp))
+        .withColumn("i3", lead(col("i"), 2).over(wp))
+        .where(col("i3").isNotNull)
+        .select(col("media_id"), col("v").as("v1"), col("v2"), col("v3"),
+          (col("i2") - col("i")).as("dt1"), (col("i3") - col("i2")).as("dt2"))
+        .where(col("dt1").between(1, 64) && col("dt2").between(1, 64))
+        .distinct())
+      val key = Seq("v1", "v2", "v3", "dt1", "dt2")
+      val ok = lands.groupBy(key.map(col): _*)
+        .agg(count(lit(1)).as("nown")).where(col("nown") <= 50)
+        .select(key.map(col): _*)
+      lands.as("a").join(lands.as("b"), key)
+        .where(col("a.media_id") < col("b.media_id"))
+        .join(ok, key, "left_semi")
+        .groupBy(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 8)
+        .orderBy("media_a", "media_b")
     })
   )
 
@@ -1393,6 +1453,44 @@ object ExtQueries {
         |FROM pr
         |JOIN cnt ca ON ca.doc_id = media_a
         |JOIN cnt cb ON cb.doc_id = media_b
+        |ORDER BY media_a, media_b""".stripMargin,
+
+    // The sample stream reconstructs from the generation formula
+    // (sample i = codepoint of text char i); peaks, landmarks, the
+    // 50-owner cap and the >=8 threshold replay the exact integer
+    // protocol of the Spark plan on SQL window functions.
+    "q157_audio_fingerprint" ->
+      """WITH ch AS (
+        |  SELECT doc_id, i, ascii(substr(text, CAST(i AS INT), 1)) v
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) s
+        |  WHERE length(text) > 0),
+        |tot AS (SELECT doc_id, sum(v) sv, count(*) cnt FROM ch GROUP BY doc_id),
+        |pk AS (
+        |  SELECT doc_id, i, v
+        |  FROM ch JOIN tot USING (doc_id)
+        |  QUALIFY v * cnt > sv
+        |    AND v > coalesce(max(v) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), -1)
+        |    AND v >= coalesce(max(v) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN 1 FOLLOWING AND 4 FOLLOWING), -1)),
+        |lm0 AS (
+        |  SELECT doc_id, v v1, i t1,
+        |    lead(i, 1) OVER w i2, lead(v, 1) OVER w v2,
+        |    lead(i, 2) OVER w i3, lead(v, 2) OVER w v3
+        |  FROM pk WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |lands AS (
+        |  SELECT DISTINCT doc_id, v1, v2, v3, i2 - t1 dt1, i3 - i2 dt2
+        |  FROM lm0 WHERE i3 IS NOT NULL
+        |    AND i2 - t1 BETWEEN 1 AND 64 AND i3 - i2 BETWEEN 1 AND 64),
+        |ok AS (SELECT v1, v2, v3, dt1, dt2 FROM lands
+        |  GROUP BY 1, 2, 3, 4, 5 HAVING count(*) <= 50),
+        |pr AS (
+        |  SELECT a.doc_id media_a, b.doc_id media_b, count(*) n_shared
+        |  FROM lands a JOIN lands b USING (v1, v2, v3, dt1, dt2)
+        |  JOIN ok USING (v1, v2, v3, dt1, dt2)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT media_a, media_b, n_shared FROM pr WHERE n_shared >= 8
         |ORDER BY media_a, media_b""".stripMargin,
 
     "q44_frame_sample" ->

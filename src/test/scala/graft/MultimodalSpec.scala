@@ -79,4 +79,104 @@ class MultimodalSpec extends AnyFunSuite {
       assert((fmt, w, h, b.length) == ((f, 1, 1, 0)))
     }
   }
+
+  test("WAV round-trip: rate and signed 16-bit samples from real bytes") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 440, 97)
+    val p = Multimodal.encodeWav(8000, samples)
+    val Some((rate, out)) = Multimodal.parseWav(p)
+    assert(rate == 8000)
+    assert(out.sameElements(samples))
+    // zero samples is still a valid (silent) WAV
+    val Some((_, none)) = Multimodal.parseWav(Multimodal.encodeWav(44100, Array.empty))
+    assert(none.isEmpty)
+  }
+
+  test("WAV chunk walk skips unknown chunks per the RIFF contract") {
+    // splice a LIST chunk (odd length, so word-alignment padding is
+    // exercised too) between fmt and data
+    val base = Multimodal.encodeWav(8000, Array[Short](7, 8, 9))
+    val extra = new Array[Byte](8 + 5 + 1) // header + odd body + pad
+    "LIST".getBytes("US-ASCII").copyToArray(extra, 0)
+    extra(4) = 5 // LE length 5
+    val spliced = base.take(36) ++ extra ++ base.drop(36)
+    // patch the RIFF size field
+    val riffLen = spliced.length - 8
+    spliced(4) = riffLen.toByte; spliced(5) = (riffLen >> 8).toByte
+    spliced(6) = (riffLen >> 16).toByte; spliced(7) = (riffLen >> 24).toByte
+    val Some((rate, out)) = Multimodal.parseWav(spliced)
+    assert(rate == 8000 && out.sameElements(Array[Short](7, 8, 9)))
+  }
+
+  test("WAV parse rejects garbage, truncation, and non-PCM payloads") {
+    val good = Multimodal.encodeWav(8000, Array[Short](1, 2, 3))
+    val nonPcm = good.clone(); nonPcm(20) = 3        // IEEE float format tag
+    val stereo = good.clone(); stereo(22) = 2        // two channels
+    val cases = Seq(
+      Array.empty[Byte],
+      good.take(30),                                 // truncated mid-fmt
+      { val c = good.clone(); c(0) = 'X'.toByte; c },// wrong magic
+      nonPcm, stereo,
+      Multimodal.encodePng(4, 4, Array[Byte](1)))    // a PNG is not a WAV
+    cases.foreach(c => assert(Multimodal.parseWav(c).isEmpty))
+  }
+
+  test("landmark fingerprints are shift-invariant: a shared snippet " +
+    "matches at any offset (the q157 protocol's core property)") {
+    // two "recordings" sharing a melody at different offsets
+    // varied content: repeats would collapse under the landmark
+    // distinct(), so every phrase must mint fresh landmark keys
+    val melody = "the same loud melody RISES and FALLS exactly here " +
+      "Xylophones Quiver Zealously while Jazz Drums THUMP and ring " +
+      "a Golden Trumpet BLARES over Violins Weeping in Minor keys " +
+      "then Cymbals CRASH as the Bass walks Up and Down the scale"
+    val a = "quiet intro then " + melody
+    val b = melody + " and a very different long outro follows this part"
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq((0L, a, "s"), (1L, b, "s"))
+      .toDF("doc_id", "text", "source")
+    val samples = Multimodal.audioSampleRows(Multimodal.audioFromDocuments(docs))
+    // fingerprint both, intersect on the landmark key (v1,v2,v3,dt1,dt2)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val tot = samples.groupBy("media_id")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+    val wPrev = Window.partitionBy("media_id").orderBy("i").rowsBetween(-4, -1)
+    val wNext = Window.partitionBy("media_id").orderBy("i").rowsBetween(1, 4)
+    val peaks = samples
+      .withColumn("pmax", max(col("v")).over(wPrev))
+      .withColumn("nmax", max(col("v")).over(wNext))
+      .join(tot, "media_id")
+      .where(col("v") * col("cnt") > col("sv") &&
+        col("v") > coalesce(col("pmax"), lit(-1)) &&
+        col("v") >= coalesce(col("nmax"), lit(-1)))
+    val wp = Window.partitionBy("media_id").orderBy("i")
+    val lands = peaks
+      .withColumn("v2", lead(col("v"), 1).over(wp))
+      .withColumn("i2", lead(col("i"), 1).over(wp))
+      .withColumn("v3", lead(col("v"), 2).over(wp))
+      .withColumn("i3", lead(col("i"), 2).over(wp))
+      .where(col("i3").isNotNull)
+      .select(col("media_id"), col("v").as("v1"), col("v2"), col("v3"),
+        (col("i2") - col("i")).as("dt1"), (col("i3") - col("i2")).as("dt2"))
+      .distinct()
+    val shared = lands.where(col("media_id") === 0L)
+      .drop("media_id")
+      .intersect(lands.where(col("media_id") === 1L).drop("media_id"))
+    assert(shared.count() >= 8, "offset-shifted shared audio must share landmarks")
+  }
+
+  test("audioSampleRows drops corrupt payloads instead of throwing") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val good = Multimodal.encodeWav(8000, Array[Short](65, 66, 67))
+    val media = Seq(
+      Multimodal.MediaRecord(0L, "audio", good, "s"),
+      Multimodal.MediaRecord(1L, "audio", Array[Byte](1, 2, 3), "s"))
+      .toDF()
+    val rows = Multimodal.audioSampleRows(media)
+      .orderBy("media_id", "i")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSeq == Seq((0L, 1L, 65), (0L, 2L, 66), (0L, 3L, 67)))
+  }
 }
