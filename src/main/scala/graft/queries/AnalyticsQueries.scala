@@ -657,6 +657,58 @@ object AnalyticsQueries {
         .orderBy(col("p_name"))
     }),
 
+    // Full CUBE with grouping_id — the general grouping-sets form (q15
+    // covers the ROLLUP chain): all 8 grouping sets over (returnflag,
+    // linestatus, ship-year) in ONE pass. Spark expands the sets with
+    // Expand over the partial aggregates (map-side combine before the
+    // one shuffle); the integer-quantized quantity keeps every subtotal
+    // bit-exact across engines. gid = the standard GROUPING bit vector
+    // (MSB = leftmost column), so consumers can address any slice.
+    "q160_cube_grouping" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          year(col("l_shipdate")).as("ship_year"),
+          expr("CAST(floor(l_quantity * 100) AS BIGINT)").as("qq"))
+        .cube(col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+        .agg((grouping(col("l_returnflag")) * 4 +
+          grouping(col("l_linestatus")) * 2 + grouping(col("ship_year")))
+          .cast("int").as("gid"),
+          count(lit(1)).as("n_items"), sum(col("qq")).as("qty_q"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("ship_year"),
+          col("gid"), col("n_items"), col("qty_q"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"),
+          col("ship_year"))),
+
+    // CUSUM change-point detection (Page 1954) over the daily event
+    // series: the one-sided cumulative-sum statistic
+    // S_i = max(0, S_{i-1} + (x_i - mean)) — a recursion SQL can't
+    // window directly — re-expressed by the prefix-sum identity
+    // S_i = C_i - min(C_1..C_i), which IS window-expressible and scales
+    // as two running aggregates per series, no self-join. Deviations
+    // are pre-scaled by n (dev = n·x - T) so the mean never divides:
+    // integer-exact end to end. is_peak marks the argmax day — where
+    // the upward level shift is largest (ties break to the earliest
+    // day). Series partition-parallel at any cardinality.
+    "q161_cusum_changepoint" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val st = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("t"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wPk = Window.partitionBy(col("event_type"))
+        .orderBy(col("cusum_q").desc, col("day"))
+      daily.join(st, "event_type")
+        .withColumn("dev", col("n") * col("x") - col("t"))
+        .withColumn("c", sum(col("dev")).over(w))
+        .withColumn("cusum_q", col("c") - min(col("c")).over(w))
+        .withColumn("is_peak",
+          when(row_number().over(wPk) === 1, 1).otherwise(0).cast("int"))
+        .select(col("event_type"), col("day"), col("x").as("n_events"),
+          col("cusum_q"), col("is_peak"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Incremental aggregate maintenance: yesterday's persisted daily
     // aggregate merged with today's delta re-aggregate — the
     // "don't recompute the world" pattern every 100 TB rollup table
@@ -1801,6 +1853,39 @@ object AnalyticsQueries {
          |  CAST(sum(lp_q) AS BIGINT) AS sum_lp_q,
          |  CAST(floor(CAST(sum(lp_q) AS DOUBLE) / count(*)) AS BIGINT) AS avg_lp_q
          |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q160_cube_grouping" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  CAST(grouping(l_returnflag) * 4 + grouping(l_linestatus) * 2
+        |    + grouping(year(l_shipdate)) AS INT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_q
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus, year(l_shipdate))
+        |ORDER BY gid, l_returnflag, l_linestatus, ship_year""".stripMargin,
+
+    "q161_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    CAST(count(*) AS BIGINT) x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+        |         CAST(sum(x) AS BIGINT) t
+        |       FROM daily GROUP BY 1),
+        |dd AS (SELECT d.event_type, day, x, n * x - t AS dev
+        |       FROM daily d JOIN st USING (event_type)),
+        |cs AS (SELECT event_type, day, x,
+        |    CAST(sum(dev) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) c
+        |  FROM dd),
+        |s AS (SELECT event_type, day, x,
+        |    c - min(c) OVER (PARTITION BY event_type ORDER BY day) cusum_q
+        |  FROM cs)
+        |SELECT event_type, day, x AS n_events, cusum_q,
+        |  CAST(CASE WHEN row_number() OVER (PARTITION BY event_type
+        |    ORDER BY cusum_q DESC, day) = 1 THEN 1 ELSE 0 END AS INT) AS is_peak
+        |FROM s ORDER BY event_type, day""".stripMargin,
 
     // Same CASE structure, operand order and quantization as the Spark
     // expression — the double arithmetic is IEEE-identical term by term,
