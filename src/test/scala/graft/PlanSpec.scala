@@ -367,4 +367,39 @@ class PlanSpec extends AnyFunSuite {
       s"interval lookup lowered to a join (pair blow-up shape):\n$p")
     assert(p.contains("Window"), s"no as-of window pass:\n$p")
   }
+
+  test("q157 audio fingerprint: landmark build is window passes, pair join " +
+    "is an equi-join — never a cartesian/BNLJ") {
+    val p = plan("q157_audio_fingerprint")
+    assert(p.contains("Window"), s"no window pass (peak picking lost):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair join left the landmark bucket:\n$p")
+    // the landmark table must materialize ONCE and feed all three
+    // consumers (pair sides a/b + the frequency cap) from cache — the
+    // plan reads InMemoryRelation, not three rebuilds of the sample
+    // stream (the raw exchange count in the printed tree is misleading:
+    // each InMemoryRelation re-prints its build lineage)
+    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+      s"landmark table not materialized for reuse:\n$p")
+  }
+
+  test("q160 cube: grouping sets expand AFTER the partial aggregate, no join") {
+    val p = plan("q160_cube_grouping")
+    assert(p.contains("Expand"), s"no grouping-set Expand:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("Join"), s"cube should be scan+expand+agg only:\n$p")
+  }
+
+  test("q161 CUSUM: running stats are window passes over the daily grain, " +
+    "no self-join, no cartesian") {
+    val p = plan("q161_cusum_changepoint")
+    assert(p.contains("Window"), s"prefix-sum identity lost (no window):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"CUSUM planned a product:\n$p")
+    // the recursion must NOT have been lowered to a range self-join of
+    // the daily series against itself
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).length
+    assert(joins <= 1, s"more than the one stats join:\n$p")
+  }
 }
