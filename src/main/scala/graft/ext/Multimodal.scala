@@ -418,6 +418,88 @@ object Multimodal {
     }.toDF("media_id", "i", "v")
   }
 
+  /** Constellation landmark table (Wang 2003) over a media table of WAV
+    * payloads — the q157 fingerprint, declaratively: peak picking is two
+    * window maxima over the [[audioSampleRows]] stream (strict against
+    * the previous 4 samples, non-strict against the next 4 — leftmost-
+    * of-plateau dedup — and above the doc mean, `v·n > Σv` integer-
+    * exact), a landmark is an anchor peak plus its next TWO peaks
+    * (three values + both gaps, each gap in [1, 64]) via lead() over
+    * the per-doc peak sequence. Output: DISTINCT
+    * `(media_id, v1, v2, v3, dt1, dt2)` rows. Both window passes and
+    * the doc-mean join key on media_id — one partitioning end to end.
+    * [[landmarkKeys]] is the doc-local pure twin (streaming ingest);
+    * their equivalence is StreamingSpec-pinned. */
+  def landmarkTable(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val samples = audioSampleRows(media)
+    val tot = samples.groupBy("media_id")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+    val wPrev = Window.partitionBy("media_id").orderBy("i").rowsBetween(-4, -1)
+    val wNext = Window.partitionBy("media_id").orderBy("i").rowsBetween(1, 4)
+    val peaks = samples
+      .withColumn("pmax", max(col("v")).over(wPrev))
+      .withColumn("nmax", max(col("v")).over(wNext))
+      .join(tot, "media_id")
+      .where(col("v") * col("cnt") > col("sv") &&
+        col("v") > coalesce(col("pmax"), lit(-1)) &&
+        col("v") >= coalesce(col("nmax"), lit(-1)))
+      .select(col("media_id"), col("i"), col("v"))
+    val wp = Window.partitionBy("media_id").orderBy("i")
+    peaks
+      .withColumn("v2", lead(col("v"), 1).over(wp))
+      .withColumn("i2", lead(col("i"), 1).over(wp))
+      .withColumn("v3", lead(col("v"), 2).over(wp))
+      .withColumn("i3", lead(col("i"), 2).over(wp))
+      .where(col("i3").isNotNull)
+      .select(col("media_id"), col("v").as("v1"), col("v2"), col("v3"),
+        (col("i2") - col("i")).as("dt1"), (col("i3") - col("i2")).as("dt2"))
+      .where(col("dt1").between(1, 64) && col("dt2").between(1, 64))
+      .distinct()
+  }
+
+  /** Doc-local landmark extraction — the EXACT [[landmarkTable]]
+    * protocol as a pure function over ONE payload, for the streaming
+    * ingest path (landmarks never cross documents, so per-arrival
+    * extraction is stateless). Returns the distinct landmark keys as
+    * `"v1|v2|v3|dt1|dt2"` strings; non-WAV payloads yield none. */
+  def landmarkKeys(payload: Array[Byte]): Array[String] =
+    parseWav(payload) match {
+      case None => Array.empty
+      case Some((_, samples)) =>
+        val n = samples.length
+        var tot = 0L
+        var i = 0
+        while (i < n) { tot += samples(i); i += 1 }
+        val peakT = new scala.collection.mutable.ArrayBuffer[Int]
+        val peakV = new scala.collection.mutable.ArrayBuffer[Int]
+        i = 0
+        while (i < n) {
+          val v = samples(i).toInt
+          if (v.toLong * n > tot) {
+            var pmax = -1
+            var j = math.max(0, i - 4)
+            while (j < i) { if (samples(j) > pmax) pmax = samples(j); j += 1 }
+            var nmax = -1
+            j = i + 1
+            val hi = math.min(n, i + 5)
+            while (j < hi) { if (samples(j) > nmax) nmax = samples(j); j += 1 }
+            if (v > pmax && v >= nmax) { peakT += (i + 1); peakV += v }
+          }
+          i += 1
+        }
+        val keys = scala.collection.mutable.LinkedHashSet.empty[String]
+        var p = 0
+        while (p + 2 < peakT.length) {
+          val dt1 = peakT(p + 1) - peakT(p)
+          val dt2 = peakT(p + 2) - peakT(p + 1)
+          if (dt1 >= 1 && dt1 <= 64 && dt2 >= 1 && dt2 <= 64)
+            keys += s"${peakV(p)}|${peakV(p + 1)}|${peakV(p + 2)}|$dt1|$dt2"
+          p += 1
+        }
+        keys.toArray
+    }
+
   /** Frame-grain content segments of each VIDEO payload: the decoded GIF
     * data stream split at the same 256-byte sub-block granule [[decode]]
     * counts frames at (frame f = bytes [256f, 256f+256); the trailing

@@ -581,32 +581,9 @@ object ExtQueries {
     // thing that shuffles and the pair join never leaves a landmark
     // bucket.
     "q157_audio_fingerprint" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val samples = Multimodal.audioSampleRows(
-        Multimodal.audioFromDocuments(Tables.documents(s, d)))
-      val tot = samples.groupBy("media_id")
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
-      val wPrev = Window.partitionBy("media_id").orderBy("i").rowsBetween(-4, -1)
-      val wNext = Window.partitionBy("media_id").orderBy("i").rowsBetween(1, 4)
-      val peaks = samples
-        .withColumn("pmax", max(col("v")).over(wPrev))
-        .withColumn("nmax", max(col("v")).over(wNext))
-        .join(tot, "media_id")
-        .where(col("v") * col("cnt") > col("sv") &&
-          col("v") > coalesce(col("pmax"), lit(-1)) &&
-          col("v") >= coalesce(col("nmax"), lit(-1)))
-        .select(col("media_id"), col("i"), col("v"))
-      val wp = Window.partitionBy("media_id").orderBy("i")
-      val lands = graft.ops.TransientCache.persist(peaks
-        .withColumn("v2", lead(col("v"), 1).over(wp))
-        .withColumn("i2", lead(col("i"), 1).over(wp))
-        .withColumn("v3", lead(col("v"), 2).over(wp))
-        .withColumn("i3", lead(col("i"), 2).over(wp))
-        .where(col("i3").isNotNull)
-        .select(col("media_id"), col("v").as("v1"), col("v2"), col("v3"),
-          (col("i2") - col("i")).as("dt1"), (col("i3") - col("i2")).as("dt2"))
-        .where(col("dt1").between(1, 64) && col("dt2").between(1, 64))
-        .distinct())
+      val lands = graft.ops.TransientCache.persist(
+        Multimodal.landmarkTable(
+          Multimodal.audioFromDocuments(Tables.documents(s, d))))
       val key = Seq("v1", "v2", "v3", "dt1", "dt2")
       val ok = lands.groupBy(key.map(col): _*)
         .agg(count(lit(1)).as("nown")).where(col("nown") <= 50)

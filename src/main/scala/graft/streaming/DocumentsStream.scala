@@ -26,6 +26,14 @@ final case class BandClaim(firstDoc: Long)
 final case class BandMatch(band: Int, key: String, doc_id: Long,
                            first_doc: Long)
 
+/** First claimer of an audio landmark key (streaming fingerprint state;
+  * one long per distinct landmark) and the match event a later
+  * collision emits. Top-level + public for Spark's state encoder
+  * codegen. */
+final case class LandmarkClaim(firstMedia: Long)
+final case class LandmarkMatch(key: String, media_id: Long,
+                               first_media: Long)
+
 /** Structured Streaming surface over the `documents` corpus — the
   * incremental ingest shape of the training-data pipeline (documents
   * arrive continuously; dedup must decide per arrival, not per corpus
@@ -321,6 +329,53 @@ object DocumentsStream {
                 state.update(BandClaim(rows.head._3))
                 rows.iterator.drop(1).map(r =>
                   BandMatch(band, key, r._3, rows.head._3))
+              }
+            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            out
+          }
+      }
+  }
+
+  /** Streaming audio-fingerprint matching at ingest — the q157 landmark
+    * protocol per arrival. Landmarks never cross documents, so each
+    * arriving payload fingerprints STATELESSLY with the doc-local pure
+    * twin of the batch window pipeline
+    * ([[graft.ext.Multimodal.landmarkKeys]]; equivalence is pinned by
+    * StreamingSpec against [[graft.ext.Multimodal.landmarkTable]]);
+    * keyed state per landmark key then holds the first claiming media
+    * id, and a later arrival sharing the key emits a match event the
+    * moment it lands. Candidate-grade, like [[lshNearDupAtIngest]]: the
+    * >= 8-shared threshold and the 50-owner boilerplate cap are batch
+    * contracts applied downstream over the maintained landmark table;
+    * this stage is the earliest-possible signal. State is one long per
+    * distinct landmark key; `stateTtl` gives the same sliding-window
+    * eviction contract as streaming exact dedup. */
+  def audioLandmarkMatchesAtIngest(spark: SparkSession, docs: DataFrame,
+                                   stateTtl: Option[java.time.Duration] = None)
+      : Dataset[LandmarkMatch] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    graft.ext.Multimodal.audioFromDocuments(docs)
+      .as[graft.ext.Multimodal.MediaRecord]
+      .flatMap(r => graft.ext.Multimodal.landmarkKeys(r.payload).iterator
+        .map(k => (k, r.media_id)))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LandmarkClaim, LandmarkMatch](
+        OutputMode.Append(), timeoutConf) {
+        case (key, it, state: GroupState[LandmarkClaim]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toArray.sortBy(_._2)
+            val out =
+              if (state.exists)
+                rows.iterator.map(r => LandmarkMatch(key, r._2, state.get.firstMedia))
+              else {
+                state.update(LandmarkClaim(rows.head._2))
+                rows.iterator.drop(1).map(r => LandmarkMatch(key, r._2, rows.head._2))
               }
             stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
             out

@@ -594,4 +594,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == (0 until 4).map(band => (band, 3L, 1L)).toSet,
       s"expected doc 3 to match doc 1 in all bands, got $got")
   }
+
+  test("doc-local landmark extraction equals the batch window pipeline " +
+    "(the q157 streaming-twin equivalence contract)") {
+    import graft.ext.Multimodal
+    import spark.implicits._
+    val media = Multimodal.audioFromDocuments(Tables.documents(spark, sf))
+    val batch = Multimodal.landmarkTable(media)
+      .collect()
+      .map(r => (r.getLong(0),
+        s"${r.get(1)}|${r.get(2)}|${r.get(3)}|${r.get(4)}|${r.get(5)}"))
+      .toSet
+    val local = media.as[Multimodal.MediaRecord]
+      .collect()
+      .flatMap(r => Multimodal.landmarkKeys(r.payload).map(k => (r.media_id, k)))
+      .toSet
+    assert(batch.nonEmpty && local == batch,
+      s"local=${local.size} batch=${batch.size}, " +
+        s"onlyLocal=${(local -- batch).take(3)} onlyBatch=${(batch -- local).take(3)}")
+  }
+
+  test("streaming audio fingerprint flags a cross-batch re-recording " +
+    "against the original the moment it lands") {
+    import graft.streaming.DocumentsStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs_audio_2b")
+    def writeAs(name: String, mtime: Long, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs_part").toString
+      rows.toDF("doc_id", "text", "source").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    // a varied melody (repeats would collapse under the landmark
+    // distinct()) shared at DIFFERENT offsets across the two batches
+    val melody = "the same loud melody RISES and FALLS exactly here " +
+      "Xylophones Quiver Zealously while Jazz Drums THUMP and ring " +
+      "a Golden Trumpet BLARES over Violins Weeping in Minor keys"
+    writeAs("b1.parquet", 1000000L,
+      Seq((1L, "quiet intro then " + melody, "s"),
+          (2L, "totally unrelated content with no shared phrases at all", "s")))
+    writeAs("b2.parquet", 2000000L,
+      Seq((3L, melody + " and a very different long outro follows", "s")))
+    val matches = DocumentsStream.audioLandmarkMatchesAtIngest(spark,
+      DocumentsStream.readDocuments(spark, dir.toString, Some(1)))
+    runAvailableNow(matches.toDF(), "audio_ingest_2b", OutputMode.Append())
+    val got = spark.table("audio_ingest_2b")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // every match pairs the re-recording (doc 3, batch 2) with the
+    // original (doc 1, batch 1); the shared snippet is offset-shifted,
+    // so this is the shift-invariance claim landing cross-batch
+    assert(got.nonEmpty, "no landmark collisions emitted")
+    assert(got.forall(_ == ((3L, 1L))), s"unexpected matches: ${got.distinct.toSeq}")
+    assert(got.length >= 8, s"re-recording shares only ${got.length} landmarks")
+  }
 }
