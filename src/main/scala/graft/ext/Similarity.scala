@@ -66,6 +66,45 @@ object Similarity {
     concat(bits: _*)
   }
 
+  /** Database-friendly random projection ANN (Achlioptas 2003 — the
+    * Johnson–Lindenstrauss lemma's practical ±1 form): project the
+    * 64-dim quantized vectors to `outDims` integer coordinates under
+    * the SAME md5-derived hyperplanes the LSH bucketer uses (the LSH
+    * bit is the 1-bit shadow of this projection — q28 keeps the sign,
+    * this keeps the magnitude), then brute-force cosine top-k in the
+    * PROJECTED space. The projection is exact-integer (±1-weighted sums
+    * of quantized coords), so any engine rebuilds it bit-for-bit; only
+    * the final cosine ranking divides (q27's parity posture). At scale
+    * the projection is a map-side transform that cuts the candidate
+    * scan's bytes by dims/outDims before any pairwise work — the
+    * standard pre-ANN dimensionality cut; q163 audits its recall. */
+  def jlTopK(emb: DataFrame, idCol: String, embCol: String,
+             isQuery: Column, k: Int = 3, outDims: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val dims = 64 // TESTDATA embedding dimensionality
+    val planes = hyperplaneWeights(outDims, dims)
+    val proj = array(planes.map { w =>
+      val wArr = array(w.map(lit(_)): _*)
+      aggregate(zip_with(col("qv"), wArr, (x, ww) => x * ww),
+        lit(0L), (acc, v) => acc + v)
+    }: _*)
+    val withP = emb.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("qv"))
+      .withColumn("pv", proj).drop("qv")
+    val q = withP.where(isQuery)
+      .select(col("vec_id").as("query_id"), col("pv").as("qpv"))
+    val scored = withP.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dotQ(col("qpv"), col("pv")).as("dot"),
+        normQ(col("qpv")).as("nq"), normQ(col("pv")).as("nc"))
+      .withColumn("cos",
+        col("dot").cast("double") / sqrt(col("nq").cast("double") * col("nc").cast("double")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dot"))
+  }
+
   /** Brute-force cosine top-k: every query vector against all candidates
     * (self excluded). Output (query_id, rank, vec_id, dot) — `dot` exact. */
   def bruteForceTopK(emb: DataFrame, idCol: String, embCol: String,

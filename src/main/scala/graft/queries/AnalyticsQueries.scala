@@ -657,6 +657,59 @@ object AnalyticsQueries {
         .orderBy(col("p_name"))
     }),
 
+    // Sorted-neighborhood record linkage (Hernández & Stolfo 1995) —
+    // the OTHER classic ER candidate strategy next to q159's blocking:
+    // sort the names by a clustering key, compare only rank-adjacent
+    // rows (window w = 4 ⇒ 3 lead() pairings per row — comparisons grow
+    // LINEARLY in names, never blocks²), and run MULTIPLE passes with
+    // different keys (noun-first, reversed-name) to close single-key
+    // gaps. Output is the audit, q149's measurement pattern: recall of
+    // the multi-pass candidate set against the exact blocking truth,
+    // plus both methods' comparison counts — the linear-vs-quadratic
+    // tradeoff the algorithm exists to buy. (Single-key recall on this
+    // corpus is 16/24; the second pass closes it to 24/24.) At scale
+    // the rank-adjacent pairing is a range-partitioned sort with w-1
+    // boundary rows replicated per partition — still linear.
+    "q162_sorted_neighbor_er" -> ((s, d) => {
+      val nm = graft.ops.TransientCache.persist(
+        Tables.part(s, d).select(col("p_name")).distinct())
+      val kd = nm.select(col("p_name"),
+        concat_ws(" ", element_at(split(col("p_name"), " "), 2),
+          element_at(split(col("p_name"), " "), 1)).as("k1"),
+        reverse(col("p_name")).as("k2"))
+      def pass(keyCol: String): DataFrame = {
+        val w = Window.orderBy(col(keyCol))
+        kd.withColumn("b1", lead(col("p_name"), 1).over(w))
+          .withColumn("b2", lead(col("p_name"), 2).over(w))
+          .withColumn("b3", lead(col("p_name"), 3).over(w))
+          .select(col("p_name").as("a_name"),
+            explode(array(col("b1"), col("b2"), col("b3"))).as("b"))
+          .where(col("b").isNotNull)
+      }
+      val cand = graft.ops.TransientCache.persist(
+        pass("k1").union(pass("k2")).distinct())
+      val sn = cand.where(levenshtein(col("a_name"), col("b")) <= 2)
+        .select(least(col("a_name"), col("b")).as("name_a"),
+          greatest(col("a_name"), col("b")).as("name_b")).distinct()
+      val blk = nm.select(col("p_name"),
+        element_at(split(col("p_name"), " "), 2).as("noun"))
+      val truth = graft.ops.TransientCache.persist(
+        blk.as("a").join(blk.as("b"),
+            col("a.noun") === col("b.noun") && col("a.p_name") < col("b.p_name"))
+          .where(levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
+          .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b")))
+      val cTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val cTp = sn.join(truth, Seq("name_a", "name_b"))
+        .agg(count(lit(1)).as("n_tp"))
+      val cComp = cand.agg(count(lit(1)).as("n_sn_comparisons"))
+      val cBlk = blk.groupBy(col("noun")).agg(count(lit(1)).as("m"))
+        .agg(sum(expr("m * (m - 1) div 2")).as("n_blk_comparisons"))
+      cTruth.crossJoin(cTp).crossJoin(cComp).crossJoin(cBlk)
+        .select(col("n_truth"), col("n_tp"),
+          expr("(1000000 * n_tp) div n_truth").as("recall_ppm"),
+          col("n_sn_comparisons"), col("n_blk_comparisons"))
+    }),
+
     // Full CUBE with grouping_id — the general grouping-sets form (q15
     // covers the ROLLUP chain): all 8 grouping sets over (returnflag,
     // linestatus, ship-year) in ONE pass. Spark expands the sets with
@@ -762,6 +815,30 @@ object AnalyticsQueries {
         .select(col("query_id"), col("vec_id"))
       val approx = graft.ext.Similarity.ivfTopK(
           emb, "vec_id", "embedding", col("vec_id") < 10, 3, 16, 2)
+        .select(col("query_id"), col("vec_id"))
+      val hits = truth.join(approx, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      truth.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall_ppm", expr("(1000000 * n_hit) div 3"))
+        .orderBy(col("query_id"))
+    }),
+
+    // JL-projection recall audit — q109's pattern for the OTHER
+    // approximate leg: recall@3 of cosine ranking in the Achlioptas
+    // ±1-projected 8-dim space against the full-64-dim brute-force
+    // truth. The projection magnitudes are what q28's LSH bits are the
+    // 1-bit shadow of, so this query also measures how much ranking
+    // signal the dimensionality cut (64→8, 8× fewer candidate bytes)
+    // actually keeps on this corpus.
+    "q163_jl_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val truth = graft.ext.Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", col("vec_id") < 10, 3)
+        .select(col("query_id"), col("vec_id"))
+      val approx = graft.ext.Similarity.jlTopK(
+          emb, "vec_id", "embedding", col("vec_id") < 10, 3, 8)
         .select(col("query_id"), col("vec_id"))
       val hits = truth.join(approx, Seq("query_id", "vec_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
@@ -1783,6 +1860,55 @@ object AnalyticsQueries {
          |  CAST((1000000 * n_hit) // 3 AS BIGINT) AS recall_ppm
          |FROM h ORDER BY query_id""".stripMargin,
 
+    // Projection CTE = q28's wt/qv/proj chain keeping the magnitudes;
+    // full-space truth = q109's bsc/bt chain — neither leg can drift
+    // from its sibling oracle.
+    "q163_jl_recall" ->
+      s"""${ExtQueries.qeCtes},
+         |wt AS (SELECT p.p, i.i,
+         |    CASE WHEN substr(md5(p.p || '_' || i.i), 1, 1) >= '8' THEN 1 ELSE -1 END w
+         |  FROM generate_series(0, 7) p(p), generate_series(0, 63) i(i)),
+         |qv AS (SELECT vec_id, unnest(q) x, generate_subscripts(q, 1) - 1 i FROM qe),
+         |pj AS (SELECT vec_id, p, CAST(sum(x * w) AS BIGINT) s
+         |       FROM qv JOIN wt ON qv.i = wt.i GROUP BY 1, 2),
+         |pv AS (SELECT vec_id, list(s ORDER BY p) v FROM pj GROUP BY vec_id),
+         |pn AS (SELECT vec_id, CAST(list_dot_product(v, v) AS BIGINT) n FROM pv),
+         |bsc AS (SELECT q.vec_id query_id, c.vec_id vec_id,
+         |         CAST(list_dot_product(q.q, c.q) AS BIGINT) dot,
+         |         nq.n nq, nc.n nc
+         |       FROM qe q
+         |       JOIN qe c ON c.vec_id <> q.vec_id
+         |       JOIN nrm nq ON q.vec_id = nq.vec_id
+         |       JOIN nrm nc ON c.vec_id = nc.vec_id
+         |       WHERE q.vec_id < 10),
+         |bt AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+         |                 vec_id) rank
+         |    FROM bsc) WHERE rank <= 3),
+         |jsc AS (SELECT q.vec_id query_id, c.vec_id vec_id,
+         |         CAST(list_dot_product(q.v, c.v) AS BIGINT) dot,
+         |         nq.n nq, nc.n nc
+         |       FROM pv q
+         |       JOIN pv c ON c.vec_id <> q.vec_id
+         |       JOIN pn nq ON q.vec_id = nq.vec_id
+         |       JOIN pn nc ON c.vec_id = nc.vec_id
+         |       WHERE q.vec_id < 10),
+         |jt AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+         |                 vec_id) rank
+         |    FROM jsc) WHERE rank <= 3),
+         |h AS (SELECT bt.query_id, count(jt.vec_id) n_hit
+         |      FROM bt LEFT JOIN jt ON bt.query_id = jt.query_id
+         |        AND bt.vec_id = jt.vec_id
+         |      GROUP BY 1)
+         |SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST((1000000 * n_hit) // 3 AS BIGINT) AS recall_ppm
+         |FROM h ORDER BY query_id""".stripMargin,
+
     "q108_hll_merge" ->
       """WITH h AS (SELECT o_orderpriority g, md5(CAST(o_custkey AS VARCHAR)) h
         |           FROM orders WHERE o_custkey IS NOT NULL),
@@ -1853,6 +1979,42 @@ object AnalyticsQueries {
          |  CAST(sum(lp_q) AS BIGINT) AS sum_lp_q,
          |  CAST(floor(CAST(sum(lp_q) AS DOUBLE) / count(*)) AS BIGINT) AS avg_lp_q
          |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q162_sorted_neighbor_er" ->
+      """WITH nm AS (SELECT DISTINCT p_name FROM part),
+        |kd AS (SELECT p_name,
+        |  split_part(p_name, ' ', 2) || ' ' || split_part(p_name, ' ', 1) k1,
+        |  reverse(p_name) k2 FROM nm),
+        |l1 AS (SELECT p_name a_name,
+        |  lead(p_name, 1) OVER (ORDER BY k1) b1,
+        |  lead(p_name, 2) OVER (ORDER BY k1) b2,
+        |  lead(p_name, 3) OVER (ORDER BY k1) b3 FROM kd),
+        |l2 AS (SELECT p_name a_name,
+        |  lead(p_name, 1) OVER (ORDER BY k2) b1,
+        |  lead(p_name, 2) OVER (ORDER BY k2) b2,
+        |  lead(p_name, 3) OVER (ORDER BY k2) b3 FROM kd),
+        |cand AS (
+        |  SELECT a_name, b1 b FROM l1 WHERE b1 IS NOT NULL
+        |  UNION SELECT a_name, b2 FROM l1 WHERE b2 IS NOT NULL
+        |  UNION SELECT a_name, b3 FROM l1 WHERE b3 IS NOT NULL
+        |  UNION SELECT a_name, b1 FROM l2 WHERE b1 IS NOT NULL
+        |  UNION SELECT a_name, b2 FROM l2 WHERE b2 IS NOT NULL
+        |  UNION SELECT a_name, b3 FROM l2 WHERE b3 IS NOT NULL),
+        |sn AS (SELECT DISTINCT least(a_name, b) name_a, greatest(a_name, b) name_b
+        |       FROM cand WHERE levenshtein(a_name, b) <= 2),
+        |blk AS (SELECT p_name, split_part(p_name, ' ', 2) noun FROM nm),
+        |truth AS (SELECT a.p_name name_a, b.p_name name_b
+        |  FROM blk a JOIN blk b ON a.noun = b.noun AND a.p_name < b.p_name
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |bc AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) n_blk_comparisons
+        |       FROM (SELECT count(*) m FROM blk GROUP BY noun)),
+        |cc AS (SELECT CAST(count(*) AS BIGINT) n_sn_comparisons FROM cand),
+        |tc AS (SELECT CAST(count(*) AS BIGINT) n_truth FROM truth),
+        |tp AS (SELECT CAST(count(*) AS BIGINT) n_tp
+        |       FROM sn JOIN truth USING (name_a, name_b))
+        |SELECT n_truth, n_tp, (1000000 * n_tp) // n_truth AS recall_ppm,
+        |  n_sn_comparisons, n_blk_comparisons
+        |FROM tc CROSS JOIN tp CROSS JOIN cc CROSS JOIN bc""".stripMargin,
 
     "q160_cube_grouping" ->
       """SELECT l_returnflag, l_linestatus,

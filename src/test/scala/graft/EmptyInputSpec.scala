@@ -46,6 +46,10 @@ class EmptyInputSpec extends AnyFunSuite {
       graft.ext.Multimodal.mediaFromDocuments(emptyDocs)).count() == 0)
     assert(TextAnalysis.chunkLangRows(emptyDocs, "text", "doc_id", 32).count() == 0)
     assert(TextAnalysis.collapseTokenRuns(emptyDocs, "text", "doc_id").count() == 0)
+    // audio leg: empty corpus -> no samples, no landmarks, no matches
+    val noMedia = graft.ext.Multimodal.audioFromDocuments(emptyDocs)
+    assert(graft.ext.Multimodal.audioSampleRows(noMedia).count() == 0)
+    assert(graft.ext.Multimodal.landmarkTable(noMedia).count() == 0)
     graft.ops.TransientCache.releaseAll()
   }
 
