@@ -849,6 +849,36 @@ object AnalyticsQueries {
         .orderBy(col("query_id"))
     }),
 
+    // Equi-join cardinality estimation — the optimizer's System-R
+    // histogram estimator (Selinger et al. 1979) as a first-class
+    // AUDITED query: both join sides build 32-bucket md5 key histograms
+    // (rows + distinct keys per bucket), the estimate is
+    // Σ_b nA·nB / max(dA, dB) (uniformity within a bucket, containment
+    // across sides — the textbook assumptions, bucket-refined), and the
+    // output scores it against the exact join count. This is what a
+    // cost-based layer computes from table stats WITHOUT running the
+    // join: each histogram is one map-side-combined aggregate, 32 rows
+    // a side — the estimate costs two stat scans at any corpus size.
+    // abs() keeps the error integer-division parity-safe (floor vs
+    // truncation differ on negatives across engines).
+    "q164_join_size_estimate" -> ((s, d) => {
+      def hist(df: DataFrame, n: String, dd: String): DataFrame =
+        df.withColumn("bkt",
+            conv(substring(md5(col("k").cast("string").cast("binary")), 1, 8),
+              16, 10).cast("long") % 32)
+          .groupBy(col("bkt"))
+          .agg(count(lit(1)).as(n), countDistinct(col("k")).as(dd))
+      val ka = Tables.orders(s, d).select(col("o_custkey").as("k"))
+      val kb = Tables.events(s, d).select(col("user_id").as("k"))
+      val est = hist(ka, "na", "da").join(hist(kb, "nb", "db"), "bkt")
+        .agg(sum(expr("na * nb div greatest(da, db)")).as("n_est"))
+      val exact = ka.join(kb, "k").agg(count(lit(1)).as("n_exact"))
+      exact.crossJoin(est)
+        .select(col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("overest"),
+          expr("(1000000 * abs(n_est - n_exact)) div n_exact").as("err_abs_ppm"))
+    }),
+
     // Sliding-window reach: 7-day windows sliding by 1 day (each event
     // lands in 7 overlapping windows) with exact distinct users — the
     // rolling-reach metric, via Spark's native sliding window()
@@ -1908,6 +1938,25 @@ object AnalyticsQueries {
          |SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
          |  CAST((1000000 * n_hit) // 3 AS BIGINT) AS recall_ppm
          |FROM h ORDER BY query_id""".stripMargin,
+
+    "q164_join_size_estimate" ->
+      """WITH a AS (SELECT o_custkey k FROM orders),
+        |b AS (SELECT user_id k FROM events),
+        |ha AS (SELECT k, CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 8))
+        |         AS BIGINT) % 32 bkt FROM a),
+        |hb AS (SELECT k, CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 8))
+        |         AS BIGINT) % 32 bkt FROM b),
+        |sa AS (SELECT bkt, CAST(count(*) AS BIGINT) na,
+        |         CAST(count(DISTINCT k) AS BIGINT) da FROM ha GROUP BY 1),
+        |sb AS (SELECT bkt, CAST(count(*) AS BIGINT) nb,
+        |         CAST(count(DISTINCT k) AS BIGINT) db FROM hb GROUP BY 1),
+        |est AS (SELECT CAST(sum(na * nb // greatest(da, db)) AS BIGINT) n_est
+        |        FROM sa JOIN sb USING (bkt)),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) n_exact FROM a JOIN b USING (k))
+        |SELECT n_exact, n_est,
+        |  n_est - n_exact AS overest,
+        |  (1000000 * abs(n_est - n_exact)) // n_exact AS err_abs_ppm
+        |FROM ex CROSS JOIN est""".stripMargin,
 
     "q108_hll_merge" ->
       """WITH h AS (SELECT o_orderpriority g, md5(CAST(o_custkey AS VARCHAR)) h
