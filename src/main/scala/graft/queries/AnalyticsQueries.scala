@@ -85,6 +85,36 @@ object AnalyticsQueries {
         .orderBy(col("source"))
     }),
 
+    // Calibration (reliability) audit of the q145 weak classifier: docs
+    // bin into score deciles (ntile over the total (score_q, doc) order
+    // — both engines split remainders to the leading buckets, so the
+    // bins are identical), and each bin reports its heuristic-label
+    // clean rate. A calibrated classifier's clean rate must rise with
+    // the decile — THE check a pipeline runs before converting scores
+    // into keep/drop thresholds (Platt 1999's diagnostic, integer-exact
+    // here). At corpus scale the global ntile becomes broadcast
+    // approx-quantile bin edges; the per-bin aggregate is unchanged.
+    "q165_nb_calibration" -> ((s, d) => {
+      val labels = TextAnalysis
+        .gopherFlagsFromProfile(ExtQueries.docProfile(s, d))
+        .select(col("doc_id").cast("long").as("doc"),
+          col("pass_gopher").as("clean"))
+      val docBuckets = graft.ops.TransientCache.persist(
+        graft.ext.QualityClassifier.bucketCounts(
+          Tables.documents(s, d), "text", "doc_id", 256))
+      val scored = graft.ext.QualityClassifier
+        .trainAndScore(docBuckets, labels, 256)
+      val w = Window.orderBy(col("score_q"), col("doc"))
+      scored.withColumn("decile", ntile(10).over(w).cast("int"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("clean"), lit(1L)).otherwise(lit(0L))).as("n_clean"),
+          min(col("score_q")).as("score_min"),
+          max(col("score_q")).as("score_max"))
+        .withColumn("clean_rate_ppm", expr("(1000000 * n_clean) div n_docs"))
+        .orderBy(col("decile"))
+    }),
+
     // Per-nation OLS regression of line price (whole units) on quantity:
     // all moment sums are integer-exact; only the FINAL slope/intercept/
     // corr divisions run in double — deterministic given exact operands
@@ -1276,6 +1306,53 @@ object AnalyticsQueries {
     TextAnalysis.langStopwords.flatMap(_._2).map(w => s"'$w'").mkString(", ")
   private val enStopList = TextAnalysis.enStopwords
 
+  /** The q145 NB train-and-score chain through `ds` (doc_id, clean,
+    * score_q) — THE single SQL statement of the classifier's semantics,
+    * shared by the q145 confusion audit and the q165 calibration audit
+    * so neither oracle can drift from the other (the qeCtes/ivfAsgCtes
+    * discipline). */
+  private lazy val nbScoreCtes: String = {
+    val stopPresent = enStopList
+      .map(w => s"CASE WHEN list_contains(t, '$w') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""${ExtQueries.tokCte},
+       |s AS (SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) n_words,
+       |    CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) len_sum,
+       |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) n_alpha,
+       |    CAST($stopPresent AS BIGINT) n_stop_present
+       |  FROM tok),
+       |lab AS (SELECT doc_id,
+       |    ((n_words >= 50 AND n_words <= 100000)
+       |     AND (len_sum >= 3 * n_words AND len_sum <= 10 * n_words)
+       |     AND (5 * n_alpha >= 4 * n_words)
+       |     AND (n_stop_present >= 2)) clean
+       |  FROM s),
+       |p AS (SELECT doc_id, unnest(t) token FROM tok),
+       |b AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 bucket FROM p),
+       |db AS (SELECT doc_id, bucket, count(*) c FROM b GROUP BY 1, 2),
+       |m AS (SELECT bucket,
+       |        sum(CASE WHEN clean THEN c ELSE 0 END) cc,
+       |        sum(CASE WHEN NOT clean THEN c ELSE 0 END) dc
+       |      FROM db JOIN lab USING (doc_id) GROUP BY 1),
+       |tot AS (SELECT sum(cc) tc, sum(dc) td FROM m),
+       |nl AS (SELECT sum(CASE WHEN clean THEN 1 ELSE 0 END) n_clean,
+       |         sum(CASE WHEN NOT clean THEN 1 ELSE 0 END) n_dirty FROM lab),
+       |lam AS (SELECT bucket,
+       |          CAST(floor(1000 * ln(
+       |            (CAST(cc + 1 AS DOUBLE) * CAST(td + 256 AS DOUBLE)) /
+       |            (CAST(dc + 1 AS DOUBLE) * CAST(tc + 256 AS DOUBLE)))) AS BIGINT) lambda
+       |        FROM m, tot),
+       |pr AS (SELECT CAST(floor(1000 * ln(
+       |          CAST(n_clean AS DOUBLE) / CAST(n_dirty AS DOUBLE))) AS BIGINT) prior_q
+       |       FROM nl),
+       |sc AS (SELECT doc_id, CAST(sum(c * lambda) AS BIGINT) ll
+       |       FROM db JOIN lam USING (bucket) GROUP BY 1),
+       |ds AS (SELECT lab.doc_id, clean,
+       |         COALESCE(ll, 0) + prior_q score_q
+       |       FROM lab LEFT JOIN sc USING (doc_id), pr)""".stripMargin
+  }
+
   /** One PageRank iteration as a CTE pair (contribution agg + rebase). */
   private def prIter(i: Int): String =
     s"""c$i AS (SELECT e.v node,
@@ -1327,53 +1404,27 @@ object AnalyticsQueries {
          |FROM s ORDER BY doc_id""".stripMargin
     },
 
-    "q145_nb_quality" -> {
-      val stopPresent = enStopList
-        .map(w => s"CASE WHEN list_contains(t, '$w') THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""${ExtQueries.tokCte},
-         |s AS (SELECT doc_id,
-         |    CAST(len(t) AS BIGINT) n_words,
-         |    CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) len_sum,
-         |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) n_alpha,
-         |    CAST($stopPresent AS BIGINT) n_stop_present
-         |  FROM tok),
-         |lab AS (SELECT doc_id,
-         |    ((n_words >= 50 AND n_words <= 100000)
-         |     AND (len_sum >= 3 * n_words AND len_sum <= 10 * n_words)
-         |     AND (5 * n_alpha >= 4 * n_words)
-         |     AND (n_stop_present >= 2)) clean
-         |  FROM s),
-         |p AS (SELECT doc_id, unnest(t) token FROM tok),
-         |b AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 bucket FROM p),
-         |db AS (SELECT doc_id, bucket, count(*) c FROM b GROUP BY 1, 2),
-         |m AS (SELECT bucket,
-         |        sum(CASE WHEN clean THEN c ELSE 0 END) cc,
-         |        sum(CASE WHEN NOT clean THEN c ELSE 0 END) dc
-         |      FROM db JOIN lab USING (doc_id) GROUP BY 1),
-         |tot AS (SELECT sum(cc) tc, sum(dc) td FROM m),
-         |nl AS (SELECT sum(CASE WHEN clean THEN 1 ELSE 0 END) n_clean,
-         |         sum(CASE WHEN NOT clean THEN 1 ELSE 0 END) n_dirty FROM lab),
-         |lam AS (SELECT bucket,
-         |          CAST(floor(1000 * ln(
-         |            (CAST(cc + 1 AS DOUBLE) * CAST(td + 256 AS DOUBLE)) /
-         |            (CAST(dc + 1 AS DOUBLE) * CAST(tc + 256 AS DOUBLE)))) AS BIGINT) lambda
-         |        FROM m, tot),
-         |pr AS (SELECT CAST(floor(1000 * ln(
-         |          CAST(n_clean AS DOUBLE) / CAST(n_dirty AS DOUBLE))) AS BIGINT) prior_q
-         |       FROM nl),
-         |sc AS (SELECT doc_id, CAST(sum(c * lambda) AS BIGINT) ll
-         |       FROM db JOIN lam USING (bucket) GROUP BY 1),
-         |ds AS (SELECT lab.doc_id, clean,
-         |         COALESCE(ll, 0) + prior_q score_q
-         |       FROM lab LEFT JOIN sc USING (doc_id), pr)
+    "q145_nb_quality" ->
+      s"""$nbScoreCtes
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_label_clean,
          |  CAST(sum(CASE WHEN score_q > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_clean,
          |  CAST(sum(CASE WHEN (score_q > 0) = clean THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
          |FROM ds JOIN documents USING (doc_id)
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q165_nb_calibration" ->
+      s"""$nbScoreCtes,
+         |dec AS (SELECT clean, score_q,
+         |    ntile(10) OVER (ORDER BY score_q, doc_id) decile FROM ds)
+         |SELECT CAST(decile AS INT) AS decile,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |  CAST(min(score_q) AS BIGINT) AS score_min,
+         |  CAST(max(score_q) AS BIGINT) AS score_max,
+         |  CAST((1000000 * sum(CASE WHEN clean THEN 1 ELSE 0 END)) // count(*)
+         |    AS BIGINT) AS clean_rate_ppm
+         |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q90_price_regression" ->
       """WITH j AS (SELECT n_name,
