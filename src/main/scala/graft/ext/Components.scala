@@ -245,4 +245,54 @@ object Components {
     }
     pr
   }
+
+  /** Size-gated PageRank dispatch — [[connectedComponentsAuto]]'s
+    * contract applied to ranks: an edge list that fits the driver gate
+    * (integral ids AND ≤ `localEdgeLimit` edges) iterates in a tight
+    * local loop over the collected adjacency — the SAME integer
+    * recurrence `pr'(v) = 150000 + Σ (pr(u)·17) div (20·od(u))`, so the
+    * labels are bit-identical to the distributed fixpoint (spec-pinned)
+    * — while anything larger takes the one-join-per-round distributed
+    * plan unchanged. The token co-occurrence and kNN graphs this engine
+    * ranks are vocabulary/model-sized aggregates, orders of magnitude
+    * below the gate even at 100 TB corpus scale; the gate exists so the
+    * operator NEVER silently collects an unbounded edge list. */
+  def pageRankAuto(edges: DataFrame, srcCol: String, dstCol: String,
+                   iters: Int = 3, localEdgeLimit: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    require(iters >= 1 && iters <= 10, s"iters must be in [1,10], got $iters")
+    val integral = Seq(srcCol, dstCol).forall(c =>
+      edges.schema(c).dataType == LongType || edges.schema(c).dataType == IntegerType)
+    val e0 = graft.ops.TransientCache.persist(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")))
+    if (!integral || e0.count() > localEdgeLimit) {
+      val out = pageRank(e0, "src", "dst", iters)
+      e0.unpersist(blocking = false)
+      out
+    } else {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val pairs = e0.as[(Long, Long)].collect()
+      e0.unpersist(blocking = false)
+      val od = new java.util.HashMap[Long, Long]()
+      val nodes = new java.util.LinkedHashSet[Long]()
+      pairs.foreach { case (s, d) =>
+        od.merge(s, 1L, (a, b) => a + b); nodes.add(s); nodes.add(d)
+      }
+      var pr = new java.util.HashMap[Long, Long]()
+      nodes.forEach(n => pr.put(n, 1000000L))
+      for (_ <- 1 to iters) {
+        val next = new java.util.HashMap[Long, Long]()
+        nodes.forEach(n => next.put(n, 150000L))
+        pairs.foreach { case (s, d) =>
+          next.merge(d, pr.get(s) * 17 / (20 * od.get(s)), (a, b) => a + b)
+        }
+        pr = next
+      }
+      val out = nodes.toArray(Array.empty[java.lang.Long])
+        .map(n => (n.longValue(), pr.get(n.longValue()).longValue()))
+      spark.createDataset(out.toSeq).toDF("node", "pr")
+    }
+  }
 }

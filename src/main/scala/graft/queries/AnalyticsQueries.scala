@@ -253,7 +253,7 @@ object AnalyticsQueries {
     "q93_pagerank" -> ((s, d) => {
       val edges = ExtQueries.knnEdges(s, d)
         .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-      Components.pageRank(edges, "src", "dst", 3)
+      Components.pageRankAuto(edges, "src", "dst", 3)
         .select(col("node").as("vec_id"), col("pr"))
         .orderBy(col("vec_id"))
     }),
@@ -267,11 +267,14 @@ object AnalyticsQueries {
     // (every rank ties), while the frequency-gated graph has real
     // structure for centrality to rank. Top-20 = the keyword skeleton.
     "q148_textrank" -> ((s, d) => {
-      val pairs = ExtQueries.docSourcePairCounts(s, d)
-        .where(col("tok_a") =!= col("tok_b"))
-        .groupBy(col("tok_a"), col("tok_b")).agg(sum(col("n")).as("n"))
-        .where(col("n") >= 3L)
-        .select(col("tok_a"), col("tok_b"))
+      // persisted: the filtered pair aggregate feeds the vocab union AND
+      // both id-mapping joins — unpersisted it recomputes three times
+      val pairs = graft.ops.TransientCache.persist(
+        ExtQueries.docSourcePairCounts(s, d)
+          .where(col("tok_a") =!= col("tok_b"))
+          .groupBy(col("tok_a"), col("tok_b")).agg(sum(col("n")).as("n"))
+          .where(col("n") >= 3L)
+          .select(col("tok_a"), col("tok_b")))
       val vocab = pairs.select(col("tok_a").as("token"))
         .union(pairs.select(col("tok_b").as("token"))).distinct()
         .withColumn("id",
@@ -282,7 +285,7 @@ object AnalyticsQueries {
         .join(vocab.select(col("token").as("tok_a"), col("id").as("src")), "tok_a")
         .join(vocab.select(col("token").as("tok_b"), col("id").as("dst")), "tok_b")
         .select(col("src"), col("dst"))
-      Components.pageRank(e, "src", "dst", 3)
+      Components.pageRankAuto(e, "src", "dst", 3)
         .join(vocab, col("node") === col("id"))
         .select(col("token"), col("pr"))
         .orderBy(col("pr").desc, col("token")).limit(20)

@@ -46,6 +46,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(prE == Map(1L -> 150000L, 2L -> 277500L))
   }
 
+  test("pageRankAuto: the driver loop and the distributed fixpoint are " +
+    "bit-identical on an irregular digraph (both dispatch paths)") {
+    import spark.implicits._
+    // irregular: cycles, a dangling sink, a hub, multi-in-degree nodes
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 5L),
+      (2L, 5L), (6L, 1L), (6L, 5L), (7L, 6L)).toDF("src", "dst")
+    val dist = Components.pageRank(g, "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Components.pageRankAuto(g, "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, s"local=$local dist=$dist")
+    // limit 0 forces the distributed branch through the Auto dispatcher
+    val forced = Components.pageRankAuto(g, "src", "dst", 3, localEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(forced == dist)
+    graft.ops.TransientCache.releaseAll()
+  }
+
   test("pageRank: deep loop truncates lineage per round and matches an independent reference") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L), (4L, 2L))
