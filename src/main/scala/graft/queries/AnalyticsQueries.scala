@@ -63,19 +63,7 @@ object AnalyticsQueries {
     // audit a pipeline runs before trusting the classifier on unlabeled
     // data. All-BIGINT except the λ/prior ln (q133 accepted-risk).
     "q145_nb_quality" -> ((s, d) => {
-      val labels = TextAnalysis
-        .gopherFlagsFromProfile(ExtQueries.docProfile(s, d))
-        .select(col("doc_id").cast("long").as("doc"),
-          col("pass_gopher").as("clean"))
-      // (doc, bucket, c) feeds BOTH the model fit and the scoring join —
-      // persist the compact profile instead of re-tokenizing (released
-      // by the runner via TransientCache, the dsirScores discipline).
-      val docBuckets = graft.ops.TransientCache.persist(
-        graft.ext.QualityClassifier.bucketCounts(
-          Tables.documents(s, d), "text", "doc_id", 256))
-      val scored = graft.ext.QualityClassifier
-        .trainAndScore(docBuckets, labels, 256)
-      scored.join(ExtQueries.docSourceMap(s, d), "doc")
+      nbScored(s, d).join(ExtQueries.docSourceMap(s, d), "doc")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("clean"), lit(1L)).otherwise(lit(0L))).as("n_label_clean"),
@@ -95,17 +83,8 @@ object AnalyticsQueries {
     // here). At corpus scale the global ntile becomes broadcast
     // approx-quantile bin edges; the per-bin aggregate is unchanged.
     "q165_nb_calibration" -> ((s, d) => {
-      val labels = TextAnalysis
-        .gopherFlagsFromProfile(ExtQueries.docProfile(s, d))
-        .select(col("doc_id").cast("long").as("doc"),
-          col("pass_gopher").as("clean"))
-      val docBuckets = graft.ops.TransientCache.persist(
-        graft.ext.QualityClassifier.bucketCounts(
-          Tables.documents(s, d), "text", "doc_id", 256))
-      val scored = graft.ext.QualityClassifier
-        .trainAndScore(docBuckets, labels, 256)
       val w = Window.orderBy(col("score_q"), col("doc"))
-      scored.withColumn("decile", ntile(10).over(w).cast("int"))
+      nbScored(s, d).withColumn("decile", ntile(10).over(w).cast("int"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("clean"), lit(1L)).otherwise(lit(0L))).as("n_clean"),
@@ -1304,6 +1283,23 @@ object AnalyticsQueries {
   }
 
   // ---------------------------------------------------------------- oracles
+
+  /** Shared per-session NB quality-score table `(doc, clean, score_q,
+    * pred_clean)` — trained once, consumed by BOTH the q145 confusion
+    * audit and the q165 calibration audit (a pipeline scores its corpus
+    * once and runs every audit off the stored scores; the bucketCounts
+    * token pass is the expensive half and must not run per-audit). */
+  private[queries] def nbScored(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"nb_scored:$d") {
+      val labels = TextAnalysis
+        .gopherFlagsFromProfile(ExtQueries.docProfile(s, d))
+        .select(col("doc_id").cast("long").as("doc"),
+          col("pass_gopher").as("clean"))
+      val docBuckets = graft.ops.TransientCache.persist(
+        graft.ext.QualityClassifier.bucketCounts(
+          Tables.documents(s, d), "text", "doc_id", 256))
+      graft.ext.QualityClassifier.trainAndScore(docBuckets, labels, 256)
+    }
 
   private val stopList =
     TextAnalysis.langStopwords.flatMap(_._2).map(w => s"'$w'").mkString(", ")
