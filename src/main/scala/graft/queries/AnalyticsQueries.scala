@@ -338,6 +338,47 @@ object AnalyticsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // IDF-weighted containment decontamination — q96 with every shared
+    // trigram weighted by corpus rarity floor(1000·ln(N/df)): a hit on
+    // a rare gram is strong contamination evidence, a hit on boilerplate
+    // is nearly none (the reason unweighted containment over-flags
+    // template-heavy corpora). Same artifact diet as q96 (session
+    // shingle table; the IDF table is one groupBy over it), same
+    // best-bench window; all weights integer-quantized BEFORE summing
+    // so the per-doc masses are order-independent (q105's rule), the
+    // single ln riding the documented parity posture.
+    "q166_idf_decontaminate" -> ((s, d) => {
+      val sh = ExtQueries.trigramShingles(s, d)
+      val srcMap = ExtQueries.docSourceMap(s, d)
+      val nn = sh.agg(countDistinct(col("doc")).as("n"))
+      val idf = graft.ops.TransientCache.persist(
+        sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .crossJoin(nn)
+          .withColumn("w", expr(
+            "CAST(floor(1000 * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))) AS BIGINT)"))
+          .select(col("s"), col("w")))
+      val candGrams = sh.join(broadcast(srcMap
+        .where(col("source") =!= "src0").select(col("doc"))), "doc")
+      val benchGrams = sh.join(broadcast(srcMap
+        .where(col("source") === "src0").select(col("doc"))), "doc")
+      val cw = graft.ops.TransientCache.persist(candGrams.join(idf, "s"))
+      val hits = cw.as("c").join(benchGrams.as("b"), col("c.s") === col("b.s"))
+        .groupBy(col("c.doc").as("doc"), col("b.doc").as("bench_doc"))
+        .agg(sum(col("c.w")).as("common_w"))
+      val mass = cw.groupBy(col("doc")).agg(sum(col("w")).as("idf_mass"))
+      val wBest = Window.partitionBy(col("doc"))
+        .orderBy(col("common_w").desc, col("bench_doc"))
+      val best = hits.withColumn("rn", row_number().over(wBest))
+        .where(col("rn") === 1).drop("rn")
+      mass.join(best, Seq("doc"), "left")
+        .select(col("doc").as("doc_id"), col("idf_mass"),
+          coalesce(col("bench_doc"), lit(-1L)).as("best_bench"),
+          coalesce(col("common_w"), lit(0L)).as("common_idf_q"))
+        .withColumn("containment_idf_ppm", expr(
+          "CASE WHEN idf_mass > 0 THEN (1000000 * common_idf_q) div idf_mass ELSE 0 END"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PMI collocations (Church & Hanks 1990) over adjacent token pairs:
     // integer counts everywhere, one ln() at the end, floor(×1000)
     // quantized like BM25 so engines agree despite ulp-level ln noise.
@@ -1575,6 +1616,34 @@ object AnalyticsQueries {
          |  CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
          |  CAST((1000000 * COALESCE(n_common, 0)) // n_grams AS BIGINT) AS containment_ppm
          |FROM sz LEFT JOIN (SELECT * FROM best WHERE rn = 1) USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q166_idf_decontaminate" ->
+      s"""${PipelineQueries.trigramCtes},
+         |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) n FROM g),
+         |df AS (SELECT s, CAST(count(*) AS BIGINT) df FROM g GROUP BY 1),
+         |idf AS (SELECT s, CAST(floor(1000 * ln(
+         |          CAST(n AS DOUBLE) / CAST(df AS DOUBLE))) AS BIGINT) w
+         |        FROM df CROSS JOIN nn),
+         |cg AS (SELECT g.doc_id, s FROM g JOIN documents USING (doc_id)
+         |       WHERE source <> 'src0'),
+         |bg AS (SELECT g.doc_id bench_doc, s FROM g JOIN documents USING (doc_id)
+         |       WHERE source = 'src0'),
+         |cw AS (SELECT doc_id, cg.s, w FROM cg JOIN idf USING (s)),
+         |hits AS (SELECT cw.doc_id, bench_doc, CAST(sum(w) AS BIGINT) common_w
+         |         FROM cw JOIN bg USING (s) GROUP BY 1, 2),
+         |mass AS (SELECT doc_id, CAST(sum(w) AS BIGINT) idf_mass FROM cw GROUP BY 1),
+         |best AS (SELECT doc_id, bench_doc, common_w,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY common_w DESC, bench_doc) rn
+         |  FROM hits)
+         |SELECT mass.doc_id, idf_mass,
+         |  CAST(COALESCE(bench_doc, -1) AS BIGINT) AS best_bench,
+         |  CAST(COALESCE(common_w, 0) AS BIGINT) AS common_idf_q,
+         |  CAST(CASE WHEN idf_mass > 0
+         |    THEN (1000000 * COALESCE(common_w, 0)) // idf_mass
+         |    ELSE 0 END AS BIGINT) AS containment_idf_ppm
+         |FROM mass LEFT JOIN (SELECT * FROM best WHERE rn = 1) USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     "q97_token_pmi" ->
