@@ -33,6 +33,14 @@ final case class LastClick(tsUs: Long, id: Long, value: Double)
 final case class FunnelState(stageTimesUs: List[Long],
                              pendingUs: List[List[Long]])
 
+/** Per-series one-sided CUSUM registers (streaming drift state): the
+  * running statistic, its maximum, and the observation count — three
+  * longs per series. Top-level + public for Spark's state encoder
+  * codegen, like [[SessionState]]. */
+final case class CusumState(s: Long, smax: Long, n: Long)
+final case class CusumUpdate(event_type: String, n_seen: Long,
+                             s: Long, s_max: Long)
+
 object EventsStream {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -166,6 +174,42 @@ object EventsStream {
   /** Gap-based sessionization (30 min idle closes a session) with
     * per-user state and event-time timeout. Sessions are emitted once
     * closed (by a later event or by watermark passage). */
+  /** Streaming one-sided CUSUM drift registers (Page 1954) — the online
+    * sibling of q161's batch prefix-sum identity and the third member
+    * of the drift family beside the PSI bin registers: per series the
+    * classic per-observation recursion `S := max(0, S + (x − k))` folds
+    * arrivals against a FROZEN reference level `kMicro` (micro-units;
+    * in production k is a calibrated artifact exactly like the PSI
+    * reference bins — q161's in-query mean IS that calibration run).
+    * Arrivals fold in (ts, event_id) order within each micro-batch, so
+    * a single-batch run reproduces the ordered batch fold exactly
+    * (StreamingSpec-pinned); across batches the state carries the fold
+    * forward — three longs per series. Alarming is a downstream
+    * predicate on `s_max` (kept out of the register layer, like the
+    * PSI divergence computation). */
+  def cusumRegisters(spark: SparkSession, events: DataFrame,
+                     kMicro: Long): Dataset[CusumUpdate] = {
+    import spark.implicits._
+    events.select(col("event_type"), col("ts"), col("event_id"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("x"))
+      .as[(String, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[CusumState, CusumUpdate](GroupStateTimeout.NoTimeout()) {
+        case (typ, it, state: GroupState[CusumState]) =>
+          val prev = state.getOption.getOrElse(CusumState(0L, 0L, 0L))
+          var s = prev.s
+          var smax = prev.smax
+          var n = prev.n
+          it.toArray.sortBy(r => (toUs(r._2), r._3)).foreach { r =>
+            s = math.max(0L, s + (r._4 - kMicro))
+            if (s > smax) smax = s
+            n += 1
+          }
+          state.update(CusumState(s, smax, n))
+          CusumUpdate(typ, n, s, smax)
+      }
+  }
+
   private def toUs(t: java.sql.Timestamp): Long =
     (t.getTime / 1000) * 1000000L + t.getNanos / 1000
 

@@ -595,6 +595,64 @@ class StreamingSpec extends AnyFunSuite {
       s"expected doc 3 to match doc 1 in all bands, got $got")
   }
 
+  test("streaming CUSUM registers equal the ordered batch fold") {
+    import graft.streaming.EventsStream
+    val k = 500000L
+    val updates = EventsStream.cusumRegisters(
+      spark, EventsStream.readEvents(spark, sf), k)
+    runAvailableNow(updates.toDF(), "cusum_regs", OutputMode.Update())
+    val got = spark.table("cusum_regs").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+    val expected = rows.groupBy(_._1).map { case (t, rs) =>
+      var s = 0L; var smax = 0L
+      rs.sortBy(r => ((r._2.getTime / 1000) * 1000000L + r._2.getNanos / 1000, r._3))
+        .foreach { r =>
+          s = math.max(0L, s + (r._4 - k)); if (s > smax) smax = s
+        }
+      t -> ((rs.length.toLong, s, smax))
+    }
+    assert(got.nonEmpty && got == expected)
+  }
+
+  test("streaming CUSUM carries the fold across micro-batches") {
+    import graft.streaming.EventsStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events_cusum_2b")
+    def writeAs(name: String, mtime: Long,
+                rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("ev_part").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    writeAs("b1.parquet", 1000000L,
+      Seq((1L, t(100), 1L, "drift", 3.0), (2L, t(200), 1L, "drift", 0.0)))
+    writeAs("b2.parquet", 2000000L,
+      Seq((3L, t(300), 1L, "drift", 2.5)))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val updates = EventsStream.cusumRegisters(spark, stream, 1000L)
+    runAvailableNow(updates.toDF(), "cusum_2b", OutputMode.Update())
+    val got = spark.table("cusum_2b").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch 1: s = max(0, 3000-1000) = 2000, then max(0, 2000+0-1000) = 1000
+    // batch 2 continues: s = max(0, 1000+2500-1000) = 2500, smax = 2500
+    assert(got.contains((2L, 1000L, 2000L)), s"batch-1 fold wrong: $got")
+    assert(got.contains((3L, 2500L, 2500L)), s"cross-batch fold wrong: $got")
+  }
+
   test("doc-local landmark extraction equals the batch window pipeline " +
     "(the q157 streaming-twin equivalence contract)") {
     import graft.ext.Multimodal
