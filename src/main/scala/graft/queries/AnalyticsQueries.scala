@@ -338,6 +338,56 @@ object AnalyticsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Kaplan-Meier time-to-event (Kaplan & Meier 1958): survival curve
+    // of days-from-first-activity to FIRST PURCHASE, right-censored at
+    // the user's last observed day when no purchase happens — the
+    // classic conversion-latency analysis, done integer-exact: per
+    // duration t the risk set is total minus the running count of
+    // earlier leavers (one window pass), and the survival product
+    // Π(1 − d/n) is carried as the CUMULATIVE SUM of per-step
+    // floor(10⁶·ln((n−d)/n)) terms — each term quantized BEFORE the
+    // ordered sum (q105's order-independence rule), a full-conversion
+    // step (n_risk = d) marked with an explicit sentinel instead of
+    // ln(0). The duration-grain table is bounded by the observation
+    // horizon in days — tiny at any corpus size; only the per-user
+    // first/last aggregation touches the fact.
+    "q167_kaplan_meier" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val u = ev.groupBy(col("user_id")).agg(
+        date_trunc("day", min(col("ts"))).as("f"),
+        date_trunc("day", max(col("ts"))).as("l"))
+      val p = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("fp"))
+      val dd = u.join(p, Seq("user_id"), "left")
+        .select(
+          when(col("fp").isNotNull,
+            expr("CAST(datediff(CAST(fp AS DATE), CAST(f AS DATE)) AS BIGINT)"))
+            .otherwise(
+              expr("CAST(datediff(CAST(l AS DATE), CAST(f AS DATE)) AS BIGINT)"))
+            .as("t"),
+          when(col("fp").isNotNull, lit(1L)).otherwise(lit(0L)).as("converted"))
+      val tot = dd.agg(count(lit(1)).as("n"))
+      val byt = dd.groupBy(col("t"))
+        .agg(sum(col("converted")).as("d_events"), count(lit(1)).as("leaving"))
+      val wPrev = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy(col("t"))
+      byt.crossJoin(tot)
+        .withColumn("n_risk",
+          col("n") - coalesce(sum(col("leaving")).over(wPrev), lit(0L)))
+        .withColumn("n_censored", col("leaving") - col("d_events"))
+        .withColumn("term_lq", expr(
+          """CAST(CASE WHEN d_events = 0 THEN 0
+            | WHEN n_risk > d_events THEN floor(1000000 * ln(
+            |   CAST(n_risk - d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+            | ELSE -999999999 END AS BIGINT)""".stripMargin))
+        .withColumn("survival_lq", sum(col("term_lq")).over(wCum))
+        .select(col("t").as("t_days"), col("n_risk"), col("d_events"),
+          col("n_censored"), col("survival_lq"))
+        .orderBy(col("t_days"))
+    }),
+
     // IDF-weighted containment decontamination — q96 with every shared
     // trigram weighted by corpus rarity floor(1000·ln(N/df)): a hit on
     // a rare gram is strong contamination evidence, a hit on boilerplate
@@ -1617,6 +1667,37 @@ object AnalyticsQueries {
          |  CAST((1000000 * COALESCE(n_common, 0)) // n_grams AS BIGINT) AS containment_ppm
          |FROM sz LEFT JOIN (SELECT * FROM best WHERE rn = 1) USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q167_kaplan_meier" ->
+      """WITH u AS (
+        |  SELECT user_id, date_trunc('day', min(CAST(ts AS TIMESTAMP))) f,
+        |    date_trunc('day', max(CAST(ts AS TIMESTAMP))) l
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, date_trunc('day', min(CAST(ts AS TIMESTAMP))) fp
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |d AS (SELECT u.user_id,
+        |        CASE WHEN fp IS NOT NULL THEN CAST(datediff('day', f, fp) AS BIGINT)
+        |             ELSE CAST(datediff('day', f, l) AS BIGINT) END t,
+        |        CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END converted
+        |      FROM u LEFT JOIN p USING (user_id)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) n FROM d),
+        |byt AS (SELECT t, CAST(sum(converted) AS BIGINT) d_events,
+        |          CAST(count(*) AS BIGINT) leaving FROM d GROUP BY 1),
+        |r AS (SELECT t, d_events, leaving,
+        |        n - COALESCE(sum(leaving) OVER (ORDER BY t
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) n_risk
+        |      FROM byt CROSS JOIN tot),
+        |km AS (SELECT t, CAST(n_risk AS BIGINT) n_risk, d_events,
+        |         CAST(leaving - d_events AS BIGINT) n_censored,
+        |         CAST(CASE WHEN d_events = 0 THEN 0
+        |           WHEN n_risk > d_events THEN floor(1000000 * ln(
+        |             CAST(n_risk - d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+        |           ELSE -999999999 END AS BIGINT) term_lq
+        |       FROM r)
+        |SELECT t AS t_days, n_risk, d_events, n_censored,
+        |  CAST(sum(term_lq) OVER (ORDER BY t) AS BIGINT) survival_lq
+        |FROM km ORDER BY t_days""".stripMargin,
 
     "q166_idf_decontaminate" ->
       s"""${PipelineQueries.trigramCtes},

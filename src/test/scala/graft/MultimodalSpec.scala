@@ -91,6 +91,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("WAV round-trip holds for seeded-random sample streams " +
+    "(lengths 0-257, full signed 16-bit range)") {
+    val rnd = new scala.util.Random(42)
+    (0 until 60).foreach { _ =>
+      val n = rnd.nextInt(258)
+      val samples = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      val rate = 1 + rnd.nextInt(192000)
+      val Some((r, out)) = Multimodal.parseWav(Multimodal.encodeWav(rate, samples))
+      assert(r == rate && out.sameElements(samples), s"n=$n rate=$rate")
+    }
+  }
+
   test("WAV chunk walk skips unknown chunks per the RIFF contract") {
     // splice a LIST chunk (odd length, so word-alignment padding is
     // exercised too) between fmt and data
