@@ -338,6 +338,43 @@ object AnalyticsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Markov next-event prediction audit — q78's transition model made
+    // accountable: transition counts train on the pre-cutoff slice (the
+    // q106 temporal-split convention), the per-state top-1 prediction
+    // is the argmax next type (ties → lexicographic), and accuracy is
+    // measured on post-cutoff transitions the model never saw. The
+    // model is states²-sized (broadcast literal at any corpus scale);
+    // both passes are one lead() window over the per-user event order.
+    // This is the audit discipline of q109/q149/q163: never ship a
+    // model — even a 5-state one — whose accuracy was not measured
+    // out-of-sample.
+    "q168_markov_eval" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val tr = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .select(col("event_type").as("from_type"), col("to_type"), col("ts"))
+      val trc = graft.ops.TransientCache.persist(tr)
+      val train = trc.where(col("ts") < cutoff)
+        .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+      val wBest = Window.partitionBy(col("from_type"))
+        .orderBy(col("n").desc, col("to_type"))
+      val pred = train.withColumn("rn", row_number().over(wBest))
+        .where(col("rn") === 1)
+        .select(col("from_type"), col("to_type").as("pred_type"))
+      trc.where(col("ts") >= cutoff)
+        .join(broadcast(pred), Seq("from_type"), "left")
+        .groupBy(col("from_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("pred_type") === col("to_type"), lit(1L))
+            .otherwise(lit(0L))).as("n_correct"))
+        .withColumn("acc_ppm", expr("(1000000 * n_correct) div n_eval"))
+        .orderBy(col("from_type"))
+    }),
+
     // Kaplan-Meier time-to-event (Kaplan & Meier 1958): survival curve
     // of days-from-first-activity to FIRST PURCHASE, right-censored at
     // the user's last observed day when no purchase happens — the
@@ -1667,6 +1704,30 @@ object AnalyticsQueries {
          |  CAST((1000000 * COALESCE(n_common, 0)) // n_grams AS BIGINT) AS containment_ppm
          |FROM sz LEFT JOIN (SELECT * FROM best WHERE rn = 1) USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q168_markov_eval" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id,
+        |              event_type FROM events),
+        |tr AS (
+        |  SELECT event_type from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) to_type,
+        |    ts
+        |  FROM ev QUALIFY to_type IS NOT NULL),
+        |train AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) n FROM tr
+        |          WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1, 2),
+        |pred AS (SELECT from_type, to_type pred_type FROM (
+        |    SELECT from_type, to_type,
+        |      row_number() OVER (PARTITION BY from_type ORDER BY n DESC, to_type) rn
+        |    FROM train) WHERE rn = 1),
+        |sc AS (SELECT e.from_type, CAST(count(*) AS BIGINT) n_eval,
+        |         CAST(sum(CASE WHEN p.pred_type = e.to_type THEN 1 ELSE 0 END)
+        |           AS BIGINT) n_correct
+        |       FROM (SELECT * FROM tr
+        |             WHERE ts >= TIMESTAMP '2024-01-15 00:00:00') e
+        |       LEFT JOIN pred p USING (from_type) GROUP BY 1)
+        |SELECT from_type, n_eval, n_correct,
+        |  CAST((1000000 * n_correct) // n_eval AS BIGINT) acc_ppm
+        |FROM sc ORDER BY from_type""".stripMargin,
 
     "q167_kaplan_meier" ->
       """WITH u AS (
