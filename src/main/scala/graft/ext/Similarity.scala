@@ -210,6 +210,22 @@ object Similarity {
           sqrt(normQ(col("qv")).cast("double") * normQ(col("cv")).cast("double")))
           .as("ccos"))
 
+  /** The IVF coarse assignment `(vec_id, cid)` under the shared
+    * deterministic-centroid convention — exposed so index-health audits
+    * (q170 cell balance) read the SAME assignment the probe path uses;
+    * at scale this is the partitioning-key table whose balance decides
+    * whether cell = partition actually works. */
+  def ivfAssignments(emb: DataFrame, idCol: String, embCol: String,
+                     nlist: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("qv"))
+    val cent = centroids(e, nlist)
+    val byCell = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cid"))
+    cellScores(e, cent)
+      .withColumn("rn", row_number().over(byCell)).where(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
               isQuery: Column, k: Int = 3, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)

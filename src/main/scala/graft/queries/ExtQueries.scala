@@ -560,6 +560,52 @@ object ExtQueries {
         .orderBy("media_a", "media_b")
     }),
 
+    // Cross-source duplicate FLOW: the verified LSH near-dup pairs
+    // (q23's predicate, same session signature artifact) rolled up to
+    // source grain — which sources copy from which. The curation story
+    // q151's KMV sketch estimates at set grain, here exact at pair
+    // grain; the rollup is a broadcast source-map join over the
+    // (already bounded) pair table, never a new pair expansion.
+    "q169_dup_flow" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(
+          graft.ops.SessionCache.getOrBuild(s, s"minhash_sigs:$d")(
+            Dedup.minhashSignaturesTyped(Tables.documents(s, d), "text", "doc_id", 8)),
+          8, 2)
+        .where(col("n_agree") >= 4)
+      val sm = docSourceMap(s, d)
+      pairs
+        .join(broadcast(sm.select(col("doc").as("doc_a"), col("source").as("sa"))),
+          "doc_a")
+        .join(broadcast(sm.select(col("doc").as("doc_b"), col("source").as("sb"))),
+          "doc_b")
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // IVF cell-balance audit: the index-health check behind q29/q63 —
+    // cell sizes under the SAME assignment the probe path uses
+    // (Similarity.ivfAssignments), each cell's corpus share and the
+    // max/avg imbalance factor in ppm. At scale cell = partition key;
+    // an imbalance factor far above 10⁶ means the "cell-local work is
+    // bounded" premise is broken and the index needs re-centroiding —
+    // the measurement that decides it, not a guess (the q143 salt-plan
+    // discipline applied to the ANN index).
+    "q170_ivf_balance" -> ((s, d) => {
+      val asg = Similarity.ivfAssignments(
+        Tables.embeddings(s, d), "vec_id", "embedding", 16)
+      val cs = graft.ops.TransientCache.persist(
+        asg.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs")))
+      val st = cs.agg(max(col("n_vecs")).as("mx"), sum(col("n_vecs")).as("tot"),
+        count(lit(1)).as("nc"))
+      cs.crossJoin(st)
+        .select(col("cid"), col("n_vecs"),
+          expr("(1000000 * n_vecs) div tot").as("share_ppm"),
+          expr("(1000000 * mx * nc) div tot").as("imbalance_ppm"))
+        .orderBy(col("cid"))
+    }),
+
     // Audio near-dup by shared constellation landmarks — the audio leg
     // of the multimodal dedup trio (image q139, video q150): each doc
     // becomes a REAL mono-PCM RIFF/WAV (Multimodal.audioFromDocuments),
@@ -738,6 +784,16 @@ object ExtQueries {
        |SELECT doc_a, doc_b, n_agree FROM lshp
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  private def dupFlowSql: String =
+    s"""$lshPairCtes,
+       |sm AS (SELECT doc_id, source FROM documents),
+       |fl AS (SELECT least(a.source, b.source) src_a,
+       |         greatest(a.source, b.source) src_b
+       |       FROM lshp JOIN sm a ON doc_a = a.doc_id
+       |       JOIN sm b ON doc_b = b.doc_id)
+       |SELECT src_a, src_b, CAST(count(*) AS BIGINT) n_pairs
+       |FROM fl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Per-doc simhash CTE shared by the cluster and hamming-pair oracles. */
   private[queries] def simhashSigCtes: String = {
     val bits = (1 to 32).map(j =>
@@ -858,6 +914,19 @@ object ExtQueries {
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q23_dedup_minhash_lsh" -> minhashSigSql,
+
+    "q169_dup_flow" -> dupFlowSql,
+
+    "q170_ivf_balance" ->
+      s"""$ivfAsgCtes,
+         |cs AS (SELECT cid, CAST(count(*) AS BIGINT) n_vecs FROM asg GROUP BY 1),
+         |st AS (SELECT CAST(max(n_vecs) AS BIGINT) mx,
+         |         CAST(sum(n_vecs) AS BIGINT) tot,
+         |         CAST(count(*) AS BIGINT) nc FROM cs)
+         |SELECT cid, n_vecs,
+         |  CAST((1000000 * n_vecs) // tot AS BIGINT) share_ppm,
+         |  CAST((1000000 * mx * nc) // tot AS BIGINT) imbalance_ppm
+         |FROM cs CROSS JOIN st ORDER BY cid""".stripMargin,
 
     "q24_dedup_ngram_jaccard" ->
       s"""$shingleCtes,
