@@ -338,6 +338,57 @@ object AnalyticsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Seasonal-naive forecast audit (the MASE discipline, Hyndman &
+    // Koehler 2006): forecast each day's series value with the value
+    // seven days back, score absolute error against the one-day-naive
+    // baseline — mase_ppm < 10⁶ means weekly seasonality carries real
+    // signal for that series. Integer-exact end to end (quantized
+    // values, integer absolute errors, one ppm division); both
+    // forecasts are lag() windows over the daily grain, partition-
+    // parallel per series.
+    "q171_seasonal_naive_eval" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("vq"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("f_seasonal", lag(col("vq"), 7).over(w))
+        .withColumn("f_naive", lag(col("vq"), 1).over(w))
+        .where(col("f_seasonal").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("vq") - col("f_seasonal"))).as("ae_seasonal"),
+          sum(abs(col("vq") - col("f_naive"))).as("ae_naive"))
+        .withColumn("mase_ppm", expr(
+          "CASE WHEN ae_naive > 0 THEN (1000000 * ae_seasonal) div ae_naive " +
+            "ELSE -1 END"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Day-of-week seasonal index — the profile q171's forecast banks
+    // on, stated as a first-class table: per (series, dow) the mean
+    // daily value and its ppm index against the series' overall daily
+    // mean (index far from 10⁶ = strong weekly shape). Integer-exact:
+    // means compared via cross-multiplied sums, one ppm division with
+    // both operands exact.
+    "q172_dow_seasonality" -> ((s, d) => {
+      val daily = graft.ops.TransientCache.persist(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("vq")))
+      val byDow = daily
+        .withColumn("dow", dayofweek(col("day")).cast("int"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("vq")).as("sum_vq"))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_all"), sum(col("vq")).as("sum_all"))
+      byDow.join(tot, "event_type")
+        .select(col("event_type"), col("dow"), col("n_days"), col("sum_vq"),
+          expr("(1000000 * sum_vq * n_all) div (n_days * sum_all)")
+            .as("idx_ppm"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
+
     // Markov next-event prediction audit — q78's transition model made
     // accountable: transition counts train on the pre-cutoff slice (the
     // q106 temporal-split convention), the per-state top-1 prediction
@@ -437,13 +488,17 @@ object AnalyticsQueries {
     "q166_idf_decontaminate" -> ((s, d) => {
       val sh = ExtQueries.trigramShingles(s, d)
       val srcMap = ExtQueries.docSourceMap(s, d)
-      val nn = sh.agg(countDistinct(col("doc")).as("n"))
-      val idf = graft.ops.TransientCache.persist(
+      // the gram-IDF table is corpus-grade (one groupBy over the session
+      // shingle artifact) — session-cached like the artifact it derives
+      // from, so repeated decontamination passes pay it once
+      val idf = graft.ops.SessionCache.getOrBuild(s, s"trigram_idf:$d") {
+        val nn = sh.agg(countDistinct(col("doc")).as("n"))
         sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .crossJoin(nn)
           .withColumn("w", expr(
             "CAST(floor(1000 * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))) AS BIGINT)"))
-          .select(col("s"), col("w")))
+          .select(col("s"), col("w"))
+      }
       val candGrams = sh.join(broadcast(srcMap
         .where(col("source") =!= "src0").select(col("doc"))), "doc")
       val benchGrams = sh.join(broadcast(srcMap
@@ -1704,6 +1759,44 @@ object AnalyticsQueries {
          |  CAST((1000000 * COALESCE(n_common, 0)) // n_grams AS BIGINT) AS containment_ppm
          |FROM sz LEFT JOIN (SELECT * FROM best WHERE rn = 1) USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q171_seasonal_naive_eval" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) vq
+        |  FROM events GROUP BY 1, 2),
+        |lagd AS (
+        |  SELECT event_type, day, vq,
+        |    lag(vq, 7) OVER (PARTITION BY event_type ORDER BY day) f_seasonal,
+        |    lag(vq, 1) OVER (PARTITION BY event_type ORDER BY day) f_naive
+        |  FROM daily),
+        |sc AS (SELECT event_type, CAST(count(*) AS BIGINT) n_days,
+        |         CAST(sum(abs(vq - f_seasonal)) AS BIGINT) ae_seasonal,
+        |         CAST(sum(abs(vq - f_naive)) AS BIGINT) ae_naive
+        |       FROM lagd WHERE f_seasonal IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_days, ae_seasonal, ae_naive,
+        |  CAST(CASE WHEN ae_naive > 0 THEN (1000000 * ae_seasonal) // ae_naive
+        |    ELSE -1 END AS BIGINT) mase_ppm
+        |FROM sc ORDER BY event_type""".stripMargin,
+
+    // Spark dayofweek is 1 = Sunday; DuckDB's is 0 = Sunday — the +1
+    // aligns the conventions.
+    "q172_dow_seasonality" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) vq
+        |  FROM events GROUP BY 1, 2),
+        |byd AS (SELECT event_type, CAST(dayofweek(day) + 1 AS INT) dow,
+        |          CAST(count(*) AS BIGINT) n_days,
+        |          CAST(sum(vq) AS BIGINT) sum_vq
+        |        FROM daily GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) n_all,
+        |          CAST(sum(vq) AS BIGINT) sum_all
+        |        FROM daily GROUP BY 1)
+        |SELECT b.event_type, dow, n_days, sum_vq,
+        |  CAST((1000000 * sum_vq * n_all) // (n_days * sum_all) AS BIGINT) idx_ppm
+        |FROM byd b JOIN tot USING (event_type)
+        |ORDER BY b.event_type, dow""".stripMargin,
 
     "q168_markov_eval" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id,
