@@ -53,6 +53,13 @@ class EmptyInputSpec extends AnyFunSuite {
     graft.ops.TransientCache.releaseAll()
   }
 
+  test("similarity audits return empty on an empty embedding table") {
+    assert(Similarity.jlTopK(emptyEmb, "vec_id", "embedding",
+      col("vec_id") < 10).count() == 0)
+    assert(Similarity.ivfAssignments(emptyEmb, "vec_id", "embedding").count() == 0)
+    graft.ops.TransientCache.releaseAll()
+  }
+
   test("components handles an empty edge set on both dispatch paths") {
     import spark.implicits._
     val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
