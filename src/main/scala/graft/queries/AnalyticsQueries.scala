@@ -338,6 +338,48 @@ object AnalyticsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Funnel time-to-convert quantiles — q70's stage counts answered in
+    // TIME: per user the first view, the earliest click at-or-after it,
+    // the earliest purchase at-or-after that click; per stage pair the
+    // exact p50/p90 latency. Quantiles are type-1 (value at rank
+    // ceil(q·n)) selected by the integer rank-crossing identity
+    // q·rn ≥ p·n AND q·(rn−1) < p·n — no percentile function whose
+    // interpolation semantics could drift between engines; latencies in
+    // exact microseconds. Ties order arbitrarily under row_number but
+    // the SELECTED value at the crossing rank is unique, so the answer
+    // is deterministic. Stage tables are per-user min-aggregates; the
+    // rank pass is one window over the (users × 2)-row latency table.
+    "q173_funnel_latency" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val c = ev.join(v, "user_id")
+        .where(col("event_type") === "click" && col("ts") >= col("t0"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val p = ev.join(c, "user_id")
+        .where(col("event_type") === "purchase" && col("ts") >= col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val lat = c.join(v, "user_id")
+        .select(lit("view->click").as("pair"),
+          expr("unix_micros(t1) - unix_micros(t0)").as("us"))
+        .unionByName(p.join(c, "user_id")
+          .select(lit("click->purchase").as("pair"),
+            expr("unix_micros(t2) - unix_micros(t1)").as("us")))
+      val wr = Window.partitionBy(col("pair")).orderBy(col("us"))
+      val wn = Window.partitionBy(col("pair"))
+      lat
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("pair"))
+        .agg(max(col("n")).as("n_users"),
+          max(when(col("rn") * 2 >= col("n") &&
+            (col("rn") - 1) * 2 < col("n"), col("us"))).as("p50_us"),
+          max(when(col("rn") * 10 >= col("n") * 9 &&
+            (col("rn") - 1) * 10 < col("n") * 9, col("us"))).as("p90_us"))
+        .orderBy(col("pair"))
+    }),
+
     // Seasonal-naive forecast audit (the MASE discipline, Hyndman &
     // Koehler 2006): forecast each day's series value with the value
     // seven days back, score absolute error against the one-day-naive
@@ -931,7 +973,10 @@ object AnalyticsQueries {
     // series: the one-sided cumulative-sum statistic
     // S_i = max(0, S_{i-1} + (x_i - mean)) — a recursion SQL can't
     // window directly — re-expressed by the prefix-sum identity
-    // S_i = C_i - min(C_1..C_i), which IS window-expressible and scales
+    // S_i = C_i - min(0, C_1..C_i) (the 0 term is the EMPTY prefix:
+    // without it a series opening with positive deviations
+    // under-reports — AnalyticsPropertySpec pins the identity against
+    // the direct recursion), which IS window-expressible and scales
     // as two running aggregates per series, no self-join. Deviations
     // are pre-scaled by n (dev = n·x - T) so the mean never divides:
     // integer-exact end to end. is_peak marks the argmax day — where
@@ -949,7 +994,7 @@ object AnalyticsQueries {
       daily.join(st, "event_type")
         .withColumn("dev", col("n") * col("x") - col("t"))
         .withColumn("c", sum(col("dev")).over(w))
-        .withColumn("cusum_q", col("c") - min(col("c")).over(w))
+        .withColumn("cusum_q", col("c") - least(min(col("c")).over(w), lit(0L)))
         .withColumn("is_peak",
           when(row_number().over(wPk) === 1, 1).otherwise(0).cast("int"))
         .select(col("event_type"), col("day"), col("x").as("n_events"),
@@ -1760,6 +1805,34 @@ object AnalyticsQueries {
          |FROM sz LEFT JOIN (SELECT * FROM best WHERE rn = 1) USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    "q173_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type
+        |            FROM events),
+        |v AS (SELECT user_id, min(ts) t0 FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT v.user_id, min(ts) t1 FROM ev JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts >= t0 GROUP BY 1),
+        |p AS (SELECT c.user_id, min(ts) t2 FROM ev JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts >= t1 GROUP BY 1),
+        |lat AS (
+        |  SELECT 'view->click' pair,
+        |    CAST(epoch_us(t1) - epoch_us(t0) AS BIGINT) us
+        |  FROM c JOIN v USING (user_id)
+        |  UNION ALL
+        |  SELECT 'click->purchase',
+        |    CAST(epoch_us(t2) - epoch_us(t1) AS BIGINT)
+        |  FROM p JOIN c USING (user_id)),
+        |rk AS (SELECT pair, us,
+        |    CAST(row_number() OVER (PARTITION BY pair ORDER BY us) AS BIGINT) rn,
+        |    CAST(count(*) OVER (PARTITION BY pair) AS BIGINT) n
+        |  FROM lat)
+        |SELECT pair, CAST(max(n) AS BIGINT) n_users,
+        |  CAST(max(CASE WHEN rn * 2 >= n AND (rn - 1) * 2 < n THEN us END)
+        |    AS BIGINT) p50_us,
+        |  CAST(max(CASE WHEN rn * 10 >= n * 9 AND (rn - 1) * 10 < n * 9 THEN us END)
+        |    AS BIGINT) p90_us
+        |FROM rk GROUP BY pair ORDER BY pair""".stripMargin,
+
     "q171_seasonal_naive_eval" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
@@ -2445,7 +2518,7 @@ object AnalyticsQueries {
         |    CAST(sum(dev) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) c
         |  FROM dd),
         |s AS (SELECT event_type, day, x,
-        |    c - min(c) OVER (PARTITION BY event_type ORDER BY day) cusum_q
+        |    c - least(min(c) OVER (PARTITION BY event_type ORDER BY day), 0) cusum_q
         |  FROM cs)
         |SELECT event_type, day, x AS n_events, cusum_q,
         |  CAST(CASE WHEN row_number() OVER (PARTITION BY event_type

@@ -92,6 +92,27 @@ class AnalyticsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CUSUM prefix identity: C_i - min prefix C equals the direct " +
+    "max(0, S+d) recursion on random integer series") {
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(60)
+      val d = Array.fill(n)(rnd.nextInt(2001) - 1000L) // deviations in [-1000, 1000]
+      // direct recursion (the statistic's definition)
+      val direct = d.scanLeft(0L)((s, x) => math.max(0L, s + x)).drop(1)
+      // the window-expressible identity q161 uses: S_i = C_i - min(0, C_1..C_i)
+      var c = 0L
+      var minC = 0L // the 0 init IS the empty prefix (C_0 = 0)
+      val viaPrefix = d.map { x =>
+        c += x
+        if (c < minC) minC = c
+        c - minC
+      }
+      assert(direct.sameElements(viaPrefix),
+        s"identity broken for ${d.take(8).mkString(",")}...")
+    }
+  }
+
   test("weighted-sample keys: heavier docs get stochastically smaller keys") {
     import spark.implicits._
     // key_q = floor(1e9 * ln(2^32/(u+1)) / w): for FIXED u, a larger
