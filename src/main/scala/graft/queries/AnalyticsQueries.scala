@@ -518,6 +518,56 @@ object AnalyticsQueries {
         .orderBy(col("t_days"))
     }),
 
+    // STRATIFIED Kaplan-Meier — q167 partitioned by customer market
+    // segment (events.user_id → customer, the q103-audited FK; users
+    // with no dimension row stratify as 'unknown' instead of silently
+    // dropping): per-segment conversion-latency curves, the comparison
+    // a funnel owner actually reads ("which segment converts slower").
+    // Same integer discipline as q167; every window gains the segment
+    // partition key, so strata stay partition-parallel at any segment
+    // cardinality.
+    "q174_km_by_segment" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val u = ev.groupBy(col("user_id")).agg(
+        date_trunc("day", min(col("ts"))).as("f"),
+        date_trunc("day", max(col("ts"))).as("l"))
+      val p = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("fp"))
+      val seg = u.join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey").as("user_id"),
+              col("c_mktsegment").as("cseg"))),
+          Seq("user_id"), "left")
+        .select(col("user_id"), coalesce(col("cseg"), lit("unknown")).as("segment"))
+      val dd = u.join(p, Seq("user_id"), "left").join(seg, "user_id")
+        .select(col("segment"),
+          when(col("fp").isNotNull,
+            expr("CAST(datediff(CAST(fp AS DATE), CAST(f AS DATE)) AS BIGINT)"))
+            .otherwise(
+              expr("CAST(datediff(CAST(l AS DATE), CAST(f AS DATE)) AS BIGINT)"))
+            .as("t"),
+          when(col("fp").isNotNull, lit(1L)).otherwise(lit(0L)).as("converted"))
+      val tot = dd.groupBy(col("segment")).agg(count(lit(1)).as("n"))
+      val byt = dd.groupBy(col("segment"), col("t"))
+        .agg(sum(col("converted")).as("d_events"), count(lit(1)).as("leaving"))
+      val wPrev = Window.partitionBy(col("segment")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy(col("segment")).orderBy(col("t"))
+      byt.join(tot, "segment")
+        .withColumn("n_risk",
+          col("n") - coalesce(sum(col("leaving")).over(wPrev), lit(0L)))
+        .withColumn("n_censored", col("leaving") - col("d_events"))
+        .withColumn("term_lq", expr(
+          """CAST(CASE WHEN d_events = 0 THEN 0
+            | WHEN n_risk > d_events THEN floor(1000000 * ln(
+            |   CAST(n_risk - d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+            | ELSE -999999999 END AS BIGINT)""".stripMargin))
+        .withColumn("survival_lq", sum(col("term_lq")).over(wCum))
+        .select(col("segment"), col("t").as("t_days"), col("n_risk"),
+          col("d_events"), col("n_censored"), col("survival_lq"))
+        .orderBy(col("segment"), col("t_days"))
+    }),
+
     // IDF-weighted containment decontamination — q96 with every shared
     // trigram weighted by corpus rarity floor(1000·ln(N/df)): a hit on
     // a rare gram is strong contamination evidence, a hit on boilerplate
@@ -1894,6 +1944,40 @@ object AnalyticsQueries {
         |SELECT from_type, n_eval, n_correct,
         |  CAST((1000000 * n_correct) // n_eval AS BIGINT) acc_ppm
         |FROM sc ORDER BY from_type""".stripMargin,
+
+    "q174_km_by_segment" ->
+      """WITH u AS (
+        |  SELECT user_id, date_trunc('day', min(CAST(ts AS TIMESTAMP))) f,
+        |    date_trunc('day', max(CAST(ts AS TIMESTAMP))) l
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, date_trunc('day', min(CAST(ts AS TIMESTAMP))) fp
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |seg AS (SELECT u.user_id, COALESCE(c.c_mktsegment, 'unknown') segment
+        |        FROM u LEFT JOIN customer c ON u.user_id = c.c_custkey),
+        |d AS (SELECT u.user_id, seg.segment,
+        |        CASE WHEN fp IS NOT NULL THEN CAST(datediff('day', f, fp) AS BIGINT)
+        |             ELSE CAST(datediff('day', f, l) AS BIGINT) END t,
+        |        CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END converted
+        |      FROM u LEFT JOIN p USING (user_id) JOIN seg USING (user_id)),
+        |tot AS (SELECT segment, CAST(count(*) AS BIGINT) n FROM d GROUP BY 1),
+        |byt AS (SELECT segment, t, CAST(sum(converted) AS BIGINT) d_events,
+        |          CAST(count(*) AS BIGINT) leaving FROM d GROUP BY 1, 2),
+        |r AS (SELECT byt.segment, t, d_events, leaving,
+        |        n - COALESCE(sum(leaving) OVER (PARTITION BY byt.segment ORDER BY t
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) n_risk
+        |      FROM byt JOIN tot ON byt.segment = tot.segment),
+        |km AS (SELECT segment, t, CAST(n_risk AS BIGINT) n_risk, d_events,
+        |         CAST(leaving - d_events AS BIGINT) n_censored,
+        |         CAST(CASE WHEN d_events = 0 THEN 0
+        |           WHEN n_risk > d_events THEN floor(1000000 * ln(
+        |             CAST(n_risk - d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+        |           ELSE -999999999 END AS BIGINT) term_lq
+        |       FROM r)
+        |SELECT segment, t AS t_days, n_risk, d_events, n_censored,
+        |  CAST(sum(term_lq) OVER (PARTITION BY segment ORDER BY t) AS BIGINT)
+        |    survival_lq
+        |FROM km ORDER BY segment, t_days""".stripMargin,
 
     "q167_kaplan_meier" ->
       """WITH u AS (
