@@ -380,6 +380,36 @@ object AnalyticsQueries {
         .orderBy(col("pair"))
     }),
 
+    // Inter-arrival gap quantiles: per event type (of the EARLIER
+    // event), the exact p50/p90 gap to the user's next event — the
+    // latency-distribution health metric behind rate limiting, session
+    // gap tuning (q45's 30-minute threshold is exactly a choice on this
+    // distribution) and anomaly baselines. One lead() window per user
+    // for the gaps, then q173's integer rank-crossing quantiles,
+    // microsecond-exact.
+    "q175_interarrival_quantiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("nxt", lead(col("ts"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .select(col("event_type"),
+          expr("unix_micros(nxt) - unix_micros(ts)").as("us"))
+      val wr = Window.partitionBy(col("event_type")).orderBy(col("us"))
+      val wn = Window.partitionBy(col("event_type"))
+      gaps
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_gaps"),
+          max(when(col("rn") * 2 >= col("n") &&
+            (col("rn") - 1) * 2 < col("n"), col("us"))).as("p50_us"),
+          max(when(col("rn") * 10 >= col("n") * 9 &&
+            (col("rn") - 1) * 10 < col("n") * 9, col("us"))).as("p90_us"))
+        .orderBy(col("event_type"))
+    }),
+
     // Seasonal-naive forecast audit (the MASE discipline, Hyndman &
     // Koehler 2006): forecast each day's series value with the value
     // seven days back, score absolute error against the one-day-naive
@@ -1854,6 +1884,24 @@ object AnalyticsQueries {
          |  CAST((1000000 * COALESCE(n_common, 0)) // n_grams AS BIGINT) AS containment_ppm
          |FROM sz LEFT JOIN (SELECT * FROM best WHERE rn = 1) USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q175_interarrival_quantiles" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id,
+        |              event_type FROM events),
+        |g AS (SELECT event_type,
+        |    CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS BIGINT) us
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |  QUALIFY lead(ts) OVER w IS NOT NULL),
+        |rk AS (SELECT event_type, us,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY us) AS BIGINT) rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) n
+        |  FROM g)
+        |SELECT event_type, CAST(max(n) AS BIGINT) n_gaps,
+        |  CAST(max(CASE WHEN rn * 2 >= n AND (rn - 1) * 2 < n THEN us END)
+        |    AS BIGINT) p50_us,
+        |  CAST(max(CASE WHEN rn * 10 >= n * 9 AND (rn - 1) * 10 < n * 9 THEN us END)
+        |    AS BIGINT) p90_us
+        |FROM rk GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q173_funnel_latency" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_type
