@@ -380,6 +380,74 @@ object AnalyticsQueries {
         .orderBy(col("pair"))
     }),
 
+    // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
+    // classic fraud / synthetic-data detector: observed first-
+    // significant-digit shares of order totals against the Benford
+    // expectation log10(1 + 1/d). The first digit is extracted by
+    // STRING truncation of the integer part (no log10 round-trip whose
+    // 1-ulp drift could flip a boundary value's digit), and the nine
+    // expected ppm shares are hard literals of a universal constant —
+    // zero transcendental parity exposure anywhere. On this synthetic
+    // corpus the audit correctly screams (deviation_ppm ≈ 10⁵): uniform
+    // price generators are exactly what Benford checks catch.
+    "q176_benford_audit" -> ((s, d) => {
+      val exp = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+        66946L, 57991L, 51152L, 45757L)
+      val expDf = s.createDataFrame(
+        s.sparkContext.parallelize(
+          (1 to 9).map(i => org.apache.spark.sql.Row(i.toString, exp(i - 1))), 1),
+        new org.apache.spark.sql.types.StructType()
+          .add("digit", "string").add("exp_ppm", "long"))
+      val obs = Tables.orders(s, d).where(col("o_totalprice") >= 1)
+        .select(substring(
+          expr("CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING)"), 1, 1)
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = obs.agg(sum(col("n")).as("total"))
+      broadcast(expDf).join(obs, Seq("digit"), "left")
+        .crossJoin(tot)
+        .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+          expr("(1000000 * coalesce(n, 0)) div total").as("obs_ppm"),
+          col("exp_ppm"))
+        .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+        .orderBy(col("digit"))
+    }),
+
+    // Zipf rank-frequency fit (Zipf 1949): OLS slope of ln(freq) on
+    // ln(rank) over the top-1000 vocabulary — natural text sits near
+    // slope −1, and a corpus that doesn't is telling you something
+    // (synthetic generation, boilerplate floods, aggressive dedup).
+    // q90's integer-moment discipline: both lns quantize to
+    // floor(×1000) integers BEFORE the moment sums (order-independent),
+    // and only the final slope/intercept/corr divide in double. The
+    // top-k head is a bounded TakeOrdered over the session vocab
+    // aggregate.
+    "q177_zipf_fit" -> ((s, d) => {
+      val ranked = ExtQueries.docSourceTokenCounts(s, d)
+        .groupBy(col("token")).agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(1000)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("freq").desc, col("token"))).cast("long"))
+        .select(
+          expr("CAST(floor(1000 * ln(CAST(rank AS DOUBLE))) AS BIGINT)").as("x"),
+          expr("CAST(floor(1000 * ln(CAST(freq AS DOUBLE))) AS BIGINT)").as("y"))
+      ranked.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n"),
+          expr("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)")
+            .as("slope"),
+          expr("(CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) " +
+            "/ CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) " +
+            "/ CAST(n AS DOUBLE)").as("intercept"),
+          expr("CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(" +
+            "CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))")
+            .as("corr"))
+        .transform(Parity.outputDoubles)
+    }),
+
     // Inter-arrival gap quantiles: per event type (of the EARLIER
     // event), the exact p50/p90 gap to the user's next event — the
     // latency-distribution health metric behind rate limiting, session
@@ -1884,6 +1952,52 @@ object AnalyticsQueries {
          |  CAST((1000000 * COALESCE(n_common, 0)) // n_grams AS BIGINT) AS containment_ppm
          |FROM sz LEFT JOIN (SELECT * FROM best WHERE rn = 1) USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q176_benford_audit" ->
+      """WITH e AS (SELECT * FROM (VALUES
+        |    ('1', 301029), ('2', 176091), ('3', 124938), ('4', 96910),
+        |    ('5', 79181), ('6', 66946), ('7', 57991), ('8', 51152),
+        |    ('9', 45757)) AS t(digit, exp_ppm)),
+        |obs AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |          AS VARCHAR), 1, 1) digit,
+        |          CAST(count(*) AS BIGINT) n
+        |        FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) total FROM obs)
+        |SELECT e.digit, CAST(COALESCE(n, 0) AS BIGINT) AS n,
+        |  CAST((1000000 * COALESCE(n, 0)) // total AS BIGINT) AS obs_ppm,
+        |  CAST(exp_ppm AS BIGINT) AS exp_ppm,
+        |  CAST(abs((1000000 * COALESCE(n, 0)) // total - exp_ppm) AS BIGINT)
+        |    AS dev_ppm
+        |FROM e LEFT JOIN obs USING (digit) CROSS JOIN tot
+        |ORDER BY e.digit""".stripMargin,
+
+    "q177_zipf_fit" ->
+      s"""${ExtQueries.tokCte},
+         |p AS (SELECT unnest(t) token FROM tok),
+         |tc AS (SELECT token, CAST(count(*) AS BIGINT) freq FROM p GROUP BY 1),
+         |hd AS (SELECT token, freq,
+         |    CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) rank
+         |  FROM tc QUALIFY rank <= 1000),
+         |q AS (SELECT
+         |    CAST(floor(1000 * ln(CAST(rank AS DOUBLE))) AS BIGINT) x,
+         |    CAST(floor(1000 * ln(CAST(freq AS DOUBLE))) AS BIGINT) y
+         |  FROM hd),
+         |m AS (SELECT CAST(count(*) AS BIGINT) n,
+         |        CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+         |        CAST(sum(x * y) AS BIGINT) sxy,
+         |        CAST(sum(x * x) AS BIGINT) sxx,
+         |        CAST(sum(y * y) AS BIGINT) syy
+         |      FROM q)
+         |SELECT n,
+         |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         |    AS slope,
+         |  (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         |    / CAST(n AS DOUBLE) AS intercept,
+         |  CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(
+         |    CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+         |    AS corr
+         |FROM m""".stripMargin,
 
     "q175_interarrival_quantiles" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id,
