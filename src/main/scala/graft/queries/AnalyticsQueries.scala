@@ -380,6 +380,56 @@ object AnalyticsQueries {
         .orderBy(col("pair"))
     }),
 
+    // Two-sample Kolmogorov-Smirnov drift statistic (exact): the max
+    // gap between the benchmark source's and the rest-of-corpus's
+    // empirical CDFs of document length — the distribution-free drift
+    // test next to PSI (q119 needs binning; KS doesn't). Exact-integer:
+    // the running counts cross-multiply (|ca·n_b − cb·n_a|) so no CDF
+    // ever divides, and the peer-inclusive RANGE window frame (both
+    // engines' ORDER BY default) makes ties collapse identically. The
+    // global sort is the classic KS cost — at corpus scale a range
+    // partition with per-partition boundary counts, the q162 sort
+    // discipline.
+    "q178_ks_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.where(col("source") === "src0")
+        .select(col("n_chars").as("v"), lit(1L).as("ia"), lit(0L).as("ib"))
+      val b = docs.where(col("source") =!= "src0")
+        .select(col("n_chars").as("v"), lit(0L).as("ia"), lit(1L).as("ib"))
+      val u = a.unionByName(b)
+      val na = a.agg(sum(col("ia")).as("n_a"))
+      val nb = b.agg(sum(col("ib")).as("n_b"))
+      val w = Window.orderBy(col("v"))
+      val dmax = u
+        .withColumn("ca", sum(col("ia")).over(w))
+        .withColumn("cb", sum(col("ib")).over(w))
+        .crossJoin(na).crossJoin(nb)
+        .select(abs(col("ca") * col("n_b") - col("cb") * col("n_a")).as("dn"))
+        .agg(max(col("dn")).as("d_num"))
+      na.crossJoin(nb).crossJoin(dmax)
+        .select(col("n_a"), col("n_b"), col("d_num"),
+          expr("(1000000 * d_num) div (n_a * n_b)").as("ks_d_ppm"))
+    }),
+
+    // Top event PATHS (length-3 sequences) — the product-analytics
+    // "what do users actually do" table one step deeper than q78's
+    // transition matrix: two lead() columns over the per-user order,
+    // one aggregate, top-20. The path table is states³-bounded.
+    "q179_top_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .where(col("e3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+          col("e3").as("step3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+        .limit(20)
+    }),
+
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
     // classic fraud / synthetic-data detector: observed first-
     // significant-digit shares of order totals against the Benford
@@ -1952,6 +2002,35 @@ object AnalyticsQueries {
          |  CAST((1000000 * COALESCE(n_common, 0)) // n_grams AS BIGINT) AS containment_ppm
          |FROM sz LEFT JOIN (SELECT * FROM best WHERE rn = 1) USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q178_ks_drift" ->
+      """WITH a AS (SELECT n_chars v FROM documents WHERE source = 'src0'),
+        |b AS (SELECT n_chars v FROM documents WHERE source <> 'src0'),
+        |na AS (SELECT CAST(count(*) AS BIGINT) n_a FROM a),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) n_b FROM b),
+        |u AS (SELECT v, 1 ia, 0 ib FROM a UNION ALL SELECT v, 0, 1 FROM b),
+        |cum AS (SELECT v,
+        |    CAST(sum(ia) OVER (ORDER BY v) AS BIGINT) ca,
+        |    CAST(sum(ib) OVER (ORDER BY v) AS BIGINT) cb
+        |  FROM u),
+        |d AS (SELECT CAST(max(abs(ca * n_b - cb * n_a)) AS BIGINT) d_num
+        |      FROM cum CROSS JOIN na CROSS JOIN nb)
+        |SELECT n_a, n_b, d_num,
+        |  CAST((1000000 * d_num) // (n_a * n_b) AS BIGINT) ks_d_ppm
+        |FROM d CROSS JOIN na CROSS JOIN nb""".stripMargin,
+
+    "q179_top_paths" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id,
+        |              event_type FROM events),
+        |tr AS (
+        |  SELECT event_type step1,
+        |    lead(event_type, 1) OVER w step2,
+        |    lead(event_type, 2) OVER w step3
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |  QUALIFY step3 IS NOT NULL)
+        |SELECT step1, step2, step3, CAST(count(*) AS BIGINT) n
+        |FROM tr GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin,
 
     "q176_benford_audit" ->
       """WITH e AS (SELECT * FROM (VALUES
