@@ -380,6 +380,28 @@ object AnalyticsQueries {
         .orderBy(col("pair"))
     }),
 
+    // Exact AUC of the NB quality classifier (Mann-Whitney U identity:
+    // AUC = P(score⁺ > score⁻) + ½P(tie)) — completing the classifier
+    // audit triple: confusion (q145), calibration (q165), and now
+    // ranking power, all off the one session-cached score table.
+    // Integer-exact with ties: scores group to (score, n_pos, n_neg),
+    // one running window gives each score's strictly-below negative
+    // count, and 2U = Σ p·(2·q_below + q_ties) stays in int64 —
+    // auc_ppm = 10⁶·2U / (2·n⁺·n⁻), no rank averaging, no doubles.
+    "q180_nb_auc" -> ((s, d) => {
+      val g = nbScored(s, d)
+        .groupBy(col("score_q"))
+        .agg(sum(when(col("clean"), lit(1L)).otherwise(lit(0L))).as("p"),
+          sum(when(!col("clean"), lit(1L)).otherwise(lit(0L))).as("q"))
+      val w = Window.orderBy(col("score_q"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("q_below", coalesce(sum(col("q")).over(w), lit(0L)))
+        .agg(sum(col("p") * (col("q_below") * 2 + col("q"))).as("u_x2"),
+          sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"))
+        .select(col("n_pos"), col("n_neg"), col("u_x2"),
+          expr("(1000000 * u_x2) div (2 * n_pos * n_neg)").as("auc_ppm"))
+    }),
+
     // Two-sample Kolmogorov-Smirnov drift statistic (exact): the max
     // gap between the benchmark source's and the rest-of-corpus's
     // empirical CDFs of document length — the distribution-free drift
@@ -2002,6 +2024,24 @@ object AnalyticsQueries {
          |  CAST((1000000 * COALESCE(n_common, 0)) // n_grams AS BIGINT) AS containment_ppm
          |FROM sz LEFT JOIN (SELECT * FROM best WHERE rn = 1) USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q180_nb_auc" ->
+      s"""$nbScoreCtes,
+         |g AS (SELECT score_q,
+         |        CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) p,
+         |        CAST(sum(CASE WHEN NOT clean THEN 1 ELSE 0 END) AS BIGINT) q
+         |      FROM ds GROUP BY 1),
+         |c AS (SELECT score_q, p, q,
+         |    CAST(COALESCE(sum(q) OVER (ORDER BY score_q
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      q_below
+         |  FROM g),
+         |t AS (SELECT CAST(sum(p * (2 * q_below + q)) AS BIGINT) u_x2,
+         |        CAST(sum(p) AS BIGINT) n_pos,
+         |        CAST(sum(q) AS BIGINT) n_neg FROM c)
+         |SELECT n_pos, n_neg, u_x2,
+         |  CAST((1000000 * u_x2) // (2 * n_pos * n_neg) AS BIGINT) auc_ppm
+         |FROM t""".stripMargin,
 
     "q178_ks_drift" ->
       """WITH a AS (SELECT n_chars v FROM documents WHERE source = 'src0'),
