@@ -380,6 +380,68 @@ object AnalyticsQueries {
         .orderBy(col("pair"))
     }),
 
+    // Robust per-group feature scaling (median/IQR — the scaler that
+    // shrugs off the outliers a mean/σ z-score chases): every doc's
+    // length rescaled as 1000·(x − median)/IQR within its source.
+    // Quartiles are exact type-1 via the q173 rank-crossing identity
+    // (one window per source), broadcast back to the scan — the
+    // standard normalize-features-per-domain step, integer-exact with
+    // a degenerate-IQR guard. Group stats are groups×3 rows at any
+    // corpus size.
+    "q182_robust_scaling" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val wr = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      val wn = Window.partitionBy(col("source"))
+      val stats = docs
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("source"))
+        .agg(
+          max(when(col("rn") * 4 >= col("n") &&
+            (col("rn") - 1) * 4 < col("n"), col("n_chars"))).as("p25"),
+          max(when(col("rn") * 2 >= col("n") &&
+            (col("rn") - 1) * 2 < col("n"), col("n_chars"))).as("med"),
+          max(when(col("rn") * 4 >= col("n") * 3 &&
+            (col("rn") - 1) * 4 < col("n") * 3, col("n_chars"))).as("p75"))
+      docs.join(broadcast(stats), "source")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("med"), (col("p75") - col("p25")).as("iqr"))
+        // floor of an exact-integer-operand double division: identical
+        // in both engines for ALL signs (integer div/'//' differ on
+        // negatives — truncation vs floor)
+        .withColumn("robust_q", expr(
+          "CASE WHEN iqr > 0 THEN CAST(floor(CAST(1000 * (n_chars - med) " +
+            "AS DOUBLE) / CAST(iqr AS DOUBLE)) AS BIGINT) ELSE 0 END"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Operating-curve sweep for the NB classifier: precision/recall at
+    // five fixed score thresholds around q145's score_q > 0 operating
+    // point — the table someone choosing a keep/drop cutoff actually
+    // reads, next to the threshold-free AUC (q180). One pass over the
+    // session score table per sweep (the thresholds explode map-side,
+    // 5× a 500-row table).
+    "q181_nb_pr_sweep" -> ((s, d) => {
+      import s.implicits._
+      val thr = s.createDataset(Seq(-2000L, -1000L, 0L, 1000L, 2000L))
+        .toDF("threshold")
+      nbScored(s, d)
+        .crossJoin(broadcast(thr))
+        .groupBy(col("threshold"))
+        .agg(
+          sum(when(col("score_q") > col("threshold"), lit(1L)).otherwise(lit(0L)))
+            .as("n_pred_pos"),
+          sum(when(col("score_q") > col("threshold") && col("clean"), lit(1L))
+            .otherwise(lit(0L))).as("n_tp"),
+          sum(when(col("clean"), lit(1L)).otherwise(lit(0L))).as("n_pos"))
+        .select(col("threshold"), col("n_pred_pos"), col("n_tp"),
+          expr("CASE WHEN n_pred_pos > 0 THEN (1000000 * n_tp) div n_pred_pos " +
+            "ELSE 0 END").as("precision_ppm"),
+          expr("(1000000 * n_tp) div n_pos").as("recall_ppm"))
+        .orderBy(col("threshold"))
+    }),
+
     // Exact AUC of the NB quality classifier (Mann-Whitney U identity:
     // AUC = P(score⁺ > score⁻) + ½P(tie)) — completing the classifier
     // audit triple: confusion (q145), calibration (q165), and now
@@ -2024,6 +2086,45 @@ object AnalyticsQueries {
          |  CAST((1000000 * COALESCE(n_common, 0)) // n_grams AS BIGINT) AS containment_ppm
          |FROM sz LEFT JOIN (SELECT * FROM best WHERE rn = 1) USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q182_robust_scaling" ->
+      """WITH rk AS (SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars)
+        |      AS BIGINT) rn,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) n
+        |  FROM documents),
+        |st AS (SELECT source,
+        |    CAST(max(CASE WHEN rn * 4 >= n AND (rn - 1) * 4 < n
+        |      THEN n_chars END) AS BIGINT) p25,
+        |    CAST(max(CASE WHEN rn * 2 >= n AND (rn - 1) * 2 < n
+        |      THEN n_chars END) AS BIGINT) med,
+        |    CAST(max(CASE WHEN rn * 4 >= n * 3 AND (rn - 1) * 4 < n * 3
+        |      THEN n_chars END) AS BIGINT) p75
+        |  FROM rk GROUP BY source)
+        |SELECT doc_id, d.source, n_chars, med,
+        |  CAST(p75 - p25 AS BIGINT) AS iqr,
+        |  CAST(CASE WHEN p75 - p25 > 0
+        |    THEN CAST(floor(CAST(1000 * (n_chars - med) AS DOUBLE)
+        |      / CAST(p75 - p25 AS DOUBLE)) AS BIGINT)
+        |    ELSE 0 END AS BIGINT) AS robust_q
+        |FROM documents d JOIN st USING (source)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q181_nb_pr_sweep" ->
+      s"""$nbScoreCtes,
+         |thr AS (SELECT unnest([-2000, -1000, 0, 1000, 2000]) threshold),
+         |sw AS (SELECT CAST(threshold AS BIGINT) threshold,
+         |    CAST(sum(CASE WHEN score_q > threshold THEN 1 ELSE 0 END) AS BIGINT)
+         |      n_pred_pos,
+         |    CAST(sum(CASE WHEN score_q > threshold AND clean THEN 1 ELSE 0 END)
+         |      AS BIGINT) n_tp,
+         |    CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) n_pos
+         |  FROM ds CROSS JOIN thr GROUP BY 1)
+         |SELECT threshold, n_pred_pos, n_tp,
+         |  CAST(CASE WHEN n_pred_pos > 0 THEN (1000000 * n_tp) // n_pred_pos
+         |    ELSE 0 END AS BIGINT) precision_ppm,
+         |  CAST((1000000 * n_tp) // n_pos AS BIGINT) recall_ppm
+         |FROM sw ORDER BY threshold""".stripMargin,
 
     "q180_nb_auc" ->
       s"""$nbScoreCtes,
