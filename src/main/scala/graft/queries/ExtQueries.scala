@@ -190,6 +190,45 @@ object ExtQueries {
           expr("(1000000 * n_tp) div n_pred").as("precision_ppm"))
     }),
 
+    // First-occurrence gram novelty: per doc, the fraction of its
+    // distinct trigrams NOT seen in any lower-id document — the
+    // streaming-dedup / curriculum signal ("how much of this doc is
+    // new relative to everything ingested before it"), the asymmetric
+    // counterpart of q69's symmetric duplicated-gram share. One window
+    // min over the shared trigram artifact (shuffle on the gram key),
+    // then a per-doc aggregate; nothing is pairwise.
+    "q184_gram_novelty" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      trigramShingles(s, d)
+        .withColumn("first_doc",
+          min(col("doc")).over(Window.partitionBy(col("s"))))
+        .groupBy(col("doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc"), lit(1L)).otherwise(lit(0L)))
+            .as("n_novel"))
+        .withColumn("novelty_ppm", expr("(1000000 * n_novel) div n_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary growth curve (Heaps-law audit): new distinct terms per
+    // doc-id decile and the cumulative vocabulary — the saturation
+    // measurement behind "is more data still adding vocabulary".
+    // min(doc_id) per token (one shuffle on the token key), decile by
+    // integer division against the max id, 10-row cumulative window.
+    "q185_vocab_growth" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val first = TextAnalysis.tokenRows(Tables.documents(s, d), "text", "doc_id")
+        .groupBy(col("token")).agg(min(col("doc")).as("first_doc"))
+      val mx = Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))
+      first.crossJoin(mx)
+        .withColumn("bucket", expr("(10 * first_doc) div (mx + 1)"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_terms"))
+        // <= 10 rows reach this window; the single partition is by design
+        .withColumn("cum_terms",
+          sum(col("n_new_terms")).over(Window.orderBy(col("bucket"))))
+        .orderBy(col("bucket"))
+    }),
+
     // 32-bit SimHash near-dup clusters (single groupBy on the signature).
     // The signature table is built ONCE per session (SessionCache) and
     // shared with q48 — the production pipeline shape, where signatures
@@ -204,6 +243,61 @@ object ExtQueries {
     "q48_simhash_hamming" -> ((s, d) =>
       Dedup.simhashHammingPairsFromSigs(simhashSigs(s, d), 2)
         .orderBy("doc_a", "doc_b")),
+
+    // Dedup-cascade attribution: the stage report every curation run
+    // publishes — how many docs (and tokens) each stage of the
+    // exact → MinHash-LSH → SimHash cascade removes, under the greedy
+    // keep-lowest-id convention applied stage by stage. A stage only
+    // counts a doc as removed if its lower-id duplicate partner SURVIVED
+    // all earlier stages (a doc can't be "removed by minhash" on the
+    // strength of a partner that exact-dedup already deleted). The
+    // convention is deliberately non-iterative WITHIN a stage (partner
+    // must survive prior stages, not the current one) so the attribution
+    // is a single well-defined dataflow, not a sequential sweep — at
+    // corpus scale each flag is one key-partitioned join/window over the
+    // stage's existing session artifact (content hashes / LSH pairs /
+    // simhash signatures); nothing new is quadratic.
+    "q183_dedup_cascade" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(TextAnalysis.tokens(TextAnalysis.normalize(col("text"))))
+          .cast("long").as("n_tokens"),
+        md5(TextAnalysis.normalize(col("text")).cast("binary")).as("content_hash"))
+      // stage 1: exact — keep the lowest doc_id of each content-hash group
+      val flagged = docs.withColumn("exact_rm",
+        col("doc_id") > min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
+      val s1 = flagged.where(!col("exact_rm")).select(col("doc_id"))
+      // stage 2: MinHash-LSH verified pairs (q23's predicate) among
+      // exact survivors — b removed iff some surviving a < b pairs with it
+      val lshp = Dedup.lshCandidatePairs(
+          graft.ops.SessionCache.getOrBuild(s, s"minhash_sigs:$d")(
+            Dedup.minhashSignaturesTyped(Tables.documents(s, d), "text", "doc_id", 8)),
+          8, 2)
+        .where(col("n_agree") >= 4)
+      val lshRm = lshp
+        .join(s1.select(col("doc_id").as("doc_a")), "doc_a")
+        .join(s1.select(col("doc_id").as("doc_b")), "doc_b")
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("lsh_rm", lit(true))
+      // stage 3: identical simhash among survivors of stages 1-2
+      val s2 = s1.join(lshRm.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      val simRm = s2
+        .join(simhashSigs(s, d).withColumnRenamed("doc", "doc_id"), "doc_id")
+        .withColumn("sim_rm",
+          col("doc_id") > min(col("doc_id")).over(Window.partitionBy(col("simhash"))))
+        .where(col("sim_rm")).select(col("doc_id"), col("sim_rm"))
+      flagged
+        .join(lshRm, Seq("doc_id"), "left")
+        .join(simRm, Seq("doc_id"), "left")
+        .withColumn("stage",
+          when(col("exact_rm"), "1_exact")
+            .when(col("lsh_rm"), "2_minhash")
+            .when(col("sim_rm"), "3_simhash")
+            .otherwise("4_kept"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("stage"))
+    }),
 
     // ExactSubstr dedup (Lee et al. 2022): maximal cross-doc shared token
     // spans >= 15 tokens, via positional window postings + diagonal
@@ -794,15 +888,22 @@ object ExtQueries {
        |SELECT src_a, src_b, CAST(count(*) AS BIGINT) n_pairs
        |FROM fl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** Per-doc simhash CTE shared by the cluster and hamming-pair oracles. */
-  private[queries] def simhashSigCtes: String = {
+  /** The simhash-specific tail of [[simhashSigCtes]] (assumes a `tok`
+    * CTE is already in scope) — split out so the q183 cascade oracle can
+    * append it to a chain that already begins with the LSH-pair CTEs
+    * (whose prefix is the same `tok`). */
+  private[queries] def simhashSigSuffix: String = {
     val bits = (1 to 32).map(j =>
       s"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN substr(h,$j,1) >= '8' THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END")
       .mkString(" || ")
-    s"""$tokCte,
-       |th AS (SELECT doc_id, list_transform(t, x -> md5(x)) th FROM tok),
+    s"""th AS (SELECT doc_id, list_transform(t, x -> md5(x)) th FROM tok),
        |sh AS (SELECT doc_id, $bits AS simhash FROM th)""".stripMargin
   }
+
+  /** Per-doc simhash CTE shared by the cluster and hamming-pair oracles. */
+  private[queries] def simhashSigCtes: String =
+    s"""$tokCte,
+       |$simhashSigSuffix""".stripMargin
 
   private def simhashSql: String =
     s"""$simhashSigCtes
@@ -967,7 +1068,64 @@ object ExtQueries {
 
     "q25_dedup_simhash" -> simhashSql,
 
+    "q184_gram_novelty" ->
+      s"""${PipelineQueries.trigramCtes},
+         |fd AS (SELECT s, min(doc_id) first_doc FROM g GROUP BY 1),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_grams,
+         |        CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) n_novel
+         |      FROM g JOIN fd USING (s) GROUP BY 1)
+         |SELECT doc_id, n_grams, n_novel,
+         |  CAST((1000000 * n_novel) // n_grams AS BIGINT) AS novelty_ppm
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q185_vocab_growth" ->
+      s"""$tokCte,
+         |p AS (SELECT doc_id, unnest(t) token FROM tok),
+         |fd AS (SELECT token, min(doc_id) first_doc FROM p GROUP BY 1),
+         |mx AS (SELECT max(doc_id) mx FROM documents),
+         |b AS (SELECT (10 * first_doc) // (mx + 1) bucket,
+         |        CAST(count(*) AS BIGINT) n_new_terms
+         |      FROM fd CROSS JOIN mx GROUP BY 1)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n_new_terms,
+         |  CAST(sum(n_new_terms) OVER (ORDER BY bucket) AS BIGINT) AS cum_terms
+         |FROM b ORDER BY bucket""".stripMargin,
+
     "q48_simhash_hamming" -> simhashHammingSql,
+
+    // Cascade attribution: the lshp chain already starts from the same
+    // tok CTE the simhash suffix needs, so the two stages share one
+    // tokenization. Stage predicates mirror the Spark plan exactly
+    // (window-min for exact and simhash, survivor-gated pair probe for
+    // minhash).
+    "q183_dedup_cascade" ->
+      s"""$lshPairCtes,
+         |$simhashSigSuffix,
+         |tc AS (SELECT doc_id, CAST(len(t) AS BIGINT) n_tokens FROM tok),
+         |eh AS (SELECT doc_id, md5($normSql) ch FROM documents),
+         |ex AS (SELECT doc_id,
+         |         CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY ch)
+         |              THEN 1 ELSE 0 END exact_rm
+         |       FROM eh),
+         |s1 AS (SELECT doc_id FROM ex WHERE exact_rm = 0),
+         |lr AS (SELECT DISTINCT doc_b doc_id FROM lshp
+         |       WHERE doc_a IN (SELECT doc_id FROM s1)
+         |         AND doc_b IN (SELECT doc_id FROM s1)),
+         |s2 AS (SELECT doc_id FROM s1
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM lr)),
+         |sr AS (SELECT doc_id FROM (
+         |    SELECT s2.doc_id,
+         |      CASE WHEN s2.doc_id > min(s2.doc_id) OVER (PARTITION BY sh.simhash)
+         |           THEN 1 ELSE 0 END rm
+         |    FROM s2 JOIN sh ON s2.doc_id = sh.doc_id) WHERE rm = 1),
+         |st AS (SELECT ex.doc_id, tc.n_tokens,
+         |    CASE WHEN ex.exact_rm = 1 THEN '1_exact'
+         |         WHEN ex.doc_id IN (SELECT doc_id FROM lr) THEN '2_minhash'
+         |         WHEN ex.doc_id IN (SELECT doc_id FROM sr) THEN '3_simhash'
+         |         ELSE '4_kept' END stage
+         |  FROM ex JOIN tc ON ex.doc_id = tc.doc_id)
+         |SELECT stage, CAST(count(*) AS BIGINT) n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) n_tokens
+         |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
 
     "q132_shared_spans" ->
       s"""WITH tok AS (
