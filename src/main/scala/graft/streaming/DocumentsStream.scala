@@ -26,6 +26,13 @@ final case class BandClaim(firstDoc: Long)
 final case class BandMatch(band: Int, key: String, doc_id: Long,
                            first_doc: Long)
 
+/** First claimer of a trigram (streaming first-occurrence state; one
+  * long per distinct gram) and the claim event emitted the moment a
+  * gram enters the corpus. Top-level + public for Spark's state encoder
+  * codegen. */
+final case class GramClaim(firstDoc: Long)
+final case class GramClaimEvent(s: String, doc_id: Long)
+
 /** First claimer of an audio landmark key (streaming fingerprint state;
   * one long per distinct landmark) and the match event a later
   * collision emits. Top-level + public for Spark's state encoder
@@ -329,6 +336,52 @@ object DocumentsStream {
                 state.update(BandClaim(rows.head._3))
                 rows.iterator.drop(1).map(r =>
                   BandMatch(band, key, r._3, rows.head._3))
+              }
+            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            out
+          }
+      }
+  }
+
+  /** Streaming first-occurrence gram claims at ingest — the incremental
+    * form of the batch q184 novelty signal: keyed state per distinct
+    * trigram holds the first document that introduced it, and a claim
+    * event fires the moment a never-seen gram enters the corpus. An
+    * arriving document's novel-gram count is the number of claim events
+    * carrying its id; its total distinct grams are stateless
+    * ([[graft.ext.Dedup.shingleRows]]) — the ratio is q184's
+    * novelty_ppm computed per arrival instead of per corpus scan.
+    * Within one micro-batch "earlier" = lower doc id (min-doc-wins), so
+    * a single-batch run claims exactly batch q184's first_doc per gram
+    * — StreamingSpec-pinned. State is one long per distinct gram:
+    * precisely the first-occurrence index the batch family's SCALE note
+    * describes (a new shard's grams anti-join it); here that index is
+    * the keyed state itself, maintained per arrival. `stateTtl` gives
+    * the same sliding-window eviction contract as streaming exact
+    * dedup. */
+  def gramClaimsAtIngest(spark: SparkSession, docs: DataFrame,
+                         stateTtl: Option[java.time.Duration] = None)
+      : Dataset[GramClaimEvent] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    graft.ext.Dedup.shingleRows(docs, "text", "doc_id", 3)
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[GramClaim, GramClaimEvent](
+        OutputMode.Append(), timeoutConf) {
+        case (gram, it, state: GroupState[GramClaim]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val minDoc = it.map(_._1).min
+            val out =
+              if (state.exists) Iterator.empty
+              else {
+                state.update(GramClaim(minDoc))
+                Iterator.single(GramClaimEvent(gram, minDoc))
               }
             stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
             out

@@ -709,4 +709,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.forall(_ == ((3L, 1L))), s"unexpected matches: ${got.distinct.toSeq}")
     assert(got.length >= 8, s"re-recording shares only ${got.length} landmarks")
   }
+
+  test("streaming gram claims: single batch equals batch q184 first-occurrence") {
+    import graft.streaming.DocumentsStream
+    val claims = DocumentsStream.gramClaimsAtIngest(spark,
+      DocumentsStream.readDocuments(spark, sf))
+    runAvailableNow(claims.toDF(), "gram_claims_1b", OutputMode.Append())
+    val got = spark.table("gram_claims_1b")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // batch reference: min doc id per distinct trigram
+    val expected = graft.ext.Dedup
+      .shingleRows(Tables.documents(spark, sf), "text", "doc_id", 3)
+      .groupBy(col("s")).agg(min(col("doc")).as("first_doc"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got == expected)
+    // per-doc claim counts are exactly q184's n_novel column
+    val novelCounts = got.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val q184 = SparkEntry.queries("q184_gram_novelty")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(q184.nonEmpty &&
+      q184 == q184.keySet.map(k => k -> novelCounts.getOrElse(k, 0L)).toMap)
+  }
+
+  test("streaming gram claims: a cross-batch re-appearance claims nothing") {
+    import graft.streaming.DocumentsStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs_gram_2b")
+    def writeAs(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs_part").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    // batch 2: doc 3 repeats doc 1's text exactly (zero novel grams) and
+    // doc 4 brings one genuinely new trigram alongside a repeated one
+    val a = "alpha beta gamma delta epsilon"
+    writeAs("b1.parquet", 1000000L, Seq(1L -> a))
+    writeAs("b2.parquet", 2000000L,
+      Seq(3L -> a, 4L -> "alpha beta gamma zeta eta theta"))
+    val claims = DocumentsStream.gramClaimsAtIngest(spark,
+      DocumentsStream.readDocuments(spark, dir.toString, Some(1)))
+    runAvailableNow(claims.toDF(), "gram_claims_2b", OutputMode.Append())
+    val got = spark.table("gram_claims_2b")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b1 = Set("alpha beta gamma", "beta gamma delta", "gamma delta epsilon")
+      .map(_ -> 1L)
+    // doc 3 emits nothing; doc 4 claims only its unseen grams ("alpha
+    // beta gamma" is already owned by doc 1 from the earlier batch)
+    val b2 = Set("beta gamma zeta", "gamma zeta eta", "zeta eta theta")
+      .map(_ -> 4L)
+    assert(got == b1 ++ b2, s"unexpected claims: $got")
+  }
 }
