@@ -30,6 +30,22 @@ object ExtQueries {
     graft.ops.SessionCache.getOrBuild(s, s"trigram_shingles:$d")(
       Dedup.shingleRows(Tables.documents(s, d), "text", "doc_id", 3))
 
+  /** Shared per-session VERIFIED MinHash-LSH pair table (q23's
+    * predicate: band-collision candidates verified to >= 4/8 agreeing
+    * hashes) — consumed by q23 (the pairs), q149 (prediction side of
+    * the recall audit), q169 (source-grain rollup) and q183 (cascade
+    * stage 2). The production shape: a pipeline persists the verified
+    * pair table right next to the signature table, and every downstream
+    * consumer probes the stored pairs instead of re-running the band
+    * join. */
+  private[queries] def lshVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"lsh_pairs:$d")(
+      Dedup.lshCandidatePairs(
+          graft.ops.SessionCache.getOrBuild(s, s"minhash_sigs:$d")(
+            Dedup.minhashSignaturesTyped(Tables.documents(s, d), "text", "doc_id", 8)),
+          8, 2)
+        .where(col("n_agree") >= 4))
+
   /** Shared per-session ExactSubstr span table over `documents`
     * (window 10, minSpan 15, cap 50) — consumed by q132 (the spans) and
     * q134 (the rewrite); a pipeline materializes the span table once,
@@ -148,14 +164,11 @@ object ExtQueries {
     // MinHash(8) + LSH banding (4 bands × 2): candidates only for docs
     // colliding in a band; verified against the full signature.
     "q23_dedup_minhash_lsh" -> ((s, d) =>
-      // The signature table (8 ints per doc) is a session artifact like
-      // [[simhashSigs]] — a pipeline persists its MinHash signatures
-      // next to the corpus; the banding join probes the stored table.
-      Dedup.lshCandidatePairs(
-          graft.ops.SessionCache.getOrBuild(s, s"minhash_sigs:$d")(
-            Dedup.minhashSignaturesTyped(Tables.documents(s, d), "text", "doc_id", 8)),
-          8, 2)
-        .where(col("n_agree") >= 4)
+      // Both the signature table (8 ints per doc) and the verified pair
+      // table are session artifacts — a pipeline persists its MinHash
+      // signatures next to the corpus and the verified pairs next to the
+      // signatures; this query IS the pair artifact, ordered.
+      lshVerifiedPairs(s, d)
         .orderBy("doc_a", "doc_b")),
 
     // Exact bigram-Jaccard >= 0.2; strategy auto-picked on gram
@@ -175,11 +188,7 @@ object ExtQueries {
       val truth = Dedup
         .ngramJaccardPairsAuto(Tables.documents(s, d), "text", "doc_id", 2, 1, 5)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
-      val pred = Dedup.lshCandidatePairs(
-          graft.ops.SessionCache.getOrBuild(s, s"minhash_sigs:$d")(
-            Dedup.minhashSignaturesTyped(Tables.documents(s, d), "text", "doc_id", 8)),
-          8, 2)
-        .where(col("n_agree") >= 4)
+      val pred = lshVerifiedPairs(s, d)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("p"))
       truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
         .agg(sum(col("t")).as("n_truth"), sum(col("p")).as("n_pred"),
@@ -269,11 +278,7 @@ object ExtQueries {
       val s1 = flagged.where(!col("exact_rm")).select(col("doc_id"))
       // stage 2: MinHash-LSH verified pairs (q23's predicate) among
       // exact survivors — b removed iff some surviving a < b pairs with it
-      val lshp = Dedup.lshCandidatePairs(
-          graft.ops.SessionCache.getOrBuild(s, s"minhash_sigs:$d")(
-            Dedup.minhashSignaturesTyped(Tables.documents(s, d), "text", "doc_id", 8)),
-          8, 2)
-        .where(col("n_agree") >= 4)
+      val lshp = lshVerifiedPairs(s, d)
       val lshRm = lshp
         .join(s1.select(col("doc_id").as("doc_a")), "doc_a")
         .join(s1.select(col("doc_id").as("doc_b")), "doc_b")
@@ -661,11 +666,7 @@ object ExtQueries {
     // grain; the rollup is a broadcast source-map join over the
     // (already bounded) pair table, never a new pair expansion.
     "q169_dup_flow" -> ((s, d) => {
-      val pairs = Dedup.lshCandidatePairs(
-          graft.ops.SessionCache.getOrBuild(s, s"minhash_sigs:$d")(
-            Dedup.minhashSignaturesTyped(Tables.documents(s, d), "text", "doc_id", 8)),
-          8, 2)
-        .where(col("n_agree") >= 4)
+      val pairs = lshVerifiedPairs(s, d)
       val sm = docSourceMap(s, d)
       pairs
         .join(broadcast(sm.select(col("doc").as("doc_a"), col("source").as("sa"))),
