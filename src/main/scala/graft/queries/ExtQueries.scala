@@ -238,6 +238,28 @@ object ExtQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Source exclusivity: per source, how many of its distinct trigrams
+    // exist NOWHERE else — the marginal-utility measure of mixture
+    // design ("what does this source uniquely contribute"), the
+    // complement of q100's pairwise shared-gram overlap. One
+    // (source, gram) distinct off the shared trigram artifact, one
+    // per-gram owner count, one per-source rollup — all gram-key
+    // partitioned, nothing pairwise.
+    "q186_source_exclusivity" -> ((s, d) => {
+      val ss = graft.ops.TransientCache.persist(
+        trigramShingles(s, d)
+          .join(docSourceMap(s, d), "doc")
+          .select(col("source"), col("s")).distinct())
+      val gs = ss.groupBy(col("s")).agg(count(lit(1)).as("n_src"))
+      ss.join(gs, "s")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n_src") === 1, lit(1L)).otherwise(lit(0L)))
+            .as("n_exclusive"))
+        .withColumn("exclusive_ppm", expr("(1000000 * n_exclusive) div n_grams"))
+        .orderBy(col("source"))
+    }),
+
     // 32-bit SimHash near-dup clusters (single groupBy on the signature).
     // The signature table is built ONCE per session (SessionCache) and
     // shared with q48 — the production pipeline shape, where signatures
@@ -1078,6 +1100,18 @@ object ExtQueries {
          |SELECT doc_id, n_grams, n_novel,
          |  CAST((1000000 * n_novel) // n_grams AS BIGINT) AS novelty_ppm
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q186_source_exclusivity" ->
+      s"""${PipelineQueries.trigramCtes},
+         |sm AS (SELECT doc_id, source FROM documents),
+         |ss AS (SELECT DISTINCT source, s FROM g JOIN sm USING (doc_id)),
+         |gs AS (SELECT s, count(*) n_src FROM ss GROUP BY 1),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) n_grams,
+         |        CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT) n_exclusive
+         |      FROM ss JOIN gs USING (s) GROUP BY 1)
+         |SELECT source, n_grams, n_exclusive,
+         |  CAST((1000000 * n_exclusive) // n_grams AS BIGINT) AS exclusive_ppm
+         |FROM a ORDER BY source""".stripMargin,
 
     "q185_vocab_growth" ->
       s"""$tokCte,
