@@ -61,6 +61,40 @@ object PipelineQueries {
           ExtQueries.ftsDocLengths(s, d), Seq("spark", "merge"), 10)
         .orderBy(col("rank"))),
 
+    // Retrieval-quality audit: MRR and recall@10 of the BM25 disjunctive
+    // ranking (q55's scorer, same session index artifacts) against
+    // exact-phrase relevance (q146's positional predicate) for three
+    // fixed two-word queries — the measurement that justifies the
+    // ranking parameters before anyone trusts the search surface, the
+    // lexical twin of q109's ANN recall and q149's LSH dedup audit.
+    // first_rel_rank = 0 encodes "no relevant doc in the top 10";
+    // mrr_ppm is the integer-quantized reciprocal rank (q135's RRF
+    // discipline — no float rank math crosses the oracle boundary).
+    "q187_retrieval_mrr" -> ((s, d) => {
+      val phrases = Seq(
+        ("hash join", Seq("hash", "join")),
+        ("spark merge", Seq("spark", "merge")),
+        ("table scan", Seq("table", "scan")))
+      val pos = graft.ops.TransientCache.persist(
+        TextAnalysis.tokenPosRows(Tables.documents(s, d), "text", "doc_id"))
+      phrases.map { case (label, terms) =>
+        val ranked = Ranking.bm25TopKFromIndex(ExtQueries.ftsPostingsTf(s, d),
+          ExtQueries.ftsDocLengths(s, d), terms, 10)
+        val rel = TextAnalysis.phraseHits(pos, terms)
+          .select(col("doc").as("doc_id"))
+        val relAgg = rel.agg(count(lit(1)).as("n_rel"))
+        val hitAgg = ranked.join(rel, "doc_id")
+          .agg(count(lit(1)).as("n_rel_topk"),
+            coalesce(min(col("rank")), lit(0)).cast("long").as("first_rel_rank"))
+        relAgg.crossJoin(hitAgg).select(lit(label).as("query"),
+          col("n_rel"), col("n_rel_topk"), col("first_rel_rank"))
+      }.reduce(_ unionByName _)
+        .withColumn("mrr_ppm",
+          when(col("first_rel_rank") > 0, expr("1000000 div first_rel_rank"))
+            .otherwise(lit(0L)))
+        .orderBy(col("query"))
+    }),
+
     // Deterministic stratified Bernoulli sample: md5-draw vs per-language
     // hex thresholds (en 1/2, es 1/4, de 1/8, fr 3/4, default 1/16) —
     // reproducible membership, zero shuffle.
@@ -647,36 +681,51 @@ object PipelineQueries {
        |      '[^a-z0-9 ]', ' ', 'g'), ' '), x -> len(x) > 0) t
        |  FROM documents)""".stripMargin
 
-  private def bm25Sql(terms: Seq[String], k: Int): String = {
+  /** Shared BM25 scaffolding (accent-folded postings, doc lengths,
+    * corpus stats) — one copy per oracle no matter how many query legs
+    * ride it; per-query ranking legs come from [[bm25RankCtes]]. */
+  private val bm25BaseCtes =
+    s"""$tokfCte,
+       |post AS (SELECT doc_id, unnest(t) term FROM tokf),
+       |dl AS (SELECT doc_id, len(t) dl FROM tokf),
+       |stats AS (SELECT count(*) n_corpus, sum(dl) tot_dl,
+       |            CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) avgdl
+       |          FROM dl)""".stripMargin
+
+  /** One BM25 query leg over [[bm25BaseCtes]]'s `post`/`dl`/`stats`:
+    * ends at `r_<qid>(doc_id, score_q, rank)` = the quantized-score
+    * top-k with the engine's (score_q DESC, doc_id) tie rule. */
+  private def bm25RankCtes(qid: String, terms: Seq[String], k: Int): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val fixedSum = terms.map(t =>
       s"COALESCE(sum(CASE WHEN term = '$t' THEN sc END), CAST(0.0 AS DOUBLE))")
       .mkString("\n    + ")
-    s"""$tokfCte,
-       |post AS (SELECT doc_id, unnest(t) term FROM tokf),
-       |tf AS (SELECT term, doc_id, count(*) tf
+    s"""tf_$qid AS (SELECT term, doc_id, count(*) tf
        |       FROM post WHERE term IN ($inList) GROUP BY 1, 2),
-       |dl AS (SELECT doc_id, len(t) dl FROM tokf),
-       |stats AS (SELECT count(*) n_corpus, sum(dl) tot_dl,
-       |            CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) avgdl
-       |          FROM dl),
-       |dft AS (SELECT term, count(*) df_t FROM tf GROUP BY 1),
-       |sc AS (SELECT tf.doc_id, tf.term,
+       |dft_$qid AS (SELECT term, count(*) df_t FROM tf_$qid GROUP BY 1),
+       |sc_$qid AS (SELECT tf.doc_id, tf.term,
        |    ln(CAST(1.0 AS DOUBLE) +
        |       (CAST(n_corpus AS DOUBLE) - CAST(df_t AS DOUBLE) + CAST(0.5 AS DOUBLE))
        |       / (CAST(df_t AS DOUBLE) + CAST(0.5 AS DOUBLE)))
        |    * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
        |       / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
        |          (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))) sc
-       |  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN stats),
-       |tot AS (SELECT doc_id,
+       |  FROM tf_$qid tf JOIN dl USING (doc_id) JOIN dft_$qid USING (term) CROSS JOIN stats),
+       |tot_$qid AS (SELECT doc_id,
        |    $fixedSum s
-       |  FROM sc GROUP BY doc_id),
-       |q AS (SELECT doc_id, CAST(floor(s * CAST(1000.0 AS DOUBLE)) AS BIGINT) score_q FROM tot)
-       |SELECT doc_id, score_q,
-       |  CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank
-       |FROM q QUALIFY rank <= $k ORDER BY rank""".stripMargin
+       |  FROM sc_$qid GROUP BY doc_id),
+       |r_$qid AS (SELECT doc_id, score_q, rank FROM (
+       |    SELECT doc_id, CAST(floor(s * CAST(1000.0 AS DOUBLE)) AS BIGINT) score_q,
+       |      CAST(row_number() OVER (
+       |        ORDER BY CAST(floor(s * CAST(1000.0 AS DOUBLE)) AS BIGINT) DESC, doc_id)
+       |        AS INT) rank
+       |    FROM tot_$qid) WHERE rank <= $k)""".stripMargin
   }
+
+  private def bm25Sql(terms: Seq[String], k: Int): String =
+    s"""$bm25BaseCtes,
+       |${bm25RankCtes("q", terms, k)}
+       |SELECT doc_id, score_q, rank FROM r_q ORDER BY rank""".stripMargin
 
   /** Distinct word trigrams per doc (mirrors Dedup.shingleRows n=3). */
   private[queries] val trigramCtes =
@@ -1035,6 +1084,43 @@ object PipelineQueries {
          |FROM r GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "q55_fts_bm25" -> bm25Sql(Seq("spark", "merge"), 10),
+
+    "q187_retrieval_mrr" -> {
+      val queries = Seq(
+        ("a", "hash join", "hash", "join"),
+        ("b", "spark merge", "spark", "merge"),
+        ("c", "table scan", "table", "scan"))
+      val rankLegs = queries.map { case (qid, _, w1, w2) =>
+        bm25RankCtes(qid, Seq(w1, w2), 10)
+      }.mkString(",\n")
+      val relLegs = queries.map { case (qid, _, w1, w2) =>
+        s"""rel_$qid AS (SELECT doc_id FROM tok
+           |  WHERE len(list_filter(range(1, len(t)),
+           |    j -> t[j] = '$w1' AND t[j+1] = '$w2')) > 0)""".stripMargin
+      }.mkString(",\n")
+      val metricLegs = queries.map { case (qid, label, _, _) =>
+        s"""m_$qid AS (SELECT '$label' query,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM rel_$qid) n_rel,
+           |    (SELECT CAST(count(*) AS BIGINT)
+           |     FROM r_$qid JOIN rel_$qid USING (doc_id)) n_rel_topk,
+           |    CAST(COALESCE((SELECT min(rank)
+           |      FROM r_$qid JOIN rel_$qid USING (doc_id)), 0) AS BIGINT)
+           |      first_rel_rank)""".stripMargin
+      }.mkString(",\n")
+      val unioned = queries.map { case (qid, _, _, _) =>
+        s"SELECT * FROM m_$qid"
+      }.mkString(" UNION ALL ")
+      s"""$bm25BaseCtes,
+         |$rankLegs,
+         |${ExtQueries.tokCte.stripPrefix("WITH ")},
+         |$relLegs,
+         |$metricLegs
+         |SELECT query, n_rel, n_rel_topk, first_rel_rank,
+         |  CASE WHEN first_rel_rank > 0
+         |       THEN CAST(1000000 // first_rel_rank AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END mrr_ppm
+         |FROM ($unioned) ORDER BY query""".stripMargin
+    },
 
     "q56_sample_stratified" ->
       """WITH s AS (SELECT doc_id, lang, source,
