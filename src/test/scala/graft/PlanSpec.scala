@@ -402,4 +402,28 @@ class PlanSpec extends AnyFunSuite {
       .findAllIn(p).length
     assert(joins <= 1, s"more than the one stats join:\n$p")
   }
+
+  test("q183 cascade: stage flags are key exchanges + joins, never a product") {
+    val p = plan("q183_dedup_cascade")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the cascade:\n$p")
+    assert(p.contains("hashpartitioning(content_hash"),
+      s"exact stage not partitioned on the content key:\n$p")
+    assert(p.contains("hashpartitioning(simhash"),
+      s"simhash stage not partitioned on the signature:\n$p")
+  }
+
+  test("q186 exclusivity: gram-key partial aggregation, no product") {
+    val p = plan("q186_source_exclusivity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"exclusivity planned a product:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q187 MRR: BM25 legs lower to TakeOrdered; 1-row metric joins broadcast") {
+    val p = plan("q187_retrieval_mrr")
+    assert(p.contains("TakeOrdered"),
+      s"bm25 top-k did not lower to TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"metric combination planned a cartesian (must broadcast 1-row aggs):\n$p")
+  }
 }
