@@ -426,6 +426,38 @@ object ExtQueries {
       Similarity.qcStats(Tables.embeddings(s, d), "vec_id", "embedding", "label")
         .withColumnRenamed("grp", "label").orderBy("label")),
 
+    // Embedding centroid drift: pairwise squared-L2 distance between
+    // per-label centroids in milli-quant units — the embedding-space
+    // drift monitor (are two labels/splits drifting apart or collapsing
+    // together), the vector twin of the scalar drift family (q119 PSI,
+    // q178 KS). Centroid components use q182's floor-of-double division
+    // (sign-safe across engines; 1000·Σq < 2^53 so both operands reach
+    // the divide exactly); everything downstream is integer. The
+    // centroid table is labels×dims = model-sized, so the pair join
+    // never touches vector rows.
+    "q188_centroid_drift" -> ((s, d) => {
+      val qe = graft.ops.TransientCache.persist(
+        Tables.embeddings(s, d).select(col("label"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("q")))
+      val n = qe.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val cent = qe.select(col("label"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(sum(col("x")).as("sx"))
+        .join(n, "label")
+        .select(col("label"), col("pos"),
+          floor(lit(1000.0) * col("sx").cast("double") / col("n").cast("double"))
+            .cast("long").as("c"))
+      val a = cent.select(col("label").as("label_a"), col("pos"), col("c").as("ca"))
+      val b = cent.select(col("label").as("label_b"), col("pos"), col("c").as("cb"))
+      a.join(b, Seq("pos")).where(col("label_a") < col("label_b"))
+        .groupBy(col("label_a"), col("label_b"))
+        .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb"))).as("dist2"))
+        .join(n.select(col("label").as("label_a"), col("n").as("n_a")), "label_a")
+        .join(n.select(col("label").as("label_b"), col("n").as("n_b")), "label_b")
+        .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"), col("dist2"))
+        .orderBy(col("label_a"), col("label_b"))
+    }),
+
     // Hard-negative mining: top-5 most-similar vectors with a DIFFERENT
     // label per anchor (vec_id < 10) — contrastive-training pairs.
     "q128_hard_negatives" -> ((s, d) =>
@@ -1090,6 +1122,22 @@ object ExtQueries {
          |FROM agg2""".stripMargin,
 
     "q25_dedup_simhash" -> simhashSql,
+
+    "q188_centroid_drift" ->
+      s"""$qeCtes,
+         |nn2 AS (SELECT label, CAST(count(*) AS BIGINT) n FROM qe GROUP BY 1),
+         |pd AS (SELECT label, generate_subscripts(q, 1) pos, unnest(q) x FROM qe),
+         |sx AS (SELECT label, pos, CAST(sum(x) AS BIGINT) sx FROM pd GROUP BY 1, 2),
+         |cent AS (SELECT label, pos,
+         |    CAST(floor(CAST(1000 AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) c
+         |  FROM sx JOIN nn2 USING (label)),
+         |pr AS (SELECT a.label label_a, b.label label_b, a.c ca, b.c cb
+         |       FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label),
+         |d2 AS (SELECT label_a, label_b, CAST(sum((ca - cb) * (ca - cb)) AS BIGINT) dist2
+         |       FROM pr GROUP BY 1, 2)
+         |SELECT label_a, label_b, na.n n_a, nb.n n_b, dist2
+         |FROM d2 JOIN nn2 na ON label_a = na.label JOIN nn2 nb ON label_b = nb.label
+         |ORDER BY label_a, label_b""".stripMargin,
 
     "q184_gram_novelty" ->
       s"""${PipelineQueries.trigramCtes},
