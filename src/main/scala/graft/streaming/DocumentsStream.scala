@@ -26,6 +26,13 @@ final case class BandClaim(firstDoc: Long)
 final case class BandMatch(band: Int, key: String, doc_id: Long,
                            first_doc: Long)
 
+/** Per-(label, dim) centroid register (running component sum + vector
+  * count) and the update record it emits — the streaming-drift state
+  * behind the q188 centroid monitor. Top-level + public for Spark's
+  * state encoder codegen. */
+final case class CentroidState(sx: Long, n: Long)
+final case class CentroidUpdate(label: Int, pos: Int, sx: Long, n: Long)
+
 /** First claimer of a trigram (streaming first-occurrence state; one
   * long per distinct gram) and the claim event emitted the moment a
   * gram enters the corpus. Top-level + public for Spark's state encoder
@@ -72,6 +79,57 @@ object DocumentsStream {
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(streamDir)
+  }
+
+  /** File-based embeddings stream of the driver parquet fixture (same
+    * single-file symlink shim as [[readDocuments]]). */
+  def readEmbeddings(spark: SparkSession, sfDir: String,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val streamDir =
+      if (!src.exists() || src.isDirectory)
+        if (src.isDirectory) src.getPath else sfDir
+      else {
+        val d = java.nio.file.Files.createTempDirectory("embeddings_stream")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve("embeddings.parquet"), src.toPath.toAbsolutePath)
+        d.toString
+      }
+    val schema = spark.read.parquet(streamDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(streamDir)
+  }
+
+  /** Streaming centroid registers — the incremental twin of the q188
+    * centroid-drift monitor: per-(label, dim) running (Σ quantized
+    * component, vector count) maintained as keyed state; the centroid
+    * and any pairwise drift distance stay query-time register math over
+    * the maintained sums — exactly the PSI/HLL/CMS register contract.
+    * Quantization is q188's floor(x·1000) so the registers are the
+    * batch aggregate's operands verbatim; integer sums commute, so the
+    * registers after ANY batch split equal the batch per-(label, dim)
+    * aggregate over the same rows (StreamingSpec-pinned). State is
+    * labels × dims longs — hard-capped like the HLL registers, no TTL
+    * needed. */
+  def centroidRegisterUpdates(spark: SparkSession, vecs: DataFrame,
+                              labelCol: String = "label",
+                              embCol: String = "embedding"): Dataset[CentroidUpdate] = {
+    import spark.implicits._
+    vecs.select(col(labelCol).cast("int").as("label"),
+        posexplode(expr(
+          s"transform($embCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+          .as(Seq("pos", "x")))
+      .as[(Int, Int, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .mapGroupsWithState[CentroidState, CentroidUpdate](GroupStateTimeout.NoTimeout()) {
+        case ((label, pos), it, state: GroupState[CentroidState]) =>
+          var sx = state.getOption.map(_.sx).getOrElse(0L)
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          it.foreach { t => sx += t._3; n += 1L }
+          state.update(CentroidState(sx, n))
+          CentroidUpdate(label, pos, sx, n)
+      }
   }
 
   /** Streaming HyperLogLog — the incremental twin of

@@ -763,4 +763,41 @@ class StreamingSpec extends AnyFunSuite {
       .map(_ -> 4L)
     assert(got == b1 ++ b2, s"unexpected claims: $got")
   }
+
+  test("streaming centroid registers equal the batch per-(label,dim) sums across batches") {
+    import graft.streaming.DocumentsStream
+    val dir = java.nio.file.Files.createTempDirectory("emb_cent_2b")
+    val vecs = Tables.embeddings(spark, sf)
+    def dump(name: String, mtime: Long, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("emb_part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    dump("b1.parquet", 1000000L, vecs.where(col("vec_id") % 2 === 0))
+    dump("b2.parquet", 2000000L, vecs.where(col("vec_id") % 2 === 1))
+    val updates = DocumentsStream.centroidRegisterUpdates(spark,
+      DocumentsStream.readEmbeddings(spark, dir.toString, Some(1)))
+    runAvailableNow(updates.toDF(), "centroid_regs", OutputMode.Update())
+    // n is monotone per key, so the row with max n is the final register
+    val streamed = spark.table("centroid_regs")
+      .groupBy(col("label"), col("pos"))
+      .agg(max(struct(col("n"), col("sx"))).as("m"))
+      .select(col("label"), col("pos"), col("m.sx"), col("m.n"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val batch = vecs
+      .select(col("label").cast("int").as("label"),
+        posexplode(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+          .as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
