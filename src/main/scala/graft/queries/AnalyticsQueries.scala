@@ -1347,6 +1347,38 @@ object AnalyticsQueries {
         .orderBy(col("query_id"))
     }),
 
+    // ANN recall CURVE: q109's point audit swept over k ∈ {1, 3, 5} —
+    // the operating-curve view (how fast does IVF recall decay with
+    // depth), the ANN analogue of q181's precision/recall threshold
+    // sweep. One truth and one approx ranking at depth 5, ranks kept;
+    // each k level is a predicate over the SAME joined rank pairs, so
+    // the sweep costs one extra small aggregate, not three index runs.
+    "q189_ann_recall_curve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val truth = graft.ext.Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", col("vec_id") < 10, 5)
+        .select(col("query_id"), col("vec_id"), col("rank").as("t_rank"))
+      val approx = graft.ext.Similarity.ivfTopK(
+          emb, "vec_id", "embedding", col("vec_id") < 10, 5, 16, 2)
+        .select(col("query_id"), col("vec_id"), col("rank").as("a_rank"))
+      val joined = truth.join(approx, Seq("query_id", "vec_id"))
+      val nq = truth.select(col("query_id")).distinct()
+        .agg(count(lit(1)).as("nq"))
+      val ksDf = nq.select(
+        explode(array(lit(1L), lit(3L), lit(5L))).as("k"), col("nq"))
+      val perK = joined
+        .select(col("t_rank"), col("a_rank"),
+          explode(array(lit(1L), lit(3L), lit(5L))).as("k"))
+        .groupBy(col("k"))
+        .agg(sum(when(col("t_rank") <= col("k") && col("a_rank") <= col("k"),
+          lit(1L)).otherwise(lit(0L))).as("n_hit"))
+      ksDf.join(perK, Seq("k"), "left")
+        .select(col("k"), coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("nq"))
+        .withColumn("recall_ppm", expr("(1000000 * n_hit) div (k * nq)"))
+        .select(col("k"), col("n_hit"), col("recall_ppm"))
+        .orderBy(col("k"))
+    }),
+
     // JL-projection recall audit — q109's pattern for the OTHER
     // approximate leg: recall@3 of cosine ranking in the Achlioptas
     // ±1-projected 8-dim space against the full-64-dim brute-force
@@ -1870,6 +1902,45 @@ object AnalyticsQueries {
        |  GROUP BY 1),
        |p$i AS (SELECT nd.node, CAST(150000 + COALESCE(cin, 0) AS BIGINT) pr
        |        FROM nd LEFT JOIN c$i USING (node))""".stripMargin
+
+  /** q109's brute-truth + IVF ranking chains generalized to depth `k`
+    * with ranks kept: ends at `bt(query_id, vec_id, rank)` (exact
+    * cosine top-k) and `it(query_id, vec_id, rank)` (IVF nprobe=2
+    * top-k) — shared by the q109 point audit and the q189 recall curve
+    * so the two legs cannot drift. */
+  private def annTruthIvfCtes(k: Int): String =
+    s"""${ExtQueries.ivfAsgCtes},
+       |bsc AS (SELECT q.vec_id query_id, c.vec_id vec_id,
+       |         CAST(list_dot_product(q.q, c.q) AS BIGINT) dot,
+       |         nq.n nq, nc.n nc
+       |       FROM qe q
+       |       JOIN qe c ON c.vec_id <> q.vec_id
+       |       JOIN nrm nq ON q.vec_id = nq.vec_id
+       |       JOIN nrm nc ON c.vec_id = nc.vec_id
+       |       WHERE q.vec_id < 10),
+       |bt AS (SELECT query_id, vec_id, rank FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+       |                 vec_id) rank
+       |    FROM bsc) WHERE rank <= $k),
+       |probes AS (SELECT vec_id query_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn
+       |    FROM asg0 WHERE vec_id < 10) WHERE rn <= 2),
+       |isc AS (SELECT p.query_id, a.vec_id,
+       |    CAST(list_dot_product(qq.q, cq.q) AS BIGINT) dot, nq.n nq, nc.n nc
+       |  FROM probes p
+       |  JOIN asg a ON p.cid = a.cid AND a.vec_id <> p.query_id
+       |  JOIN qe qq ON p.query_id = qq.vec_id
+       |  JOIN qe cq ON a.vec_id = cq.vec_id
+       |  JOIN nrm nq ON p.query_id = nq.vec_id
+       |  JOIN nrm nc ON a.vec_id = nc.vec_id),
+       |it AS (SELECT query_id, vec_id, rank FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+       |                 vec_id) rank
+       |    FROM isc) WHERE rank <= $k)""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -2742,39 +2813,23 @@ object AnalyticsQueries {
         |  count(*) AS n_events
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q189_ann_recall_curve" ->
+      s"""${annTruthIvfCtes(5)},
+         |ks AS (SELECT unnest([1, 3, 5]) k),
+         |j AS (SELECT bt.query_id, bt.rank t_rank, it.rank a_rank
+         |      FROM bt JOIN it ON bt.query_id = it.query_id
+         |        AND bt.vec_id = it.vec_id),
+         |nqc AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) nq FROM bt),
+         |a AS (SELECT k,
+         |        CAST(sum(CASE WHEN t_rank <= k AND a_rank <= k
+         |                      THEN 1 ELSE 0 END) AS BIGINT) n_hit
+         |      FROM j CROSS JOIN ks GROUP BY k)
+         |SELECT CAST(k AS BIGINT) k, CAST(COALESCE(n_hit, 0) AS BIGINT) n_hit,
+         |  CAST((1000000 * COALESCE(n_hit, 0)) // (k * nq) AS BIGINT) recall_ppm
+         |FROM ks LEFT JOIN a USING (k) CROSS JOIN nqc ORDER BY k""".stripMargin,
+
     "q109_ann_recall" ->
-      s"""${ExtQueries.ivfAsgCtes},
-         |bsc AS (SELECT q.vec_id query_id, c.vec_id vec_id,
-         |         CAST(list_dot_product(q.q, c.q) AS BIGINT) dot,
-         |         nq.n nq, nc.n nc
-         |       FROM qe q
-         |       JOIN qe c ON c.vec_id <> q.vec_id
-         |       JOIN nrm nq ON q.vec_id = nq.vec_id
-         |       JOIN nrm nc ON c.vec_id = nc.vec_id
-         |       WHERE q.vec_id < 10),
-         |bt AS (SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
-         |                 vec_id) rank
-         |    FROM bsc) WHERE rank <= 3),
-         |probes AS (SELECT vec_id query_id, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn
-         |    FROM asg0 WHERE vec_id < 10) WHERE rn <= 2),
-         |isc AS (SELECT p.query_id, a.vec_id,
-         |    CAST(list_dot_product(qq.q, cq.q) AS BIGINT) dot, nq.n nq, nc.n nc
-         |  FROM probes p
-         |  JOIN asg a ON p.cid = a.cid AND a.vec_id <> p.query_id
-         |  JOIN qe qq ON p.query_id = qq.vec_id
-         |  JOIN qe cq ON a.vec_id = cq.vec_id
-         |  JOIN nrm nq ON p.query_id = nq.vec_id
-         |  JOIN nrm nc ON a.vec_id = nc.vec_id),
-         |it AS (SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
-         |                 vec_id) rank
-         |    FROM isc) WHERE rank <= 3),
+      s"""${annTruthIvfCtes(3)},
          |h AS (SELECT bt.query_id, count(it.vec_id) n_hit
          |      FROM bt LEFT JOIN it ON bt.query_id = it.query_id
          |        AND bt.vec_id = it.vec_id
