@@ -150,6 +150,35 @@ object PipelineQueries {
         .orderBy(col("lang"), col("seq_id"))
     }),
 
+    // Packing-efficiency curve: q61's concat packing swept over context
+    // sizes {256, 512, 1024} — per (lang, ctx): documents split by a
+    // sequence boundary (they start in one sequence and overflow into
+    // the next, the docs whose attention masks a packer must handle)
+    // and the sequence count. The measurement behind choosing a context
+    // length; same sweep-as-predicate shape as q181/q189 — one prior-sum
+    // window (q61's), each ctx level a predicate over the same rows.
+    "q190_packing_efficiency" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val prof = ExtQueries.docProfile(s, d)
+        .select(col("lang"), col("doc_id"), col("n_tokens"))
+      val prior = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pt = prof.withColumn("pt",
+        coalesce(sum(col("n_tokens")).over(prior), lit(0L)))
+      pt.select(col("lang"), col("n_tokens"), col("pt"),
+          explode(array(lit(256L), lit(512L), lit(1024L))).as("ctx"))
+        .groupBy(col("lang"), col("ctx"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pt") % col("ctx") + col("n_tokens") > col("ctx"),
+            lit(1L)).otherwise(lit(0L))).as("n_split_docs"),
+          sum(col("n_tokens")).as("tot"))
+        .withColumn("split_ppm", expr("(1000000 * n_split_docs) div n_docs"))
+        .withColumn("n_seqs", expr("(tot + ctx - 1) div ctx"))
+        .select(col("lang"), col("ctx"), col("n_docs"), col("n_split_docs"),
+          col("split_ppm"), col("n_seqs"))
+        .orderBy(col("lang"), col("ctx"))
+    }),
+
     // Gopher-style repetition signals: duplicate-bigram and top-bigram
     // shares in ppm.
     "q62_repetition" -> ((s, d) =>
@@ -1186,6 +1215,24 @@ object PipelineQueries {
          |SELECT lang, CAST(pt // 512 AS BIGINT) AS seq_id, count(*) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM p GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin,
+
+    "q190_packing_efficiency" ->
+      s"""${ExtQueries.tokCte},
+         |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) n_tok FROM tok),
+         |p AS (SELECT lang, doc_id, n_tok,
+         |        COALESCE(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) pt
+         |      FROM d JOIN documents USING (doc_id)),
+         |ks AS (SELECT unnest([256, 512, 1024]) ctx),
+         |a AS (SELECT lang, ctx, CAST(count(*) AS BIGINT) n_docs,
+         |        CAST(sum(CASE WHEN pt % ctx + n_tok > ctx THEN 1 ELSE 0 END)
+         |          AS BIGINT) n_split_docs,
+         |        CAST(sum(n_tok) AS BIGINT) tot
+         |      FROM p CROSS JOIN ks GROUP BY 1, 2)
+         |SELECT lang, CAST(ctx AS BIGINT) ctx, n_docs, n_split_docs,
+         |  CAST((1000000 * n_split_docs) // n_docs AS BIGINT) split_ppm,
+         |  CAST((tot + ctx - 1) // ctx AS BIGINT) n_seqs
+         |FROM a ORDER BY lang, ctx""".stripMargin,
 
     "q62_repetition" ->
       s"""${ExtQueries.tokCte},
