@@ -346,6 +346,37 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Market-basket association over user event types: for every type
+    // pair, the users holding both, plus integer-ppm support, confidence
+    // (a→b) and lift — the "users who did X also did Y" surface next to
+    // q78's adjacent-transition matrix (this one is set co-occurrence
+    // over a user's whole history, order-free). The self-join runs on
+    // the per-user DISTINCT type set (types-per-user bounded by the
+    // event vocabulary), so pair rows are users × types-per-user², never
+    // events²; all ratios are integer ppm. Overflow envelope:
+    // 10⁶·n_ab·n_users stays under 2⁶³ up to ~3·10⁶ distinct users —
+    // beyond that, scale support to per-mille or guard like q90.
+    "q191_basket_lift" -> ((s, d) => {
+      val ut = graft.ops.TransientCache.persist(
+        Tables.events(s, d).select(col("user_id"), col("event_type")).distinct())
+      val n = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val nu = ut.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))
+        .join(ut.select(col("user_id"), col("event_type").as("type_b")), "user_id")
+        .where(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(n.select(col("event_type").as("type_a"), col("n").as("n_a")), "type_a")
+        .join(n.select(col("event_type").as("type_b"), col("n").as("n_b")), "type_b")
+        .crossJoin(nu)
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_ab"),
+          expr("(1000000 * n_ab) div n_users").as("support_ppm"),
+          expr("(1000000 * n_ab) div n_a").as("conf_a_to_b_ppm"),
+          expr("(1000000 * n_ab * n_users) div (n_a * n_b)").as("lift_ppm"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // Event-type transition matrix (first-order Markov counts): lead
     // over each user's total-ordered event sequence.
     "q78_event_transitions" -> ((s, d) => {
@@ -850,6 +881,23 @@ object PipelineQueries {
         |  CAST(min(sm // n) AS BIGINT) AS mean_q,
         |  CAST(sum(CASE WHEN dev * dev > var4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q191_basket_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) n FROM ut GROUP BY 1),
+        |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) n_users FROM ut),
+        |pr AS (SELECT a.event_type type_a, b.event_type type_b,
+        |         CAST(count(*) AS BIGINT) n_ab
+        |       FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |         AND a.event_type < b.event_type
+        |       GROUP BY 1, 2)
+        |SELECT type_a, type_b, na.n n_a, nb.n n_b, n_ab,
+        |  CAST((1000000 * n_ab) // n_users AS BIGINT) support_ppm,
+        |  CAST((1000000 * n_ab) // na.n AS BIGINT) conf_a_to_b_ppm,
+        |  CAST((1000000 * n_ab * n_users) // (na.n * nb.n) AS BIGINT) lift_ppm
+        |FROM pr JOIN n na ON type_a = na.event_type
+        |JOIN n nb ON type_b = nb.event_type CROSS JOIN nu
+        |ORDER BY type_a, type_b""".stripMargin,
 
     "q78_event_transitions" ->
       """WITH s AS (SELECT event_type,
