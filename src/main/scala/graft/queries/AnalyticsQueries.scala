@@ -1347,6 +1347,36 @@ object AnalyticsQueries {
         .orderBy(col("query_id"))
     }),
 
+    // Selection-bias audit: Spearman rank correlation between document
+    // quality and length per source — "does our quality score just
+    // reward long documents?", the question every filter pipeline must
+    // answer before quality-thresholding at corpus scale. Ranks are
+    // type-1 (row_number with the doc_id tiebreak — deterministic on
+    // both engines; the statistical tie-averaged Spearman is a
+    // documented divergence), rho via the integer Σd² identity,
+    // ppm-scaled. int64 envelope: 6·10⁶·Σd² with Σd² < n³ holds to
+    // n ≈ 10⁴ docs per source at ppm scale — at corpus scale compute
+    // per-stratum on the q56-style deterministic sample.
+    "q192_spearman_quality_length" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val prof = ExtQueries.docProfile(s, d)
+        .select(col("source"), col("doc_id"),
+          col("n_tokens").cast("long").as("n_tok"), col("quality"))
+      val ranked = prof
+        .withColumn("rl", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("n_tok"), col("doc_id"))).cast("long"))
+        .withColumn("rq", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("quality"), col("doc_id"))).cast("long"))
+      ranked.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("rl") - col("rq")) * (col("rl") - col("rq"))).as("sum_d2"))
+        .withColumn("rho_ppm",
+          when(col("n") > 1,
+            lit(1000000L) - expr("(6000000 * sum_d2) div (n * n * n - n)"))
+            .otherwise(lit(1000000L)))
+        .orderBy(col("source"))
+    }),
+
     // ANN recall CURVE: q109's point audit swept over k ∈ {1, 3, 5} —
     // the operating-curve view (how fast does IVF recall decay with
     // depth), the ANN analogue of q181's precision/recall threshold
@@ -2812,6 +2842,26 @@ object AnalyticsQueries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  count(*) AS n_events
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q192_spearman_quality_length" ->
+      s"""${ExtQueries.tokCte},
+         |qx AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) n_tok,
+         |         ${ExtQueries.qualitySql} q
+         |       FROM tok JOIN documents USING (doc_id)),
+         |r AS (SELECT source,
+         |        CAST(row_number() OVER (PARTITION BY source
+         |          ORDER BY n_tok, doc_id) AS BIGINT) rl,
+         |        CAST(row_number() OVER (PARTITION BY source
+         |          ORDER BY q, doc_id) AS BIGINT) rq
+         |      FROM qx),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) n,
+         |        CAST(sum((rl - rq) * (rl - rq)) AS BIGINT) sum_d2
+         |      FROM r GROUP BY 1)
+         |SELECT source, n, sum_d2,
+         |  CASE WHEN n > 1
+         |       THEN CAST(1000000 - (6000000 * sum_d2) // (n * n * n - n) AS BIGINT)
+         |       ELSE CAST(1000000 AS BIGINT) END rho_ppm
+         |FROM a ORDER BY source""".stripMargin,
 
     "q189_ann_recall_curve" ->
       s"""${annTruthIvfCtes(5)},
