@@ -132,6 +132,42 @@ object PipelineQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Mixing plan REALIZED: close the plan→apply→verify loop on q58 —
+    // apply each cell's sample_rate_ppm as a deterministic md5-draw
+    // threshold (the q56 draw algebra, but the threshold computed
+    // in-engine per cell: printf-hex of rate·2³²/10⁶, with the 'g'
+    // keep-everything sentinel from Sampling.hexThreshold), then audit
+    // what the plan actually delivers: kept docs/tokens per cell and
+    // the budget fill ratio. The plan table is cells-sized (broadcast);
+    // the apply is one map-side predicate per doc — no new shuffle
+    // beyond the final cell rollup.
+    "q193_mixing_realized" -> ((s, d) => {
+      val prof = ExtQueries.docProfile(s, d)
+        .select(col("lang"), col("source"), col("doc_id"),
+          col("n_tokens").cast("long").as("n_tok"))
+      val plan = Sampling.mixingPlan(prof, "lang", "source", "n_tok", 50000L)
+        .select(col("lang"), col("source"), col("cell_budget"),
+          col("sample_rate_ppm"))
+      prof.join(broadcast(plan), Seq("lang", "source"))
+        .withColumn("thr",
+          when(col("sample_rate_ppm") >= 1000000L, lit("g"))
+            .otherwise(format_string("%08x",
+              expr("(sample_rate_ppm * 4294967296) div 1000000"))))
+        .withColumn("draw", Sampling.draw(col("doc_id")))
+        .groupBy(col("lang"), col("source"), col("cell_budget"),
+          col("sample_rate_ppm"))
+        .agg(sum(when(col("draw") < col("thr"), lit(1L)).otherwise(lit(0L)))
+            .as("n_kept"),
+          sum(when(col("draw") < col("thr"), col("n_tok")).otherwise(lit(0L)))
+            .as("kept_tokens"))
+        .select(col("lang"), col("source"), col("sample_rate_ppm"),
+          col("n_kept"), col("kept_tokens"), col("cell_budget"),
+          when(col("cell_budget") > 0,
+            expr("(1000000 * kept_tokens) div cell_budget"))
+            .otherwise(lit(0L)).as("fill_ppm"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // Token-window chunking (window 32, stride 24 — overlapping LM
     // training chunks), emitted as hashes + counters.
     "q60_chunk_windows" -> ((s, d) =>
@@ -1238,6 +1274,38 @@ object PipelineQueries {
          |      CAST((CAST(1000000 AS HUGEINT) * (50000 // n_cells)) // n_tokens AS BIGINT))
          |  END AS sample_rate_ppm
          |FROM w ORDER BY lang, source""".stripMargin,
+
+    "q193_mixing_realized" ->
+      s"""${ExtQueries.tokCte},
+         |dlen AS (SELECT doc_id, CAST(len(t) AS BIGINT) n_tok FROM tok),
+         |dd AS (SELECT doc_id, lang, source, n_tok
+         |       FROM dlen JOIN documents USING (doc_id)),
+         |cells AS (SELECT lang, source, CAST(sum(n_tok) AS BIGINT) n_tokens
+         |          FROM dd GROUP BY 1, 2),
+         |w AS (SELECT *, count(*) OVER () n_cells FROM cells),
+         |plan AS (SELECT lang, source,
+         |    CAST(50000 // n_cells AS BIGINT) cell_budget,
+         |    CASE WHEN n_tokens = 0 THEN CAST(1000000 AS BIGINT)
+         |      ELSE least(CAST(1000000 AS BIGINT),
+         |        CAST((CAST(1000000 AS HUGEINT) * (50000 // n_cells)) // n_tokens
+         |          AS BIGINT)) END sample_rate_ppm
+         |  FROM w),
+         |ap AS (SELECT dd.lang, dd.source, dd.n_tok, p.cell_budget,
+         |         p.sample_rate_ppm,
+         |         CASE WHEN p.sample_rate_ppm >= 1000000 THEN 'g'
+         |              ELSE printf('%08x', (p.sample_rate_ppm * 4294967296) // 1000000)
+         |         END thr,
+         |         substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8) draw
+         |       FROM dd JOIN plan p USING (lang, source)),
+         |k AS (SELECT lang, source, cell_budget, sample_rate_ppm,
+         |        CAST(sum(CASE WHEN draw < thr THEN 1 ELSE 0 END) AS BIGINT) n_kept,
+         |        CAST(sum(CASE WHEN draw < thr THEN n_tok ELSE 0 END) AS BIGINT) kept_tokens
+         |      FROM ap GROUP BY 1, 2, 3, 4)
+         |SELECT lang, source, sample_rate_ppm, n_kept, kept_tokens, cell_budget,
+         |  CASE WHEN cell_budget > 0
+         |       THEN CAST((1000000 * kept_tokens) // cell_budget AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END fill_ppm
+         |FROM k ORDER BY lang, source""".stripMargin,
 
     "q60_chunk_windows" ->
       s"""${ExtQueries.tokCte},
