@@ -426,4 +426,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"metric combination planned a cartesian (must broadcast 1-row aggs):\n$p")
   }
+
+  test("q190 packing sweep: one prior-sum window, ctx sweep adds no join") {
+    val p = plan("q190_packing_efficiency")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"sweep planned a product:\n$p")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).isEmpty, s"ctx sweep must be explode+predicate, not a join:\n$p")
+  }
+
+  test("q191 basket lift: distinct-first self-join on the user key, no product") {
+    val p = plan("q191_basket_lift")
+    assert(!p.contains("CartesianProduct"),
+      s"pair expansion planned a cartesian:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"type-set self-join not keyed on user_id:\n$p")
+  }
+
+  test("q192 Spearman: two rank windows over the profile, no self-join") {
+    val p = plan("q192_spearman_quality_length")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rank correlation planned a product:\n$p")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).isEmpty, s"rho must come from windows, not a join:\n$p")
+  }
+
+  test("q193 mixing realized: the cells-sized plan joins broadcast") {
+    val p = plan("q193_mixing_realized")
+    assert(p.contains("BroadcastHashJoin"),
+      s"plan table must broadcast onto the doc scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
