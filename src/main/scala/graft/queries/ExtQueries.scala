@@ -275,6 +275,30 @@ object ExtQueries {
       Dedup.simhashHammingPairsFromSigs(simhashSigs(s, d), 2)
         .orderBy("doc_a", "doc_b")),
 
+    // SimHash dedup quality audit — q149's confusion discipline applied
+    // to the OTHER near-dup signal: the Hamming-≤2 pair set (q48's
+    // predicate, same session signature artifact) scored against the
+    // exact bigram-Jaccard ground truth (q24's predicate) as integer
+    // confusion counts + ppm recall/precision. Together with q149 this
+    // completes the audit matrix over both banding families: MinHash
+    // measures set overlap, SimHash weighted bit agreement — how
+    // differently they trade recall for precision on the same corpus is
+    // exactly what this pair of audits quantifies.
+    "q194_simhash_dedup_audit" -> ((s, d) => {
+      val truth = Dedup
+        .ngramJaccardPairsAuto(Tables.documents(s, d), "text", "doc_id", 2, 1, 5)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+      val pred = Dedup.simhashHammingPairsFromSigs(simhashSigs(s, d), 2)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("p"))
+      truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(sum(col("t")).as("n_truth"), sum(col("p")).as("n_pred"),
+          sum(when(col("t").isNotNull && col("p").isNotNull, lit(1L))
+            .otherwise(lit(0L))).as("n_tp"))
+        .select(col("n_truth"), col("n_pred"), col("n_tp"),
+          expr("(1000000 * n_tp) div n_truth").as("recall_ppm"),
+          expr("(1000000 * n_tp) div n_pred").as("precision_ppm"))
+    }),
+
     // Dedup-cascade attribution: the stage report every curation run
     // publishes — how many docs (and tokens) each stage of the
     // exact → MinHash-LSH → SimHash cascade removes, under the greedy
@@ -1122,6 +1146,30 @@ object ExtQueries {
          |FROM agg2""".stripMargin,
 
     "q25_dedup_simhash" -> simhashSql,
+
+    "q194_simhash_dedup_audit" ->
+      s"""$simhashHammingCtes,
+         |u2 AS (SELECT doc_id, t, unnest(t) w, generate_subscripts(t, 1) i FROM tok),
+         |sh2 AS (SELECT DISTINCT doc_id, w || ' ' || t[i+1] s FROM u2 WHERE i < len(t)),
+         |cnt AS (SELECT doc_id, count(*) n FROM sh2 GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i
+         |          FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN cnt ca ON doc_a = ca.doc_id
+         |          JOIN cnt cb ON doc_b = cb.doc_id
+         |          WHERE 5 * i >= 1 * (ca.n + cb.n - i)),
+         |fj AS (SELECT CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END t,
+         |         CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END p
+         |       FROM truth t FULL OUTER JOIN hp p
+         |         ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b),
+         |agg2 AS (SELECT CAST(sum(t) AS BIGINT) n_truth,
+         |           CAST(sum(p) AS BIGINT) n_pred,
+         |           CAST(sum(t * p) AS BIGINT) n_tp FROM fj)
+         |SELECT n_truth, n_pred, n_tp,
+         |  CAST((1000000 * n_tp) // n_truth AS BIGINT) recall_ppm,
+         |  CAST((1000000 * n_tp) // n_pred AS BIGINT) precision_ppm
+         |FROM agg2""".stripMargin,
 
     "q188_centroid_drift" ->
       s"""$qeCtes,
