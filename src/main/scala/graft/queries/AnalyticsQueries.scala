@@ -1484,6 +1484,28 @@ object AnalyticsQueries {
     // needed: the frame is value-bounded, so missing days simply
     // contribute nothing. The frame-mechanism counterpart to q95's
     // ROWS-over-grid form.
+    // Burst detection: each user's peak 1-minute event rate per type —
+    // a RANGE frame over event-time microseconds counts the trailing
+    // 60 s at every event (exact sliding count, no binning — the
+    // boundary-straddling burst a tumbling window would split), then
+    // the per-(user, type) max rolls up to a per-type burst histogram.
+    // The rate-limit tuning view next to q175's inter-arrival
+    // quantiles: q175 says how often events arrive, this says how hard
+    // they cluster.
+    "q195_burst_detection" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us")).rangeBetween(-59999999L, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("burst", count(lit(1)).over(w))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("burst")).as("max_burst_1min"))
+        .groupBy(col("event_type"), col("max_burst_1min"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("event_type"), col("max_burst_1min"))
+    }),
+
     "q111_range_frame" -> ((s, d) => {
       val daily = dailyAgg(s, d)
         .withColumn("day_num",
@@ -2779,6 +2801,20 @@ object AnalyticsQueries {
          |                   ORDER BY c_cap DESC, c_un DESC LIMIT 1)
          |WHERE caption > c_cap OR (caption = c_cap AND unique_name > c_un)
          |ORDER BY caption, unique_name LIMIT 10""".stripMargin,
+
+    "q195_burst_detection" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) us
+        |  FROM events),
+        |b AS (SELECT user_id, event_type,
+        |    CAST(count(*) OVER (PARTITION BY user_id, event_type ORDER BY us
+        |      RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW) AS BIGINT) burst
+        |  FROM e),
+        |m AS (SELECT user_id, event_type, max(burst) max_burst_1min
+        |      FROM b GROUP BY 1, 2)
+        |SELECT event_type, CAST(max_burst_1min AS BIGINT) max_burst_1min,
+        |  CAST(count(*) AS BIGINT) n_users
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q111_range_frame" ->
       """WITH daily AS (SELECT event_type,
