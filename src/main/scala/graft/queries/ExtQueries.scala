@@ -275,6 +275,49 @@ object ExtQueries {
       Dedup.simhashHammingPairsFromSigs(simhashSigs(s, d), 2)
         .orderBy("doc_a", "doc_b")),
 
+    // Duplicate source attribution: are near-dups copies WITHIN one
+    // source (re-uploads, per-source boilerplate) or copies ACROSS
+    // sources (syndication, scraping overlap) — and are they verbatim
+    // (identical normalized content) or genuinely near? The 2×2 split
+    // drives dedup strategy at corpus scale: intra-source verbatim dups
+    // dedup inside each source's own partition with a plain hash; the
+    // cross-source / near cells are the reason the signature shuffle
+    // must be global and banded. Classifies q23's verified pair table
+    // (same session artifact) by joining each side's (source,
+    // content-hash) — pair-table-sized work, never a new expansion.
+    "q196_dup_source_attribution" -> ((s, d) => {
+      val meta = Tables.documents(s, d).select(
+        col("doc_id").cast("long").as("doc"), col("source"),
+        md5(TextAnalysis.normalize(col("text")).cast("binary")).as("ch"))
+      // No broadcast hint on the per-doc side: the doc→(source, hash)
+      // map is corpus-sized, so the RIGHT broadcast at any scale is the
+      // bounded pair table — left to AQE, which picks exactly that here.
+      lshVerifiedPairs(s, d)
+        .join(meta.select(col("doc").as("doc_a"),
+          col("source").as("sa"), col("ch").as("ha")), "doc_a")
+        .join(meta.select(col("doc").as("doc_b"),
+          col("source").as("sb"), col("ch").as("hb")), "doc_b")
+        .select(
+          when(col("sa") === col("sb"), "intra_source")
+            .otherwise("cross_source").as("span"),
+          when(col("ha") === col("hb"), "verbatim")
+            .otherwise("near").as("kind"))
+        .groupBy(col("span"), col("kind"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("span"), col("kind"))
+    }),
+
+    // Language-ID confusion matrix: the q40 detector audited against
+    // the fixture's own language labels — per (label, detected) doc
+    // counts, the measurement that justifies trusting lang-routing
+    // decisions (stratified sampling, per-lang packing) downstream of
+    // the detector. One rollup over the shared profile artifact.
+    "q197_langid_confusion" -> ((s, d) =>
+      docProfile(s, d)
+        .groupBy(col("lang"), col("lang_detected"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("lang_detected"))),
+
     // SimHash dedup quality audit — q149's confusion discipline applied
     // to the OTHER near-dup signal: the Hamming-≤2 pair set (q48's
     // predicate, same session signature artifact) scored against the
@@ -1146,6 +1189,23 @@ object ExtQueries {
          |FROM agg2""".stripMargin,
 
     "q25_dedup_simhash" -> simhashSql,
+
+    "q196_dup_source_attribution" ->
+      s"""$lshPairCtes,
+         |m AS (SELECT doc_id, source, md5($normSql) ch FROM documents),
+         |cl AS (SELECT CASE WHEN a.source = b.source THEN 'intra_source'
+         |                   ELSE 'cross_source' END span,
+         |              CASE WHEN a.ch = b.ch THEN 'verbatim'
+         |                   ELSE 'near' END kind
+         |       FROM lshp JOIN m a ON doc_a = a.doc_id
+         |       JOIN m b ON doc_b = b.doc_id)
+         |SELECT span, kind, CAST(count(*) AS BIGINT) n_pairs
+         |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q197_langid_confusion" ->
+      s"""SELECT lang, lang_detected, CAST(count(*) AS BIGINT) n_docs
+         |FROM ($langIdSql)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q194_simhash_dedup_audit" ->
       s"""$simhashHammingCtes,
