@@ -40,11 +40,25 @@ object ExtQueries {
     * join. */
   private[queries] def lshVerifiedPairs(s: SparkSession, d: String): DataFrame =
     graft.ops.SessionCache.getOrBuild(s, s"lsh_pairs:$d")(
-      Dedup.lshCandidatePairs(
-          graft.ops.SessionCache.getOrBuild(s, s"minhash_sigs:$d")(
-            Dedup.minhashSignaturesTyped(Tables.documents(s, d), "text", "doc_id", 8)),
-          8, 2)
+      Dedup.lshCandidatePairs(minhashSigs(s, d), 8, 2)
         .where(col("n_agree") >= 4))
+
+  /** Shared per-session MinHash signature table (8 hashes per doc) —
+    * the artifact under q23's verified pairs and the q198 banding
+    * sweep (which re-bands the SAME signatures four ways). */
+  private[queries] def minhashSigs(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"minhash_sigs:$d")(
+      Dedup.minhashSignaturesTyped(Tables.documents(s, d), "text", "doc_id", 8))
+
+  /** Shared per-session EXACT bigram-Jaccard >= 0.2 pair table — the
+    * ground truth every dedup-quality audit scores against (q24 the
+    * pairs themselves, q149 LSH recall, q194 SimHash recall, q198 the
+    * banding sweep). Truth is the expensive leg of every audit; one
+    * build per session is the same artifact discipline the prediction
+    * legs already follow. */
+  private[queries] def jaccardTruth(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"jaccard_truth:$d")(
+      Dedup.ngramJaccardPairsAuto(Tables.documents(s, d), "text", "doc_id", 2, 1, 5))
 
   /** Shared per-session ExactSubstr span table over `documents`
     * (window 10, minSpan 15, cap 50) — consumed by q132 (the spans) and
@@ -175,8 +189,7 @@ object ExtQueries {
     // dictionary size (bucketed join for open vocab, bitset-popcount for
     // dense small-vocab corpora like this fixture).
     "q24_dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairsAuto(Tables.documents(s, d), "text", "doc_id", 2, 1, 5)
-        .orderBy("doc_a", "doc_b")),
+      jaccardTruth(s, d).orderBy("doc_a", "doc_b")),
 
     // LSH quality audit — the dedup twin of q109's ANN recall: the
     // MinHash-LSH candidate set (q23's predicate) scored against the
@@ -185,8 +198,7 @@ object ExtQueries {
     // that justifies (or indicts) the banding parameters before anyone
     // trusts them at corpus scale.
     "q149_lsh_dedup_recall" -> ((s, d) => {
-      val truth = Dedup
-        .ngramJaccardPairsAuto(Tables.documents(s, d), "text", "doc_id", 2, 1, 5)
+      val truth = jaccardTruth(s, d)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
       val pred = lshVerifiedPairs(s, d)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("p"))
@@ -318,6 +330,39 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("lang_detected"))),
 
+    // LSH banding-parameter sweep: the OPERATING CURVE behind q149's
+    // single-config audit. Each (band_size r, n_bands 8/r) partition of
+    // the SAME 8-hash signature artifact generates its candidate set,
+    // scored against the exact-Jaccard truth artifact as integer
+    // confusion counts + ppm recall/precision — the table a pipeline
+    // reads before committing a config corpus-wide (banding theory's
+    // 1−(1−J^r)^(8/r) S-curve, measured on the actual corpus instead
+    // of assumed). Candidate sets nest — agreement on a 2r-band implies
+    // agreement on both aligned r-sub-bands — so n_cand and recall are
+    // monotone in r (spec-pinned). At corpus scale the sweep is an
+    // audit over a fixed-size sample; only the chosen config pays the
+    // corpus-wide band shuffle.
+    "q198_lsh_band_sweep" -> ((s, d) => {
+      val truth = jaccardTruth(s, d)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+      val sweep = Seq(1, 2, 4, 8).map { r =>
+        Dedup.lshCandidatePairs(minhashSigs(s, d), 8, r)
+          .select(col("doc_a"), col("doc_b"))
+          .join(truth, Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("n_cand"),
+            coalesce(sum(col("t")), lit(0L)).as("n_tp"))
+          .select(lit(r).as("band_size"), lit(8 / r).as("n_bands"),
+            col("n_cand"), col("n_tp"))
+      }.reduce(_ union _)
+      sweep
+        .crossJoin(jaccardTruth(s, d).agg(count(lit(1)).as("n_truth")))
+        .select(col("band_size"), col("n_bands"), col("n_cand"),
+          col("n_truth"), col("n_tp"),
+          expr("(1000000 * n_tp) div n_truth").as("recall_ppm"),
+          expr("(1000000 * n_tp) div nullif(n_cand, 0)").as("precision_ppm"))
+        .orderBy(col("band_size"))
+    }),
+
     // SimHash dedup quality audit — q149's confusion discipline applied
     // to the OTHER near-dup signal: the Hamming-≤2 pair set (q48's
     // predicate, same session signature artifact) scored against the
@@ -328,8 +373,7 @@ object ExtQueries {
     // differently they trade recall for precision on the same corpus is
     // exactly what this pair of audits quantifies.
     "q194_simhash_dedup_audit" -> ((s, d) => {
-      val truth = Dedup
-        .ngramJaccardPairsAuto(Tables.documents(s, d), "text", "doc_id", 2, 1, 5)
+      val truth = jaccardTruth(s, d)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
       val pred = Dedup.simhashHammingPairsFromSigs(simhashSigs(s, d), 2)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("p"))
@@ -1000,6 +1044,47 @@ object ExtQueries {
        |SELECT doc_a, doc_b, n_agree FROM lshp
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q198 oracle: re-band the `sig` CTE four ways (band_size 1/2/4/8),
+    * score each candidate set against the exact-Jaccard truth. */
+  private def lshSweepSql: String = {
+    val cfg = Seq(1, 2, 4, 8).map { r =>
+      val nb = 8 / r
+      val bands = (0 until nb).map(b =>
+        s"SELECT doc, $b band, ${(0 until r).map(i => s"h${b * r + i}").mkString(" || ")} bkey FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""bands_$r AS (
+         |  $bands),
+         |cand_$r AS (SELECT DISTINCT a.doc da, b.doc db
+         |            FROM bands_$r a JOIN bands_$r b
+         |              ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc),
+         |st_$r AS (SELECT $r band_size, $nb n_bands,
+         |            CAST(count(*) AS BIGINT) n_cand,
+         |            CAST(coalesce(sum(CASE WHEN t.doc_a IS NOT NULL
+         |              THEN 1 ELSE 0 END), 0) AS BIGINT) n_tp
+         |          FROM cand_$r LEFT JOIN truth t
+         |            ON da = t.doc_a AND db = t.doc_b)""".stripMargin
+    }.mkString(",\n")
+    val un = Seq(1, 2, 4, 8).map(r => s"SELECT * FROM st_$r").mkString(" UNION ALL ")
+    s"""$lshPairCtes,
+       |sh2 AS (SELECT DISTINCT doc_id, w || ' ' || t[i+1] s FROM u WHERE i < len(t)),
+       |cnt AS (SELECT doc_id, count(*) n FROM sh2 GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i
+       |          FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |truth AS (SELECT doc_a, doc_b FROM inter
+       |          JOIN cnt ca ON doc_a = ca.doc_id
+       |          JOIN cnt cb ON doc_b = cb.doc_id
+       |          WHERE 5 * i >= 1 * (ca.n + cb.n - i)),
+       |$cfg,
+       |tn AS (SELECT CAST(count(*) AS BIGINT) n_truth FROM truth),
+       |sw AS ($un)
+       |SELECT band_size, n_bands, n_cand, n_truth, n_tp,
+       |  CAST((1000000 * n_tp) // n_truth AS BIGINT) recall_ppm,
+       |  CAST((1000000 * n_tp) // nullif(n_cand, 0) AS BIGINT) precision_ppm
+       |FROM sw CROSS JOIN tn
+       |ORDER BY band_size""".stripMargin
+  }
+
   private def dupFlowSql: String =
     s"""$lshPairCtes,
        |sm AS (SELECT doc_id, source FROM documents),
@@ -1206,6 +1291,8 @@ object ExtQueries {
       s"""SELECT lang, lang_detected, CAST(count(*) AS BIGINT) n_docs
          |FROM ($langIdSql)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q198_lsh_band_sweep" -> lshSweepSql,
 
     "q194_simhash_dedup_audit" ->
       s"""$simhashHammingCtes,

@@ -145,6 +145,25 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Set((1L, 0, "es"), (1L, 1, "en"), (2L, 0, "und")))
   }
 
+  test("LSH band-config candidate sets nest: coarser bands never add pairs") {
+    // Agreement on a 2r-band implies agreement on both aligned r-sub-
+    // bands, so cand(r=8) ⊆ cand(r=4) ⊆ cand(r=2) ⊆ cand(r=1) — the
+    // monotonicity that makes q198's sweep an operating CURVE rather
+    // than four unrelated numbers.
+    val sigs = Dedup.minhashSignaturesTyped(
+      Tables.documents(spark, sf), "text", "doc_id", 8)
+    val sets = Seq(1, 2, 4, 8).map { r =>
+      r -> Dedup.lshCandidatePairs(sigs, 8, r)
+        .select("doc_a", "doc_b").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    }
+    sets.sliding(2).foreach { case Seq((rf, fine), (rc, coarse)) =>
+      assert(coarse.subsetOf(fine),
+        s"band_size=$rc produced pairs absent at band_size=$rf")
+    }
+    assert(sets.head._2.nonEmpty)
+  }
+
   test("minhash signature agreement is 8/8 for identical shingle sets") {
     val df = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "totally different words here")).toDF("doc_id", "text")
     val pairs = Dedup.lshCandidatePairs(
