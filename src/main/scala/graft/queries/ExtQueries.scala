@@ -363,6 +363,38 @@ object ExtQueries {
         .orderBy(col("band_size"))
     }),
 
+    // Filter-attribution Venn: the FILTER-side twin of q183's dedup
+    // cascade. Every doc is flagged by three independent gates the
+    // curation loop already computes — low quality score (q41's
+    // formula, < 33 ≈ bottom quartile), high within-doc repetition
+    // (q62's duplicate-bigram share, > 65 000 ppm ≈ top decile) and
+    // language-routing mismatch (q197's confusion, detected ≠ label) —
+    // and rolls up into the 2³ cells with docs + tokens per cell. The
+    // table answers the budget question single-filter reports can't:
+    // how much removal is double-counted across gates, and what each
+    // gate removes EXCLUSIVELY (the only defensible reason to keep
+    // paying for it). One shared-profile pass + one bigram pass,
+    // joined at doc grain — no new corpus scan when the profile is
+    // warm.
+    "q199_filter_venn" -> ((s, d) => {
+      val prof = docProfile(s, d).select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"), col("quality"),
+        when(col("lang_detected") =!= col("lang"), 1).otherwise(0)
+          .as("f_lang"))
+      val rep = TextAnalysis
+        .repetitionProfile(Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("dup_ppm"))
+      prof.join(rep, Seq("doc_id"), "left")
+        .select(
+          when(col("quality") < 33, 1).otherwise(0).as("f_quality"),
+          when(coalesce(col("dup_ppm"), lit(0L)) > 65000, 1).otherwise(0)
+            .as("f_repetition"),
+          col("f_lang"), col("n_tokens"))
+        .groupBy(col("f_quality"), col("f_repetition"), col("f_lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("f_quality"), col("f_repetition"), col("f_lang"))
+    }),
+
     // SimHash dedup quality audit — q149's confusion discipline applied
     // to the OTHER near-dup signal: the Hamming-≤2 pair set (q48's
     // predicate, same session signature artifact) scored against the
@@ -1293,6 +1325,28 @@ object ExtQueries {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q198_lsh_band_sweep" -> lshSweepSql,
+
+    "q199_filter_venn" ->
+      s"""$tokCte,
+         |u AS (SELECT doc_id, t, unnest(t) w, generate_subscripts(t, 1) i FROM tok),
+         |g AS (SELECT doc_id, w || ' ' || t[i+1] g FROM u WHERE i < len(t)),
+         |bc AS (SELECT doc_id, g, count(*) c FROM g GROUP BY 1, 2),
+         |rep AS (SELECT doc_id,
+         |          CAST((1000000 * (sum(c) - count(*))) // sum(c) AS BIGINT) dup_ppm
+         |        FROM bc GROUP BY doc_id),
+         |q AS (SELECT doc_id, CAST(len(t) AS BIGINT) n_tokens,
+         |        $qualitySql quality FROM tok),
+         |li AS (SELECT doc_id, lang, lang_detected FROM ($langIdSql)),
+         |f AS (SELECT q.doc_id,
+         |        CASE WHEN quality < 33 THEN 1 ELSE 0 END f_quality,
+         |        CASE WHEN coalesce(dup_ppm, 0) > 65000 THEN 1 ELSE 0 END f_repetition,
+         |        CASE WHEN lang_detected <> lang THEN 1 ELSE 0 END f_lang,
+         |        n_tokens
+         |      FROM q JOIN li USING (doc_id) LEFT JOIN rep USING (doc_id))
+         |SELECT f_quality, f_repetition, f_lang,
+         |  CAST(count(*) AS BIGINT) n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) n_tokens
+         |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q194_simhash_dedup_audit" ->
       s"""$simhashHammingCtes,
