@@ -576,6 +576,32 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // Tokenizer fertility per LANGUAGE: BPE symbols emitted per word
+    // under the same trained merge table q153/q154 use — the
+    // multilingual-equity metric (a language whose words fragment into
+    // more symbols pays more context budget per word; the ratio
+    // multilingual tokenizer builds are judged by, cf. the fertility
+    // tables in the mT5/XLM-R literature). Encode cost is
+    // vocabulary-sized — one codegen'd replace chain per DISTINCT
+    // (lang, token) pair — and the corpus weighting is the same
+    // count-aggregate shape as q154's per-source roll-up.
+    "q200_bpe_fertility" -> ((s, d) => {
+      val merges = bpeMerges(s, d)
+      graft.ext.TextAnalysis
+        .tokenRows(Tables.documents(s, d), "text", "doc_id")
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("doc"), col("lang")), "doc")
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
+        .withColumn("n_syms",
+          graft.ext.Bpe.encodedLenCol(col("token"), merges).cast("long"))
+        .groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * col("n_syms")).as("n_bpe_tokens"))
+        .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+          expr("(1000000 * n_bpe_tokens) div n_words").as("fertility_ppm"))
+        .orderBy(col("lang"))
+    }),
+
     // Salted fact⋈dim join (skew lever for forced-shuffle plans): salt
     // disappears before the aggregate, so the result is exactly the
     // plain join's — which is what the oracle checks.
@@ -816,6 +842,29 @@ object PipelineQueries {
        |        ORDER BY CAST(floor(s * CAST(1000.0 AS DOUBLE)) AS BIGINT) DESC, doc_id)
        |        AS INT) rank
        |    FROM tot_$qid) WHERE rank <= $k)""".stripMargin
+  }
+
+  /** CTE chain ending at `wl(token, n_syms)` — every distinct corpus
+    * token encoded under the trained merges (the same e0..e8 replace
+    * chain the Spark plan bakes in). Shared by the q154 and q200
+    * oracles so the encode they weight cannot drift. */
+  private def bpeEncodeWlSql: String = {
+    val encodeChain = (1 to 8).map { i =>
+      s"""e$i AS MATERIALIZED (SELECT token,
+         |  replace(seg,
+         |    ' ' || (SELECT a FROM b$i) || ' ' || (SELECT b FROM b$i) || ' ',
+         |    ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') seg
+         |  FROM e${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeTrainSql(8)},
+       |allw AS (SELECT DISTINCT token FROM pp),
+       |e0 AS MATERIALIZED (SELECT token,
+       |         ' ' || array_to_string(string_split(token, ''), ' ') || ' ' seg
+       |       FROM allw),
+       |$encodeChain,
+       |wl AS (SELECT token,
+       |         CAST(len(string_split(trim(seg), ' ')) AS BIGINT) n_syms
+       |       FROM e8)""".stripMargin
   }
 
   private def bm25Sql(terms: Seq[String], k: Int): String =
@@ -1473,26 +1522,11 @@ object PipelineQueries {
          |ORDER BY rank""".stripMargin
     },
 
-    "q154_bpe_encode" -> {
-      // encode ALL distinct corpus tokens (not just the capped training
-      // head) under the trained merges — e0..e8 is the same replace
-      // chain the Spark plan bakes in.
-      val encodeChain = (1 to 8).map { i =>
-        s"""e$i AS MATERIALIZED (SELECT token,
-           |  replace(seg,
-           |    ' ' || (SELECT a FROM b$i) || ' ' || (SELECT b FROM b$i) || ' ',
-           |    ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') seg
-           |  FROM e${i - 1})""".stripMargin
-      }.mkString(",\n")
-      s"""${bpeTrainSql(8)},
-         |allw AS (SELECT DISTINCT token FROM pp),
-         |e0 AS MATERIALIZED (SELECT token,
-         |         ' ' || array_to_string(string_split(token, ''), ' ') || ' ' seg
-         |       FROM allw),
-         |$encodeChain,
-         |wl AS (SELECT token,
-         |         CAST(len(string_split(trim(seg), ' ')) AS BIGINT) n_syms
-         |       FROM e8),
+    // q154/q200: encode ALL distinct corpus tokens (not just the capped
+    // training head) under the trained merges via the shared wl chain,
+    // then weight by per-source / per-language corpus counts.
+    "q154_bpe_encode" ->
+      s"""$bpeEncodeWlSql,
          |src AS (SELECT d.source, p.token
          |        FROM (SELECT doc_id, unnest(t) token FROM tok) p
          |        JOIN documents d USING (doc_id)),
@@ -1502,8 +1536,19 @@ object PipelineQueries {
          |        FROM src JOIN wl USING (token) GROUP BY 1)
          |SELECT source, n_tokens, n_chars, n_bpe_tokens,
          |  (1000000 * n_bpe_tokens) // n_chars AS compression_ppm
-         |FROM agg ORDER BY source""".stripMargin
-    },
+         |FROM agg ORDER BY source""".stripMargin,
+
+    "q200_bpe_fertility" ->
+      s"""$bpeEncodeWlSql,
+         |lng AS (SELECT d.lang, p.token
+         |        FROM (SELECT doc_id, unnest(t) token FROM tok) p
+         |        JOIN documents d USING (doc_id)),
+         |agg AS (SELECT lang, CAST(count(*) AS BIGINT) n_words,
+         |          CAST(sum(n_syms) AS BIGINT) n_bpe_tokens
+         |        FROM lng JOIN wl USING (token) GROUP BY 1)
+         |SELECT lang, n_words, n_bpe_tokens,
+         |  (1000000 * n_bpe_tokens) // n_words AS fertility_ppm
+         |FROM agg ORDER BY lang""".stripMargin,
 
     "q83_salted_join" ->
       """SELECT n_name, count(*) AS n_items,
