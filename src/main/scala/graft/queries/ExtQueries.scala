@@ -363,6 +363,47 @@ object ExtQueries {
         .orderBy(col("band_size"))
     }),
 
+    // Deletion propagation (right-to-be-forgotten maintenance): purge a
+    // tombstone set (here: every src2 doc) from the first-occurrence
+    // claim index (q184's artifact) INCREMENTALLY and report the repair
+    // bill. Deletions only ever invalidate claims HELD BY a tombstoned
+    // doc — min over a subset that still contains its old min is
+    // unchanged — so the repair semi-joins the claim table against the
+    // tombstones, re-elects min(surviving doc) over ONLY the affected
+    // grams' postings, and leaves every other claim untouched. At
+    // corpus scale this is the only viable shape: a daily deletion
+    // batch is tiny vs the corpus, so the artifact must be repaired in
+    // work proportional to the AFFECTED slice, never recomputed. The
+    // oracle recomputes the index from the filtered corpus from
+    // scratch — the compare IS the repair ≡ recompute identity (the
+    // q106/q126 merge≡recompute discipline applied to deletion).
+    "q201_deletion_repair" -> ((s, d) => {
+      val sh = trigramShingles(s, d)
+      val tomb = Tables.documents(s, d).where(col("source") === "src2")
+        .select(col("doc_id").cast("long").as("doc"))
+      val before = sh.groupBy(col("s")).agg(min(col("doc")).as("first_doc"))
+      val affected = before
+        .join(tomb.select(col("doc").as("first_doc")), "first_doc")
+        .select(col("s"))
+      val reelect = sh.join(affected, "s")
+        .join(tomb, Seq("doc"), "left_anti")
+        .groupBy(col("s")).agg(min(col("doc")).as("new_first"))
+      before
+        .join(tomb.select(col("doc").as("first_doc"), lit(1).as("tombed")),
+          Seq("first_doc"), "left")
+        .join(reelect, Seq("s"), "left")
+        .agg(
+          count(lit(1)).as("n_before"),
+          sum(when(col("tombed").isNull, 1L)
+            .otherwise(when(col("new_first").isNotNull, 1L).otherwise(0L)))
+            .as("n_after"),
+          sum(when(col("tombed").isNotNull && col("new_first").isNull, 1L)
+            .otherwise(0L)).as("n_retired"),
+          sum(when(col("new_first").isNotNull, 1L).otherwise(0L))
+            .as("n_reelected"),
+          sum(when(col("tombed").isNull, 1L).otherwise(0L)).as("n_unchanged"))
+    }),
+
     // Filter-attribution Venn: the FILTER-side twin of q183's dedup
     // cascade. Every doc is flagged by three independent gates the
     // curation loop already computes — low quality score (q41's
@@ -1325,6 +1366,25 @@ object ExtQueries {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q198_lsh_band_sweep" -> lshSweepSql,
+
+    // q201 oracle: recompute the claim index from the filtered corpus
+    // from scratch — comparing it against Spark's incremental repair IS
+    // the repair ≡ recompute identity.
+    "q201_deletion_repair" ->
+      s"""${PipelineQueries.trigramCtes},
+         |b AS (SELECT s, min(doc_id) fd FROM g GROUP BY 1),
+         |a AS (SELECT s, min(doc_id) fd2 FROM g
+         |      WHERE doc_id NOT IN
+         |        (SELECT doc_id FROM documents WHERE source = 'src2')
+         |      GROUP BY 1),
+         |j AS (SELECT b.s, b.fd, a.fd2 FROM b LEFT JOIN a USING (s))
+         |SELECT CAST(count(*) AS BIGINT) n_before,
+         |  CAST(count(fd2) AS BIGINT) n_after,
+         |  CAST(sum(CASE WHEN fd2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_retired,
+         |  CAST(sum(CASE WHEN fd2 IS NOT NULL AND fd2 <> fd THEN 1 ELSE 0 END)
+         |    AS BIGINT) n_reelected,
+         |  CAST(sum(CASE WHEN fd2 = fd THEN 1 ELSE 0 END) AS BIGINT) n_unchanged
+         |FROM j""".stripMargin,
 
     "q199_filter_venn" ->
       s"""$tokCte,
