@@ -692,4 +692,64 @@ object Dedup {
       .select(col("doc"), coalesce(col("n_after"), lit(0L)).as("n_after"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
+
+  /** Prefix-filtered candidate pairs for an exact Jaccard self-join at
+    * threshold `numJ/denJ` — the AllPairs/PPJoin pruning of Bayardo et
+    * al. 2007 ("Scaling Up All Pairs Similarity Search", WWW) / Xiao et
+    * al. 2008, the EXACT alternative to LSH banding: instead of hashing
+    * into probabilistic buckets, order every doc's grams by one global
+    * rarity order (ascending document frequency, gram string as the
+    * tiebreak) and index only each doc's first
+    * `n_d − ceil(t·n_d) + 1` grams. Two docs with J ≥ t share at least
+    * ceil(t·max(n_a, n_b)) grams (from i(1+t) ≥ t(n_a+n_b) and i ≤
+    * min(n_a, n_b)), so their prefixes under ANY single global order
+    * must intersect — every qualifying pair survives, while the join
+    * fans out only on each doc's RAREST few grams (at t = 1/2, half the
+    * postings; the hot boilerplate grams that dominate posting lists
+    * sort last and never enter the index).
+    *
+    * 100 TB shape: the df-rank attach is a broadcast-or-shuffle join on
+    * the gram key; prefix selection is two windows partitioned by doc
+    * (no global rank materialized — the (df, s) pair IS the order);
+    * the candidate join fans out per rare-gram posting list, which the
+    * prefix rule keeps short by construction. Integer-exact end to end.
+    */
+  def prefixFilterCandidates(shRows: DataFrame, numJ: Int, denJ: Int): DataFrame = {
+    val dfreq = shRows.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val byDoc = shRows.join(dfreq, "s")
+    val perDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))
+    val order = perDoc.orderBy(col("df"), col("s"))
+    // ceil(numJ·n/denJ) = floor((numJ·n + denJ − 1) / denJ), all BIGINT.
+    val prefix = byDoc
+      .withColumn("i", row_number().over(order))
+      .withColumn("nd", count(lit(1)).over(perDoc))
+      .where(col("i") <=
+        col("nd") - floor((lit(numJ) * col("nd") + lit(denJ - 1)) / lit(denJ)) + 1)
+      .select(col("doc"), col("s"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** Verify prefix-filter candidates to exact Jaccard ≥ numJ/denJ pairs:
+    * join the candidate pair table against per-doc sorted gram arrays
+    * and count the intersection in one codegen'd `array_intersect` —
+    * work proportional to CANDIDATES (which the prefix rule bounds),
+    * never to all gram-sharing pairs. Output schema matches
+    * [[ngramJaccardPairs]] exactly; a spec pins set equality. */
+  def prefixFilterJaccardPairs(shRows: DataFrame, numJ: Int, denJ: Int): DataFrame = {
+    val sets = shRows.groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("s"))).as("gs"),
+        count(lit(1)).as("n"))
+    prefixFilterCandidates(shRows, numJ, denJ)
+      .join(sets.select(col("doc").as("doc_a"), col("gs").as("gs_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(sets.select(col("doc").as("doc_b"), col("gs").as("gs_b"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+      .where(lit(denJ) * col("n_inter") >=
+        lit(numJ) * (col("n_a") + col("n_b") - col("n_inter")))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"))
+  }
 }

@@ -404,6 +404,73 @@ object ExtQueries {
           sum(when(col("tombed").isNull, 1L).otherwise(0L)).as("n_unchanged"))
     }),
 
+    // Deletion repair of the near-dup COMPONENT artifact — the hard
+    // sibling of q201's claim-index purge: deleting a doc can SPLIT a
+    // component (it may be the only bridge between two dup clusters),
+    // so unlike min-reelection this repair must re-run connectivity —
+    // but only inside components that contained a tombstoned doc.
+    // Unaffected components keep their labels untouched (their edge
+    // sets cannot change: any edge touching a tombstone lies in that
+    // tombstone's own component by definition), so the repair bill is
+    // bounded by the affected components' edges, never the corpus.
+    // Affected components re-run through the same CC dispatch as the
+    // original build; members left edge-less drop out of the artifact
+    // (no longer near-dup nodes). Oracle recomputes components of the
+    // filtered corpus's pair graph from scratch via the q54 recursive
+    // CTE — the compare IS repair ≡ recompute, splits included.
+    "q203_component_repair" -> ((s, d) => {
+      val comps = simhashComps(s, d)
+      val tomb = Tables.documents(s, d).where(col("source") === "src2")
+        .select(col("doc_id").cast("long").as("doc"))
+      val affected = comps.join(tomb, "doc").select(col("comp")).distinct()
+      val keep = comps.join(affected, Seq("comp"), "left_anti")
+      val edges = Dedup.simhashHammingPairsFromSigs(simhashSigs(s, d), 2)
+      val survEdges = edges
+        .join(tomb.select(col("doc").as("doc_a")), Seq("doc_a"), "left_anti")
+        .join(tomb.select(col("doc").as("doc_b")), Seq("doc_b"), "left_anti")
+        .join(comps.select(col("doc").as("doc_a"), col("comp")), "doc_a")
+        .join(affected, "comp")
+        .select(col("doc_a"), col("doc_b"))
+      val repaired = graft.ext.Components
+        .connectedComponentsAuto(survEdges, "doc_a", "doc_b")
+      keep.select(col("doc").as("doc_id"), col("comp").as("component"))
+        .union(repaired.select(col("node").as("doc_id"),
+          col("comp").as("component")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Prefix-filtered EXACT similarity self-join (AllPairs, Bayardo et
+    // al. 2007; PPJoin, Xiao et al. 2008) — the exact counterpart of
+    // LSH banding in the dedup-strategy matrix: order grams by global
+    // rarity (ascending df, gram tiebreak), index only each doc's first
+    // n − ceil(t·n) + 1 grams, and every J ≥ t pair still collides on
+    // ≥ 1 indexed gram (the prefix lemma), while hot boilerplate grams
+    // sort last and never enter the index. Audit row: the unpruned
+    // gram-sharing pair space vs the prefix candidate set vs the final
+    // verified pairs, with the pruning rate in ppm. The oracle computes
+    // the FINAL pairs from the full unpruned join — so the compare
+    // proves the pruning is lossless, not just internally consistent
+    // (q149/q162 audit discipline). The full-join legs are the
+    // test-scale audit baseline (q164's estimate-vs-exact shape); a
+    // production corpus runs only the prefix path.
+    "q202_prefix_filter_join" -> ((s, d) => {
+      val sh = graft.ops.TransientCache.persist(
+        Dedup.shingleRows(Tables.documents(s, d), "text", "doc_id", 2))
+      val sharing = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+        .distinct()
+      sharing.agg(count(lit(1)).as("n_sharing_pairs"))
+        .crossJoin(Dedup.prefixFilterCandidates(sh, 1, 2)
+          .agg(count(lit(1)).as("n_prefix_candidates")))
+        .crossJoin(Dedup.prefixFilterJaccardPairs(sh, 1, 2)
+          .agg(count(lit(1)).as("n_pairs")))
+        .select(col("n_sharing_pairs"), col("n_prefix_candidates"),
+          col("n_pairs"),
+          expr("CAST((1000000 * (n_sharing_pairs - n_prefix_candidates)) " +
+            "DIV n_sharing_pairs AS BIGINT)").as("pruned_ppm"))
+    }),
+
     // Filter-attribution Venn: the FILTER-side twin of q183's dedup
     // cascade. Every doc is flagged by three independent gates the
     // curation loop already computes — low quality score (q41's
@@ -1385,6 +1452,56 @@ object ExtQueries {
          |    AS BIGINT) n_reelected,
          |  CAST(sum(CASE WHEN fd2 = fd THEN 1 ELSE 0 END) AS BIGINT) n_unchanged
          |FROM j""".stripMargin,
+
+    // q203 oracle: components of the FILTERED corpus's pair graph,
+    // recomputed from scratch (q54's recursive CTE over hp minus
+    // tombstone-touching edges — valid because signatures are per-doc
+    // properties, so deleting docs only removes edges, never adds).
+    "q203_component_repair" ->
+      s"""WITH RECURSIVE ${simhashHammingCtes.stripPrefix("WITH ")},
+         |tmb AS (SELECT doc_id FROM documents WHERE source = 'src2'),
+         |hp2 AS (SELECT doc_a, doc_b FROM hp
+         |        WHERE doc_a NOT IN (SELECT doc_id FROM tmb)
+         |          AND doc_b NOT IN (SELECT doc_id FROM tmb)),
+         |e AS (SELECT doc_a a, doc_b b FROM hp2
+         |      UNION SELECT doc_b, doc_a FROM hp2),
+         |r AS (SELECT a AS node, a AS reach FROM e
+         |      UNION
+         |      SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a)
+         |SELECT node AS doc_id, min(reach) AS component
+         |FROM r GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // q202 oracle: prefix selection re-derived in SQL; the final pair
+    // count comes from the FULL unpruned join, so a candidate the
+    // prefix rule wrongly dropped would show up as an n_pairs mismatch.
+    "q202_prefix_filter_join" ->
+      s"""$shingleCtes,
+         |sh AS (SELECT DISTINCT doc_id doc, w || ' ' || t[i+1] s
+         |       FROM u WHERE i < len(t)),
+         |dfq AS (SELECT s, count(*) df FROM sh GROUP BY 1),
+         |cnt AS (SELECT doc, count(*) n FROM sh GROUP BY 1),
+         |pos AS (SELECT sh.doc, sh.s,
+         |          row_number() OVER (PARTITION BY sh.doc
+         |                             ORDER BY dfq.df, sh.s) i,
+         |          cnt.n
+         |        FROM sh JOIN dfq USING (s) JOIN cnt USING (doc)),
+         |pre AS (SELECT doc, s FROM pos WHERE i <= n - ((n + 1) // 2) + 1),
+         |cand AS (SELECT DISTINCT a.doc da, b.doc db FROM pre a
+         |         JOIN pre b ON a.s = b.s AND a.doc < b.doc),
+         |shr AS (SELECT DISTINCT a.doc da, b.doc db FROM sh a
+         |        JOIN sh b ON a.s = b.s AND a.doc < b.doc),
+         |intr AS (SELECT a.doc da, b.doc db, count(*) i FROM sh a
+         |         JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2),
+         |fin AS (SELECT intr.da FROM intr
+         |        JOIN cnt ca ON intr.da = ca.doc
+         |        JOIN cnt cb ON intr.db = cb.doc
+         |        WHERE 2 * intr.i >= ca.n + cb.n - intr.i)
+         |SELECT CAST((SELECT count(*) FROM shr) AS BIGINT) n_sharing_pairs,
+         |  CAST((SELECT count(*) FROM cand) AS BIGINT) n_prefix_candidates,
+         |  CAST((SELECT count(*) FROM fin) AS BIGINT) n_pairs,
+         |  CAST((1000000 * ((SELECT count(*) FROM shr)
+         |      - (SELECT count(*) FROM cand)))
+         |    // (SELECT count(*) FROM shr) AS BIGINT) pruned_ppm""".stripMargin,
 
     "q199_filter_venn" ->
       s"""$tokCte,

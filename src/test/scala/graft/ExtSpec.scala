@@ -49,6 +49,33 @@ class ExtSpec extends AnyFunSuite {
     assert(got.count(_.getLong(0) == 3L) >= 1)
   }
 
+  test("prefix-filter join: lossless vs the plain gram-bucketed join, and it prunes") {
+    // The AllPairs prefix lemma end-to-end: on the real sf0.001 corpus
+    // the prefix-indexed path must recover EXACTLY the pairs the full
+    // posting join finds (no false dismissals), its candidate set must
+    // sit between the final pairs and the unpruned sharing-pair space,
+    // and the pruning must be real (strictly fewer candidates).
+    val sh = Dedup.shingleRows(Tables.documents(spark, sf), "text", "doc_id", 2)
+      .cache()
+    try {
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = pairSet(Dedup.ngramJaccardPairs(
+        Tables.documents(spark, sf), "text", "doc_id", 2, 1, 2))
+      val pref = pairSet(Dedup.prefixFilterJaccardPairs(sh, 1, 2))
+      assert(pref == full, s"prefix path lost/added pairs: " +
+        s"missing=${(full -- pref).take(3)} extra=${(pref -- full).take(3)}")
+      val cands = pairSet(Dedup.prefixFilterCandidates(sh, 1, 2))
+      val sharing = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+        .distinct().count()
+      assert(full.subsetOf(cands), "a qualifying pair escaped the candidates")
+      assert(cands.size < sharing, "prefix filter pruned nothing")
+    } finally sh.unpersist()
+  }
+
   test("sharedSpans: finds the planted maximal span with exact positions") {
     // Doc 1 and doc 2 share tokens 21..40 of doc 1 (= tokens 1..20 of
     // doc 2); windows of 10 chain into ONE maximal 20-token span.
