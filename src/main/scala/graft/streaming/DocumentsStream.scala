@@ -40,6 +40,11 @@ final case class CentroidUpdate(label: Int, pos: Int, sx: Long, n: Long)
 final case class GramClaim(firstDoc: Long)
 final case class GramClaimEvent(s: String, doc_id: Long)
 
+/** Claim-maintenance event under arrivals AND tombstones (`kind` ∈
+  * claim|retired) — the streaming face of q201's deletion propagation.
+  * Top-level + public for Spark's state encoder codegen. */
+final case class ClaimMaintEvent(s: String, doc_id: Long, kind: String)
+
 /** First claimer of an audio landmark key (streaming fingerprint state;
   * one long per distinct landmark) and the match event a later
   * collision emits. Top-level + public for Spark's state encoder
@@ -444,6 +449,72 @@ object DocumentsStream {
             stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
             out
           }
+      }
+  }
+
+  /** Streaming claim maintenance WITH DELETIONS — the q201 deletion
+    * propagation at ingest grain. The input stream carries both
+    * arrivals and tombstones (`doc_id`, `text`, `op` ∈ add|del; a
+    * right-to-be-forgotten delete knows the doc it deletes, so the
+    * tombstone carries the text and routes to exactly the grams the
+    * doc ever claimed). Per gram, keyed state holds the current claim
+    * holder; each micro-batch applies deterministically:
+    *
+    *   1. tombstones against PRIOR state — a del whose doc holds the
+    *      claim retires it instantly (`kind = retired`, the compliance
+    *      SLA event: no later query sees the purged claim) and clears
+    *      the state; a del of a non-holder is a no-op (the min-over-
+    *      superset argument of the batch repair: it never held
+    *      anything);
+    *   2. arrivals — if the gram is now unclaimed (fresh, or retired
+    *      in step 1), the batch's min arriving doc claims
+    *      (`kind = claim`).
+    *
+    * Division of labor with the batch job (the lambda shape q201's
+    * SCALE note prescribes): streaming retires claims immediately but
+    * does NOT re-elect from history — keyed state holds one long per
+    * gram, not the posting list, so re-election over previously-seen
+    * docs is exactly the batch repair's semi-join + min re-election
+    * over the posting artifact. The `retired` events ARE that job's
+    * work queue (they name precisely q201's affected grams). A doc
+    * added and tombstoned in the same micro-batch resolves at the
+    * batch repair (dels target already-applied state; StreamingSpec
+    * pins the cross-batch contract). */
+  def claimMaintAtIngest(spark: SparkSession, events: DataFrame)
+      : Dataset[ClaimMaintEvent] = {
+    import spark.implicits._
+    events
+      .select(col("doc_id").cast("long"), col("text"), col("op"))
+      .as[(Long, String, String)]
+      .flatMap { case (doc, text, op) =>
+        if (text == null) Iterator.empty
+        else {
+          val toks = TextAnalysis.tokenizeJvm(TextAnalysis.normalizeJvm(text))
+          if (toks.length < 3) Iterator.empty
+          else toks.sliding(3).map(_.mkString(" ")).toSet.iterator
+            .map((s: String) => (s, doc, op == "del"))
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GramClaim, ClaimMaintEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (gram, it, state: GroupState[GramClaim]) =>
+          val rows = it.toSeq
+          val out = Seq.newBuilder[ClaimMaintEvent]
+          // 1. tombstones retire the PRIOR holder only
+          if (state.exists &&
+              rows.exists { case (_, doc, del) => del && doc == state.get.firstDoc }) {
+            out += ClaimMaintEvent(gram, state.get.firstDoc, "retired")
+            state.remove()
+          }
+          // 2. arrivals claim if unclaimed
+          val adds = rows.collect { case (_, doc, false) => doc }
+          if (!state.exists && adds.nonEmpty) {
+            val minDoc = adds.min
+            state.update(GramClaim(minDoc))
+            out += ClaimMaintEvent(gram, minDoc, "claim")
+          }
+          out.result().iterator
       }
   }
 

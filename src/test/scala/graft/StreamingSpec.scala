@@ -764,6 +764,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == b1 ++ b2, s"unexpected claims: $got")
   }
 
+  test("streaming claim maintenance: a tombstone retires exactly the holder's claims, and retired grams re-claim") {
+    import graft.streaming.DocumentsStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs_claim_del")
+    def writeAs(name: String, mtime: Long, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs_part").toString
+      rows.toDF("doc_id", "text", "op").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    // b1: docs 1 and 2 arrive (sharing "beta gamma delta"); b2: doc 1 is
+    // tombstoned — exactly doc 1's claims retire (q201's affected set),
+    // doc 2's claims survive; b3: doc 5 re-claims one retired gram.
+    writeAs("b1.parquet", 1000000L, Seq(
+      (1L, "alpha beta gamma delta", "add"),
+      (2L, "beta gamma delta epsilon", "add")))
+    writeAs("b2.parquet", 2000000L, Seq(
+      (1L, "alpha beta gamma delta", "del")))
+    writeAs("b3.parquet", 3000000L, Seq(
+      (5L, "alpha beta gamma", "add"),
+      (2L, "beta gamma delta epsilon", "del")))
+    val events = DocumentsStream.claimMaintAtIngest(spark,
+      DocumentsStream.readDocuments(spark, dir.toString, Some(1)))
+    runAvailableNow(events.toDF(), "claim_maint", OutputMode.Append())
+    val got = spark.table("claim_maint")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val b1 = Set(
+      ("alpha beta gamma", 1L, "claim"), ("beta gamma delta", 1L, "claim"),
+      ("gamma delta epsilon", 2L, "claim"))
+    // retired = grams whose batch-min holder is doc 1 — NOT "gamma delta
+    // epsilon" (doc 2 holds it; the del of a non-holder is a no-op)
+    val b2 = Set(
+      ("alpha beta gamma", 1L, "retired"), ("beta gamma delta", 1L, "retired"))
+    // b3: doc 5 re-claims the retired gram it carries; doc 2's tombstone
+    // retires its surviving claim
+    val b3 = Set(
+      ("alpha beta gamma", 5L, "claim"),
+      ("gamma delta epsilon", 2L, "retired"))
+    assert(got == b1 ++ b2 ++ b3, s"unexpected events: $got")
+    // the retired set NAMES q201's affected grams for this tombstone
+    // batch: claims held by a tombstoned doc, nothing else
+  }
+
   test("streaming centroid registers equal the batch per-(label,dim) sums across batches") {
     import graft.streaming.DocumentsStream
     val dir = java.nio.file.Files.createTempDirectory("emb_cent_2b")
