@@ -422,11 +422,23 @@ object Dedup {
                             denseDocLimit: Long = 1L << 16): DataFrame = {
     // Shingle once, persist (TransientCache — caller releases), dispatch:
     // the size probe and the chosen strategy share the same materialized
-    // (doc, shingle) rows. The dense path collects doc-count × vocab/8
-    // bytes of bitsets to the driver, so it is gated on BOTH dictionary
-    // size AND document count — a 100 TB corpus with a tiny vocabulary
-    // must still take the sparse bucketed join, never a driver collect.
-    val sh = graft.ops.TransientCache.persist(shingleRows(df, textCol, idCol, n))
+    // (doc, shingle) rows.
+    ngramJaccardPairsAutoFromShingles(
+      graft.ops.TransientCache.persist(shingleRows(df, textCol, idCol, n)),
+      numJ, denJ, denseVocabLimit, denseDocLimit)
+  }
+
+  /** [[ngramJaccardPairsAuto]] over a prebuilt (already-persisted)
+    * `(doc, s)` shingle stream — the session-artifact form (one corpus
+    * shingle pass shared with every other bigram consumer). The dense
+    * path collects doc-count × vocab/8 bytes of bitsets to the driver,
+    * so it is gated on BOTH dictionary size AND document count — a
+    * 100 TB corpus with a tiny vocabulary must still take the sparse
+    * bucketed join, never a driver collect. */
+  def ngramJaccardPairsAutoFromShingles(sh: DataFrame,
+                                        numJ: Int, denJ: Int,
+                                        denseVocabLimit: Int = 1 << 16,
+                                        denseDocLimit: Long = 1L << 16): DataFrame = {
     val probe = sh.select(countDistinct(col("s")).as("ng"),
       countDistinct(col("doc")).as("nd")).head()
     val (nGrams, nDocs) = (probe.getLong(0), probe.getLong(1))
@@ -715,21 +727,39 @@ object Dedup {
     * prefix rule keeps short by construction. Integer-exact end to end.
     */
   def prefixFilterCandidates(shRows: DataFrame, numJ: Int, denJ: Int): DataFrame = {
+    val prefix = prefixPostings(shRows, numJ, denJ)
+    // Length filter (Arasu et al. 2006; AllPairs): J ≥ t forces
+    // t·|a| ≤ |b| ≤ |a|/t, i.e. denJ·min(n) ≥ numJ·max(n) — applied
+    // INSIDE the join so a short boilerplate doc colliding with a long
+    // one on a prefix gram never becomes a candidate at all (at t=4/5
+    // this is most of the raw collisions; lossless by the same J ≥ t
+    // algebra as the prefix itself).
+    prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc") &&
+          lit(denJ) * least(col("a.nd"), col("b.nd")) >=
+            lit(numJ) * greatest(col("a.nd"), col("b.nd")))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** The prefix index itself: each doc's first `n_d − ceil(t·n_d) + 1`
+    * grams under the global (df asc, gram asc) rarity order, with the
+    * doc's gram count `nd` alongside (the length filter reads it in the
+    * join) — the rows [[prefixFilterCandidates]] self-joins. Public so
+    * audits can measure the index (posting sizes → collision counts)
+    * without materializing any pair. */
+  def prefixPostings(shRows: DataFrame, numJ: Int, denJ: Int): DataFrame = {
     val dfreq = shRows.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val byDoc = shRows.join(dfreq, "s")
     val perDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc"))
     val order = perDoc.orderBy(col("df"), col("s"))
     // ceil(numJ·n/denJ) = floor((numJ·n + denJ − 1) / denJ), all BIGINT.
-    val prefix = byDoc
+    byDoc
       .withColumn("i", row_number().over(order))
       .withColumn("nd", count(lit(1)).over(perDoc))
       .where(col("i") <=
         col("nd") - floor((lit(numJ) * col("nd") + lit(denJ - 1)) / lit(denJ)) + 1)
-      .select(col("doc"), col("s"))
-    prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct()
+      .select(col("doc"), col("s"), col("nd"))
   }
 
   /** Verify prefix-filter candidates to exact Jaccard ≥ numJ/denJ pairs:
@@ -738,11 +768,20 @@ object Dedup {
     * work proportional to CANDIDATES (which the prefix rule bounds),
     * never to all gram-sharing pairs. Output schema matches
     * [[ngramJaccardPairs]] exactly; a spec pins set equality. */
-  def prefixFilterJaccardPairs(shRows: DataFrame, numJ: Int, denJ: Int): DataFrame = {
+  def prefixFilterJaccardPairs(shRows: DataFrame, numJ: Int, denJ: Int): DataFrame =
+    verifyJaccardCandidates(shRows,
+      prefixFilterCandidates(shRows, numJ, denJ), numJ, denJ)
+
+  /** The verification half alone, over an externally-built candidate
+    * pair table — so a query that already materialized the candidates
+    * (for counting, for auditing) verifies THE SAME rows instead of
+    * re-deriving the prefix index per consumer. */
+  def verifyJaccardCandidates(shRows: DataFrame, cands: DataFrame,
+                              numJ: Int, denJ: Int): DataFrame = {
     val sets = shRows.groupBy(col("doc"))
       .agg(sort_array(collect_list(col("s"))).as("gs"),
         count(lit(1)).as("n"))
-    prefixFilterCandidates(shRows, numJ, denJ)
+    cands
       .join(sets.select(col("doc").as("doc_a"), col("gs").as("gs_a"),
         col("n").as("n_a")), "doc_a")
       .join(sets.select(col("doc").as("doc_b"), col("gs").as("gs_b"),

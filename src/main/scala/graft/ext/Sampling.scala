@@ -39,6 +39,38 @@ object Sampling {
   def draw(idCol: Column): Column =
     substring(md5(idCol.cast("string").cast("binary")), 1, 8)
 
+  /** Cumulative Poisson(1) CDF × 2^32 as 8-hex literals (k = 0..9) —
+    * HARD CONSTANTS from the public series e⁻¹·Σ 1/k!, precomputed so
+    * the runtime never evaluates a transcendental (the q176 Benford
+    * discipline: literal thresholds, zero libm-parity exposure). */
+  private val poissonCdfHex = Seq(
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5",
+    "ffd90f3b", "fffa8b71", "ffff540c", "ffffed1f", "fffffe21")
+
+  /** Deterministic Poisson(1) bootstrap weight for a (row, replicate)
+    * key — the streaming-bootstrap of Chamandy et al. 2012 ("Estimating
+    * Uncertainty for Massive Data Streams", Google TR): the multinomial
+    * bootstrap's n-out-of-n resample needs global coordination, but as
+    * n → ∞ each row's multiplicity in a resample converges to
+    * Poisson(1), which is a PER-ROW draw — embarrassingly parallel,
+    * shuffle-free, and (on the [[draw]] md5 algebra) bit-reproducible
+    * on any engine. Weight = inverse-CDF lookup of the uniform draw
+    * against the literal threshold table (w > 9 truncates to 10,
+    * P ≈ 1.1e-7 — part of the operator's contract, mirrored in SQL). */
+  def poissonWeight(keyCol: Column): Column = {
+    val d = draw(keyCol)
+    poissonCdfHex.zipWithIndex.reverse.foldLeft(lit(10L): Column) {
+      case (els, (h, k)) => when(d < lit(h), lit(k.toLong)).otherwise(els)
+    }
+  }
+
+  /** The SQL twin of [[poissonWeight]] over a VARCHAR key expression. */
+  def poissonWeightSql(keyExpr: String): String = {
+    val cases = poissonCdfHex.zipWithIndex.map { case (h, k) =>
+      s"WHEN substr(md5($keyExpr), 1, 8) < '$h' THEN $k" }.mkString(" ")
+    s"CAST(CASE $cases ELSE 10 END AS BIGINT)"
+  }
+
   /** Deterministic train/validation/test split: the md5 draw against two
     * cumulative thresholds labels every row reproducibly (same id → same
     * split on any engine, any run, any partitioning) — the

@@ -26,6 +26,49 @@ object AnalyticsQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Poisson-bootstrap confidence intervals (Chamandy et al. 2012) for
+    // the per-source mean quality score: every corpus metric the
+    // curation loop thresholds on (q41 quality, q58 budgets, q155
+    // ranks) is a point estimate; this puts a 95% interval next to it.
+    // 64 deterministic replicates — each (doc, b) gets a Poisson(1)
+    // weight from the md5 draw against LITERAL CDF thresholds (no
+    // transcendentals at runtime), replicate means are integer-exact
+    // milli-units via the +50 shift (quality ≥ −50 by construction, so
+    // the shifted numerator is non-negative and truncating vs flooring
+    // division cannot diverge between engines; the shift cancels
+    // exactly because 50000·Σw divides by Σw), and the interval is the
+    // exact type-1 [2nd, 63rd] order statistic of the 64 means.
+    // 100 TB shape: the replicate expansion is a map-side explode (×64
+    // rows, no shuffle), the means are one groupBy on (source, b) with
+    // map-side partials, and the order statistics run per source over
+    // exactly 64 rows — bootstrap uncertainty at scan cost.
+    "q204_bootstrap_ci" -> ((s, d) => {
+      val base = ExtQueries.docProfile(s, d)
+        .select(col("doc_id"), col("source"), col("quality"))
+      val reps = base
+        .withColumn("b", explode(sequence(lit(0), lit(63))))
+        .withColumn("w", graft.ext.Sampling.poissonWeight(
+          concat(col("doc_id").cast("string"), lit("|"), col("b").cast("string"))))
+      val repMeans = reps.groupBy(col("source"), col("b"))
+        .agg(sum(col("w") * (col("quality") + lit(50L))).as("swq50"),
+          sum(col("w")).as("sw"))
+        .select(col("source"),
+          (expr("CAST((1000 * swq50) DIV sw AS BIGINT)") - lit(50000L))
+            .as("mean_q"))
+      val rn = row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("mean_q")))
+      val ci = repMeans.withColumn("rn", rn)
+        .groupBy(col("source"))
+        .agg(min(when(col("rn") === 2, col("mean_q"))).as("boot_lo_milli"),
+          min(when(col("rn") === 63, col("mean_q"))).as("boot_hi_milli"))
+      base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (expr("CAST((1000 * sum(quality + 50)) DIV count(*) AS BIGINT)")
+            - lit(50000L)).as("mean_q_milli"))
+        .join(ci, "source")
+        .orderBy(col("source"))
+    }),
+
     // Pivot: nation rows × order-priority columns, cent-exact revenue —
     // Spark's RelationalGroupedDataset.pivot with an EXPLICIT value list
     // (an unlisted pivot would scan once just to discover columns; at
@@ -1995,6 +2038,37 @@ object AnalyticsQueries {
        |    FROM isc) WHERE rank <= $k)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // q204 oracle: the identical literal-threshold Poisson draw, shift
+    // arithmetic, and type-1 order statistics re-derived in SQL.
+    "q204_bootstrap_ci" ->
+      s"""${ExtQueries.tokCte},
+         |q AS (SELECT doc_id, ${ExtQueries.qualitySql} AS quality FROM tok),
+         |qs AS (SELECT q.doc_id, d.source, q.quality
+         |       FROM q JOIN documents d USING (doc_id)),
+         |reps AS (SELECT doc_id, source, quality, b
+         |         FROM qs CROSS JOIN (SELECT unnest(range(0, 64)) b) r),
+         |w AS (SELECT source, b, quality,
+         |        ${graft.ext.Sampling.poissonWeightSql(
+                    "doc_id::VARCHAR || '|' || b::VARCHAR")} w
+         |      FROM reps),
+         |rm AS (SELECT source, b,
+         |        CAST((1000 * sum(w * (quality + 50))) // sum(w) AS BIGINT)
+         |          - 50000 mean_q
+         |       FROM w GROUP BY 1, 2),
+         |rk AS (SELECT source, mean_q,
+         |        row_number() OVER (PARTITION BY source ORDER BY mean_q) rn
+         |       FROM rm),
+         |ci AS (SELECT source,
+         |        min(CASE WHEN rn = 2 THEN mean_q END) boot_lo_milli,
+         |        min(CASE WHEN rn = 63 THEN mean_q END) boot_hi_milli
+         |       FROM rk GROUP BY 1),
+         |pt AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+         |        CAST((1000 * sum(quality + 50)) // count(*) AS BIGINT)
+         |          - 50000 mean_q_milli
+         |       FROM qs GROUP BY 1)
+         |SELECT pt.source, n_docs, mean_q_milli, boot_lo_milli, boot_hi_milli
+         |FROM pt JOIN ci USING (source) ORDER BY source""".stripMargin,
 
     "q88_pivot_priority" -> {
       val cells = priorities.zip(prioAlias).map { case (p, a) =>

@@ -50,6 +50,13 @@ object ExtQueries {
     graft.ops.SessionCache.getOrBuild(s, s"minhash_sigs:$d")(
       Dedup.minhashSignaturesTyped(Tables.documents(s, d), "text", "doc_id", 8))
 
+  /** Shared per-session distinct-BIGRAM shingle table `(doc, s)` over
+    * the full corpus — the base under [[jaccardTruth]] and the q202
+    * prefix-filter join (the trigram twin is [[trigramShingles]]). */
+  private[queries] def bigramShingles(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"bigram_shingles:$d")(
+      Dedup.shingleRows(Tables.documents(s, d), "text", "doc_id", 2))
+
   /** Shared per-session EXACT bigram-Jaccard >= 0.2 pair table — the
     * ground truth every dedup-quality audit scores against (q24 the
     * pairs themselves, q149 LSH recall, q194 SimHash recall, q198 the
@@ -58,7 +65,7 @@ object ExtQueries {
     * legs already follow. */
   private[queries] def jaccardTruth(s: SparkSession, d: String): DataFrame =
     graft.ops.SessionCache.getOrBuild(s, s"jaccard_truth:$d")(
-      Dedup.ngramJaccardPairsAuto(Tables.documents(s, d), "text", "doc_id", 2, 1, 5))
+      Dedup.ngramJaccardPairsAutoFromShingles(bigramShingles(s, d), 1, 5))
 
   /** Shared per-session ExactSubstr span table over `documents`
     * (window 10, minSpan 15, cap 50) — consumed by q132 (the spans) and
@@ -404,6 +411,43 @@ object ExtQueries {
           sum(when(col("tombed").isNull, 1L).otherwise(0L)).as("n_unchanged"))
     }),
 
+    // Jackknife leave-one-source-out duplication influence (Quenouille/
+    // Tukey delete-a-group jackknife, applied to mixture design): for
+    // each source, the corpus duplicate-posting share recomputed AS IF
+    // that source were dropped — the causal question behind q196's
+    // attribution ("which source, if removed, would actually deduplicate
+    // the corpus?"). NOT n re-runs: with per-(gram, source) posting
+    // counts, the without-s residual is r = df − cnt_s per gram, so all
+    // n leave-one-out corpora fold into ONE aggregate over the
+    // gram×source residual table (sources × distinct grams rows — n_src
+    // linear, never corpus quadratic). A gram's surviving postings count
+    // as duplicated iff r ≥ 2 — this catches the flip q196 cannot see:
+    // a gram duplicated ONLY because source s held the second copy
+    // stops being duplicated without s. Integer-exact ppm.
+    "q205_source_influence" -> ((s, d) => {
+      val cnt = trigramShingles(s, d).join(docSourceMap(s, d), "doc")
+        .groupBy(col("s"), col("source")).agg(count(lit(1)).as("cnt"))
+      val cntP = graft.ops.TransientCache.persist(cnt)
+      val dfg = cntP.groupBy(col("s")).agg(sum(col("cnt")).as("df"))
+      val sources = Tables.documents(s, d).select(col("source")).distinct()
+      val resid = dfg.crossJoin(broadcast(sources))
+        .join(cntP, Seq("s", "source"), "left")
+        .withColumn("r", col("df") - coalesce(col("cnt"), lit(0L)))
+      val per = resid.groupBy(col("source"))
+        .agg(sum(col("r")).as("n_postings_wo"),
+          sum(when(col("r") >= 2, col("r")).otherwise(0L)).as("n_dup_wo"))
+      val full = dfg.agg(sum(col("df")).as("n_postings"),
+        sum(when(col("df") >= 2, col("df")).otherwise(0L)).as("n_dup"))
+      per.crossJoin(full)
+        .select(col("source"), col("n_postings_wo"), col("n_dup_wo"),
+          expr("CAST((1000000 * n_dup_wo) DIV n_postings_wo AS BIGINT)")
+            .as("dup_ppm_wo"),
+          (expr("CAST((1000000 * n_dup) DIV n_postings AS BIGINT)") -
+            expr("CAST((1000000 * n_dup_wo) DIV n_postings_wo AS BIGINT)"))
+            .as("influence_ppm"))
+        .orderBy(col("source"))
+    }),
+
     // Deletion repair of the near-dup COMPONENT artifact — the hard
     // sibling of q201's claim-index purge: deleting a doc can SPLIT a
     // component (it may be the only bridge between two dup clusters),
@@ -443,32 +487,47 @@ object ExtQueries {
     // al. 2007; PPJoin, Xiao et al. 2008) — the exact counterpart of
     // LSH banding in the dedup-strategy matrix: order grams by global
     // rarity (ascending df, gram tiebreak), index only each doc's first
-    // n − ceil(t·n) + 1 grams, and every J ≥ t pair still collides on
-    // ≥ 1 indexed gram (the prefix lemma), while hot boilerplate grams
-    // sort last and never enter the index. Audit row: the unpruned
-    // gram-sharing pair space vs the prefix candidate set vs the final
-    // verified pairs, with the pruning rate in ppm. The oracle computes
-    // the FINAL pairs from the full unpruned join — so the compare
-    // proves the pruning is lossless, not just internally consistent
-    // (q149/q162 audit discipline). The full-join legs are the
-    // test-scale audit baseline (q164's estimate-vs-exact shape); a
-    // production corpus runs only the prefix path.
+    // n − ceil(t·n) + 1 grams (t = 4/5, the realistic near-verbatim
+    // dedup threshold: only each doc's rarest ~fifth is indexed), and
+    // every J ≥ t pair still collides on ≥ 1 indexed gram (the prefix
+    // lemma), while hot boilerplate grams sort last and never enter the
+    // index. The join-cost audit is ANALYTIC, never materialized:
+    // Σ C(df, 2) over posting sizes = the exact row count the unpruned
+    // self-join would fan out, vs the same sum over prefix postings —
+    // the first bench run of this query materialized the unpruned pair
+    // space "as an audit baseline" and paid 115 s at sf0.1 for it; the
+    // collision identity gives the same number from a vocabulary-sized
+    // aggregate. The oracle still derives the FINAL pairs from the
+    // full unpruned join (tractable at oracle SF), so the compare
+    // proves the pruning lossless, not just internally consistent.
     "q202_prefix_filter_join" -> ((s, d) => {
-      val sh = graft.ops.TransientCache.persist(
-        Dedup.shingleRows(Tables.documents(s, d), "text", "doc_id", 2))
-      val sharing = sh.as("a").join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-        .distinct()
-      sharing.agg(count(lit(1)).as("n_sharing_pairs"))
-        .crossJoin(Dedup.prefixFilterCandidates(sh, 1, 2)
-          .agg(count(lit(1)).as("n_prefix_candidates")))
-        .crossJoin(Dedup.prefixFilterJaccardPairs(sh, 1, 2)
+      val sh = bigramShingles(s, d)
+      val collFull = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .agg(sum(expr("df * (df - 1) DIV 2")).as("n_collisions_full"))
+      // Each leg materialized ONCE and reused (TransientCache, runner
+      // releases): the prefix index feeds its collision audit AND the
+      // candidate join; the candidate table feeds its count AND the
+      // verification — without this, every output column re-derives
+      // the whole chain.
+      val pre = graft.ops.TransientCache.persist(
+        Dedup.prefixPostings(sh, 4, 5))
+      val collPre = pre.groupBy(col("s")).agg(count(lit(1)).as("pdf"))
+        .agg(sum(expr("pdf * (pdf - 1) DIV 2")).as("n_collisions_prefix"))
+      val cands = graft.ops.TransientCache.persist(
+        pre.as("a").join(pre.as("b"),
+            col("a.s") === col("b.s") && col("a.doc") < col("b.doc") &&
+              lit(5) * least(col("a.nd"), col("b.nd")) >=
+                lit(4) * greatest(col("a.nd"), col("b.nd")))
+          .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+          .distinct())
+      collFull.crossJoin(collPre)
+        .crossJoin(cands.agg(count(lit(1)).as("n_prefix_candidates")))
+        .crossJoin(Dedup.verifyJaccardCandidates(sh, cands, 4, 5)
           .agg(count(lit(1)).as("n_pairs")))
-        .select(col("n_sharing_pairs"), col("n_prefix_candidates"),
-          col("n_pairs"),
-          expr("CAST((1000000 * (n_sharing_pairs - n_prefix_candidates)) " +
-            "DIV n_sharing_pairs AS BIGINT)").as("pruned_ppm"))
+        .select(col("n_collisions_full"), col("n_collisions_prefix"),
+          col("n_prefix_candidates"), col("n_pairs"),
+          expr("CAST((1000000 * (n_collisions_full - n_collisions_prefix)) " +
+            "DIV n_collisions_full AS BIGINT)").as("pruned_ppm"))
     }),
 
     // Filter-attribution Venn: the FILTER-side twin of q183's dedup
@@ -1453,6 +1512,32 @@ object ExtQueries {
          |  CAST(sum(CASE WHEN fd2 = fd THEN 1 ELSE 0 END) AS BIGINT) n_unchanged
          |FROM j""".stripMargin,
 
+    // q205 oracle: the same one-pass residual fold, re-derived in SQL.
+    "q205_source_influence" ->
+      s"""${PipelineQueries.trigramCtes},
+         |gs AS (SELECT g.s, d.source FROM g JOIN documents d USING (doc_id)),
+         |cnt AS (SELECT s, source, count(*) cnt FROM gs GROUP BY 1, 2),
+         |dfg AS (SELECT s, CAST(sum(cnt) AS BIGINT) df FROM cnt GROUP BY 1),
+         |srcs AS (SELECT DISTINCT source FROM documents),
+         |resid AS (SELECT dfg.s, srcs.source,
+         |            dfg.df - COALESCE(cnt.cnt, 0) r
+         |          FROM dfg CROSS JOIN srcs
+         |          LEFT JOIN cnt ON cnt.s = dfg.s AND cnt.source = srcs.source),
+         |per AS (SELECT source, CAST(sum(r) AS BIGINT) n_postings_wo,
+         |          CAST(sum(CASE WHEN r >= 2 THEN r ELSE 0 END) AS BIGINT)
+         |            n_dup_wo
+         |        FROM resid GROUP BY 1),
+         |fl AS (SELECT CAST(sum(df) AS BIGINT) n_postings,
+         |         CAST(sum(CASE WHEN df >= 2 THEN df ELSE 0 END) AS BIGINT)
+         |           n_dup
+         |       FROM dfg)
+         |SELECT source, n_postings_wo, n_dup_wo,
+         |  CAST((1000000 * n_dup_wo) // n_postings_wo AS BIGINT) dup_ppm_wo,
+         |  CAST((1000000 * n_dup) // n_postings AS BIGINT)
+         |    - CAST((1000000 * n_dup_wo) // n_postings_wo AS BIGINT)
+         |    influence_ppm
+         |FROM per CROSS JOIN fl ORDER BY source""".stripMargin,
+
     // q203 oracle: components of the FILTERED corpus's pair graph,
     // recomputed from scratch (q54's recursive CTE over hp minus
     // tombstone-touching edges — valid because signatures are per-doc
@@ -1485,23 +1570,28 @@ object ExtQueries {
          |                             ORDER BY dfq.df, sh.s) i,
          |          cnt.n
          |        FROM sh JOIN dfq USING (s) JOIN cnt USING (doc)),
-         |pre AS (SELECT doc, s FROM pos WHERE i <= n - ((n + 1) // 2) + 1),
+         |pre AS (SELECT doc, s, n FROM pos
+         |        WHERE i <= n - ((4 * n + 4) // 5) + 1),
+         |pdfq AS (SELECT s, count(*) pdf FROM pre GROUP BY 1),
          |cand AS (SELECT DISTINCT a.doc da, b.doc db FROM pre a
-         |         JOIN pre b ON a.s = b.s AND a.doc < b.doc),
-         |shr AS (SELECT DISTINCT a.doc da, b.doc db FROM sh a
-         |        JOIN sh b ON a.s = b.s AND a.doc < b.doc),
+         |         JOIN pre b ON a.s = b.s AND a.doc < b.doc
+         |           AND 5 * least(a.n, b.n) >= 4 * greatest(a.n, b.n)),
          |intr AS (SELECT a.doc da, b.doc db, count(*) i FROM sh a
          |         JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2),
          |fin AS (SELECT intr.da FROM intr
          |        JOIN cnt ca ON intr.da = ca.doc
          |        JOIN cnt cb ON intr.db = cb.doc
-         |        WHERE 2 * intr.i >= ca.n + cb.n - intr.i)
-         |SELECT CAST((SELECT count(*) FROM shr) AS BIGINT) n_sharing_pairs,
+         |        WHERE 5 * intr.i >= 4 * (ca.n + cb.n - intr.i)),
+         |cf AS (SELECT CAST(sum(df * (df - 1) // 2) AS BIGINT) c
+         |       FROM dfq),
+         |cp AS (SELECT CAST(COALESCE(sum(pdf * (pdf - 1) // 2), 0) AS BIGINT) c
+         |       FROM pdfq)
+         |SELECT (SELECT c FROM cf) n_collisions_full,
+         |  (SELECT c FROM cp) n_collisions_prefix,
          |  CAST((SELECT count(*) FROM cand) AS BIGINT) n_prefix_candidates,
          |  CAST((SELECT count(*) FROM fin) AS BIGINT) n_pairs,
-         |  CAST((1000000 * ((SELECT count(*) FROM shr)
-         |      - (SELECT count(*) FROM cand)))
-         |    // (SELECT count(*) FROM shr) AS BIGINT) pruned_ppm""".stripMargin,
+         |  CAST((1000000 * ((SELECT c FROM cf) - (SELECT c FROM cp)))
+         |    // (SELECT c FROM cf) AS BIGINT) pruned_ppm""".stripMargin,
 
     "q199_filter_venn" ->
       s"""$tokCte,
