@@ -778,7 +778,15 @@ object Dedup {
     * re-deriving the prefix index per consumer. */
   def verifyJaccardCandidates(shRows: DataFrame, cands: DataFrame,
                               numJ: Int, denJ: Int): DataFrame = {
-    val sets = shRows.groupBy(col("doc"))
+    // Build gram sets only for docs that appear in a candidate pair
+    // (semi-join BEFORE the collect_list): the verification stage's
+    // cost must be candidate-sized, not corpus-sized — at 100 TB the
+    // candidate set is a vanishing fraction of the corpus and the
+    // full-corpus collect_list would dwarf the join it feeds.
+    val inCands = cands.select(col("doc_a").as("doc"))
+      .union(cands.select(col("doc_b").as("doc"))).distinct()
+    val sets = shRows.join(inCands, Seq("doc"), "left_semi")
+      .groupBy(col("doc"))
       .agg(sort_array(collect_list(col("s"))).as("gs"),
         count(lit(1)).as("n"))
     cands

@@ -43,6 +43,8 @@ object Sampling {
     * HARD CONSTANTS from the public series e⁻¹·Σ 1/k!, precomputed so
     * the runtime never evaluates a transcendental (the q176 Benford
     * discipline: literal thresholds, zero libm-parity exposure). */
+  private[graft] def poissonCdfHexForTest: Seq[String] = poissonCdfHex
+
   private val poissonCdfHex = Seq(
     "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5",
     "ffd90f3b", "fffa8b71", "ffff540c", "ffffed1f", "fffffe21")

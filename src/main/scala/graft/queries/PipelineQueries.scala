@@ -28,6 +28,14 @@ object PipelineQueries {
     graft.ext.Bpe.trainMerges(wf, 8)
   }
 
+  /** nDCG@10 rank discounts: floor(1e6 / log2(r+1)) for r = 1..10 —
+    * HARD CONSTANTS precomputed from the public formula so neither
+    * engine evaluates a logarithm at runtime; the q206 plan and oracle
+    * both read THIS sequence (grade-weighted sums over it are
+    * BIGINT-exact by construction). */
+  private[queries] val ndcgDisc = Seq(1000000L, 630929L, 500000L, 430676L,
+    386852L, 356207L, 333333L, 315464L, 301029L, 289064L)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Point-in-time attribution: each purchase joined to the user's most
@@ -92,6 +100,62 @@ object PipelineQueries {
         .withColumn("mrr_ppm",
           when(col("first_rel_rank") > 0, expr("1000000 div first_rel_rank"))
             .otherwise(lit(0L)))
+        .orderBy(col("query"))
+    }),
+
+    // Graded-relevance nDCG@10 of the BM25 ranking — the standard
+    // retrieval metric q187's binary MRR cannot express: an exact-phrase
+    // hit (grade 2) should outrank mere term co-occurrence (grade 1).
+    // DCG discounts are LITERAL integers floor(1e6/log2(r+1)) shared
+    // between the plan and the oracle (the q176/q204 discipline: no
+    // runtime transcendental, no libm-parity exposure), so DCG, the
+    // closed-form ideal DCG (grade-2 docs fill ranks first, then
+    // grade-1, straight off the cumulative-discount array literal), and
+    // the final ppm ratio are all BIGINT-exact. 100 TB shape: the
+    // ranking legs are the session FTS artifacts' top-k, the grade sets
+    // are two posting-join aggregates, and the metric math runs over
+    // <= 10 rows per query.
+    "q206_retrieval_ndcg" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq(
+        ("hash join", Seq("hash", "join")),
+        ("spark merge", Seq("spark", "merge")),
+        ("table scan", Seq("table", "scan")))
+      val cum = ndcgDisc.scanLeft(0L)(_ + _)
+      val discDf = ndcgDisc.zipWithIndex.map { case (v, i) => (i + 1, v) }
+        .toDF("rank", "disc")
+      val cumArr = array(cum.map(lit): _*)
+      def cumAt(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        element_at(cumArr, least(n, lit(10L)).cast("int") + 1)
+      val pos = graft.ops.TransientCache.persist(
+        TextAnalysis.tokenPosRows(Tables.documents(s, d), "text", "doc_id"))
+      queries.map { case (label, terms) =>
+        val ranked = Ranking.bm25TopKFromIndex(ExtQueries.ftsPostingsTf(s, d),
+          ExtQueries.ftsDocLengths(s, d), terms, 10)
+        val phrase = TextAnalysis.phraseHits(pos, terms)
+          .select(col("doc").as("doc_id"), lit(2L).as("g"))
+        val conj = pos.where(col("token").isin(terms: _*))
+          .groupBy(col("doc")).agg(countDistinct(col("token")).as("nt"))
+          .where(col("nt") === terms.size)
+          .select(col("doc").as("doc_id"), lit(1L).as("g"))
+        val grades = phrase.unionByName(conj)
+          .groupBy(col("doc_id")).agg(max(col("g")).as("grade"))
+        val counts = grades.agg(
+          coalesce(sum(when(col("grade") === 2, 1L)), lit(0L)).as("n_rel2"),
+          coalesce(sum(when(col("grade") === 1, 1L)), lit(0L)).as("n_rel1"))
+        val dcg = ranked.join(grades, Seq("doc_id"), "left")
+          .join(broadcast(discDf), "rank")
+          .agg(coalesce(sum(coalesce(col("grade"), lit(0L)) * col("disc")),
+            lit(0L)).as("dcg"))
+        counts.crossJoin(dcg)
+          .select(lit(label).as("query"), col("n_rel2"), col("n_rel1"),
+            col("dcg"),
+            (lit(2L) * cumAt(col("n_rel2"))
+              + cumAt(col("n_rel2") + col("n_rel1"))
+              - cumAt(col("n_rel2"))).as("idcg"))
+      }.reduce(_ unionByName _)
+        .withColumn("ndcg_ppm", when(col("idcg") > 0,
+          expr("CAST((1000000 * dcg) DIV idcg AS BIGINT)")).otherwise(lit(0L)))
         .orderBy(col("query"))
     }),
 
@@ -1282,6 +1346,61 @@ object PipelineQueries {
          |       THEN CAST(1000000 // first_rel_rank AS BIGINT)
          |       ELSE CAST(0 AS BIGINT) END mrr_ppm
          |FROM ($unioned) ORDER BY query""".stripMargin
+    },
+
+    // q206 oracle: identical literal discounts, the same closed-form
+    // ideal DCG off the cumulative list literal, BM25 legs from the
+    // shared scaffolding.
+    "q206_retrieval_ndcg" -> {
+      val queries = Seq(
+        ("a", "hash join", "hash", "join"),
+        ("b", "spark merge", "spark", "merge"),
+        ("c", "table scan", "table", "scan"))
+      val discValues = ndcgDisc.zipWithIndex
+        .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+      val cumList = ndcgDisc.scanLeft(0L)(_ + _).mkString("[", ", ", "]")
+      def cumAt(n: String) = s"$cumList[CAST(least($n, 10) AS INT) + 1]"
+      val rankLegs = queries.map { case (qid, _, w1, w2) =>
+        bm25RankCtes(qid, Seq(w1, w2), 10)
+      }.mkString(",\n")
+      val relLegs = queries.map { case (qid, _, w1, w2) =>
+        s"""ph_$qid AS (SELECT doc_id FROM tok
+           |  WHERE len(list_filter(range(1, len(t)),
+           |    j -> t[j] = '$w1' AND t[j+1] = '$w2')) > 0),
+           |gr_$qid AS (SELECT doc_id, max(g) grade FROM (
+           |    SELECT doc_id, 2 g FROM ph_$qid
+           |    UNION ALL
+           |    SELECT doc_id, 1 g FROM tok
+           |    WHERE list_contains(t, '$w1') AND list_contains(t, '$w2'))
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val metricLegs = queries.map { case (qid, label, _, _) =>
+        s"""m_$qid AS (SELECT '$label' query,
+           |  (SELECT CAST(COALESCE(sum(CASE WHEN grade = 2 THEN 1 END), 0)
+           |     AS BIGINT) FROM gr_$qid) n_rel2,
+           |  (SELECT CAST(COALESCE(sum(CASE WHEN grade = 1 THEN 1 END), 0)
+           |     AS BIGINT) FROM gr_$qid) n_rel1,
+           |  (SELECT CAST(COALESCE(sum(grade * dv), 0) AS BIGINT)
+           |   FROM r_$qid r JOIN gr_$qid g USING (doc_id)
+           |   JOIN disc ON disc.rnk = r.rank) dcg)""".stripMargin
+      }.mkString(",\n")
+      val unioned = queries.map { case (qid, _, _, _) =>
+        s"SELECT * FROM m_$qid" }.mkString(" UNION ALL ")
+      s"""$bm25BaseCtes,
+         |$rankLegs,
+         |${ExtQueries.tokCte.stripPrefix("WITH ")},
+         |disc(rnk, dv) AS (VALUES $discValues),
+         |$relLegs,
+         |$metricLegs,
+         |u AS (SELECT query, n_rel2, n_rel1, dcg,
+         |    CAST(2 * ${cumAt("n_rel2")}
+         |      + ${cumAt("n_rel2 + n_rel1")}
+         |      - ${cumAt("n_rel2")} AS BIGINT) idcg
+         |  FROM ($unioned))
+         |SELECT query, n_rel2, n_rel1, dcg, idcg,
+         |  CASE WHEN idcg > 0 THEN CAST((1000000 * dcg) // idcg AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END ndcg_ppm
+         |FROM u ORDER BY query""".stripMargin
     },
 
     "q56_sample_stratified" ->

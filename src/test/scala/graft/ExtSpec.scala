@@ -76,6 +76,61 @@ class ExtSpec extends AnyFunSuite {
     } finally sh.unpersist()
   }
 
+  test("prefix-filter join at t=4/5: length filter stays lossless") {
+    // The q202 production threshold. The new in-join length filter
+    // (denJ*min(n) >= numJ*max(n)) prunes length-incompatible collisions
+    // BEFORE the candidate distinct; it must never drop a J >= 4/5 pair.
+    val sh = Dedup.shingleRows(Tables.documents(spark, sf), "text", "doc_id", 2)
+      .cache()
+    try {
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = pairSet(Dedup.ngramJaccardPairs(
+        Tables.documents(spark, sf), "text", "doc_id", 2, 4, 5))
+      val pref = pairSet(Dedup.prefixFilterJaccardPairs(sh, 4, 5))
+      assert(pref == full, s"t=4/5 prefix path diverged: " +
+        s"missing=${(full -- pref).take(3)} extra=${(pref -- full).take(3)}")
+      assert(full.nonEmpty, "sf0.001 corpus lost its planted near-dups")
+    } finally sh.unpersist()
+  }
+
+  test("leave-one-source-out residual fold equals n brute-force recomputes") {
+    // The q205 identity: with per-(gram, source) posting counts, the
+    // without-s duplicate-posting stats are sum(r) / sum(r>=2 ? r : 0)
+    // over residuals r = df - cnt_s — one aggregate instead of n corpus
+    // passes. Brute force here recomputes each leave-one-out corpus.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "x y z w"), (2L, "a", "x y q r"),
+      (3L, "b", "x y z w"),                      // dup of 1 across sources
+      (4L, "c", "p q r s"), (5L, "c", "p q r s") // in-source dup pair
+    ).toDF("doc_id", "source", "text")
+    val sh = Dedup.shingleRows(docs, "text", "doc_id", 2)
+      .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
+      .cache()
+    try {
+      val cnt = sh.groupBy("s", "source").agg(count(lit(1)).as("cnt"))
+      val dfg = cnt.groupBy("s").agg(sum("cnt").as("df"))
+      val folded = dfg.crossJoin(docs.select("source").distinct())
+        .join(cnt, Seq("s", "source"), "left")
+        .withColumn("r", col("df") - coalesce(col("cnt"), lit(0L)))
+        .groupBy("source")
+        .agg(sum("r").as("posts"),
+          sum(when(col("r") >= 2, col("r")).otherwise(0L)).as("dups"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val brute = Seq("a", "b", "c").map { src =>
+        val rest = sh.filter(col("source") =!= src)
+          .groupBy("s").agg(count(lit(1)).as("df"))
+        val posts = rest.agg(sum("df")).as[Long].head()
+        val dups = rest.filter(col("df") >= 2).agg(coalesce(sum("df"), lit(0L)))
+          .as[Long].head()
+        src -> (posts, dups)
+      }.toMap
+      assert(folded == brute, s"residual fold diverged: $folded vs $brute")
+    } finally sh.unpersist()
+  }
+
   test("sharedSpans: finds the planted maximal span with exact positions") {
     // Doc 1 and doc 2 share tokens 21..40 of doc 1 (= tokens 1..20 of
     // doc 2); windows of 10 chain into ONE maximal 20-token span.

@@ -475,4 +475,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     // user 7 never viewed: not even present in the stage table
     assert(st.count() == 0L)
   }
+
+  test("poissonWeight: bounded, rerun-stable, and distributed like Poisson(1)") {
+    import spark.implicits._
+    val keys = (1L to 20000L).map(i => s"row$i|b").toDF("k")
+    val w = keys.select(Sampling.poissonWeight(col("k")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.keys.forall(k => k >= 0L && k <= 10L), s"weight escaped [0,10]: $w")
+    val n = w.values.sum.toDouble
+    // P(w=0) = e^-1 ~ 0.3679; P(w=1) likewise; mean = 1. Loose 3-sigma
+    // bounds at n=20000 (sigma(p-hat) ~ 0.0034, sigma(mean) ~ 0.0071).
+    assert(math.abs(w.getOrElse(0L, 0L) / n - math.exp(-1)) < 0.015)
+    assert(math.abs(w.getOrElse(1L, 0L) / n - math.exp(-1)) < 0.015)
+    val mean = w.map { case (k, c) => k * c }.sum / n
+    assert(math.abs(mean - 1.0) < 0.025, s"bootstrap mean drifted: $mean")
+    // Rerun-stable: the draw is pure md5, no RNG state.
+    val again = keys.select(Sampling.poissonWeight(col("k")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == w)
+  }
+
+  test("poissonWeight thresholds equal the Poisson(1) CDF to 2^-32") {
+    // The literal hex table IS the operator's contract (no runtime
+    // transcendentals); pin it to the series e^-1 * sum 1/k! so a typo
+    // in a constant is a red test, not a silently skewed bootstrap.
+    val hex = Sampling.poissonCdfHexForTest
+    var term = math.exp(-1.0)
+    var cdf = 0.0
+    hex.zipWithIndex.foreach { case (h, k) =>
+      cdf += term
+      val got = java.lang.Long.parseLong(h, 16).toDouble / (1L << 32).toDouble
+      // Each literal is the CDF rounded to 32 bits: within 2 ulps of 2^-32.
+      assert(math.abs(got - cdf) < 2.0 / (1L << 32).toDouble,
+        s"k=$k: hex $h -> $got but CDF is $cdf")
+      term = term / (k + 1).toDouble
+    }
+  }
 }
