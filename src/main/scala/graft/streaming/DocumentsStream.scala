@@ -45,6 +45,13 @@ final case class GramClaimEvent(s: String, doc_id: Long)
   * Top-level + public for Spark's state encoder codegen. */
 final case class ClaimMaintEvent(s: String, doc_id: Long, kind: String)
 
+/** Per-(source, replicate) Poisson-bootstrap register (shifted weighted
+  * quality sum + weight sum) and the update record it emits — the
+  * streaming face of the q204 bootstrap CI. Top-level + public for
+  * Spark's state encoder codegen. */
+final case class BootState(swq50: Long, sw: Long)
+final case class BootUpdate(source: String, b: Int, swq50: Long, sw: Long)
+
 /** First claimer of an audio landmark key (streaming fingerprint state;
   * one long per distinct landmark) and the match event a later
   * collision emits. Top-level + public for Spark's state encoder
@@ -337,6 +344,41 @@ object DocumentsStream {
     * against any target slice without touching the corpus again. */
   def dsirProfileUpdates(docs: DataFrame, buckets: Int = 512): DataFrame =
     graft.ext.Sampling.dsirBucketCountsLocal(docs, "text", "doc_id", buckets)
+
+  /** Streaming Poisson-bootstrap registers — the incremental face of the
+    * q204 confidence intervals, and the construction's whole point
+    * (Chamandy et al. 2012 built the Poisson(1) bootstrap FOR streams:
+    * each row's replicate weight is a pure per-row md5 draw, so every
+    * replicate's (Σ w·(q+50), Σ w) register folds with `+` under any
+    * batch split — no global n, no coordination). Quality comes from the
+    * same doc-local [[TextAnalysis.withTokenProfile]] pass the batch
+    * query reads (quality ≥ −50 by construction, so the shifted sum is
+    * monotone like every other register here). Keyed state is two longs
+    * per (source, replicate) — n_sources × nReps registers, fixed-size,
+    * no TTL. The replicate means and order-statistic CI stay query-time
+    * register math, exactly the HLL/CMS maintenance contract. */
+  def bootstrapRegisterUpdates(spark: SparkSession, docs: DataFrame,
+                               nReps: Int = 64): Dataset[BootUpdate] = {
+    import spark.implicits._
+    TextAnalysis.withTokenProfile(docs, "text")
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("quality"))
+      .withColumn("b", explode(sequence(lit(0), lit(nReps - 1))))
+      .withColumn("w", graft.ext.Sampling.poissonWeight(
+        concat(col("doc_id").cast("string"), lit("|"), col("b").cast("string"))))
+      .select(col("source"), col("b").cast("int").as("b"),
+        (col("w") * (col("quality") + lit(50L))).as("wq50"), col("w"))
+      .as[(String, Int, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .mapGroupsWithState[BootState, BootUpdate](GroupStateTimeout.NoTimeout()) {
+        case ((src, b), it, state: GroupState[BootState]) =>
+          var swq50 = state.getOption.map(_.swq50).getOrElse(0L)
+          var sw = state.getOption.map(_.sw).getOrElse(0L)
+          it.foreach { t => swq50 += t._3; sw += t._4 }
+          state.update(BootState(swq50, sw))
+          BootUpdate(src, b, swq50, sw)
+      }
+  }
 
   /** Streaming near-dup DETECTION at ingest — the stateful half that
     * [[minhashSignatureUpdates]] deliberately leaves query-time, for

@@ -287,6 +287,48 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
     assert(streamed.nonEmpty && streamed == batch)
   }
+  test("streaming bootstrap registers equal the batch replicate sums (q204 fold)") {
+    import graft.streaming.DocumentsStream
+    val dir = java.nio.file.Files.createTempDirectory("docs_boot")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+    val (a, bHalf) = (docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1))
+    def dump(name: String, mtime: Long, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs_part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    dump("b1.parquet", 1000000L, a)
+    dump("b2.parquet", 2000000L, bHalf)
+    val updates = DocumentsStream.bootstrapRegisterUpdates(spark,
+      DocumentsStream.readDocuments(spark, dir.toString, Some(1)), nReps = 16)
+    runAvailableNow(updates.toDF(), "boot_regs", OutputMode.Update())
+    // both registers are add-monotone (w >= 0, quality + 50 >= 0), so
+    // the final value per key is the max over emitted running totals
+    val streamed = spark.table("boot_regs")
+      .groupBy(col("source"), col("b"))
+      .agg(max(col("swq50")).as("swq50"), max(col("sw")).as("sw"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // batch fold over the same rows: the q204 replicate-sum shape
+    val batch = graft.ext.TextAnalysis.withTokenProfile(docs, "text")
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("quality"))
+      .withColumn("b", explode(sequence(lit(0), lit(15))))
+      .withColumn("w", graft.ext.Sampling.poissonWeight(
+        concat(col("doc_id").cast("string"), lit("|"), col("b").cast("string"))))
+      .groupBy(col("source"), col("b"))
+      .agg(sum(col("w") * (col("quality") + lit(50L))).as("swq50"),
+        sum(col("w")).as("sw"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming PSI bin registers equal the batch histogram (q119 bin formula)") {
     import graft.streaming.DocumentsStream
     val dir = java.nio.file.Files.createTempDirectory("docs_psi")
