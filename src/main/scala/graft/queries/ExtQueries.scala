@@ -424,6 +424,67 @@ object ExtQueries {
     // as duplicated iff r ≥ 2 — this catches the flip q196 cannot see:
     // a gram duplicated ONLY because source s held the second copy
     // stops being duplicated without s. Integer-exact ppm.
+    // Vocabulary-growth / Good-Turing curve: at ten ingestion-order
+    // checkpoints (value-based doc-id cutoffs — NO global sort; at
+    // corpus scale a row_number over all docs is a single-partition
+    // window, so checkpoints are arithmetic on min/max id), the
+    // cumulative distinct-trigram count, the number of singleton grams,
+    // and the Good-Turing missing-mass estimate P(unseen) ~ n1/N in ppm
+    // — the "is the next TB of data worth ingesting" planning operator
+    // (Heaps-law growth + Good 1953 missing mass). The per-checkpoint
+    // prefix stats need NO per-prefix scans: a gram is counted at
+    // checkpoint c iff its FIRST occurrence c1 <= c, and is a singleton
+    // there iff c1 <= c < c2 (second occurrence) — so one window pass
+    // over the shared session trigram postings (rn <= 2 per gram)
+    // reduces the whole curve to a gram-table-sized (c1, c2) relation
+    // crossed with a 10-row broadcast. Posting mass N_c is one
+    // conditional fold of the postings against the same broadcast.
+    "q207_vocab_growth" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = trigramShingles(s, d)
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val mm = ids.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      val boundsI = broadcast(mm.crossJoin(
+          s.range(1, 11).select(col("id").cast("int").as("decile")))
+        .select(col("decile"),
+          (col("mn") - 1 +
+            expr("((mx - mn + 1) * decile) DIV 10")).as("cutoff")))
+      val c12 = sh.withColumn("rn",
+          row_number().over(Window.partitionBy(col("s")).orderBy(col("doc"))))
+        .where(col("rn") <= 2)
+        .groupBy(col("s"))
+        .agg(min(when(col("rn") === 1, col("doc"))).as("c1"),
+          min(when(col("rn") === 2, col("doc"))).as("c2"))
+      val gramStats = c12.crossJoin(boundsI)
+        .groupBy(col("decile"), col("cutoff"))
+        .agg(sum(when(col("c1") <= col("cutoff"), 1L).otherwise(0L))
+            .as("n_grams_cum"),
+          sum(when(col("c1") <= col("cutoff") &&
+              (col("c2").isNull || col("c2") > col("cutoff")), 1L)
+            .otherwise(0L)).as("n_singletons"))
+      val postStats = sh.crossJoin(boundsI)
+        .where(col("doc") <= col("cutoff"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("n_postings"))
+      val docStats = ids.crossJoin(boundsI)
+        .where(col("doc_id") <= col("cutoff"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("n_docs"))
+      gramStats.join(postStats, Seq("decile"), "left")
+        .join(docStats, Seq("decile"), "left")
+        .select(col("decile"), col("cutoff"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          col("n_grams_cum"),
+          (col("n_grams_cum") -
+            coalesce(lag(col("n_grams_cum"), 1).over(
+              Window.orderBy(col("decile"))), lit(0L))).as("n_new_grams"),
+          col("n_singletons"),
+          coalesce(col("n_postings"), lit(0L)).as("n_postings"),
+          when(coalesce(col("n_postings"), lit(0L)) > 0,
+            expr("CAST((1000000 * n_singletons) DIV n_postings AS BIGINT)"))
+            .otherwise(lit(0L)).as("missing_mass_ppm"))
+        .orderBy(col("decile"))
+    }),
+
     "q205_source_influence" -> ((s, d) => {
       val cnt = trigramShingles(s, d).join(docSourceMap(s, d), "doc")
         .groupBy(col("s"), col("source")).agg(count(lit(1)).as("cnt"))
@@ -1511,6 +1572,41 @@ object ExtQueries {
          |    AS BIGINT) n_reelected,
          |  CAST(sum(CASE WHEN fd2 = fd THEN 1 ELSE 0 END) AS BIGINT) n_unchanged
          |FROM j""".stripMargin,
+
+    // q207 oracle: the same (c1, c2) reduction and value-based cutoffs.
+    "q207_vocab_growth" ->
+      s"""${PipelineQueries.trigramCtes},
+         |mm AS (SELECT min(doc_id) mn, max(doc_id) mx FROM documents),
+         |b AS (SELECT d.decile, mn - 1 + ((mx - mn + 1) * d.decile) // 10 cutoff
+         |      FROM mm CROSS JOIN (SELECT unnest(range(1, 11)) decile) d),
+         |rk AS (SELECT s, doc_id,
+         |         row_number() OVER (PARTITION BY s ORDER BY doc_id) rn
+         |       FROM g),
+         |c12 AS (SELECT s,
+         |          min(CASE WHEN rn = 1 THEN doc_id END) c1,
+         |          min(CASE WHEN rn = 2 THEN doc_id END) c2
+         |        FROM rk WHERE rn <= 2 GROUP BY 1),
+         |gs AS (SELECT decile, cutoff,
+         |         CAST(sum(CASE WHEN c1 <= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+         |           n_grams_cum,
+         |         CAST(sum(CASE WHEN c1 <= cutoff
+         |             AND (c2 IS NULL OR c2 > cutoff) THEN 1 ELSE 0 END)
+         |           AS BIGINT) n_singletons
+         |       FROM c12 CROSS JOIN b GROUP BY 1, 2),
+         |ps AS (SELECT decile, CAST(count(*) AS BIGINT) n_postings
+         |       FROM g CROSS JOIN b WHERE doc_id <= cutoff GROUP BY 1),
+         |ds AS (SELECT decile, CAST(count(*) AS BIGINT) n_docs
+         |       FROM documents CROSS JOIN b WHERE doc_id <= cutoff GROUP BY 1)
+         |SELECT gs.decile, CAST(cutoff AS BIGINT) cutoff,
+         |  COALESCE(n_docs, 0) n_docs, n_grams_cum,
+         |  n_grams_cum - COALESCE(lag(n_grams_cum)
+         |    OVER (ORDER BY gs.decile), 0) n_new_grams,
+         |  n_singletons, COALESCE(n_postings, 0) n_postings,
+         |  CASE WHEN COALESCE(n_postings, 0) > 0
+         |       THEN CAST((1000000 * n_singletons) // n_postings AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END missing_mass_ppm
+         |FROM gs LEFT JOIN ps USING (decile) LEFT JOIN ds USING (decile)
+         |ORDER BY gs.decile""".stripMargin,
 
     // q205 oracle: the same one-pass residual fold, re-derived in SQL.
     "q205_source_influence" ->
