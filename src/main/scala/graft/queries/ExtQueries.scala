@@ -1027,6 +1027,42 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy("media_id")),
 
+    // Image-hygiene filter + preprocessing plan — the vision-pipeline
+    // twin of the q41/q89 text quality gates (LAION-style min-size and
+    // aspect screens, then the CLIP-style shortest-side-224 resize +
+    // center-crop plan for survivors). All arithmetic is BIGINT off the
+    // REAL decoded header dims (the q43 codec): keep iff min(w,h) >= 64
+    // and max <= 3*min; survivors get scale_ppm = 1e6*224 DIV short
+    // side, target dims w*224 DIV short / h*224 DIV short (shortest
+    // side lands exactly on 224 by construction), and the centered
+    // 224x224 crop offsets. Dropped images keep NULL plan columns so
+    // the QC and the plan are one scan — at 100 TB this runs at decode
+    // speed with zero shuffles (the sort is the test-determinism tail).
+    "q208_image_resize_plan" -> ((s, d) => {
+      val imgs = Multimodal.decode(s,
+          Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .toDF().where(col("kind") === "image" && col("format") =!= "invalid")
+      val mn = least(col("width"), col("height")).cast("long")
+      val mx = greatest(col("width"), col("height")).cast("long")
+      val keep = mn >= 64 && mx <= lit(3L) * mn
+      imgs.select(col("media_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          when(mn < 64, "too_small").when(mx > lit(3L) * mn, "extreme_aspect")
+            .otherwise("keep").as("gate"),
+          when(keep, expr("CAST((1000000 * 224) DIV least(width, height) AS BIGINT)"))
+            .as("scale_ppm"),
+          when(keep, expr("CAST((width * 224) DIV least(width, height) AS BIGINT)"))
+            .as("target_w"),
+          when(keep, expr("CAST((height * 224) DIV least(width, height) AS BIGINT)"))
+            .as("target_h"),
+          when(keep, expr("CAST(((width * 224) DIV least(width, height) - 224) DIV 2 AS BIGINT)"))
+            .as("crop_x"),
+          when(keep, expr("CAST(((height * 224) DIV least(width, height) - 224) DIV 2 AS BIGINT)"))
+            .as("crop_y"))
+        .orderBy(col("media_id"))
+    }),
+
     // Perceptual media near-dup: block-mean hash (Yang et al. 2006) over
     // each decoded payload, then Hamming<=5 pairs through the SAME
     // pigeonhole banding machinery text SimHash uses (6 bands) — image
@@ -2283,6 +2319,33 @@ object ExtQueries {
     // BYTES — byte_len checks the exact container overhead (PNG
     // signature+IHDR+IDAT+IEND = 57, BMP headers = 54, GIF header+
     // trailer = 14) and checksum checks the parsed data stream.
+    // q208 oracle: the generator's dim formulas (q43 precedent — the
+    // Spark side decodes real bytes; the oracle re-derives the planted
+    // dims) through the identical integer gate + plan arithmetic.
+    "q208_image_resize_plan" ->
+      """WITH img AS (SELECT doc_id media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'png' ELSE 'bmp' END format,
+        |    CAST(doc_id % 637 + 1 AS BIGINT) width,
+        |    CAST((doc_id * 7) % 473 + 1 AS BIGINT) height
+        |  FROM documents WHERE doc_id % 3 < 2),
+        |g AS (SELECT *, least(width, height) mn, greatest(width, height) mx
+        |      FROM img)
+        |SELECT media_id, format, width, height,
+        |  CASE WHEN mn < 64 THEN 'too_small'
+        |       WHEN mx > 3 * mn THEN 'extreme_aspect'
+        |       ELSE 'keep' END gate,
+        |  CASE WHEN mn >= 64 AND mx <= 3 * mn
+        |       THEN CAST((1000000 * 224) // mn AS BIGINT) END scale_ppm,
+        |  CASE WHEN mn >= 64 AND mx <= 3 * mn
+        |       THEN CAST((width * 224) // mn AS BIGINT) END target_w,
+        |  CASE WHEN mn >= 64 AND mx <= 3 * mn
+        |       THEN CAST((height * 224) // mn AS BIGINT) END target_h,
+        |  CASE WHEN mn >= 64 AND mx <= 3 * mn
+        |       THEN CAST(((width * 224) // mn - 224) // 2 AS BIGINT) END crop_x,
+        |  CASE WHEN mn >= 64 AND mx <= 3 * mn
+        |       THEN CAST(((height * 224) // mn - 224) // 2 AS BIGINT) END crop_y
+        |FROM g ORDER BY media_id""".stripMargin,
+
     "q43_multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 2 THEN 'video' ELSE 'image' END AS kind,

@@ -34,6 +34,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.exactGroups(emptyDocs, "text", "doc_id").count() == 0)
     assert(Dedup.minhashSignaturesTyped(emptyDocs, "text", "doc_id").count() == 0)
     assert(Dedup.ngramJaccardPairsAuto(emptyDocs, "text", "doc_id").count() == 0)
+    val emptySh = Dedup.shingleRows(emptyDocs, "text", "doc_id", 2)
+    assert(Dedup.prefixPostings(emptySh, 4, 5).count() == 0)
+    assert(Dedup.prefixFilterJaccardPairs(emptySh, 4, 5).count() == 0)
     assert(Dedup.simhashComponents(
       Dedup.simhashSignatures(emptyDocs, "text", "doc_id")).count() == 0)
     val noSpans = Dedup.sharedSpans(emptyDocs, "text", "doc_id")

@@ -457,4 +457,47 @@ class PlanSpec extends AnyFunSuite {
       s"plan table must broadcast onto the doc scan:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q204 bootstrap: replicate expansion is map-side, means aggregate with partials") {
+    val p = plan("q204_bootstrap_ci")
+    assert(!p.contains("CartesianProduct"),
+      s"bootstrap planned a cartesian:\n$p")
+    assert(p.contains("Generate explode"),
+      s"replicate expansion must be a map-side explode:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q205 jackknife: residual table is a broadcast cross of a tiny source list") {
+    val p = plan("q205_source_influence")
+    assert(!p.contains("CartesianProduct"),
+      s"the source cross must ride a broadcast, never a cartesian shuffle:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q206 nDCG: BM25 legs lower to TakeOrdered; metric joins never cartesian") {
+    val p = plan("q206_retrieval_ndcg")
+    assert(p.contains("TakeOrdered"),
+      s"bm25 top-k did not lower to TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"metric combination planned a cartesian:\n$p")
+  }
+
+  test("q207 vocab growth: one gram window pass, checkpoints broadcast") {
+    val p = plan("q207_vocab_growth")
+    assert(!p.contains("CartesianProduct"),
+      s"checkpoint cross must ride a broadcast, never a cartesian shuffle:\n$p")
+    // exactly one per-gram window (the rn<=2 reduction); the only other
+    // window is the 10-row lag over deciles
+    assert("RunningWindowFunction|Window".r.findAllIn(p).size <= 4,
+      s"unexpected extra window passes:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q208 resize plan: decode-speed scan — no joins, no aggregates") {
+    val p = plan("q208_image_resize_plan")
+    assert(!"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct"
+      .r.findAllIn(p).hasNext, s"resize plan must not join:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"resize plan must not aggregate:\n$p")
+  }
 }
