@@ -682,6 +682,47 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // EWMA anomaly monitor — exponential forgetting, the recency-shape
+    // none of the existing monitors have (CUSUM q161 accumulates
+    // unweighted drift, KS q178 and PSI q119 compare static windows,
+    // seasonal-naive q171 looks at exactly two lags): each day's
+    // baseline is the half-life-1-day weighted mean of the prior 8
+    // observed days, with POWER-OF-2 weights 2^(8-g) so the smoother is
+    // BIGINT-exact — num = sum vq*2^(8-g), den = 2^8 - 2^(8-n_prior)
+    // (the geometric identity, exact for ragged series starts). A day
+    // flags 'burst' when vq*den > 3*num and 'drop' when 3*vq*den < num
+    // — cross-multiplied, no division in the predicate. Overflow
+    // envelope: num <= 255*max(vq), so the smoother survives daily
+    // sums up to 2^55 (36 PB of milli-units/day) before BIGINT wraps.
+    // One window pass per series (8 lags + a row_number), zero joins —
+    // at 100 TB the daily grain is time-bounded, types are enumerable,
+    // and the heavy work is the one groupBy that builds the grain.
+    "q209_ewma_anomaly" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("vq"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val num = (1 to 8).map(g =>
+        coalesce(lag(col("vq"), g).over(w), lit(0L)) * lit(1L << (8 - g)))
+        .reduce(_ + _)
+      daily
+        .withColumn("n_prior", least(row_number().over(w) - 1, lit(8)))
+        .withColumn("num", num)
+        .withColumn("den",
+          lit(256L) - expr("CAST(shiftleft(1L, 8 - n_prior) AS BIGINT)"))
+        .where(col("n_prior") > 0)
+        .select(col("event_type"), col("day"), col("vq"),
+          col("n_prior").cast("long").as("n_prior"),
+          expr("CAST((1000 * num) DIV den AS BIGINT)").as("ewma_milli"),
+          when(col("num") > 0,
+            expr("CAST((1000000 * vq * den) DIV num AS BIGINT)"))
+            .as("ratio_ppm"),
+          when(col("vq") * col("den") > lit(3L) * col("num"), "burst")
+            .when(lit(3L) * col("vq") * col("den") < col("num"), "drop")
+            .otherwise("normal").as("flag"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Day-of-week seasonal index — the profile q171's forecast banks
     // on, stated as a first-class table: per (series, dow) the mean
     // daily value and its ppm index against the series' overall daily
@@ -2480,6 +2521,33 @@ object AnalyticsQueries {
         |  CAST(CASE WHEN ae_naive > 0 THEN (1000000 * ae_seasonal) // ae_naive
         |    ELSE -1 END AS BIGINT) mase_ppm
         |FROM sc ORDER BY event_type""".stripMargin,
+
+    // q209 oracle: the same 8-lag power-of-2 smoother, geometric-identity
+    // denominator, and cross-multiplied flags.
+    "q209_ewma_anomaly" -> {
+      val numSql = (1 to 8).map(g =>
+        s"COALESCE(lag(vq, $g) OVER w, 0) * ${1L << (8 - g)}").mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) vq
+         |  FROM events GROUP BY 1, 2),
+         |lagd AS (
+         |  SELECT event_type, day, vq,
+         |    least(row_number() OVER w - 1, 8) n_prior,
+         |    $numSql num
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |f AS (SELECT *, 256 - (1 << (8 - n_prior)) den
+         |      FROM lagd WHERE n_prior > 0)
+         |SELECT event_type, day, vq, CAST(n_prior AS BIGINT) n_prior,
+         |  CAST((1000 * num) // den AS BIGINT) ewma_milli,
+         |  CASE WHEN num > 0
+         |       THEN CAST((1000000 * vq * den) // num AS BIGINT) END ratio_ppm,
+         |  CASE WHEN vq * den > 3 * num THEN 'burst'
+         |       WHEN 3 * vq * den < num THEN 'drop'
+         |       ELSE 'normal' END flag
+         |FROM f ORDER BY event_type, day""".stripMargin
+    },
 
     // Spark dayofweek is 1 = Sunday; DuckDB's is 0 = Sunday — the +1
     // aligns the conventions.

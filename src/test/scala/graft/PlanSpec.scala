@@ -493,6 +493,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("q209 EWMA: one window pass over the daily grain, zero joins") {
+    val p = plan("q209_ewma_anomaly")
+    assert(!"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct"
+      .r.findAllIn(p).hasNext, s"smoother must be lags, not a join:\n$p")
+    assert(p.contains("partial_"), s"daily grain lost map-side partials:\n$p")
+  }
+
   test("q208 resize plan: decode-speed scan — no joins, no aggregates") {
     val p = plan("q208_image_resize_plan")
     assert(!"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct"
