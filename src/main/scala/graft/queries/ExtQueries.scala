@@ -485,6 +485,57 @@ object ExtQueries {
         .orderBy(col("decile"))
     }),
 
+    // Dedup savings ledger — the ROI statement for the whole dedup
+    // stack (q207's "is more data worth it" twin, asked of removal):
+    // near-dup components bucketed by size (2, 3-4, 5-8, 9-16, 17+,
+    // plus the singleton row), each bucket reporting components, docs,
+    // removable docs and the TOKEN mass keep-best dedup would excise
+    // (survivor = q67's (quality DESC, doc_id) convention, so the
+    // ledger prices exactly the pipeline's real keep policy), with the
+    // removal share of the corpus token budget in ppm. Rides the
+    // session component + token-profile artifacts; per-component math
+    // is one window rank; the ledger itself is a 6-row aggregate.
+    "q211_dedup_savings" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docProfile(s, d).select(col("doc_id").cast("long").as("doc"),
+        coalesce(col("n_tokens").cast("long"), lit(0L)).as("n_tok"),
+        col("quality"))
+      val toksP = graft.ops.TransientCache.persist(toks)
+      val comps = simhashComps(s, d)
+      val ranked = comps.join(toksP, "doc")
+        .withColumn("rn", row_number().over(Window.partitionBy(col("comp"))
+          .orderBy(col("quality").desc, col("doc"))))
+      val perComp = ranked.groupBy(col("comp"))
+        .agg(count(lit(1)).as("sz"), sum(col("n_tok")).as("tok"),
+          sum(when(col("rn") >= 2, col("n_tok")).otherwise(0L))
+            .as("tok_removed"))
+      val multi = perComp.groupBy(
+          when(col("sz") === 2, "2").when(col("sz") <= 4, "3-4")
+            .when(col("sz") <= 8, "5-8").when(col("sz") <= 16, "9-16")
+            .otherwise("17+").as("size_bucket"))
+        .agg(count(lit(1)).as("n_components"), sum(col("sz")).as("n_docs"),
+          (sum(col("sz")) - count(lit(1))).as("n_removed_docs"),
+          sum(col("tok")).as("tokens_total"),
+          sum(col("tok_removed")).as("tokens_removed"))
+      val single = toksP.join(comps, Seq("doc"), "left_anti")
+        .agg(count(lit(1)).as("n_components"), count(lit(1)).as("n_docs"),
+          lit(0L).as("n_removed_docs"),
+          coalesce(sum(col("n_tok")), lit(0L)).as("tokens_total"),
+          lit(0L).as("tokens_removed"))
+        .select(lit("1").as("size_bucket"), col("n_components"),
+          col("n_docs"), col("n_removed_docs"), col("tokens_total"),
+          col("tokens_removed"))
+      multi.unionByName(single)
+        .crossJoin(toksP.agg(coalesce(sum(col("n_tok")), lit(0L))
+          .as("corpus_tokens")))
+        .select(col("size_bucket"), col("n_components"), col("n_docs"),
+          col("n_removed_docs"), col("tokens_total"), col("tokens_removed"),
+          when(col("corpus_tokens") > 0,
+            expr("CAST((1000000 * tokens_removed) DIV corpus_tokens AS BIGINT)"))
+            .otherwise(lit(0L)).as("removed_ppm"))
+        .orderBy(col("size_bucket"))
+    }),
+
     "q205_source_influence" -> ((s, d) => {
       val cnt = trigramShingles(s, d).join(docSourceMap(s, d), "doc")
         .groupBy(col("s"), col("source")).agg(count(lit(1)).as("cnt"))
@@ -1608,6 +1659,52 @@ object ExtQueries {
          |    AS BIGINT) n_reelected,
          |  CAST(sum(CASE WHEN fd2 = fd THEN 1 ELSE 0 END) AS BIGINT) n_unchanged
          |FROM j""".stripMargin,
+
+    // q211 oracle: q54's recursive components + q67's quality survivor
+    // convention, re-bucketed through identical CASE arithmetic.
+    "q211_dedup_savings" ->
+      s"""WITH RECURSIVE ${simhashHammingCtes.stripPrefix("WITH ")},
+         |e AS (SELECT doc_a a, doc_b b FROM hp
+         |      UNION SELECT doc_b, doc_a FROM hp),
+         |r AS (SELECT a AS node, a AS reach FROM e
+         |      UNION
+         |      SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+         |comp AS (SELECT node AS doc, min(reach) AS comp FROM r GROUP BY node),
+         |tk AS (SELECT doc_id doc, CAST(COALESCE(len(t), 0) AS BIGINT) n_tok,
+         |         $qualitySql quality
+         |       FROM tok),
+         |rk AS (SELECT comp.comp, tk.n_tok,
+         |         row_number() OVER (PARTITION BY comp.comp
+         |           ORDER BY tk.quality DESC, comp.doc) rn
+         |       FROM comp JOIN tk USING (doc)),
+         |pc AS (SELECT comp, count(*) sz, sum(n_tok) tok,
+         |         sum(CASE WHEN rn >= 2 THEN n_tok ELSE 0 END) tok_removed
+         |       FROM rk GROUP BY 1),
+         |multi AS (SELECT
+         |    CASE WHEN sz = 2 THEN '2' WHEN sz <= 4 THEN '3-4'
+         |         WHEN sz <= 8 THEN '5-8' WHEN sz <= 16 THEN '9-16'
+         |         ELSE '17+' END size_bucket,
+         |    CAST(count(*) AS BIGINT) n_components,
+         |    CAST(sum(sz) AS BIGINT) n_docs,
+         |    CAST(sum(sz) - count(*) AS BIGINT) n_removed_docs,
+         |    CAST(sum(tok) AS BIGINT) tokens_total,
+         |    CAST(sum(tok_removed) AS BIGINT) tokens_removed
+         |  FROM pc GROUP BY 1),
+         |single AS (SELECT '1' size_bucket,
+         |    CAST(count(*) AS BIGINT) n_components,
+         |    CAST(count(*) AS BIGINT) n_docs, CAST(0 AS BIGINT) n_removed_docs,
+         |    CAST(COALESCE(sum(n_tok), 0) AS BIGINT) tokens_total,
+         |    CAST(0 AS BIGINT) tokens_removed
+         |  FROM tk WHERE doc NOT IN (SELECT doc FROM comp)),
+         |u AS (SELECT * FROM multi UNION ALL SELECT * FROM single),
+         |ct AS (SELECT CAST(COALESCE(sum(n_tok), 0) AS BIGINT) corpus_tokens
+         |       FROM tk)
+         |SELECT size_bucket, n_components, n_docs, n_removed_docs,
+         |  tokens_total, tokens_removed,
+         |  CASE WHEN corpus_tokens > 0
+         |       THEN CAST((1000000 * tokens_removed) // corpus_tokens AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END removed_ppm
+         |FROM u CROSS JOIN ct ORDER BY size_bucket""".stripMargin,
 
     // q207 oracle: the same (c1, c2) reduction and value-based cutoffs.
     "q207_vocab_growth" ->

@@ -159,6 +159,31 @@ object PipelineQueries {
         .orderBy(col("query"))
     }),
 
+    // Exact-k deterministic stratified sample — the EVAL-SET primitive
+    // q56's Bernoulli sampling cannot provide (a rate gives a binomial
+    // count; an eval set needs EXACTLY k per stratum): rank each
+    // stratum by the md5 draw (doc_id tiebreak) and keep rank <= k.
+    // Same-id-same-rank on any engine, any run, any partitioning —
+    // uniform without replacement by the symmetry of the hash. The
+    // rank <= k predicate lowers to Spark's WindowGroupLimit
+    // (plan-pinned): each partition keeps a k-row heap per stratum, so
+    // the full stratum is NEVER sorted — top-k per key at map speed,
+    // the only scale-safe shape for "20 eval docs per language" over
+    // 100 TB.
+    "q210_stratified_exact_k" -> ((s, d) => {
+      val rk = row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(Sampling.draw(col("doc_id")), col("doc_id")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          Sampling.draw(col("doc_id")).as("draw"))
+        .withColumn("rk", rk)
+        .where(col("rk") <= 20)
+        .select(col("doc_id"), col("lang"), col("draw"),
+          col("rk").cast("long").as("rk"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // Deterministic stratified Bernoulli sample: md5-draw vs per-language
     // hex thresholds (en 1/2, es 1/4, de 1/8, fr 3/4, default 1/16) —
     // reproducible membership, zero shuffle.
@@ -1402,6 +1427,16 @@ object PipelineQueries {
          |       ELSE CAST(0 AS BIGINT) END ndcg_ppm
          |FROM u ORDER BY query""".stripMargin
     },
+
+    "q210_stratified_exact_k" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) draw
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |         ORDER BY draw, doc_id) rk
+        |      FROM s)
+        |SELECT doc_id, lang, draw, CAST(rk AS BIGINT) rk
+        |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
 
     "q56_sample_stratified" ->
       """WITH s AS (SELECT doc_id, lang, source,

@@ -493,6 +493,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("q210 exact-k sample: rank filter lowers to WindowGroupLimit") {
+    val p = plan("q210_stratified_exact_k")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k did not lower to the per-partition top-k heap:\n$p")
+    assert(!"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct"
+      .r.findAllIn(p).hasNext, s"sampling must not join:\n$p")
+  }
+
   test("q209 EWMA: one window pass over the daily grain, zero joins") {
     val p = plan("q209_ewma_anomaly")
     assert(!"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct"
