@@ -40,6 +40,16 @@ final case class CentroidUpdate(label: Int, pos: Int, sx: Long, n: Long)
 final case class GramClaim(firstDoc: Long)
 final case class GramClaimEvent(s: String, doc_id: Long)
 
+/** Per-gram (first, second) occurrence registers — the q207
+  * vocabulary-growth curve's base relation, maintained at ingest.
+  * `c2 = Long.MaxValue` encodes "no second occurrence yet" so BOTH
+  * registers are min-monotone (c1 only decreases; c2 decreases from
+  * the sentinel) — the property the spec's final-value fold and any
+  * downstream merge rely on. Top-level + public for Spark's state
+  * encoder codegen. */
+final case class GramC12(c1: Long, c2: Long)
+final case class GramC12Update(s: String, c1: Long, c2: Long)
+
 /** Claim-maintenance event under arrivals AND tombstones (`kind` ∈
   * claim|retired) — the streaming face of q201's deletion propagation.
   * Top-level + public for Spark's state encoder codegen. */
@@ -491,6 +501,39 @@ object DocumentsStream {
             stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
             out
           }
+      }
+  }
+
+  /** Streaming (first, second)-occurrence registers per gram — the
+    * incremental form of the q207 vocabulary-growth reduction: the
+    * whole Heaps/Good-Turing curve is a function of each gram's two
+    * smallest doc ids (in prefix c iff c1 ≤ c, singleton iff
+    * c1 ≤ c < c2), so maintaining (c1, c2) at ingest keeps the curve
+    * recomputable from registers alone — no corpus re-scan when the
+    * planner asks "did the last shard still buy vocabulary?". State is
+    * two longs per distinct gram (the q184 claim index plus one long);
+    * within a micro-batch "earlier" = lower doc id, matching the batch
+    * window's (s, doc) order, so registers after ANY batch split equal
+    * the batch c12 relation (StreamingSpec-pinned). Updates emit the
+    * current (c1, c2) per touched gram; both fields are min-monotone
+    * (c2 via the MaxValue sentinel), so the latest value is the min. */
+  def gramC12AtIngest(spark: SparkSession, docs: DataFrame)
+      : Dataset[GramC12Update] = {
+    import spark.implicits._
+    graft.ext.Dedup.shingleRows(docs, "text", "doc_id", 3)
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .mapGroupsWithState[GramC12, GramC12Update](GroupStateTimeout.NoTimeout()) {
+        case (gram, it, state: GroupState[GramC12]) =>
+          var c1 = state.getOption.map(_.c1).getOrElse(Long.MaxValue)
+          var c2 = state.getOption.map(_.c2).getOrElse(Long.MaxValue)
+          it.foreach { case (d, _) =>
+            if (d < c1) { c2 = c1; c1 = d }
+            else if (d > c1 && d < c2) c2 = d
+            // d == c1 (re-shingled duplicate posting) changes nothing
+          }
+          state.update(GramC12(c1, c2))
+          GramC12Update(gram, c1, c2)
       }
   }
 

@@ -37,6 +37,14 @@ final case class FunnelState(stageTimesUs: List[Long],
   * running statistic, its maximum, and the observation count — three
   * longs per series. Top-level + public for Spark's state encoder
   * codegen, like [[SessionState]]. */
+/** One daily-grain register ((type, day) → running quantized value sum
+  * + event count) and the update it emits — the maintained base of the
+  * q171/q172/q209 monitors. Top-level + public for Spark's state
+  * encoder codegen. */
+final case class DailyState(vq: Long, n: Long)
+final case class DailyUpdate(event_type: String, day: java.sql.Timestamp,
+                             vq: Long, n: Long)
+
 final case class CusumState(s: Long, smax: Long, n: Long)
 final case class CusumUpdate(event_type: String, n_seen: Long,
                              s: Long, s_max: Long)
@@ -187,6 +195,33 @@ object EventsStream {
     * forward — three longs per series. Alarming is a downstream
     * predicate on `s_max` (kept out of the register layer, like the
     * PSI divergence computation). */
+  /** Streaming daily-grain registers — the maintained base under every
+    * daily monitor (q171 seasonal-naive, q172 day-of-week index, q209
+    * EWMA): keyed state per (event_type, day) accumulates the quantized
+    * value sum and event count with `+`, so registers after any batch
+    * split equal the batch daily groupBy (StreamingSpec-pinned) and the
+    * monitors stay query-time window math over the register table —
+    * no event re-scan when today's data keeps arriving. State is two
+    * longs per (series, day): time-bounded by construction. */
+  def dailyRegisters(spark: SparkSession, events: DataFrame)
+      : Dataset[DailyUpdate] = {
+    import spark.implicits._
+    events.select(col("event_type"),
+        date_trunc("day", col("ts")).as("day"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("x"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(t => (t._1, t._2.getTime))
+      .mapGroupsWithState[DailyState, DailyUpdate](GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[DailyState]) =>
+          val rows = it.toArray
+          var vq = state.getOption.map(_.vq).getOrElse(0L)
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          rows.foreach { r => vq += r._3; n += 1 }
+          state.update(DailyState(vq, n))
+          DailyUpdate(rows.head._1, rows.head._2, vq, n)
+      }
+  }
+
   def cusumRegisters(spark: SparkSession, events: DataFrame,
                      kMicro: Long): Dataset[CusumUpdate] = {
     import spark.implicits._

@@ -329,6 +329,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming gram (c1,c2) registers equal the batch first/second occurrence") {
+    import graft.streaming.DocumentsStream
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("docs_c12")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+    val (a, bHalf) = (docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1))
+    def dump(name: String, mtime: Long, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs_part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    dump("b1.parquet", 1000000L, a)
+    dump("b2.parquet", 2000000L, bHalf)
+    val updates = DocumentsStream.gramC12AtIngest(spark,
+      DocumentsStream.readDocuments(spark, dir.toString, Some(1)))
+    runAvailableNow(updates.toDF(), "c12_regs", OutputMode.Update())
+    // both registers are min-monotone (c2 via the MaxValue sentinel)
+    val streamed = spark.table("c12_regs")
+      .groupBy(col("s")).agg(min(col("c1")).as("c1"), min(col("c2")).as("c2"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.getLong(2) == Long.MaxValue) None else Some(r.getLong(2)))).toSet
+    val batch = graft.ext.Dedup.shingleRows(docs, "text", "doc_id", 3)
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("s")).orderBy(col("doc"))))
+      .where(col("rn") <= 2)
+      .groupBy(col("s"))
+      .agg(min(when(col("rn") === 1, col("doc"))).as("c1"),
+        min(when(col("rn") === 2, col("doc"))).as("c2"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming PSI bin registers equal the batch histogram (q119 bin formula)") {
     import graft.streaming.DocumentsStream
     val dir = java.nio.file.Files.createTempDirectory("docs_psi")
@@ -635,6 +674,28 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3))).toSet
     assert(got == (0 until 4).map(band => (band, 3L, 1L)).toSet,
       s"expected doc 3 to match doc 1 in all bands, got $got")
+  }
+
+  test("streaming daily registers equal the batch daily grain (q171/q209 base)") {
+    import graft.streaming.EventsStream
+    val updates = EventsStream.dailyRegisters(
+      spark, EventsStream.readEvents(spark, sf))
+    runAvailableNow(updates.toDF(), "daily_regs", OutputMode.Update())
+    // both registers are add-monotone: final value per key = max update
+    val got = spark.table("daily_regs")
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("vq")).as("vq"), max(col("n")).as("n"))
+      .collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("vq"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.nonEmpty && got == batch)
   }
 
   test("streaming CUSUM registers equal the ordered batch fold") {
