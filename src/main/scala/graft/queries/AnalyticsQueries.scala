@@ -538,6 +538,39 @@ object AnalyticsQueries {
           expr("(1000000 * d_num) div (n_a * n_b)").as("ks_d_ppm"))
     }),
 
+    // Exact Mann-Whitney U (Wilcoxon rank-sum) between src0's quality
+    // and the rest of the corpus — the LOCATION-shift companion to
+    // q178's KS (which is distribution-shape): U counts cross-source
+    // pairs where src0 wins, ties at half weight. NOT computed by
+    // ranking the corpus (a global rank is a single-partition sort):
+    // quality is a BOUNDED INTEGER (−50..100 by construction), so one
+    // (quality, source) histogram groupBy reduces the corpus to ≤151
+    // rows and U folds from cumulative counts over that value domain —
+    // doubled (u2 = 2·U) so tie-halves stay BIGINT. auc_ppm =
+    // U/(n_a·n_b) is the two-sample AUC / common-language effect size;
+    // 500000 = no shift, the H0 anchor (2·E[U] = n_a·n_b) rides along.
+    "q212_mannwhitney_u" -> ((s, d) => {
+      val prof = ExtQueries.docProfile(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")
+          .as("src")), "doc_id")
+        .select(col("quality"),
+          when(col("src") === "src0", 1L).otherwise(0L).as("ia"),
+          when(col("src") =!= "src0", 1L).otherwise(0L).as("ib"))
+      val hist = prof.groupBy(col("quality"))
+        .agg(sum(col("ia")).as("na"), sum(col("ib")).as("nb"))
+      val w = Window.orderBy(col("quality"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("cb", coalesce(sum(col("nb")).over(w), lit(0L)))
+        .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+          sum(lit(2L) * col("na") * col("cb") + col("na") * col("nb"))
+            .as("u2"))
+        .select(col("n_a"), col("n_b"), col("u2"),
+          (col("n_a") * col("n_b")).as("u2_expected"),
+          expr("CAST((1000000 * u2) DIV (2 * n_a * n_b) AS BIGINT)")
+            .as("auc_ppm"))
+    }),
+
     // Top event PATHS (length-3 sequences) — the product-analytics
     // "what do users actually do" table one step deeper than q78's
     // transition matrix: two lead() columns over the per-user order,
@@ -2521,6 +2554,28 @@ object AnalyticsQueries {
         |  CAST(CASE WHEN ae_naive > 0 THEN (1000000 * ae_seasonal) // ae_naive
         |    ELSE -1 END AS BIGINT) mase_ppm
         |FROM sc ORDER BY event_type""".stripMargin,
+
+    // q212 oracle: identical histogram fold over the bounded quality
+    // domain.
+    "q212_mannwhitney_u" ->
+      s"""${ExtQueries.tokCte},
+         |q AS (SELECT doc_id, ${ExtQueries.qualitySql} AS quality FROM tok),
+         |lab AS (SELECT quality,
+         |          CASE WHEN source = 'src0' THEN 1 ELSE 0 END ia,
+         |          CASE WHEN source <> 'src0' THEN 1 ELSE 0 END ib
+         |        FROM q JOIN documents USING (doc_id)),
+         |hist AS (SELECT quality, CAST(sum(ia) AS BIGINT) na,
+         |           CAST(sum(ib) AS BIGINT) nb
+         |         FROM lab GROUP BY 1),
+         |cum AS (SELECT *, COALESCE(sum(nb) OVER (ORDER BY quality
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cb
+         |        FROM hist),
+         |f AS (SELECT CAST(sum(na) AS BIGINT) n_a, CAST(sum(nb) AS BIGINT) n_b,
+         |        CAST(sum(2 * na * cb + na * nb) AS BIGINT) u2
+         |      FROM cum)
+         |SELECT n_a, n_b, u2, CAST(n_a * n_b AS BIGINT) u2_expected,
+         |  CAST((1000000 * u2) // (2 * n_a * n_b) AS BIGINT) auc_ppm
+         |FROM f""".stripMargin,
 
     // q209 oracle: the same 8-lag power-of-2 smoother, geometric-identity
     // denominator, and cross-multiplied flags.
