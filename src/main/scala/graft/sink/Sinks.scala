@@ -40,6 +40,28 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(path)
 
+  /** Dynamic partition overwrite — the incremental-backfill write: only
+    * the partitions PRESENT in the incoming batch are replaced; every
+    * other partition's files are untouched (ServiceSpec pins this). At
+    * 100 TB this is how a daily re-process lands one date=... directory
+    * without static Overwrite's truncate-the-world semantics, and
+    * without reading a byte of the other partitions. Session-config
+    * scoped: the previous partitionOverwriteMode is restored even on
+    * failure. */
+  def overwritePartitionsDynamic(df: DataFrame, path: String,
+                                 partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Bucketed managed table — the co-located-join layout: two tables
     * bucketed by the same join key into the same bucket count join with
     * ZERO exchange (PlanSpec asserts it). At 100 TB this is how the

@@ -470,4 +470,27 @@ class StreamingJobRunnerSpec extends AnyFunSuite {
       .map(_.getName).filter(n => n.contains(".old-") || n.contains(".next-"))
     assert(leftovers.isEmpty, s"swap leftovers not swept: ${leftovers.toSeq}")
   }
+
+  test("dynamic partition overwrite replaces only the incoming partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dyn_overwrite").toString
+    val prevMode = spark.conf
+      .getOption("spark.sql.sources.partitionOverwriteMode")
+    val v1 = Seq((1L, "en", "one"), (2L, "en", "two"), (3L, "es", "tres"))
+      .toDF("id", "lang", "t")
+    graft.sink.Sinks.writePartitioned(v1, dir, Seq("lang"))
+    // Re-process ONLY lang=es: the en partition's rows must survive.
+    val v2 = Seq((3L, "es", "tres-v2"), (4L, "es", "cuatro"))
+      .toDF("id", "lang", "t")
+    graft.sink.Sinks.overwritePartitionsDynamic(v2, dir, Seq("lang"))
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("lang"),
+        r.getAs[String]("t"))).toSet
+    assert(got == Set((1L, "en", "one"), (2L, "en", "two"),
+      (3L, "es", "tres-v2"), (4L, "es", "cuatro")),
+      s"dynamic overwrite corrupted sibling partitions: $got")
+    // And the session config was restored (scoped side effect only).
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      == prevMode, "partitionOverwriteMode leaked out of the sink call")
+  }
 }

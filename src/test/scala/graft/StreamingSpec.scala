@@ -698,6 +698,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == batch)
   }
 
+  test("keyed state survives a query RESTART from checkpoint (daily registers)") {
+    import graft.streaming.EventsStream
+    import spark.implicits._
+    // Two separate query runs over one growing directory, sharing a
+    // checkpoint: run 2 must CONTINUE run 1's mapGroupsWithState state
+    // (vq folds across the restart), not restart from zero — the
+    // recovery contract every production register table depends on.
+    val dir = java.nio.file.Files.createTempDirectory("events_ckpt")
+    val ckpt = java.nio.file.Files.createTempDirectory("events_ckpt_meta")
+    def writeAs(name: String,
+                rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("ev_part").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, dir.resolve(name))
+    }
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val day = t(86400) // all events on one day
+    writeAs("b1.parquet", Seq((1L, day, 1L, "x", 1.0)))
+    val out = java.nio.file.Files.createTempDirectory("events_ckpt_out")
+    val schema = spark.read.parquet(dir.toString).schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      val q = EventsStream.dailyRegisters(spark, stream).toDF()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out.toString): Unit
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val r1 = spark.read.parquet(out.toString).collect()
+      .map(r => (r.getAs[Long]("vq"), r.getAs[Long]("n"))).toSet
+    assert(r1 == Set((1000L, 1L)), s"run 1 fold wrong: $r1")
+    // the query is stopped; a new file lands; a NEW query resumes
+    writeAs("b2.parquet", Seq((2L, day, 1L, "x", 2.0)))
+    runOnce()
+    val r2 = spark.read.parquet(out.toString).collect()
+      .map(r => (r.getAs[Long]("vq"), r.getAs[Long]("n"))).toSet
+    assert(r2 == Set((1000L, 1L), (3000L, 2L)),
+      s"state did not survive the restart (expected cumulative 3000/2): $r2")
+  }
+
   test("streaming CUSUM registers equal the ordered batch fold") {
     import graft.streaming.EventsStream
     val k = 500000L
