@@ -785,7 +785,13 @@ object Dedup {
     // full-corpus collect_list would dwarf the join it feeds.
     val inCands = cands.select(col("doc_a").as("doc"))
       .union(cands.select(col("doc_b").as("doc"))).distinct()
-    val sets = shRows.join(inCands, Seq("doc"), "left_semi")
+    // Broadcast the candidate-doc list: it is the verification working
+    // set (≤ 2·|candidate pairs| longs — the prefix filter's whole job
+    // is keeping that bounded), and without the hint the semi-join
+    // plans as a sort-merge that re-sorts the full shingle stream
+    // (measured +2.3 s at sf0.1; at scale it would re-shuffle the
+    // corpus to save an already-small aggregate).
+    val sets = shRows.join(broadcast(inCands), Seq("doc"), "left_semi")
       .groupBy(col("doc"))
       .agg(sort_array(collect_list(col("s"))).as("gs"),
         count(lit(1)).as("n"))

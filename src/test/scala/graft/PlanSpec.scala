@@ -493,6 +493,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("q213 join-view maintenance: four keyed delta joins, no product") {
+    val p = plan("q213_join_view_maint")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"delta decomposition planned a product:\n$p")
+    assert(p.contains("partial_"), s"merge agg lost map-side partials:\n$p")
+  }
+
   test("q210 exact-k sample: rank filter lowers to WindowGroupLimit") {
     val p = plan("q210_stratified_exact_k")
     assert(p.contains("WindowGroupLimit"),
