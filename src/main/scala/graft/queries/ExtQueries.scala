@@ -112,6 +112,29 @@ object ExtQueries {
     graft.ops.SessionCache.getOrBuild(s, s"tok_profile:$d")(
       TextAnalysis.withTokenProfile(Tables.documents(s, d), "text"))
 
+  /** Shared per-session POSITIONAL postings `(doc, pos, token)` — the
+    * phrase/proximity index under q146/q156 and the relevance legs of
+    * the retrieval audits (q187 MRR, q206 nDCG). One corpus tokenize
+    * pass instead of one per consumer; in production this is the
+    * positional half of the stored inverted index (term-bucketed on
+    * disk, the q49 GIN layout). */
+  private[queries] def posPostings(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"pos_postings:$d")(
+      TextAnalysis.tokenPosRows(Tables.documents(s, d), "text", "doc_id"))
+
+  /** Shared per-session BM25 top-10 ranking for a fixed term set — the
+    * ranked leg under q55 (the ranking itself), q187 (MRR) and q206
+    * (nDCG), which audit the SAME three queries: the ranking a real
+    * system would serve is scored once, and every metric reads the same
+    * rows (an audit that re-ranks privately can drift from the surface
+    * it claims to measure). */
+  private[queries] def bm25Top10(s: SparkSession, d: String,
+                                 terms: Seq[String]): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s,
+      s"bm25top10:${terms.mkString("+")}:$d")(
+      graft.ext.Ranking.bm25TopKFromIndex(ftsPostingsTf(s, d),
+        ftsDocLengths(s, d), terms, 10))
+
   /** Doc → source map for attaching provenance to token streams
     * (broadcast-sized: one narrow row per document). */
   private[queries] def docSourceMap(s: SparkSession, d: String): DataFrame =
@@ -1045,9 +1068,7 @@ object ExtQueries {
     // (doc, candidate start), so the probe reads only the phrase
     // words' lists, never the corpus. TakeOrdered top-k output.
     "q146_phrase_search" -> ((s, d) =>
-      TextAnalysis.phraseHits(
-          TextAnalysis.tokenPosRows(Tables.documents(s, d), "text", "doc_id"),
-          Seq("table", "scan"))
+      TextAnalysis.phraseHits(posPostings(s, d), Seq("table", "scan"))
         .select(col("doc").as("doc_id"), col("n_hits"))
         .orderBy(col("n_hits").desc, col("doc_id")).limit(20)),
 
@@ -1056,9 +1077,7 @@ object ExtQueries {
     // probe relaxed to a bounded gap; same term-pruned posting legs,
     // tightest gap reported.
     "q156_proximity_search" -> ((s, d) =>
-      TextAnalysis.proximityHits(
-          TextAnalysis.tokenPosRows(Tables.documents(s, d), "text", "doc_id"),
-          "table", "scan", 3)
+      TextAnalysis.proximityHits(posPostings(s, d), "table", "scan", 3)
         .select(col("doc").as("doc_id"), col("n_hits"), col("min_gap"))
         .orderBy(col("n_hits").desc, col("doc_id")).limit(20)),
 

@@ -65,8 +65,7 @@ object PipelineQueries {
     // BM25-ranked disjunctive retrieval over the inverted index (the
     // ranking layer above q49's conjunctive candidate lookup).
     "q55_fts_bm25" -> ((s, d) =>
-      Ranking.bm25TopKFromIndex(ExtQueries.ftsPostingsTf(s, d),
-          ExtQueries.ftsDocLengths(s, d), Seq("spark", "merge"), 10)
+      ExtQueries.bm25Top10(s, d, Seq("spark", "merge"))
         .orderBy(col("rank"))),
 
     // Retrieval-quality audit: MRR and recall@10 of the BM25 disjunctive
@@ -83,11 +82,9 @@ object PipelineQueries {
         ("hash join", Seq("hash", "join")),
         ("spark merge", Seq("spark", "merge")),
         ("table scan", Seq("table", "scan")))
-      val pos = graft.ops.TransientCache.persist(
-        TextAnalysis.tokenPosRows(Tables.documents(s, d), "text", "doc_id"))
+      val pos = ExtQueries.posPostings(s, d)
       phrases.map { case (label, terms) =>
-        val ranked = Ranking.bm25TopKFromIndex(ExtQueries.ftsPostingsTf(s, d),
-          ExtQueries.ftsDocLengths(s, d), terms, 10)
+        val ranked = ExtQueries.bm25Top10(s, d, terms)
         val rel = TextAnalysis.phraseHits(pos, terms)
           .select(col("doc").as("doc_id"))
         val relAgg = rel.agg(count(lit(1)).as("n_rel"))
@@ -127,11 +124,9 @@ object PipelineQueries {
       val cumArr = array(cum.map(lit): _*)
       def cumAt(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         element_at(cumArr, least(n, lit(10L)).cast("int") + 1)
-      val pos = graft.ops.TransientCache.persist(
-        TextAnalysis.tokenPosRows(Tables.documents(s, d), "text", "doc_id"))
+      val pos = ExtQueries.posPostings(s, d)
       queries.map { case (label, terms) =>
-        val ranked = Ranking.bm25TopKFromIndex(ExtQueries.ftsPostingsTf(s, d),
-          ExtQueries.ftsDocLengths(s, d), terms, 10)
+        val ranked = ExtQueries.bm25Top10(s, d, terms)
         val phrase = TextAnalysis.phraseHits(pos, terms)
           .select(col("doc").as("doc_id"), lit(2L).as("g"))
         val conj = pos.where(col("token").isin(terms: _*))
