@@ -618,6 +618,47 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Arrival-side incremental component maintenance — the MERGE case
+    // completing the IVM triptych (q126 aggregates, q213 joins, q203
+    // the deletion/SPLIT case): a new shard (every 10th doc) lands, new
+    // near-dup edges appear, and components can only GROW — so the
+    // stored labeling is carried over untouched except for components
+    // an incoming edge touches, and connectivity re-runs ONLY over
+    // (old edges inside touched components) ∪ (new edges). The scoping
+    // is provable like q203's: an old component no new edge touches
+    // cannot change (its edge set didn't). Oracle recomputes components
+    // of the FULL pair graph (q54's recursive CTE) — maintenance ≡
+    // recompute, merges included. At 100 TB the bill is the new
+    // shard's edges plus the touched components' edges — the labeling
+    // of yesterday's corpus is never re-derived.
+    "q214_component_arrival" -> ((s, d) => {
+      val edges = graft.ops.TransientCache.persist(
+        Dedup.simhashHammingPairsFromSigs(simhashSigs(s, d), 2)
+          .select(col("doc_a"), col("doc_b")))
+      def isNew(c: org.apache.spark.sql.Column) = c % 10 === 0
+      val oldE = edges.where(!isNew(col("doc_a")) && !isNew(col("doc_b")))
+      val newE = graft.ops.TransientCache.persist(
+        edges.where(isNew(col("doc_a")) || isNew(col("doc_b"))))
+      // Stored state stand-in: the old corpus's labeling (in production
+      // this is yesterday's persisted component table).
+      val oldComps = graft.ops.TransientCache.persist(
+        graft.ext.Components.connectedComponentsAuto(oldE, "doc_a", "doc_b"))
+      val touched = newE.select(col("doc_a").as("node"))
+        .union(newE.select(col("doc_b").as("node"))).distinct()
+      val affected = oldComps.join(touched, "node")
+        .select(col("comp")).distinct()
+      val keep = oldComps.join(affected, Seq("comp"), "left_anti")
+      val affOldE = oldE
+        .join(oldComps.select(col("node").as("doc_a"), col("comp")), "doc_a")
+        .join(affected, "comp").select(col("doc_a"), col("doc_b"))
+      val merged = graft.ext.Components.connectedComponentsAuto(
+        affOldE.union(newE), "doc_a", "doc_b")
+      keep.select(col("node").as("doc_id"), col("comp").as("component"))
+        .union(merged.select(col("node").as("doc_id"),
+          col("comp").as("component")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Prefix-filtered EXACT similarity self-join (AllPairs, Bayardo et
     // al. 2007; PPJoin, Xiao et al. 2008) — the exact counterpart of
     // LSH banding in the dedup-strategy matrix: order grams by global
@@ -1678,6 +1719,18 @@ object ExtQueries {
          |    AS BIGINT) n_reelected,
          |  CAST(sum(CASE WHEN fd2 = fd THEN 1 ELSE 0 END) AS BIGINT) n_unchanged
          |FROM j""".stripMargin,
+
+    // q214 oracle: components of the FULL pair graph, recomputed from
+    // scratch (q54's recursive CTE) — arrival maintenance ≡ recompute.
+    "q214_component_arrival" ->
+      s"""WITH RECURSIVE ${simhashHammingCtes.stripPrefix("WITH ")},
+         |e AS (SELECT doc_a a, doc_b b FROM hp
+         |      UNION SELECT doc_b, doc_a FROM hp),
+         |r AS (SELECT a AS node, a AS reach FROM e
+         |      UNION
+         |      SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a)
+         |SELECT node AS doc_id, min(reach) AS component
+         |FROM r GROUP BY node ORDER BY doc_id""".stripMargin,
 
     // q211 oracle: q54's recursive components + q67's quality survivor
     // convention, re-bucketed through identical CASE arithmetic.
