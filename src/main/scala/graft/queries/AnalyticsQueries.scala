@@ -608,6 +608,63 @@ object AnalyticsQueries {
             .as("auc_ppm"))
     }),
 
+    // Lead-lag regression between event-type daily series — WHICH
+    // metric leads which, the cross-series question the per-series
+    // monitors (q171/q172/q209) cannot ask: for every ordered type pair
+    // and lag 0..3 days, the OLS slope of y's day-(t+lag) value on x's
+    // day-t value. Integer-exact on the q90 discipline: daily sums
+    // quantized to whole units (DIV 1000 — deterministic), deviations
+    // from a per-TYPE broadcast anchor (ANY constant anchor keeps the
+    // n·Σab − Σa·Σb identity exact, so the per-type floor mean serves
+    // every pair and lag), moments enveloped by un-overflowable
+    // max-deviation witnesses before any product is trusted. The lag
+    // join is epoch-microsecond arithmetic (86 400 000 000·lag), exact
+    // in both engines. Days are time-bounded, types enumerable: the
+    // pair×lag table is tiny at any corpus scale; the one real pass is
+    // the daily grain groupBy.
+    "q215_leadlag" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type").as("typ"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(expr("CAST(sum(CAST(floor(value * 1000) AS BIGINT)) DIV 1000 AS BIGINT)")
+          .as("x"))
+      val anchors = daily.groupBy(col("typ"))
+        .agg(expr("sum(x) div count(*)").as("ax"))
+      val dv = graft.ops.TransientCache.persist(
+        daily.join(broadcast(anchors), "typ")
+          .select(col("typ"), unix_micros(col("day")).as("us"),
+            (col("x") - col("ax")).as("dx")))
+      val lags = s.range(0, 4).select(col("id").cast("long").as("lag"))
+      val st = dv.as("a").crossJoin(broadcast(lags))
+        .join(dv.as("b"),
+          col("a.typ") < col("b.typ") &&
+            col("b.us") === col("a.us") + col("lag") * lit(86400000000L))
+        .groupBy(col("a.typ").as("type_x"), col("b.typ").as("type_y"),
+          col("lag"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("a.dx")).as("sa"), sum(col("b.dx")).as("sb"),
+          sum(col("a.dx") * col("b.dx")).as("sab"),
+          sum(col("a.dx") * col("a.dx")).as("saa"),
+          sum(col("b.dx") * col("b.dx")).as("sbb"),
+          max(abs(col("a.dx"))).as("mda"), max(abs(col("b.dx"))).as("mdb"))
+        .withColumn("n_days", col("n_days") + coalesce(
+          assert_true(
+            col("n_days").cast("double") *
+              greatest(col("mda").cast("double") * col("mda").cast("double"),
+                col("mdb").cast("double") * col("mdb").cast("double"),
+                col("mda").cast("double") * col("mdb").cast("double"))
+              * lit(1001.0) < lit(4.6e18),
+            lit("q215 moments would overflow int64: sub-split the series"))
+            .cast("long"), lit(0L)))
+      st.select(col("type_x"), col("type_y"), col("lag"), col("n_days"),
+          (col("n_days") * col("sab") - col("sa") * col("sb")).as("cov_n"),
+          (col("n_days") * col("saa") - col("sa") * col("sa")).as("varx_n"),
+          (col("n_days") * col("sbb") - col("sb") * col("sb")).as("vary_n"))
+        .withColumn("slope_milli", when(col("varx_n") > 0,
+          expr("CAST((1000 * cov_n) DIV varx_n AS BIGINT)")).otherwise(lit(0L)))
+        .orderBy(col("type_x"), col("type_y"), col("lag"))
+    }),
+
     // Top event PATHS (length-3 sequences) — the product-analytics
     // "what do users actually do" table one step deeper than q78's
     // transition matrix: two lead() columns over the per-user order,
@@ -2591,6 +2648,40 @@ object AnalyticsQueries {
         |  CAST(CASE WHEN ae_naive > 0 THEN (1000000 * ae_seasonal) // ae_naive
         |    ELSE -1 END AS BIGINT) mase_ppm
         |FROM sc ORDER BY event_type""".stripMargin,
+
+    // q215 oracle: same unit quantization, per-type anchors, epoch-us
+    // lag join and moment identities.
+    "q215_leadlag" ->
+      """WITH daily AS (
+        |  SELECT event_type typ, date_trunc('day', CAST(ts AS TIMESTAMP)) dy,
+        |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) // 1000 AS BIGINT) x
+        |  FROM events GROUP BY 1, 2),
+        |anch AS (SELECT typ, CAST(sum(x) // count(*) AS BIGINT) ax
+        |         FROM daily GROUP BY 1),
+        |dv AS (SELECT d.typ, epoch_us(dy) us, x - ax dx
+        |       FROM daily d JOIN anch USING (typ)),
+        |lags AS (SELECT unnest(range(0, 4)) lag),
+        |st AS (SELECT a.typ type_x, b.typ type_y, lag,
+        |         CAST(count(*) AS BIGINT) n_days,
+        |         CAST(sum(a.dx) AS BIGINT) sa, CAST(sum(b.dx) AS BIGINT) sb,
+        |         CAST(sum(a.dx * b.dx) AS BIGINT) sab,
+        |         CAST(sum(a.dx * a.dx) AS BIGINT) saa,
+        |         CAST(sum(b.dx * b.dx) AS BIGINT) sbb
+        |       FROM dv a CROSS JOIN lags
+        |       JOIN dv b ON a.typ < b.typ
+        |         AND b.us = a.us + lag * 86400000000
+        |       GROUP BY 1, 2, 3),
+        |f AS (SELECT type_x, type_y, lag, n_days,
+        |        n_days * sab - sa * sb cov_n,
+        |        n_days * saa - sa * sa varx_n,
+        |        n_days * sbb - sb * sb vary_n
+        |      FROM st)
+        |SELECT type_x, type_y, CAST(lag AS BIGINT) lag, n_days,
+        |  CAST(cov_n AS BIGINT) cov_n, CAST(varx_n AS BIGINT) varx_n,
+        |  CAST(vary_n AS BIGINT) vary_n,
+        |  CASE WHEN varx_n > 0 THEN CAST((1000 * cov_n) // varx_n AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END slope_milli
+        |FROM f ORDER BY type_x, type_y, lag""".stripMargin,
 
     // q213 oracle: the view recomputed from the FULL join — the compare
     // IS maintenance ≡ recompute.
