@@ -698,6 +698,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == batch)
   }
 
+  test("watermark drops cross-batch late data from an Append windowed agg") {
+    import graft.streaming.EventsStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events_late")
+    def writeAs(name: String,
+                rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("ev_part").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      val m = Map("b1.parquet" -> 1000000L, "b2.parquet" -> 2000000L,
+        "b3.parquet" -> 3000000L)
+      dst.toFile.setLastModified(m(name))
+    }
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // b1: one event in hour 0, one at hour 10 (the hour-10 event sets
+    // the watermark to 9h once the batch commits)
+    writeAs("b1.parquet", Seq((1L, t(1800), 1L, "view", 1.0),
+      (2L, t(36000), 1L, "view", 1.0)))
+    // b2: a fresh on-time event — the batch that runs WITH the 9h
+    // watermark, closing and emitting hour 0's window at count 1
+    writeAs("b2.parquet", Seq((3L, t(36600), 1L, "view", 1.0)))
+    // b3: an event back in hour 0 — far below the watermark; the Append
+    // contract is that the finalized window is never reopened and the
+    // late row is dropped, not silently double-counted or re-emitted
+    writeAs("b3.parquet", Seq((4L, t(2400), 1L, "view", 1.0)))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = EventsStream.windowedStats(stream)
+      .writeStream.format("memory").queryName("late_win")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("late_win").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour"), r.getAs[Long]("n")))
+    val hour0 = emitted.filter(_._1.getTime == 0L)
+    assert(hour0.map(_._2).toSeq == Seq(1L),
+      s"late event reopened, re-emitted or double-counted the closed " +
+        s"window: ${emitted.toSeq}")
+  }
+
   test("keyed state survives a query RESTART from checkpoint (daily registers)") {
     import graft.streaming.EventsStream
     import spark.implicits._
