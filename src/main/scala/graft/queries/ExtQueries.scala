@@ -508,6 +508,53 @@ object ExtQueries {
         .orderBy(col("decile"))
     }),
 
+    // Pairwise total-variation distance between per-source token
+    // distributions — the mixture-redundancy matrix: TV(a,b) =
+    // ½ Σ_t |p_a(t) − p_b(t)| is the INTEGER-EXACT divergence (unlike
+    // KL/JS, whose logs would reintroduce libm parity): cross-multiply
+    // to |c_a·N_b − c_b·N_a| and the whole matrix folds from the
+    // session (source, token) count artifact. Tokens private to one
+    // source need no outer join — their contribution is
+    // (N_a − Σ_shared c_a)·N_b in closed form. Overflow enveloped
+    // in-plan (TV_num ≤ 2·N_a·N_b, so the ppm product is bounded by
+    // 2e6·N_a·N_b; the assert trips before int64 wraps). Sources are
+    // enumerable, the join is token-partitioned with map-side partials:
+    // vocabulary-sized work at any corpus scale.
+    "q216_source_tv_matrix" -> ((s, d) => {
+      val c = docSourceTokenCounts(s, d)
+      val n = graft.ops.TransientCache.persist(
+        c.groupBy(col("source")).agg(sum(col("cnt")).as("nt")))
+      val j = c.as("a").join(c.as("b"),
+          col("a.token") === col("b.token") &&
+            col("a.source") < col("b.source"))
+        .join(broadcast(n.select(col("source").as("sa_n"), col("nt").as("na"))),
+          col("a.source") === col("sa_n"))
+        .join(broadcast(n.select(col("source").as("sb_n"), col("nt").as("nb"))),
+          col("b.source") === col("sb_n"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(sum(abs(col("a.cnt") * col("nb") - col("b.cnt") * col("na")))
+            .as("s_both"),
+          sum(col("a.cnt")).as("ca"), sum(col("b.cnt")).as("cb"))
+      val pairs = n.as("x").join(n.as("y"), col("x.source") < col("y.source"))
+        .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+          col("x.nt").as("n_tok_a"), col("y.nt").as("n_tok_b"))
+      pairs.join(j, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"),
+          col("n_tok_a"), col("n_tok_b"),
+          (coalesce(col("s_both"), lit(0L)) +
+            (col("n_tok_a") - coalesce(col("ca"), lit(0L))) * col("n_tok_b") +
+            (col("n_tok_b") - coalesce(col("cb"), lit(0L))) * col("n_tok_a"))
+            .as("tv_num"))
+        .withColumn("n_tok_a", col("n_tok_a") + coalesce(
+          assert_true(col("n_tok_a").cast("double") * col("n_tok_b").cast("double")
+            * lit(2.0e6) < lit(9.2e18),
+            lit("q216 TV ppm would overflow int64: scale counts down first"))
+            .cast("long"), lit(0L)))
+        .withColumn("tv_ppm",
+          expr("CAST((1000000 * tv_num) DIV (2 * n_tok_a * n_tok_b) AS BIGINT)"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // Dedup savings ledger — the ROI statement for the whole dedup
     // stack (q207's "is more data worth it" twin, asked of removal):
     // near-dup components bucketed by size (2, 3-4, 5-8, 9-16, 17+,
@@ -1731,6 +1778,34 @@ object ExtQueries {
          |      SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a)
          |SELECT node AS doc_id, min(reach) AS component
          |FROM r GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // q216 oracle: the same cross-multiplied TV fold with closed-form
+    // private-token mass.
+    "q216_source_tv_matrix" ->
+      s"""$tokCte,
+         |u AS (SELECT d.source, unnest(t) token
+         |      FROM tok JOIN documents d USING (doc_id)),
+         |c AS (SELECT source, token, CAST(count(*) AS BIGINT) cnt
+         |      FROM u GROUP BY 1, 2),
+         |n AS (SELECT source, CAST(sum(cnt) AS BIGINT) nt FROM c GROUP BY 1),
+         |j AS (SELECT a.source sa, b.source sb,
+         |        CAST(sum(abs(a.cnt * nb.nt - b.cnt * na.nt)) AS BIGINT) s_both,
+         |        CAST(sum(a.cnt) AS BIGINT) ca, CAST(sum(b.cnt) AS BIGINT) cb
+         |      FROM c a JOIN c b ON a.token = b.token AND a.source < b.source
+         |      JOIN n na ON na.source = a.source
+         |      JOIN n nb ON nb.source = b.source
+         |      GROUP BY 1, 2),
+         |p AS (SELECT x.source sa, y.source sb, x.nt n_tok_a, y.nt n_tok_b
+         |      FROM n x JOIN n y ON x.source < y.source),
+         |f AS (SELECT p.sa, p.sb, n_tok_a, n_tok_b,
+         |        COALESCE(s_both, 0)
+         |          + (n_tok_a - COALESCE(ca, 0)) * n_tok_b
+         |          + (n_tok_b - COALESCE(cb, 0)) * n_tok_a tv_num
+         |      FROM p LEFT JOIN j ON p.sa = j.sa AND p.sb = j.sb)
+         |SELECT sa source_a, sb source_b, n_tok_a, n_tok_b,
+         |  CAST(tv_num AS BIGINT) tv_num,
+         |  CAST((1000000 * tv_num) // (2 * n_tok_a * n_tok_b) AS BIGINT) tv_ppm
+         |FROM f ORDER BY source_a, source_b""".stripMargin,
 
     // q211 oracle: q54's recursive components + q67's quality survivor
     // convention, re-bucketed through identical CASE arithmetic.
