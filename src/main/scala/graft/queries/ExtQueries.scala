@@ -508,6 +508,58 @@ object ExtQueries {
         .orderBy(col("decile"))
     }),
 
+    // Soft-dedup loss weights — the down-weighting alternative to hard
+    // removal (when dedup is too aggressive, train on everything but
+    // give each near-dup cluster ONE document's worth of loss mass):
+    // weight_ppm = 1e6 DIV cluster_size, singletons keep 1e6, so every
+    // cluster's total weight is ~1e6 up to integer rounding. One left
+    // join of the doc spine against the session component artifact —
+    // the weights column a loader multiplies into the per-example loss.
+    "q217_soft_dedup_weights" -> ((s, d) => {
+      val comps = simhashComps(s, d)
+      val sz = comps.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      Tables.documents(s, d).select(col("doc_id").cast("long").as("doc"))
+        .join(comps, Seq("doc"), "left")
+        .join(sz, Seq("comp"), "left")
+        .select(col("doc").as("doc_id"),
+          coalesce(col("comp"), col("doc")).as("component"),
+          coalesce(col("sz"), lit(1L)).as("cluster_size"),
+          expr("CAST(1000000 DIV coalesce(sz, 1) AS BIGINT)").as("weight_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Positional quality drift WITHIN documents — do tails degrade?
+    // (Boilerplate footers, truncation junk and spam padding accumulate
+    // at document ends; a pipeline that samples fixed-length prefixes
+    // needs to know.) Every token lands in a relative-position decile
+    // ((pos−1)·10 DIV n_tokens — integer, per doc), and each decile
+    // reports corpus-level stopword share and type-token ratio in ppm.
+    // Rides the session positional postings + token profile; one
+    // groupBy, stoplist membership as a literal isin — scan-speed at
+    // any scale.
+    "q218_positional_drift" -> ((s, d) => {
+      val stops = TextAnalysis.langStopwords.flatMap(_._2)
+      val nTok = docProfile(s, d)
+        .select(col("doc_id").cast("long").as("doc"),
+          col("n_tokens").cast("long").as("ntok"))
+        .where(col("ntok") > 0)
+      posPostings(s, d).join(nTok, "doc")
+        .select(expr("CAST(((pos - 1) * 10) DIV ntok AS BIGINT)").as("decile"),
+          col("token"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("token").isin(stops: _*), 1L).otherwise(0L))
+            .as("n_stop"),
+          countDistinct(col("token")).as("n_distinct"))
+        .select(col("decile"), col("n_tokens"), col("n_stop"),
+          col("n_distinct"),
+          expr("CAST((1000000 * n_stop) DIV n_tokens AS BIGINT)")
+            .as("stop_ppm"),
+          expr("CAST((1000000 * n_distinct) DIV n_tokens AS BIGINT)")
+            .as("ttr_ppm"))
+        .orderBy(col("decile"))
+    }),
+
     // Pairwise total-variation distance between per-source token
     // distributions — the mixture-redundancy matrix: TV(a,b) =
     // ½ Σ_t |p_a(t) − p_b(t)| is the INTEGER-EXACT divergence (unlike
@@ -1778,6 +1830,43 @@ object ExtQueries {
          |      SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a)
          |SELECT node AS doc_id, min(reach) AS component
          |FROM r GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // q217 oracle: q54's recursive components, sizes, doc-spine left join.
+    "q217_soft_dedup_weights" ->
+      s"""WITH RECURSIVE ${simhashHammingCtes.stripPrefix("WITH ")},
+         |e AS (SELECT doc_a a, doc_b b FROM hp
+         |      UNION SELECT doc_b, doc_a FROM hp),
+         |r AS (SELECT a AS node, a AS reach FROM e
+         |      UNION
+         |      SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+         |comp AS (SELECT node AS doc, min(reach) AS comp FROM r GROUP BY node),
+         |sz AS (SELECT comp, CAST(count(*) AS BIGINT) sz FROM comp GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(comp.comp, d.doc_id) component,
+         |  COALESCE(sz.sz, 1) cluster_size,
+         |  CAST(1000000 // COALESCE(sz.sz, 1) AS BIGINT) weight_ppm
+         |FROM documents d
+         |LEFT JOIN comp ON comp.doc = d.doc_id
+         |LEFT JOIN sz USING (comp)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // q218 oracle: same decile formula and stoplist membership.
+    "q218_positional_drift" ->
+      s"""$tokCte,
+         |u AS (SELECT doc_id, unnest(t) token, generate_subscripts(t, 1) pos,
+         |        len(t) ntok
+         |      FROM tok WHERE len(t) > 0),
+         |b AS (SELECT CAST(((pos - 1) * 10) // ntok AS BIGINT) decile, token
+         |      FROM u),
+         |g AS (SELECT decile, CAST(count(*) AS BIGINT) n_tokens,
+         |        CAST(sum(CASE WHEN token IN ($stopListSql) THEN 1 ELSE 0 END)
+         |          AS BIGINT) n_stop,
+         |        CAST(count(DISTINCT token) AS BIGINT) n_distinct
+         |      FROM b GROUP BY 1)
+         |SELECT decile, n_tokens, n_stop, n_distinct,
+         |  CAST((1000000 * n_stop) // n_tokens AS BIGINT) stop_ppm,
+         |  CAST((1000000 * n_distinct) // n_tokens AS BIGINT) ttr_ppm
+         |FROM g ORDER BY decile""".stripMargin,
 
     // q216 oracle: the same cross-multiplied TV fold with closed-form
     // private-token mass.
