@@ -528,6 +528,39 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Effective sample size under the q217 soft-dedup weights (Kish
+    // 1965): ESS = (Σw)²/Σw² per source — how many INDEPENDENT
+    // documents a source really contributes once its duplication is
+    // priced in. ess_milli is integer-exact ((Σw)² and Σw² are BIGINT
+    // sums of ppm weights; the in-plan envelope trips before (Σw)²
+    // wraps); dedup_tax_ppm = 1e6 − 1e6·ESS/n is the share of the
+    // source's row count that duplication hollowed out. One aggregate
+    // over the weight table — the mixture planner's (q58) missing
+    // input: budget by ESS, not raw doc counts.
+    "q219_source_ess" -> ((s, d) => {
+      val comps = simhashComps(s, d)
+      val sz = comps.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      val w = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc"), col("source"))
+        .join(comps, Seq("doc"), "left")
+        .join(sz, Seq("comp"), "left")
+        .select(col("source"),
+          expr("CAST(1000000 DIV coalesce(sz, 1) AS BIGINT)").as("w"))
+      val st = w.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
+          sum(col("w") * col("w")).as("sw2"))
+        .withColumn("n_docs", col("n_docs") + coalesce(
+          assert_true(col("sw").cast("double") * col("sw").cast("double")
+            * lit(1001.0) < lit(9.2e18),
+            lit("q219 (sum w)^2 would overflow int64: rescale weights"))
+            .cast("long"), lit(0L)))
+      st.select(col("source"), col("n_docs"), col("sw"), col("sw2"),
+          expr("CAST((1000 * sw * sw) DIV sw2 AS BIGINT)").as("ess_milli"))
+        .withColumn("dedup_tax_ppm",
+          expr("CAST(1000000 - (1000 * ess_milli) DIV n_docs AS BIGINT)"))
+        .orderBy(col("source"))
+    }),
+
     // Positional quality drift WITHIN documents — do tails degrade?
     // (Boilerplate footers, truncation junk and spam padding accumulate
     // at document ends; a pipeline that samples fixed-length prefixes
@@ -1849,6 +1882,32 @@ object ExtQueries {
          |LEFT JOIN comp ON comp.doc = d.doc_id
          |LEFT JOIN sz USING (comp)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // q219 oracle: same weights, Kish identity and tax arithmetic
+    // (HUGEINT intermediates cast back to BIGINT).
+    "q219_source_ess" ->
+      s"""WITH RECURSIVE ${simhashHammingCtes.stripPrefix("WITH ")},
+         |e AS (SELECT doc_a a, doc_b b FROM hp
+         |      UNION SELECT doc_b, doc_a FROM hp),
+         |r AS (SELECT a AS node, a AS reach FROM e
+         |      UNION
+         |      SELECT r.node, e.b FROM r JOIN e ON r.reach = e.a),
+         |comp AS (SELECT node AS doc, min(reach) AS comp FROM r GROUP BY node),
+         |szs AS (SELECT comp, count(*) sz FROM comp GROUP BY 1),
+         |w AS (SELECT d.source,
+         |        CAST(1000000 // COALESCE(szs.sz, 1) AS BIGINT) w
+         |      FROM documents d
+         |      LEFT JOIN comp ON comp.doc = d.doc_id
+         |      LEFT JOIN szs USING (comp)),
+         |st AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+         |         CAST(sum(w) AS BIGINT) sw, CAST(sum(w * w) AS BIGINT) sw2
+         |       FROM w GROUP BY 1),
+         |f AS (SELECT source, n_docs, sw, sw2,
+         |        CAST((1000 * sw * sw) // sw2 AS BIGINT) ess_milli
+         |      FROM st)
+         |SELECT source, n_docs, sw, sw2, ess_milli,
+         |  CAST(1000000 - (1000 * ess_milli) // n_docs AS BIGINT) dedup_tax_ppm
+         |FROM f ORDER BY source""".stripMargin,
 
     // q218 oracle: same decile formula and stoplist membership.
     "q218_positional_drift" ->
