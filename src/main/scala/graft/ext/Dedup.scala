@@ -783,16 +783,16 @@ object Dedup {
     // cost must be candidate-sized, not corpus-sized — at 100 TB the
     // candidate set is a vanishing fraction of the corpus and the
     // full-corpus collect_list would dwarf the join it feeds.
-    val inCands = cands.select(col("doc_a").as("doc"))
-      .union(cands.select(col("doc_b").as("doc"))).distinct()
-    // Broadcast the candidate-doc list: it is the verification working
-    // set (≤ 2·|candidate pairs| longs — the prefix filter's whole job
-    // is keeping that bounded), and without the hint the semi-join
-    // plans as a sort-merge that re-sorts the full shingle stream
-    // (measured +2.3 s at sf0.1; at scale it would re-shuffle the
-    // corpus to save an already-small aggregate).
-    val sets = shRows.join(broadcast(inCands), Seq("doc"), "left_semi")
-      .groupBy(col("doc"))
+    // Deliberately NOT pre-restricted to candidate docs. Both restricted
+    // forms were built and measured at sf0.1 and both lost: a semi-join
+    // re-sorts the full shingle stream (4.7 s → 8.8 s in the full bench)
+    // and a broadcast of the candidate-doc list thrashes the driver
+    // exactly when the session-artifact cache is full (4.7 s → 16.0 s).
+    // The plain aggregate-then-join shuffles the shingle stream ONCE and
+    // the join prunes to candidate rows on the build side. On a real
+    // cluster the gram-set table is the stored doc-signature artifact
+    // (SCALE.md) and the question disappears.
+    val sets = shRows.groupBy(col("doc"))
       .agg(sort_array(collect_list(col("s"))).as("gs"),
         count(lit(1)).as("n"))
     cands
