@@ -608,6 +608,42 @@ object AnalyticsQueries {
             .as("auc_ppm"))
     }),
 
+    // Quantile-quantile drift between the two halves of the event
+    // timeline — the full displacement profile q178's single KS max
+    // cannot show (a tail-only shift and a median shift have the same
+    // D but opposite remedies). Period split is VALUE-based (epoch-us
+    // midpoint of min/max — no sort, q207's checkpoint discipline);
+    // quantiles are exact interpolations at binary fractions
+    // (.25/.5/.75/.875) over milli-quantized BIGINTs — every
+    // interpolation op is exact in IEEE double (the q57 parity
+    // precedent), so both engines produce identical bits.
+    "q220_qq_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          expr("CAST(floor(value * 1000) AS BIGINT)").as("x"))
+      val mid = ev.agg(expr("CAST((min(us) + max(us)) DIV 2 AS BIGINT)")
+        .as("mid"))
+      val per = ev.crossJoin(broadcast(mid))
+        .withColumn("period", when(col("us") < col("mid"), "a").otherwise("b"))
+        .groupBy(col("event_type"), col("period"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(x, array(0.25D, 0.5D, 0.75D, 0.875D))").as("p"))
+      def leg(suffix: String) = per.where(col("period") === suffix)
+        .select(col("event_type"), col("n").as(s"n_$suffix"),
+          element_at(col("p"), 1).as(s"p25_$suffix"),
+          element_at(col("p"), 2).as(s"p50_$suffix"),
+          element_at(col("p"), 3).as(s"p75_$suffix"),
+          element_at(col("p"), 4).as(s"p875_$suffix"))
+      leg("a").join(leg("b"), "event_type")
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          col("p25_a"), col("p25_b"), (col("p25_b") - col("p25_a")).as("d25"),
+          col("p50_a"), col("p50_b"), (col("p50_b") - col("p50_a")).as("d50"),
+          col("p75_a"), col("p75_b"), (col("p75_b") - col("p75_a")).as("d75"),
+          col("p875_a"), col("p875_b"),
+          (col("p875_b") - col("p875_a")).as("d875"))
+        .orderBy(col("event_type"))
+    }),
+
     // Lead-lag regression between event-type daily series — WHICH
     // metric leads which, the cross-series question the per-series
     // monitors (q171/q172/q209) cannot ask: for every ordered type pair
@@ -2648,6 +2684,31 @@ object AnalyticsQueries {
         |  CAST(CASE WHEN ae_naive > 0 THEN (1000000 * ae_seasonal) // ae_naive
         |    ELSE -1 END AS BIGINT) mase_ppm
         |FROM sc ORDER BY event_type""".stripMargin,
+
+    // q220 oracle: same value-based midpoint split and binary-fraction
+    // exact interpolated quantiles (quantile_cont ≡ Spark percentile).
+    "q220_qq_drift" ->
+      """WITH ev AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) us,
+        |    CAST(floor(value * 1000) AS BIGINT) x
+        |  FROM events),
+        |m AS (SELECT CAST((min(us) + max(us)) // 2 AS BIGINT) mid FROM ev),
+        |per AS (SELECT event_type,
+        |    CASE WHEN us < mid THEN 'a' ELSE 'b' END period,
+        |    CAST(count(*) AS BIGINT) n,
+        |    quantile_cont(x, 0.25) p25, quantile_cont(x, 0.5) p50,
+        |    quantile_cont(x, 0.75) p75, quantile_cont(x, 0.875) p875
+        |  FROM ev CROSS JOIN m GROUP BY 1, 2),
+        |a AS (SELECT event_type, n n_a, p25 p25_a, p50 p50_a, p75 p75_a,
+        |        p875 p875_a FROM per WHERE period = 'a'),
+        |b AS (SELECT event_type, n n_b, p25 p25_b, p50 p50_b, p75 p75_b,
+        |        p875 p875_b FROM per WHERE period = 'b')
+        |SELECT event_type, n_a, n_b,
+        |  p25_a, p25_b, p25_b - p25_a d25,
+        |  p50_a, p50_b, p50_b - p50_a d50,
+        |  p75_a, p75_b, p75_b - p75_a d75,
+        |  p875_a, p875_b, p875_b - p875_a d875
+        |FROM a JOIN b USING (event_type) ORDER BY event_type""".stripMargin,
 
     // q215 oracle: same unit quantization, per-type anchors, epoch-us
     // lag join and moment identities.
