@@ -954,6 +954,43 @@ object ExtQueries {
       sharedSpansTable(s, d)
         .orderBy("a", "b", "a_pos", "b_pos")),
 
+    // WHERE does duplicated text live inside documents? Each shared-span
+    // occurrence (both sides of every q132 pair) lands in a
+    // relative-position decile of its host doc (q218's integer formula);
+    // per decile: occurrences, duplicated token mass, and its share of
+    // the decile's total token mass in ppm. Headers-vs-footers is the
+    // actionable split — a footer-heavy profile says chunk-grain
+    // excision (q138) suffices; a uniform profile says whole-doc dedup.
+    // Rides the session span artifact + token profile; one union, one
+    // join, one groupBy.
+    "q221_span_position_profile" -> ((s, d) => {
+      val sp = sharedSpansTable(s, d)
+      val occ = sp.select(col("a").as("doc"), col("a_pos").as("pos"),
+          col("span_tokens"))
+        .unionByName(sp.select(col("b").as("doc"), col("b_pos").as("pos"),
+          col("span_tokens")))
+      val nTok = docProfile(s, d)
+        .select(col("doc_id").cast("long").as("doc"),
+          col("n_tokens").cast("long").as("ntok"))
+        .where(col("ntok") > 0)
+      val decTok = posPostings(s, d).join(nTok, "doc")
+        .select(expr("CAST(((pos - 1) * 10) DIV ntok AS BIGINT)").as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("n_decile_tokens"))
+      occ.join(nTok, "doc")
+        .select(expr("CAST(((pos - 1) * 10) DIV ntok AS BIGINT)").as("decile"),
+          col("span_tokens"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_tokens")).as("dup_tokens"))
+        .join(decTok, Seq("decile"), "right")
+        .select(col("decile"), coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          col("n_decile_tokens"),
+          expr("CAST((1000000 * coalesce(dup_tokens, 0)) DIV n_decile_tokens " +
+            "AS BIGINT)").as("dup_share_ppm"))
+        .orderBy(col("decile"))
+    }),
+
     // Span families: connected components over the shared-span pair
     // graph — documents transitively joined by >=15-token exact overlaps
     // form one family (the unit a span-dedup pass processes together, and
@@ -2270,6 +2307,46 @@ object ExtQueries {
          |FROM g GROUP BY a, b, diag, grp
          |HAVING count(*) + 9 >= 15
          |ORDER BY a, b, a_pos, b_pos""".stripMargin,
+
+    // q221 oracle: the q132 span chain, both occurrence sides unnested
+    // into host-doc deciles against the q218 decile token mass.
+    "q221_span_position_profile" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split($normSql, ' '), x -> len(x) > 0) t
+         |  FROM documents),
+         |w AS (SELECT doc_id, i,
+         |        ('0x' || substr(md5(array_to_string(t[i:i+9], ' ')), 1, 15))::BIGINT h
+         |      FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 9)) AS i) s
+         |      WHERE len(t) >= 10),
+         |rare AS (SELECT h FROM w GROUP BY h HAVING count(*) <= 50),
+         |wf AS (SELECT w.* FROM w JOIN rare USING (h)),
+         |p AS (SELECT x.doc_id a, y.doc_id b, x.i pa, y.i pb, x.i - y.i diag
+         |      FROM wf x JOIN wf y ON x.h = y.h AND x.doc_id < y.doc_id),
+         |g AS (SELECT a, b, diag, pa, pb,
+         |        pa - row_number() OVER (PARTITION BY a, b, diag ORDER BY pa) grp
+         |      FROM p),
+         |sp AS (SELECT a, b, min(pa) a_pos, min(pb) b_pos,
+         |         count(*) + 9 span_tokens
+         |       FROM g GROUP BY a, b, diag, grp
+         |       HAVING count(*) + 9 >= 15),
+         |occ AS (SELECT a doc, a_pos pos, span_tokens FROM sp
+         |        UNION ALL SELECT b, b_pos, span_tokens FROM sp),
+         |nt AS (SELECT doc_id doc, CAST(len(t) AS BIGINT) ntok FROM tok
+         |       WHERE len(t) > 0),
+         |ti AS (SELECT doc_id, generate_subscripts(t, 1) i FROM tok),
+         |dt AS (SELECT CAST(((ti.i - 1) * 10) // ntok AS BIGINT) decile,
+         |         CAST(count(*) AS BIGINT) n_decile_tokens
+         |       FROM ti JOIN nt ON nt.doc = ti.doc_id
+         |       GROUP BY 1),
+         |ds AS (SELECT CAST(((pos - 1) * 10) // ntok AS BIGINT) decile,
+         |         CAST(count(*) AS BIGINT) n_spans,
+         |         CAST(sum(span_tokens) AS BIGINT) dup_tokens
+         |       FROM occ JOIN nt USING (doc) GROUP BY 1)
+         |SELECT dt.decile, COALESCE(n_spans, 0) n_spans,
+         |  COALESCE(dup_tokens, 0) dup_tokens, n_decile_tokens,
+         |  CAST((1000000 * COALESCE(dup_tokens, 0)) // n_decile_tokens
+         |    AS BIGINT) dup_share_ppm
+         |FROM dt LEFT JOIN ds USING (decile) ORDER BY dt.decile""".stripMargin,
 
     "q136_span_families" ->
       s"""WITH RECURSIVE tok AS (
