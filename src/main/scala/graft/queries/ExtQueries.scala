@@ -393,6 +393,40 @@ object ExtQueries {
         .orderBy(col("band_size"))
     }),
 
+    // The LSH S-curve, measured against theory — the textbook collision
+    // probability P(candidate | J) = 1 − (1 − J^r)^b for the PRODUCTION
+    // banding (r=2, b=4), evaluated per 50-milli exact-Jaccard bin and
+    // set next to the measured candidate rate from the same signature
+    // table q23 ships. The theoretical curve is integer-quantized at
+    // the bin midpoint (jr = J², q = 1 − jr, P = 1 − q⁴, all in
+    // milli/ppm fixed point — no pow, no libm), so the oracle
+    // reproduces it bit-for-bit; the measured-vs-theory gap is the
+    // finite-signature (8-hash) deviation the audit exists to expose.
+    // One join of two session artifacts + a bin groupBy.
+    "q222_lsh_s_curve" -> ((s, d) => {
+      val truth = jaccardTruth(s, d)
+        .select(col("doc_a"), col("doc_b"),
+          expr("CAST((1000 * n_inter) DIV (n_a + n_b - n_inter) AS BIGINT)")
+            .as("jm"))
+      val cand = Dedup.lshCandidatePairs(minhashSigs(s, d), 8, 2)
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .withColumn("c", lit(1L))
+      truth.withColumn("bin", expr("jm DIV 50"))
+        .join(cand, Seq("doc_a", "doc_b"), "left")
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("c")), lit(0L)).as("n_collided"))
+        .withColumn("q", lit(1000L) -
+          expr("((bin * 50 + 25) * (bin * 50 + 25)) DIV 1000"))
+        .select((col("bin") * 50).as("j_bin_milli"), col("n_pairs"),
+          col("n_collided"),
+          expr("CAST((1000000 * n_collided) DIV n_pairs AS BIGINT)")
+            .as("measured_ppm"),
+          expr("CAST(1000000 - (q * q * q * q) DIV 1000000 AS BIGINT)")
+            .as("theo_ppm"))
+        .orderBy(col("j_bin_milli"))
+    }),
+
     // Deletion propagation (right-to-be-forgotten maintenance): purge a
     // tombstone set (here: every src2 doc) from the first-occurrence
     // claim index (q184's artifact) INCREMENTALLY and report the repair
@@ -1825,6 +1859,35 @@ object ExtQueries {
          |JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE 5 * i >= 1 * (ca.n + cb.n - i)
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q222 oracle: same exact-Jaccard bins over the truth chain, raw
+    // band candidates (pre-verification), identical fixed-point curve.
+    "q222_lsh_s_curve" ->
+      s"""$lshPairCtes,
+         |sh2 AS (SELECT DISTINCT doc_id, w || ' ' || t[i+1] s FROM u WHERE i < len(t)),
+         |cnt AS (SELECT doc_id, count(*) n FROM sh2 GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i
+         |          FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b,
+         |            CAST((1000 * i) // (ca.n + cb.n - i) AS BIGINT) jm
+         |          FROM inter
+         |          JOIN cnt ca ON doc_a = ca.doc_id
+         |          JOIN cnt cb ON doc_b = cb.doc_id
+         |          WHERE 5 * i >= 1 * (ca.n + cb.n - i)),
+         |cd AS (SELECT DISTINCT da, db FROM cand),
+         |bi AS (SELECT jm // 50 bin,
+         |         CASE WHEN cd.da IS NOT NULL THEN 1 ELSE 0 END c
+         |       FROM truth LEFT JOIN cd
+         |         ON cd.da = truth.doc_a AND cd.db = truth.doc_b),
+         |g AS (SELECT bin, CAST(count(*) AS BIGINT) n_pairs,
+         |        CAST(sum(c) AS BIGINT) n_collided,
+         |        1000 - ((bin * 50 + 25) * (bin * 50 + 25)) // 1000 q
+         |      FROM bi GROUP BY 1)
+         |SELECT CAST(bin * 50 AS BIGINT) j_bin_milli, n_pairs, n_collided,
+         |  CAST((1000000 * n_collided) // n_pairs AS BIGINT) measured_ppm,
+         |  CAST(1000000 - (q * q * q * q) // 1000000 AS BIGINT) theo_ppm
+         |FROM g ORDER BY j_bin_milli""".stripMargin,
 
     "q149_lsh_dedup_recall" ->
       s"""$lshPairCtes,
