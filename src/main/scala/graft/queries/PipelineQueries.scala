@@ -583,6 +583,29 @@ object PipelineQueries {
           "o_orderpriority", 8)
         .orderBy(col("o_orderpriority"))),
 
+    // HLL accuracy sweep — the operating curve q81's single point
+    // cannot show (the q198/q189 audit discipline applied to
+    // cardinality estimation): the same estimator at b = 4/8/12
+    // register bits, each group's estimate against the exact distinct
+    // count in ppm, with the published 1.04/√m standard error alongside
+    // as a literal. The sweep is how a pipeline picks its sketch width
+    // from measured — not assumed — error; b=4's bias (the alpha
+    // approximation + linear-counting branch) shows up honestly because
+    // the baseline is exact, not theory.
+    "q223_hll_error_sweep" -> ((s, d) => {
+      val se = Map(4 -> 260000L, 8 -> 65000L, 12 -> 16250L)
+      Seq(4, 8, 12).map { b =>
+        graft.ext.Sketches.hllDistinct(Tables.orders(s, d), "o_custkey",
+            "o_orderpriority", b)
+          .select(lit(b).as("b"), col("o_orderpriority"), col("n_exact"),
+            col("n_buckets").cast("long").as("n_buckets"), col("est_milli"),
+            expr("CAST((1000 * abs(est_milli - 1000 * n_exact)) " +
+              "DIV n_exact AS BIGINT)").as("err_ppm"),
+            lit(se(b)).as("theo_se_ppm"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("b"), col("o_orderpriority"))
+    }),
+
     // BPE merge-candidate statistics: top-50 adjacent token pairs by
     // corpus frequency (one merge round of a tokenizer build).
     "q82_bpe_pairs" -> ((s, d) =>
@@ -1596,6 +1619,52 @@ object PipelineQueries {
     // (BIGINT-exact), one float division + one ×1000 scaling — the exact
     // op sequence Sketches.hllDistinct evaluates, so doubles agree
     // bit-for-bit.
+    // q223 oracle: the q81 estimator chain parametrized by b, one leg
+    // per width, same alpha/linear-counting branches and milli floor.
+    "q223_hll_error_sweep" -> {
+      def leg(b: Int, seTheo: Long): String = {
+        val hex = b / 4
+        val m = 1L << b
+        s"""SELECT $b b, ex.g AS o_orderpriority, n_exact,
+           |  CAST(nb AS BIGINT) n_buckets,
+           |  CAST(floor(est * 1000.0) AS BIGINT) est_milli,
+           |  CAST((1000 * abs(CAST(floor(est * 1000.0) AS BIGINT)
+           |    - 1000 * n_exact)) // n_exact AS BIGINT) err_ppm,
+           |  CAST($seTheo AS BIGINT) theo_se_ppm
+           |FROM (
+           |  SELECT g, nb,
+           |    CASE WHEN raw <= ${2.5 * m} AND nb < $m
+           |      THEN $m.0 * ln($m.0 / CAST($m - nb AS DOUBLE))
+           |      ELSE raw END est
+           |  FROM (
+           |    SELECT g, nb,
+           |      (0.7213 / (1.0 + 1.079 / $m.0)) * ${m.toDouble * m}
+           |        * 281474976710656.0 / CAST(s_total AS DOUBLE) raw
+           |    FROM (
+           |      SELECT g, CAST(count(*) AS BIGINT) nb,
+           |        CAST(sum(CAST(1 AS BIGINT) << (48 - r)) AS BIGINT)
+           |          + ($m - CAST(count(*) AS BIGINT)) * 281474976710656 s_total
+           |      FROM (
+           |        SELECT g, CAST(concat('0x', substr(h, 1, $hex)) AS INT) bucket,
+           |          max(CASE WHEN x > 0 THEN 33 - length(bin(x)) ELSE 33 END) r
+           |        FROM (SELECT o_orderpriority g,
+           |                md5(CAST(o_custkey AS VARCHAR)) h,
+           |                CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)),
+           |                  ${hex + 1}, 8)) AS BIGINT) x
+           |              FROM orders WHERE o_custkey IS NOT NULL)
+           |        GROUP BY 1, 2)
+           |      GROUP BY 1)))
+           |JOIN (SELECT o_orderpriority g, count(DISTINCT o_custkey) n_exact
+           |      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1) ex
+           |  USING (g)""".stripMargin
+      }
+      val legs = Seq((4, 260000L), (8, 65000L), (12, 16250L))
+        .map { case (b, se) => s"(${leg(b, se)})" }.mkString("\nUNION ALL\n")
+      s"""SELECT * FROM (
+         |$legs
+         |) ORDER BY b, o_orderpriority""".stripMargin
+    },
+
     "q81_hll_distinct" ->
       """WITH h AS (SELECT o_orderpriority g, md5(CAST(o_custkey AS VARCHAR)) h
         |           FROM orders WHERE o_custkey IS NOT NULL),
