@@ -805,4 +805,54 @@ object Dedup {
         lit(numJ) * (col("n_a") + col("n_b") - col("n_inter")))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"))
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003) — the MOSS selection rule: over the stream of `gram`-
+    * token window hashes, slide a window of `window` consecutive hashes
+    * and keep the MINIMUM of each (rightmost position on hash ties —
+    * "robust winnowing", §5), then dedupe selections. Guarantees: every
+    * shared run of >= `window + gram - 1` tokens contributes at least
+    * one common fingerprint (no false negatives above the noise
+    * threshold), and expected density is 2/(window+1) — a FIXED sampling
+    * rate, unlike MinHash (whole-doc grain) or [[sharedSpans]] (exact but
+    * a heavier pair stage). This is the cheap screening tier between the
+    * two.
+    *
+    * Mechanics (one window `min`, no UDF): each gram hash packs into a
+    * single BIGINT key `h32 * 2^20 + (2^20-1 - pos)` where
+    * `h32 = h60 % 2^31` ([[windowHashRows]]'s md5-prefix hash reduced to
+    * 31 bits so the pack fits in 51 bits). `min(key)` over the trailing
+    * `window` rows is then EXACTLY the rightmost-min rule: lower hash
+    * wins first, and among equal hashes the larger position (smaller
+    * complement) wins. Positions are contract-capped at 2^20-1 tokens
+    * per document (three orders of magnitude above any real document's
+    * token count; both engines see the same cap arithmetic trivially
+    * satisfied). Selections dedupe with one distinct.
+    *
+    * 100 TB shape: tokenize + hash is scan-speed (mapPartitions); the
+    * winnow min is a per-doc sorted window (one shuffle on doc); output
+    * is ~2n/(window+1) rows — BOUNDED fingerprint density, the property
+    * the paper proves and q225 measures against 2/(w+1) exactly.
+    *
+    * Returns `(doc, pos, fph)`: 1-based gram position of each selected
+    * fingerprint and its 31-bit hash. */
+  def winnowingFingerprints(df: DataFrame, textCol: String, idCol: String,
+                            gram: Int = 4, window: Int = 8): DataFrame = {
+    val w = windowHashRows(df, textCol, idCol, gram)
+    val key = (col("h") % lit(2147483648L)) * lit(1048576L) +
+      (lit(1048575L) - col("pos"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+      .rowsBetween(-(window - 1), 0)
+    w.withColumn("k", key)
+      .withColumn("wmin", min(col("k")).over(win))
+      // Only full winnow windows select (the paper's definition): the
+      // first complete window ends at gram index `window`.
+      .where(col("pos") >= window)
+      .select(col("doc"),
+        (lit(1048575L) - pmod(col("wmin"), lit(1048576L))).as("pos"),
+        expr("wmin DIV 1048576").as("fph"))
+      .distinct()
+  }
 }

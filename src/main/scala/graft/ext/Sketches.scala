@@ -135,4 +135,74 @@ object Sketches {
     cmsBucketRows(df, textCol, idCol, d, w)
       .groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("bucket_sum"))
+
+  /** Misra–Gries k-counter heavy-hitter summary (Misra & Gries 1982),
+    * merged across partitions with the prune rule of Agarwal et al. 2012
+    * ("Mergeable Summaries", §3.1): each partition runs the classic
+    * stream algorithm (increment a tracked key; else admit if a counter
+    * is free; else decrement ALL counters and drop zeros — at most
+    * n/(k+1) decrement events, so amortized O(1)/item); summaries merge
+    * by counter addition followed by subtracting the (k+1)-th largest
+    * count and dropping non-positives, which restores |summary| <= k.
+    *
+    * Deterministic guarantees that hold under ANY partitioning and merge
+    * order (what q226 audits): est(x) <= true(x), and
+    * true(x) − est(x) <= n/(k+1) — so every key with true count
+    * > n/(k+1) is guaranteed present. The summary CONTENT beyond those
+    * guarantees is order-dependent (inherent to MG), which is why q226
+    * emits the invariant facts, never raw estimates.
+    *
+    * 100 TB shape: one scan, k-entry state per partition, driver
+    * crossing = partitions × k counters (model-sized, the centroid
+    * rule) — the CHEAP alternative to a full groupBy when only the
+    * heavy tail matters. CMS (above) answers point queries with an
+    * overestimate; MG lists the heavy keys with an underestimate.
+    *
+    * Returns `(n, summary)`: total non-null key count and the merged
+    * counter map (<= k entries). */
+  def misraGries(df: DataFrame, keyCol: String, k: Int): (Long, Map[String, Long]) = {
+    require(k >= 1 && k <= 4096, s"k out of range: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("string").as("key"))
+      .na.drop().as[String]
+    val parts: Array[(Long, Array[(String, Long)])] =
+      keys.rdd.mapPartitions { it =>
+        val m = new scala.collection.mutable.HashMap[String, Long]
+        var n = 0L
+        it.foreach { key =>
+          n += 1
+          m.get(key) match {
+            case Some(c) => m.update(key, c + 1)
+            case None if m.size < k => m.update(key, 1L)
+            case None =>
+              val ks = m.keys.toArray
+              var i = 0
+              while (i < ks.length) {
+                val c = m(ks(i)) - 1
+                if (c == 0) m.remove(ks(i)) else m.update(ks(i), c)
+                i += 1
+              }
+          }
+        }
+        Iterator.single((n, m.toArray))
+      }.collect()
+    var total = 0L
+    val acc = new scala.collection.mutable.HashMap[String, Long]
+    parts.foreach { case (n, arr) =>
+      total += n
+      arr.foreach { case (kk, c) => acc.update(kk, acc.getOrElse(kk, 0L) + c) }
+      if (acc.size > k) {
+        val sub = acc.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+        val ks = acc.keys.toArray
+        var i = 0
+        while (i < ks.length) {
+          val c = acc(ks(i)) - sub
+          if (c <= 0) acc.remove(ks(i)) else acc.update(ks(i), c)
+          i += 1
+        }
+      }
+    }
+    (total, acc.toMap)
+  }
 }

@@ -76,6 +76,16 @@ object ExtQueries {
       Dedup.sharedSpans(Tables.documents(s, d), "text", "doc_id",
         window = 10, minSpan = 15, maxPostings = 50))
 
+  /** Shared per-session winnowing fingerprint table `(doc, pos, fph)`
+    * (Schleimer et al. 2003, 4-token grams winnowed over w=8 windows) —
+    * the cheap screening tier of the dedup ladder, consumed by q224
+    * (fingerprint-sharing pairs) and q225 (the density audit). Like the
+    * span table, a persisted artifact in a real pipeline. */
+  private[queries] def winnowFps(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"winnow_fps:$d")(
+      Dedup.winnowingFingerprints(Tables.documents(s, d), "text", "doc_id",
+        gram = 4, window = 8))
+
   /** Shared per-session cell-local kNN graph over `embeddings` (k=3,
     * nlist=16) — consumed by q63 (the graph itself) and q93 (PageRank
     * over it); like [[simhashSigs]], a persisted artifact in a real
@@ -987,6 +997,61 @@ object ExtQueries {
     "q132_shared_spans" -> ((s, d) =>
       sharedSpansTable(s, d)
         .orderBy("a", "b", "a_pos", "b_pos")),
+
+    // Winnowing fingerprint matching (Schleimer et al. 2003, the MOSS
+    // screening rule): doc pairs sharing >= 3 selected fingerprints,
+    // with each side's fingerprint count for containment context. Sits
+    // between MinHash (whole-doc similarity, no locality) and q132's
+    // ExactSubstr (exact spans, heavier pair stage) on the dedup ladder:
+    // guaranteed to catch any shared run >= w+k-1 = 11 tokens while
+    // sampling only ~2/(w+1) of gram hashes. Fingerprints over 50 docs
+    // are contract-dropped (the q132 boilerplate guard; oracle applies
+    // the identical HAVING) so pairing stays inside bounded postings.
+    "q224_winnowing_pairs" -> ((s, d) => {
+      val fpd = winnowFps(s, d).select(col("doc"), col("fph")).distinct()
+      val rare = fpd.groupBy(col("fph")).agg(count(lit(1)).as("nd"))
+        .where(col("nd") <= 50).select(col("fph"))
+      val f2 = fpd.join(rare, "fph")
+      val cnt = f2.groupBy(col("doc")).agg(count(lit(1)).as("n_fp"))
+      f2.as("x").join(f2.as("y"),
+          col("x.fph") === col("y.fph") && col("x.doc") < col("y.doc"))
+        .groupBy(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3)
+        .join(cnt.select(col("doc").as("doc_a"), col("n_fp").as("n_a")), "doc_a")
+        .join(cnt.select(col("doc").as("doc_b"), col("n_fp").as("n_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          col("n_a"), col("n_b"))
+        .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+    }),
+
+    // Winnowing density audit (the q222/q223 measured-vs-theory
+    // discipline applied to fingerprint selection): per source, selected
+    // fingerprints per gram hash in ppm against the paper's proven
+    // expected density 2/(w+1) (§4: 222222 ppm at w=8). Denominators
+    // derive from the token profile (n_grams = n_tokens-3 per doc, the
+    // winnowable windows n_tokens-10), numerator is the session
+    // fingerprint artifact — no re-tokenize. Measured < theory is the
+    // honest signature of DEDUPED selections (repeated text re-selects
+    // the same (pos, hash) once); a uniform-random stream would sit on
+    // the curve.
+    "q225_winnow_density" -> ((s, d) => {
+      val nt = docProfile(s, d)
+        .select(col("doc_id").cast("long").as("doc"), col("source"),
+          col("n_tokens").cast("long").as("ntok"))
+      val denom = nt.groupBy(col("source"))
+        .agg(sum(greatest(col("ntok") - 3, lit(0L))).as("n_grams"),
+          sum(greatest(col("ntok") - 10, lit(0L))).as("n_windows"))
+      val numer = winnowFps(s, d)
+        .join(nt.select(col("doc"), col("source")), "doc")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
+      denom.join(numer, "source")
+        .select(col("source"), col("n_grams"), col("n_windows"), col("n_fp"),
+          expr("CAST((1000000 * n_fp) DIV n_grams AS BIGINT)")
+            .as("density_ppm"),
+          lit(222222L).as("theo_density_ppm"))
+        .orderBy(col("source"))
+    }),
 
     // WHERE does duplicated text live inside documents? Each shared-span
     // occurrence (both sides of every q132 pair) lands in a
@@ -2370,6 +2435,65 @@ object ExtQueries {
          |FROM g GROUP BY a, b, diag, grp
          |HAVING count(*) + 9 >= 15
          |ORDER BY a, b, a_pos, b_pos""".stripMargin,
+
+    // q224/q225 oracle chain: 4-token gram hashes (the q132 md5-prefix
+    // discipline), packed key h32*2^20 + (2^20-1-i), one trailing-window
+    // min = the rightmost-min winnow rule, DISTINCT selections.
+    "q224_winnowing_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split($normSql, ' '), x -> len(x) > 0) t
+         |  FROM documents),
+         |w AS (SELECT doc_id, i,
+         |        ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15))::BIGINT h
+         |      FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 3)) AS i) s
+         |      WHERE len(t) >= 4),
+         |m AS (SELECT doc_id, i,
+         |        min((h % 2147483648) * 1048576 + (1048575 - i))
+         |          OVER (PARTITION BY doc_id ORDER BY i
+         |                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) wmin
+         |      FROM w),
+         |fp AS (SELECT DISTINCT doc_id, 1048575 - (wmin % 1048576) pos,
+         |         wmin // 1048576 fph
+         |       FROM m WHERE i >= 8),
+         |fpd AS (SELECT DISTINCT doc_id, fph FROM fp),
+         |rare AS (SELECT fph FROM fpd GROUP BY fph HAVING count(*) <= 50),
+         |f2 AS (SELECT fpd.* FROM fpd JOIN rare USING (fph)),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_fp FROM f2 GROUP BY 1),
+         |p AS (SELECT x.doc_id a, y.doc_id b, CAST(count(*) AS BIGINT) n_shared
+         |      FROM f2 x JOIN f2 y ON x.fph = y.fph AND x.doc_id < y.doc_id
+         |      GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT a doc_a, b doc_b, n_shared, ca.n_fp n_a, cb.n_fp n_b
+         |FROM p JOIN cnt ca ON ca.doc_id = p.a
+         |  JOIN cnt cb ON cb.doc_id = p.b
+         |ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin,
+
+    "q225_winnow_density" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split($normSql, ' '), x -> len(x) > 0) t
+         |  FROM documents),
+         |w AS (SELECT doc_id, i,
+         |        ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15))::BIGINT h
+         |      FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 3)) AS i) s
+         |      WHERE len(t) >= 4),
+         |m AS (SELECT doc_id, i,
+         |        min((h % 2147483648) * 1048576 + (1048575 - i))
+         |          OVER (PARTITION BY doc_id ORDER BY i
+         |                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) wmin
+         |      FROM w),
+         |fp AS (SELECT DISTINCT doc_id, 1048575 - (wmin % 1048576) pos,
+         |         wmin // 1048576 fph
+         |       FROM m WHERE i >= 8),
+         |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) ntok FROM tok),
+         |den AS (SELECT d.source,
+         |          CAST(sum(greatest(ntok - 3, 0)) AS BIGINT) n_grams,
+         |          CAST(sum(greatest(ntok - 10, 0)) AS BIGINT) n_windows
+         |        FROM nt JOIN documents d USING (doc_id) GROUP BY 1),
+         |num AS (SELECT d.source, CAST(count(*) AS BIGINT) n_fp
+         |        FROM fp JOIN documents d USING (doc_id) GROUP BY 1)
+         |SELECT source, n_grams, n_windows, n_fp,
+         |  CAST((1000000 * n_fp) // n_grams AS BIGINT) density_ppm,
+         |  CAST(222222 AS BIGINT) theo_density_ppm
+         |FROM den JOIN num USING (source) ORDER BY source""".stripMargin,
 
     // q221 oracle: the q132 span chain, both occurrence sides unnested
     // into host-doc deciles against the q218 decile token mass.

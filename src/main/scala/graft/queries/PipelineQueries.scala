@@ -606,6 +606,38 @@ object PipelineQueries {
         .orderBy(col("b"), col("o_orderpriority"))
     }),
 
+    // Misra–Gries heavy-hitter audit (Misra & Gries 1982; mergeable
+    // per Agarwal et al. 2012): a k=256-counter summary over the corpus
+    // token stream, audited against its two theorems — every token with
+    // exact count > n/(k+1) is captured, and its estimate undershoots by
+    // at most n/(k+1). The summary CONTENT is inherently order-
+    // dependent, so the query emits only the order-INVARIANT facts: the
+    // required heavy tokens (exactly reproducible by the oracle) and
+    // the theorem booleans, which the Spark side computes from the REAL
+    // sketch (a violated bound turns a TRUE into FALSE and the compare
+    // red). CMS (q104) answers point queries with an overestimate; MG
+    // lists heavy keys with a bounded underestimate — one scan, k-entry
+    // partition state, driver crossing = partitions × k counters.
+    "q226_misra_gries" -> ((s, d) => {
+      import s.implicits._
+      val k = 256
+      val toks = TextAnalysis.tokenRows(Tables.documents(s, d), "text", "doc_id")
+        .select(col("token"))
+      val (n, summ) = graft.ext.Sketches.misraGries(toks, "token", k)
+      val thr = n / (k + 1)
+      val est = summ.toSeq.toDF("token", "est_cnt")
+      ExtQueries.docTokenCounts(s, d)
+        .where(col("cnt") > thr)
+        .join(broadcast(est), Seq("token"), "left")
+        .select(col("token"), col("cnt").cast("long").as("exact_cnt"),
+          lit(n).as("n_stream"), lit(thr).as("threshold"), lit(k).as("k"),
+          col("est_cnt").isNotNull.cast("int").as("captured"),
+          (col("est_cnt").isNotNull && col("est_cnt") <= col("cnt") &&
+            col("cnt") - col("est_cnt") <= lit(thr)).cast("int")
+            .as("est_within_bound"))
+        .orderBy(col("exact_cnt").desc, col("token"))
+    }),
+
     // BPE merge-candidate statistics: top-50 adjacent token pairs by
     // corpus frequency (one merge round of a tokenizer build).
     "q82_bpe_pairs" -> ((s, d) =>
@@ -1030,6 +1062,23 @@ object PipelineQueries {
          |SELECT doc_id, n_grams, n_hit,
          |  CAST((1000000 * n_hit) // n_grams AS BIGINT) AS hit_ppm
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    // q226 oracle: the required heavy set is exact SQL; the theorem
+    // columns are literals BECAUSE they are theorems — the Spark side
+    // computes them from the live sketch, so a broken implementation
+    // (a missing heavy key, an out-of-bound estimate) flips a boolean
+    // and fails the hash compare.
+    "q226_misra_gries" ->
+      s"""${ExtQueries.tokCte},
+         |p AS (SELECT unnest(t) token FROM tok),
+         |f AS (SELECT token, CAST(count(*) AS BIGINT) exact_cnt
+         |      FROM p GROUP BY 1),
+         |t AS (SELECT CAST(sum(exact_cnt) AS BIGINT) n_stream FROM f)
+         |SELECT token, exact_cnt, n_stream,
+         |  CAST(n_stream // 257 AS BIGINT) threshold, CAST(256 AS INT) k,
+         |  CAST(1 AS INT) captured, CAST(1 AS INT) est_within_bound
+         |FROM f, t WHERE exact_cnt > n_stream // 257
+         |ORDER BY exact_cnt DESC, token""".stripMargin,
 
     "q65_vocab_topk" ->
       s"""${ExtQueries.tokCte},

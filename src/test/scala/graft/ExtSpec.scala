@@ -149,6 +149,51 @@ class ExtSpec extends AnyFunSuite {
     graft.ops.TransientCache.releaseAll()
   }
 
+  test("winnowing: matches a brute-force rightmost-min reference winnow") {
+    // The packed-key window-min trick must reproduce the paper's robust
+    // winnowing selection exactly: brute-force every w-window of gram
+    // hashes on the driver, pick the min (rightmost on ties), dedupe.
+    val text = (1 to 60).map(i => s"tok${i % 17}x$i").mkString(" ")
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val gram = 4; val w = 8
+    val got = Dedup.winnowingFingerprints(docs, "text", "doc_id", gram, w)
+      .collect().map(r => (r.getAs[Long]("pos"), r.getAs[Long]("fph"))).toSet
+    val toks = TextAnalysis.tokenizeJvm(TextAnalysis.normalizeJvm(text))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = (0 to toks.length - gram).map { i =>
+      val b = md.digest(toks.slice(i, i + gram).mkString(" ").getBytes("UTF-8"))
+      var v = 0L; (0 until 8).foreach(j => v = (v << 8) | (b(j) & 0xffL))
+      (v >>> 4) % 2147483648L  // h60 reduced to 31 bits, as the operator does
+    }
+    val expect = scala.collection.mutable.Set[(Long, Long)]()
+    for (end <- (w - 1) until hashes.length) {  // 0-based full windows
+      val win = (end - w + 1) to end
+      val minH = win.map(hashes).min
+      val sel = win.filter(j => hashes(j) == minH).max  // rightmost tie
+      expect += ((sel + 1L, hashes(sel)))               // 1-based pos
+    }
+    assert(got == expect.toSet,
+      s"winnow selection diverged: got ${got.size}, expect ${expect.size}")
+  }
+
+  test("winnowing: any shared run >= w+gram-1 tokens shares a fingerprint") {
+    // The paper's guarantee (t = w+k-1 noise threshold): an 11-token
+    // shared run between otherwise-disjoint docs must collide on at
+    // least one selected fingerprint.
+    val shared = (1 to 11).map(i => s"common$i").mkString(" ")
+    val d1 = (1 to 30).map(i => s"alpha$i").mkString(" ") + " " + shared
+    val d2 = shared + " " + (1 to 30).map(i => s"omega$i").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val fp = Dedup.winnowingFingerprints(docs, "text", "doc_id", 4, 8)
+    val byDoc = fp.collect().groupBy(_.getAs[Long]("doc"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("fph")).toSet }
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "guaranteed fingerprint collision missing")
+    // Density stays bounded: selections never exceed full windows.
+    val toks1 = TextAnalysis.tokenizeJvm(TextAnalysis.normalizeJvm(d1)).length
+    assert(byDoc(1L).size <= toks1 - 4 - 8 + 2)
+  }
+
   test("sharedSpans: sub-minSpan overlaps and over-cap boilerplate are dropped") {
     val short = (1 to 12).map(i => s"s$i").mkString(" ")   // 12 < minSpan 15
     val d1 = short + " " + (1 to 10).map(i => s"a$i").mkString(" ")

@@ -523,4 +523,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"),
       s"resize plan must not aggregate:\n$p")
   }
+
+  test("q224 winnowing: pairing is an equi-join on the fingerprint hash, no product") {
+    val p = plan("q224_winnowing_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fingerprint pairing must stay inside posting lists:\n$p")
+    // The winnow itself is ONE running-min window over (doc, pos) — the
+    // selection must not expand into a per-window self-join.
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"winnow min window missing:\n$p")
+  }
 }

@@ -87,4 +87,34 @@ class SketchSpec extends AnyFunSuite {
         s"seed $seed: union k-min must be computable from the sketches")
     }
   }
+
+  test("misraGries: theorems hold under skew, shuffling, and repartitioning") {
+    import spark.implicits._
+    // Zipf-ish stream: key i appears 2000/i times, i in 1..60, plus a
+    // long tail of singletons — shuffled deterministically and split
+    // across 7 partitions so the mergeable-summaries path is exercised.
+    val stream = (1 to 60).flatMap(i => Seq.fill(2000 / i)(s"hh$i")) ++
+      (1 to 3000).map(i => s"tail$i")
+    val shuffled = new scala.util.Random(12345).shuffle(stream)
+    val exact = stream.groupBy(identity).map { case (kk, v) => kk -> v.size.toLong }
+    for (k <- Seq(16, 64)) {
+      val (n, summ) = Sketches.misraGries(
+        shuffled.toDF("key").repartition(7), "key", k)
+      assert(n == stream.size.toLong)
+      val bound = n / (k + 1)
+      assert(summ.size <= k)
+      exact.foreach { case (kk, cnt) =>
+        val est = summ.getOrElse(kk, 0L)
+        assert(est <= cnt, s"k=$k: overestimate on $kk: $est > $cnt")
+        assert(cnt - est <= bound,
+          s"k=$k: bound violated on $kk: $cnt - $est > $bound")
+        if (cnt > bound)
+          assert(summ.contains(kk), s"k=$k: heavy key $kk missing")
+      }
+    }
+    // Empty input: zero stream, empty summary.
+    val (n0, s0) = Sketches.misraGries(
+      Seq.empty[String].toDF("key"), "key", 8)
+    assert(n0 == 0L && s0.isEmpty)
+  }
 }
