@@ -701,6 +701,78 @@ object AnalyticsQueries {
         .orderBy(col("type_x"), col("type_y"), col("lag"))
     }),
 
+    // Theil–Sen robust trend (Theil 1950; Sen 1968): per daily series,
+    // the LOWER MEDIAN of all pairwise slopes — a 29%-breakdown
+    // estimator where one corrupted day moves OLS arbitrarily but the
+    // pairwise-slope median not at all. OLS (the q215 anchored-moment
+    // machinery) sits alongside: the ts-vs-ols gap IS the outlier
+    // signal. Slopes quantize to milli-units/day by one IEEE floor
+    // (operands exact below 2^53, double division correctly rounded —
+    // both engines floor the same quotient, the q57 precedent); the
+    // lower-median rule keeps the output a REAL pairwise slope, never
+    // an average of two. Pairs are days² per series (bounded,
+    // broadcast-scale) — never corpus²; at 100 TB the heavy grain
+    // stays (series, day), exactly like q215.
+    "q227_theilsen" -> ((s, d) => {
+      val daily = graft.ops.TransientCache.persist(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("vq"))
+          .select(col("event_type"),
+            expr("CAST(unix_micros(day) DIV 86400000000 AS BIGINT)").as("didx"),
+            col("vq")))
+      // Per-series anchors (min day, floor-mean value) keep the OLS
+      // moments deviation-sized — the q90/q215 overflow discipline.
+      val anch = daily.groupBy(col("event_type"))
+        .agg(min(col("didx")).as("d0"),
+          expr("sum(vq) DIV count(*)").as("v0"),
+          count(lit(1)).as("n_days"))
+      val dv = daily.join(broadcast(anch), "event_type")
+        .select(col("event_type"), (col("didx") - col("d0")).as("x"),
+          (col("vq") - col("v0")).as("y"))
+      val ols = dv.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          max(abs(col("x"))).as("mx"), max(abs(col("y"))).as("my"))
+        // a-priori bound from un-overflowable inputs (n, max|x|, max|y|) —
+        // the q90/q215 envelope: proves the scaled moment combination
+        // below never wrapped before it is computed.
+        .withColumn("n", col("n") + coalesce(
+          assert_true(
+            col("n").cast("double") * col("n").cast("double") *
+              greatest(col("mx").cast("double") * col("my").cast("double"),
+                col("mx").cast("double") * col("mx").cast("double")) *
+              lit(2002.0) < lit(9.2e18),
+            lit("q227 OLS moments would overflow int64: sub-split the series"))
+            .cast("long"), lit(0L)))
+        .select(col("event_type"),
+          expr("CAST((1000 * (n * sxy - sx * sy)) DIV (n * sxx - sx * sx) " +
+            "AS BIGINT)").as("ols_slope_milli"))
+      val slopes = dv.as("a").join(dv.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.x") < col("b.x"))
+        .select(col("a.event_type").as("event_type"),
+          expr("CAST(floor((1000.0 * CAST(b.y - a.y AS DOUBLE)) / " +
+            "CAST(b.x - a.x AS DOUBLE)) AS BIGINT)").as("sl"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("sl"))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      slopes
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_pairs", count(lit(1)).over(wp))
+        .where(col("rn") === expr("(n_pairs + 1) DIV 2"))
+        .select(col("event_type"), col("n_pairs"),
+          col("sl").as("ts_slope_milli"))
+        .join(broadcast(anch.select(col("event_type"), col("n_days"))),
+          "event_type")
+        .join(ols, "event_type")
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          col("ts_slope_milli"), col("ols_slope_milli"))
+        .orderBy(col("event_type"))
+    }),
+
     // Top event PATHS (length-3 sequences) — the product-analytics
     // "what do users actually do" table one step deeper than q78's
     // transition matrix: two lead() columns over the per-user order,
@@ -2743,6 +2815,41 @@ object AnalyticsQueries {
         |  CASE WHEN varx_n > 0 THEN CAST((1000 * cov_n) // varx_n AS BIGINT)
         |       ELSE CAST(0 AS BIGINT) END slope_milli
         |FROM f ORDER BY type_x, type_y, lag""".stripMargin,
+
+    // q227 oracle: identical anchored daily grain, identical pairwise
+    // floor(1000·dy/dx) quantization, lower median by row position.
+    "q227_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+        |      // 86400000000 AS BIGINT) didx,
+        |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) vq
+        |  FROM events GROUP BY 1, 2),
+        |anch AS (SELECT event_type, min(didx) d0,
+        |           CAST(sum(vq) // count(*) AS BIGINT) v0,
+        |           CAST(count(*) AS BIGINT) n_days
+        |         FROM daily GROUP BY 1),
+        |dv AS (SELECT d.event_type, didx - d0 x, vq - v0 y
+        |       FROM daily d JOIN anch USING (event_type)),
+        |ols AS (SELECT event_type,
+        |          CAST((1000 * (count(*) * sum(x * y) - sum(x) * sum(y)))
+        |            // (count(*) * sum(x * x) - sum(x) * sum(x))
+        |            AS BIGINT) ols_slope_milli
+        |        FROM dv GROUP BY 1),
+        |sl AS (SELECT a.event_type,
+        |         CAST(floor((1000.0 * CAST(b.y - a.y AS DOUBLE)) /
+        |           CAST(b.x - a.x AS DOUBLE)) AS BIGINT) sl
+        |       FROM dv a JOIN dv b ON a.event_type = b.event_type
+        |         AND a.x < b.x),
+        |r AS (SELECT event_type, sl,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY sl) rn,
+        |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) n_pairs
+        |      FROM sl),
+        |med AS (SELECT event_type, n_pairs, sl ts_slope_milli
+        |        FROM r WHERE rn = (n_pairs + 1) // 2)
+        |SELECT m.event_type, n_days, n_pairs, ts_slope_milli, ols_slope_milli
+        |FROM med m JOIN anch USING (event_type) JOIN ols USING (event_type)
+        |ORDER BY m.event_type""".stripMargin,
 
     // q213 oracle: the view recomputed from the FULL join — the compare
     // IS maintenance ≡ recompute.

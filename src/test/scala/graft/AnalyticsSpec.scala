@@ -142,6 +142,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(res(2).getLong(1) == 1L && res(2).getLong(2) == 0L && res(2).getLong(3) == 1L)
   }
 
+  test("q227 Theil–Sen: pair-count identity and median is a realized pairwise slope") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.queries.AnalyticsQueries.defs("q227_theilsen")(spark, d)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nDays = r.getAs[Long]("n_days"); val nPairs = r.getAs[Long]("n_pairs")
+      assert(nPairs == nDays * (nDays - 1) / 2,
+        s"${r.getString(0)}: $nPairs pairs for $nDays days")
+    }
+    // The lower-median rule: the reported slope must be one of the
+    // actual pairwise slopes, reproduced independently on the driver.
+    val daily = Tables.events(spark, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(expr("CAST(floor(value * 1000) AS BIGINT)")).as("vq"))
+      .select(col("event_type"),
+        expr("CAST(unix_micros(day) DIV 86400000000 AS BIGINT)").as("didx"),
+        col("vq"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val pts = daily(r.getString(0))
+        .map(x => (x.getAs[Long]("didx"), x.getAs[Long]("vq"))).sortBy(_._1)
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield math.floor(1000.0 * (pts(j)._2 - pts(i)._2).toDouble /
+          (pts(j)._1 - pts(i)._1).toDouble).toLong).sorted
+      val lowerMed = slopes((slopes.length + 1) / 2 - 1)
+      assert(r.getAs[Long]("ts_slope_milli") == lowerMed,
+        s"${r.getString(0)}: median mismatch")
+    }
+    graft.ops.TransientCache.releaseAll()
+  }
+
   test("edge inputs: empty graphs, null text, degenerate domains don't crash") {
     import spark.implicits._
     // pageRank on an empty edge list -> empty result, no job failure
