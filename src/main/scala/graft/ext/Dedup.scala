@@ -855,4 +855,58 @@ object Dedup {
         expr("wmin DIV 1048576").as("fph"))
       .distinct()
   }
+
+  /** Doc-local typed twin of [[winnowingFingerprints]]: the whole winnow
+    * (gram hashes → rightmost-min window scan → dedupe) runs inside one
+    * `mapPartitions` per document — no window function, no shuffle, no
+    * state — so it is legal on a STREAMING DataFrame where the
+    * partitionBy/orderBy window is not (the `minhashSignaturesTyped`
+    * discipline). Row-identical to the batch operator (StreamingSpec
+    * pins the equivalence, which doubles as an independent check of the
+    * packed-key window-min trick). */
+  def winnowingFingerprintsLocal(df: DataFrame, textCol: String, idCol: String,
+                                 gram: Int = 4, window: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def h60(b: Array[Byte]): Long = {
+          var v = 0L
+          var i = 0
+          while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+          v >>> 4
+        }
+        rows.flatMap { case (doc, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val toks = TextAnalysis.tokenizeJvm(TextAnalysis.normalizeJvm(text))
+            if (toks.length < gram + window - 1) Iterator.empty
+            else {
+              val hs = Array.tabulate(toks.length - gram + 1) { i =>
+                h60(md.digest(
+                  toks.slice(i, i + gram).mkString(" ").getBytes("UTF-8")))
+                  .%(2147483648L)
+              }
+              val sel = scala.collection.mutable.LinkedHashSet[(Long, Long)]()
+              var end = window - 1
+              while (end < hs.length) {
+                var best = end - window + 1
+                var j = best + 1
+                while (j <= end) {           // <= keeps the RIGHTMOST min
+                  if (hs(j) <= hs(best)) best = j
+                  j += 1
+                }
+                sel += ((best + 1L, hs(best)))
+                end += 1
+              }
+              sel.iterator.map { case (p, h) => (doc, p, h) }
+            }
+          }
+        }
+      }
+      .toDF("doc", "pos", "fph")
+  }
 }

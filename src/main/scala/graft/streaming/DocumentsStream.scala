@@ -337,6 +337,20 @@ object DocumentsStream {
   def minhashSignatureUpdates(docs: DataFrame, nHashes: Int = 8): DataFrame =
     graft.ext.Dedup.minhashSignaturesTyped(docs, "text", "doc_id", nHashes)
 
+  /** Append-only maintenance of the winnowing fingerprint table (q224's
+    * session artifact): selection is a pure per-document function of the
+    * doc's own gram hashes, so each micro-batch appends its docs'
+    * `(doc, pos, fph)` rows with zero state — the fingerprint-sharing
+    * pair join stays query-time over the maintained table, exactly like
+    * the MinHash signature twin above. Uses the doc-local typed winnow
+    * (no window function) so the stream stays a stateless Append
+    * projection; row-equivalence to the batch operator is
+    * StreamingSpec-pinned. */
+  def winnowFingerprintUpdates(docs: DataFrame, gram: Int = 4,
+                               window: Int = 8): DataFrame =
+    graft.ext.Dedup.winnowingFingerprintsLocal(docs, "text", "doc_id",
+      gram, window)
+
   /** Run-collapse normalization at ingest (q152's transform applied
     * where a pipeline actually wants it — before anything downstream
     * sees the raw text): the keep rule is position-local within one
