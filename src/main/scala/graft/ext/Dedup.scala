@@ -759,7 +759,33 @@ object Dedup {
       .withColumn("nd", count(lit(1)).over(perDoc))
       .where(col("i") <=
         col("nd") - floor((lit(numJ) * col("nd") + lit(denJ - 1)) / lit(denJ)) + 1)
-      .select(col("doc"), col("s"), col("nd"))
+      .select(col("doc"), col("s"), col("nd"), col("i"))
+  }
+
+  /** PPJoin positional filter (Xiao et al. 2008, §3.2) layered on the
+    * prefix+length candidates: a prefix collision on a gram at rarity
+    * ranks `(i_a, i_b)` bounds the pair's achievable overlap by
+    * `ubound = 1 + min(n_a − i_a, n_b − i_b)` (everything BEFORE the
+    * colliding gram in either prefix is already spent), and J ≥ t
+    * requires overlap ≥ ceil(t(n_a+n_b)/(1+t)) — so a collision whose
+    * ubound falls short can never produce a qualifying pair. Lossless
+    * by the same cross-multiplied algebra as the prefix rule (integer
+    * form: `(numJ+denJ)·(1 + min(…)) ≥ numJ·(n_a+n_b)`); a pair
+    * survives if ANY of its prefix collisions passes. Strictly tighter
+    * than [[prefixFilterCandidates]] at the SAME cost shape — the
+    * filter is a per-collision predicate inside the identical join, so
+    * at 100 TB it only shrinks what the verification stage reads. */
+  def ppjoinCandidates(shRows: DataFrame, numJ: Int, denJ: Int): DataFrame = {
+    val prefix = prefixPostings(shRows, numJ, denJ)
+    prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc") &&
+          lit(denJ) * least(col("a.nd"), col("b.nd")) >=
+            lit(numJ) * greatest(col("a.nd"), col("b.nd")) &&
+          lit(numJ + denJ) * (lit(1L) +
+            least(col("a.nd") - col("a.i"), col("b.nd") - col("b.i"))) >=
+            lit(numJ) * (col("a.nd") + col("b.nd")))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
   }
 
   /** Verify prefix-filter candidates to exact Jaccard ≥ numJ/denJ pairs:

@@ -882,6 +882,43 @@ object ExtQueries {
             "DIV n_collisions_full AS BIGINT)").as("pruned_ppm"))
     }),
 
+    // PPJoin positional filter (Xiao et al. 2008) — the candidate
+    // funnel q202's prefix rule starts, run one stage deeper: prefix+
+    // length candidates → positional-filtered candidates → exact
+    // verified pairs, all at the same t = 4/5. The collision join is
+    // materialized ONCE; both candidate sets are projections of it
+    // (the positional test is a per-collision predicate, not a new
+    // join). Lossless by construction AND by oracle: n_pairs verifies
+    // from the POSITIONAL candidates while the oracle counts the full
+    // unpruned join — a true pair wrongly pruned shows as a mismatch.
+    "q228_ppjoin_positional" -> ((s, d) => {
+      val sh = bigramShingles(s, d)
+      val pre = graft.ops.TransientCache.persist(
+        Dedup.prefixPostings(sh, 4, 5))
+      val coll = graft.ops.TransientCache.persist(
+        pre.as("a").join(pre.as("b"),
+            col("a.s") === col("b.s") && col("a.doc") < col("b.doc") &&
+              lit(5) * least(col("a.nd"), col("b.nd")) >=
+                lit(4) * greatest(col("a.nd"), col("b.nd")))
+          .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+            (lit(9) * (lit(1L) +
+              least(col("a.nd") - col("a.i"), col("b.nd") - col("b.i"))) >=
+              lit(4) * (col("a.nd") + col("b.nd"))).cast("int").as("pos_ok")))
+      val candPos = graft.ops.TransientCache.persist(
+        coll.where(col("pos_ok") === 1)
+          .select(col("doc_a"), col("doc_b")).distinct())
+      coll.select(col("doc_a"), col("doc_b")).distinct()
+        .agg(count(lit(1)).as("n_prefix_candidates"))
+        .crossJoin(candPos.agg(count(lit(1)).as("n_positional_candidates")))
+        .crossJoin(Dedup.verifyJaccardCandidates(sh, candPos, 4, 5)
+          .agg(count(lit(1)).as("n_pairs")))
+        .select(col("n_prefix_candidates"), col("n_positional_candidates"),
+          col("n_pairs"),
+          expr("CAST((1000000 * (n_prefix_candidates - " +
+            "n_positional_candidates)) DIV n_prefix_candidates AS BIGINT)")
+            .as("positional_pruned_ppm"))
+    }),
+
     // Filter-attribution Venn: the FILTER-side twin of q183's dedup
     // cascade. Every doc is flagged by three independent gates the
     // curation loop already computes — low quality score (q41's
@@ -2281,6 +2318,43 @@ object ExtQueries {
          |  CAST((SELECT count(*) FROM fin) AS BIGINT) n_pairs,
          |  CAST((1000000 * ((SELECT c FROM cf) - (SELECT c FROM cp)))
          |    // (SELECT c FROM cf) AS BIGINT) pruned_ppm""".stripMargin,
+
+    // q228 oracle: the q202 chain with the positional predicate added;
+    // n_pairs stays the FULL unpruned join's count, so a true pair the
+    // positional filter wrongly dropped surfaces as a mismatch against
+    // the Spark side's verify-from-positional-candidates count.
+    "q228_ppjoin_positional" ->
+      s"""$shingleCtes,
+         |sh AS (SELECT DISTINCT doc_id doc, w || ' ' || t[i+1] s
+         |       FROM u WHERE i < len(t)),
+         |dfq AS (SELECT s, count(*) df FROM sh GROUP BY 1),
+         |cnt AS (SELECT doc, count(*) n FROM sh GROUP BY 1),
+         |pos AS (SELECT sh.doc, sh.s,
+         |          row_number() OVER (PARTITION BY sh.doc
+         |                             ORDER BY dfq.df, sh.s) i,
+         |          cnt.n
+         |        FROM sh JOIN dfq USING (s) JOIN cnt USING (doc)),
+         |pre AS (SELECT doc, s, n, i FROM pos
+         |        WHERE i <= n - ((4 * n + 4) // 5) + 1),
+         |coll AS (SELECT a.doc da, b.doc db,
+         |           CASE WHEN 9 * (1 + least(a.n - a.i, b.n - b.i))
+         |                     >= 4 * (a.n + b.n) THEN 1 ELSE 0 END pos_ok
+         |         FROM pre a JOIN pre b ON a.s = b.s AND a.doc < b.doc
+         |           AND 5 * least(a.n, b.n) >= 4 * greatest(a.n, b.n)),
+         |cand AS (SELECT DISTINCT da, db FROM coll),
+         |cpos AS (SELECT DISTINCT da, db FROM coll WHERE pos_ok = 1),
+         |intr AS (SELECT a.doc da, b.doc db, count(*) i FROM sh a
+         |         JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2),
+         |fin AS (SELECT intr.da FROM intr
+         |        JOIN cnt ca ON intr.da = ca.doc
+         |        JOIN cnt cb ON intr.db = cb.doc
+         |        WHERE 5 * intr.i >= 4 * (ca.n + cb.n - intr.i))
+         |SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) n_prefix_candidates,
+         |  CAST((SELECT count(*) FROM cpos) AS BIGINT) n_positional_candidates,
+         |  CAST((SELECT count(*) FROM fin) AS BIGINT) n_pairs,
+         |  CAST((1000000 * ((SELECT count(*) FROM cand)
+         |    - (SELECT count(*) FROM cpos)))
+         |    // (SELECT count(*) FROM cand) AS BIGINT) positional_pruned_ppm""".stripMargin,
 
     "q199_filter_venn" ->
       s"""$tokCte,

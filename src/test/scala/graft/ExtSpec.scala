@@ -149,6 +149,30 @@ class ExtSpec extends AnyFunSuite {
     graft.ops.TransientCache.releaseAll()
   }
 
+  test("ppjoin positional filter: lossless and strictly within the prefix candidates") {
+    val docs = Tables.documents(spark, sf)
+    val sh = Dedup.shingleRows(docs, "text", "doc_id", 2)
+    try {
+      val prefixC = Dedup.prefixFilterCandidates(sh, 4, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val posC = Dedup.ppjoinCandidates(sh, 4, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 2, 4, 5)
+        .select(col("doc_a"), col("doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(posC.subsetOf(prefixC), "positional filter must only remove")
+      assert(truth.subsetOf(posC),
+        s"positional filter dropped true pairs: ${truth -- posC}")
+      // End to end: verifying the positional candidates reproduces the
+      // exact join's pair set.
+      val verified = Dedup.verifyJaccardCandidates(sh,
+          Dedup.ppjoinCandidates(sh, 4, 5), 4, 5)
+        .select(col("doc_a"), col("doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(verified == truth)
+    } finally graft.ops.TransientCache.releaseAll()
+  }
+
   test("winnowing: matches a brute-force rightmost-min reference winnow") {
     // The packed-key window-min trick must reproduce the paper's robust
     // winnowing selection exactly: brute-force every w-window of gram
