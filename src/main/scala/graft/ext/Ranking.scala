@@ -200,4 +200,35 @@ object Ranking {
         Window.orderBy(col("score_q").desc, col("doc_id"))).cast("int"))
       .select(col("doc_id"), col("score_q"), col("rank"))
   }
+
+  /** BM25 top-k with PER-TERM integer quantization: each (doc, term)
+    * partial floors to `floor(1000·sc)` BEFORE the sum, which then runs
+    * in BIGINT — addition is order-free, so this form is safe for
+    * DATA-DERIVED term sets (RM3 expansion, q229) where [[bm25Core]]'s
+    * fixed-order float sum cannot apply (the term list is not known
+    * when the plan's literal addition chain would be built). The price
+    * is one floor per term instead of one per doc — a quantization
+    * granularity difference, not an accuracy one, and the oracle
+    * mirrors it exactly. Callers pass already-normalized terms. */
+  def bm25TopKQuantized(post0: DataFrame, dl0: DataFrame,
+                        queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val post = graft.ops.TransientCache.persist(
+      post0.where(col("term").isin(queryTerms: _*)))
+    val stats = dl0.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("tot_dl"))
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_corpus").cast("double"))
+    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val scored = post
+      .join(broadcast(dfT), "term")
+      .join(dl0, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("sq", floor(partialScore(col("n_corpus"), col("df_t"),
+        col("tf"), col("dl"), col("avgdl")) * lit(1000.0)).cast("bigint"))
+      .groupBy(col("doc_id")).agg(sum(col("sq")).as("score_q"))
+    import org.apache.spark.sql.expressions.Window
+    scored.orderBy(col("score_q").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_q").desc, col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("score_q"), col("rank"))
+  }
 }

@@ -638,6 +638,43 @@ object PipelineQueries {
         .orderBy(col("exact_cnt").desc, col("token"))
     }),
 
+    // RM3-style pseudo-relevance feedback (Lavrenko & Croft 2001 made
+    // integer-exact): the q55 BM25 top-10 are TREATED as relevant,
+    // their postings vote expansion terms by rarity-weighted feedback
+    // mass wgt = fb_tf · (n_corpus − df) — an all-BIGINT monotone
+    // proxy for the relevance model's tf·idf weight (no ln at runtime,
+    // so selection order can't hinge on transcendental parity; top-3
+    // by wgt with term tiebreak). The expanded query then re-ranks via
+    // [[graft.ext.Ranking.bm25TopKQuantized]] — per-term integer
+    // quantization makes the score sum ORDER-FREE, which is what lets
+    // a data-derived term set rank deterministically (the fixed-order
+    // float sum of q55 needs its term list at plan-build time).
+    // Feedback docs join broadcast (10 rows); expansion collect is 3
+    // strings — model-sized driver crossings only.
+    "q229_rm3_expansion" -> ((s, d) => {
+      val qTerms = Seq("spark", "merge")
+      val fb = ExtQueries.bm25Top10(s, d, qTerms).select(col("doc_id"))
+      val post = ExtQueries.ftsPostingsTf(s, d)
+      val dls = ExtQueries.ftsDocLengths(s, d)
+      val dfall = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nc = dls.agg(count(lit(1)).as("n_corpus"))
+      val expTop = post.join(broadcast(fb), "doc_id")
+        .where(!col("term").isin(qTerms: _*))
+        .groupBy(col("term")).agg(sum(col("tf")).as("w"))
+        .join(dfall, "term")
+        .crossJoin(broadcast(nc))
+        .withColumn("wgt", col("w") * (col("n_corpus") - col("df")))
+        .orderBy(col("wgt").desc, col("term")).limit(3)
+        .select(col("term")).collect().map(_.getString(0)).toSeq
+      val expLit =
+        if (expTop.isEmpty) lit(null).cast("string")
+        else lit(expTop.mkString(" "))
+      graft.ext.Ranking.bm25TopKQuantized(post, dls, qTerms ++ expTop, 10)
+        .withColumn("exp_terms", expLit)
+        .select(col("rank"), col("doc_id"), col("score_q"), col("exp_terms"))
+        .orderBy(col("rank"))
+    }),
+
     // BPE merge-candidate statistics: top-50 adjacent token pairs by
     // corpus frequency (one merge round of a tokenizer build).
     "q82_bpe_pairs" -> ((s, d) =>
@@ -1079,6 +1116,51 @@ object PipelineQueries {
          |  CAST(1 AS INT) captured, CAST(1 AS INT) est_within_bound
          |FROM f, t WHERE exact_cnt > n_stream // 257
          |ORDER BY exact_cnt DESC, token""".stripMargin,
+
+    // q229 oracle: base leg via the shared fixed-order BM25 scaffold;
+    // expansion selection and the expanded leg in generic SQL — legal
+    // here BECAUSE the per-term floor makes the sum integer (order-
+    // free), mirroring bm25TopKQuantized exactly.
+    "q229_rm3_expansion" ->
+      s"""$bm25BaseCtes,
+         |${bm25RankCtes("q0", Seq("spark", "merge"), 10)},
+         |fb AS (SELECT doc_id FROM r_q0),
+         |dfall AS (SELECT term, count(DISTINCT doc_id) df
+         |          FROM post GROUP BY 1),
+         |expt AS (SELECT p.term, CAST(count(*) AS BIGINT) w
+         |         FROM post p JOIN fb USING (doc_id)
+         |         WHERE p.term NOT IN ('spark', 'merge') GROUP BY 1),
+         |expf AS (SELECT term, w,
+         |           CAST(w * (CAST(n_corpus AS BIGINT) - CAST(df AS BIGINT))
+         |             AS BIGINT) wgt
+         |         FROM expt JOIN dfall USING (term) CROSS JOIN stats
+         |         ORDER BY wgt DESC, term LIMIT 3),
+         |terms2 AS (SELECT term FROM expf
+         |           UNION ALL SELECT 'spark' UNION ALL SELECT 'merge'),
+         |tf2 AS (SELECT p.term, doc_id, count(*) tf FROM post p
+         |        JOIN terms2 USING (term) GROUP BY 1, 2),
+         |dft2 AS (SELECT term, count(*) df_t FROM tf2 GROUP BY 1),
+         |sc2 AS (SELECT tf.doc_id,
+         |    CAST(floor(
+         |      ln(CAST(1.0 AS DOUBLE) +
+         |         (CAST(n_corpus AS DOUBLE) - CAST(df_t AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |         / (CAST(df_t AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |      * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |         / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |            (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl)))
+         |      * CAST(1000.0 AS DOUBLE)) AS BIGINT) sq
+         |  FROM tf2 tf JOIN dl USING (doc_id) JOIN dft2 USING (term)
+         |  CROSS JOIN stats),
+         |tot2 AS (SELECT doc_id, CAST(sum(sq) AS BIGINT) score_q
+         |         FROM sc2 GROUP BY 1),
+         |r2 AS (SELECT doc_id, score_q,
+         |         CAST(row_number() OVER (ORDER BY score_q DESC, doc_id)
+         |           AS INT) rank
+         |       FROM tot2),
+         |es AS (SELECT string_agg(term, ' ' ORDER BY wgt DESC, term) s
+         |       FROM expf)
+         |SELECT rank, doc_id, score_q, (SELECT s FROM es) exp_terms
+         |FROM r2 WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     "q65_vocab_topk" ->
       s"""${ExtQueries.tokCte},

@@ -513,4 +513,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       term = term / (k + 1).toDouble
     }
   }
+
+  test("bm25TopKQuantized: single-term query coincides with the fixed-order path") {
+    // With ONE query term, floor-per-term-then-sum and sum-then-floor
+    // are the same number — so the quantized (dynamic-term-set) path
+    // must reproduce bm25TopKFromIndex row for row.
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val post = Ranking.postingsWithTf(docs, "text", "doc_id")
+    val dls = Ranking.docLengths(docs, "text", "doc_id")
+    try {
+      val fixed = Ranking.bm25TopKFromIndex(post, dls, Seq("spark"), 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      val quant = Ranking.bm25TopKQuantized(post, dls, Seq("spark"), 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(fixed.nonEmpty && fixed == quant)
+      // Multi-term: quantized scores are a sum of per-term floors, so
+      // each is within (n_terms - 1) of the fixed-order floor-of-sum.
+      val f2 = Ranking.bm25TopKFromIndex(post, dls, Seq("spark", "merge"), 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val q2 = Ranking.bm25TopKQuantized(post, dls, Seq("spark", "merge"), 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      q2.foreach { case (doc, sq) =>
+        f2.get(doc).foreach { sf =>
+          assert(sq <= sf && sf - sq <= 1, s"doc $doc: $sq vs $sf")
+        }
+      }
+    } finally graft.ops.TransientCache.releaseAll()
+  }
 }
