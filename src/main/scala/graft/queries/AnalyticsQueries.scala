@@ -773,6 +773,20 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Z-order layout audit: would a Morton-clustered rewrite of the
+    // fact table pay for itself? Both layouts simulated at 64 equal-
+    // count files; the zone-map (per-file min/max of l_partkey /
+    // l_suppkey — exactly what Parquet row groups and lakehouse
+    // manifests store) decides which files a (partkey, suppkey) box
+    // predicate must read under each. files_read under 'natural' vs
+    // 'zorder' is the MEASURED scan saving of the rewrite — the 100 TB
+    // decision number, computed before paying for the rewrite. All
+    // integer: Morton key = shift/mask/add, bounds enforced in-plan.
+    "q230_zorder_skipping" -> ((s, d) =>
+      graft.ext.Layout.zoneMapAudit(Tables.lineitem(s, d),
+        "l_partkey", "l_suppkey", Seq("l_orderkey", "l_linenumber"),
+        64, 1L, 200L, 1L, 20L)),
+
     // Top event PATHS (length-3 sequences) — the product-analytics
     // "what do users actually do" table one step deeper than q78's
     // transition matrix: two lead() columns over the per-user order,
@@ -2850,6 +2864,39 @@ object AnalyticsQueries {
         |SELECT m.event_type, n_days, n_pairs, ts_slope_milli, ols_slope_milli
         |FROM med m JOIN anch USING (event_type) JOIN ols USING (event_type)
         |ORDER BY m.event_type""".stripMargin,
+
+    // q230 oracle: the identical Morton interleave spelled as BIGINT
+    // shift/mask arithmetic, ntile file assignment with the same full
+    // tiebreak, zone overlap as pure integer comparisons.
+    "q230_zorder_skipping" -> {
+      val zexpr = (0 until 21).map(i =>
+        s"(((CAST(l_partkey AS BIGINT) >> $i) & 1) << ${2 * i}) + " +
+          s"(((CAST(l_suppkey AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH base AS (SELECT CAST(l_partkey AS BIGINT) x,
+         |    CAST(l_suppkey AS BIGINT) y, l_orderkey ok, l_linenumber ln,
+         |    $zexpr zkey
+         |  FROM lineitem),
+         |a AS (SELECT 'natural' layout, ntile(64) OVER (ORDER BY ok, ln) f,
+         |        x, y FROM base
+         |      UNION ALL
+         |      SELECT 'zorder', ntile(64) OVER (ORDER BY zkey, ok, ln),
+         |        x, y FROM base),
+         |z AS (SELECT layout, f, min(x) mnx, max(x) mxx, min(y) mny,
+         |        max(y) mxy, CAST(count(*) AS BIGINT) rows_f,
+         |        CAST(sum(CASE WHEN x BETWEEN 1 AND 200
+         |          AND y BETWEEN 1 AND 20 THEN 1 ELSE 0 END) AS BIGINT) m
+         |      FROM a GROUP BY 1, 2)
+         |SELECT layout, CAST(count(*) AS BIGINT) n_files,
+         |  CAST(sum(CASE WHEN mxx >= 1 AND mnx <= 200 AND mxy >= 1
+         |    AND mny <= 20 THEN 1 ELSE 0 END) AS BIGINT) files_read,
+         |  CAST(sum(CASE WHEN mxx >= 1 AND mnx <= 200 AND mxy >= 1
+         |    AND mny <= 20 THEN 0 ELSE 1 END) AS BIGINT) files_skipped,
+         |  CAST(sum(CASE WHEN mxx >= 1 AND mnx <= 200 AND mxy >= 1
+         |    AND mny <= 20 THEN rows_f ELSE 0 END) AS BIGINT) rows_read,
+         |  CAST(sum(m) AS BIGINT) rows_matched
+         |FROM z GROUP BY 1 ORDER BY layout""".stripMargin
+    },
 
     // q213 oracle: the view recomputed from the FULL join — the compare
     // IS maintenance ≡ recompute.

@@ -132,4 +132,30 @@ class AnalyticsPropertySpec extends AnyFunSuite {
         "doubling the weight must not grow the key")
     }
   }
+
+  test("zOrderKey: column interleave matches a JVM reference and is injective") {
+    import spark.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+    val pairs = {
+      val g = Gen.listOfN(200,
+        Gen.zip(Gen.choose(0L, (1L << 21) - 1), Gen.choose(0L, (1L << 21) - 1)))
+      g(Gen.Parameters.default, org.scalacheck.rng.Seed(7L)).get
+    }.distinct
+    val got = pairs.toDF("x", "y")
+      .select(org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y"),
+        graft.ext.Layout.zOrderKey(
+          org.apache.spark.sql.functions.col("x"),
+          org.apache.spark.sql.functions.col("y")).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1), 21),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    assert(got.map(_.getLong(2)).distinct.length == pairs.length,
+      "distinct (x,y) pairs must get distinct Morton keys")
+  }
 }
