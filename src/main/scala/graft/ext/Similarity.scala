@@ -161,6 +161,67 @@ object Similarity {
         col("neg_label"), col("dot"))
   }
 
+  /** Scalar-quantization (int8) ANN with its recall audit in the same
+    * pass — the production vector-store compression format (one byte
+    * per dimension) next to PQ (q84) and JL (q163) in the quantization
+    * family. Per-dimension min/max over the integer-quantized grid
+    * train the codec; code = (v-mn)·255 DIV span, reconstruction back
+    * onto the grid, and the asymmetric distance (exact query vs
+    * reconstructed candidate, the ADC trick) stays pure BIGINT — both
+    * engines compute identical integers, no float parity risk anywhere.
+    *
+    * Output (query_id, rank, nbr_id, approx_d, hit): rank/approx_d from
+    * the SQ distance, hit = 1 iff the neighbor is also in the EXACT
+    * top-k on the un-coded grid — so recall@k is measured inside the
+    * operator, the q109/q189 audit discipline.
+    *
+    * Scale shape: the codec state is 2·dims integers (driver-crossed,
+    * model-sized, like PQ codebooks); scoring is the broadcast-query
+    * scan of [[bruteForceTopK]] but over 1-byte-per-dim codes — at
+    * corpus scale the candidate side routes through IVF cells first,
+    * exactly as [[ivfpqTopK]] composes, and the 4× (float32→int8)
+    * memory cut is what lets a cell's codes stay cache-resident. */
+  def sqTopK(emb: DataFrame, idCol: String, embCol: String,
+             isQuery: Column, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val q = emb.select(col(idCol).cast("long").as("vec_id"),
+      quantize(col(embCol)).as("qv"))
+    val stats = q.select(posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("pos")).collect()
+    val mn = stats.map(_.getLong(1))
+    val span = stats.map(r => r.getLong(2) - r.getLong(1))
+    val mnA = mn.mkString("array(", "L, ", "L)")
+    val spA = span.mkString("array(", "L, ", "L)")
+    val recon = expr(
+      s"""transform(qv, (x, i) ->
+         |  CASE WHEN element_at($spA, i + 1) = 0 THEN element_at($mnA, i + 1)
+         |  ELSE element_at($mnA, i + 1) +
+         |    (((x - element_at($mnA, i + 1)) * 255
+         |       DIV element_at($spA, i + 1)) * element_at($spA, i + 1))
+         |      DIV 255 END)""".stripMargin)
+    val c = q.select(col("vec_id"), col("qv").as("cv"), recon.as("rv"))
+    val qs = q.where(isQuery)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"))
+    val scored = c.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (normQ(col("qq")) + normQ(col("rv")) -
+          lit(2L) * dotQ(col("qq"), col("rv"))).as("approx_d"),
+        (normQ(col("qq")) + normQ(col("cv")) -
+          lit(2L) * dotQ(col("qq"), col("cv"))).as("exact_d"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d"), col("vec_id"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("exact_d"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(wa))
+      .withColumn("re", row_number().over(we))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("nbr_id"),
+        col("approx_d"),
+        when(col("re") <= k, 1).otherwise(0).cast("int").as("hit"))
+  }
+
   /** LSH-bucketed ANN: candidates restricted to the query's bucket. Same
     * output shape as brute force (recall traded for the 2^b fan-in cut). */
   def lshTopK(emb: DataFrame, idCol: String, embCol: String,

@@ -1278,6 +1278,15 @@ object ExtQueries {
           shareKey = Some(s"pq:$d:q10:4x8"))
         .orderBy(col("query_id"), col("rank"))),
 
+    // Scalar-quantization (int8) ANN + in-pass recall audit: the
+    // 1-byte-per-dim compression format next to PQ (q84), JL (q163)
+    // and IVF (q29) — per-dim min/max codec, integer code/reconstruct,
+    // asymmetric BIGINT distance, hit = membership in the exact top-3.
+    "q231_sq8_ann" -> ((s, d) =>
+      Similarity.sqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          col("vec_id") < 10, 3)
+        .orderBy(col("query_id"), col("rank"))),
+
     // SemDeDup: k-means clusters (k=8), drop vectors with an earlier-id
     // in-cluster near-duplicate at cosine >= 0.3.
     "q85_semdedup" -> ((s, d) =>
@@ -2868,6 +2877,38 @@ object ExtQueries {
          |      FROM adc)
          |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, approx_d
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // q231 oracle: identical SQ codec long-form — per-dim min/max over
+    // the same floor(x*1000) grid, integer code/reconstruct via //
+    // (operands non-negative, so // ≡ Spark's DIV), squared-diff sums
+    // in BIGINT, both rankings from one scored table.
+    "q231_sq8_ann" ->
+      """WITH qo AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) q
+        |  FROM embeddings),
+        |ex AS (SELECT vec_id, unnest(q) x, generate_subscripts(q, 1) i
+        |       FROM qo),
+        |st AS (SELECT i, min(x) mn, max(x) mx FROM ex GROUP BY 1),
+        |rc AS (SELECT vec_id, i, x, CASE WHEN mx = mn THEN mn
+        |         ELSE mn + (((x - mn) * 255 // (mx - mn)) * (mx - mn)) // 255
+        |       END r
+        |       FROM ex JOIN st USING (i)),
+        |qq AS (SELECT vec_id query_id, i, x qx FROM ex WHERE vec_id < 10),
+        |da AS (SELECT query_id, r.vec_id,
+        |         CAST(sum((qx - r.r) * (qx - r.r)) AS BIGINT) approx_d,
+        |         CAST(sum((qx - r.x) * (qx - r.x)) AS BIGINT) exact_d
+        |       FROM rc r JOIN qq ON r.i = qq.i AND r.vec_id <> qq.query_id
+        |       GROUP BY 1, 2),
+        |rk AS (SELECT query_id, vec_id, approx_d,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY approx_d, vec_id) ra,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY exact_d, vec_id) re
+        |       FROM da)
+        |SELECT query_id, CAST(ra AS INT) rank, vec_id nbr_id, approx_d,
+        |  CAST(CASE WHEN re <= 3 THEN 1 ELSE 0 END AS INT) hit
+        |FROM rk WHERE ra <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // IVFADC mirror: the shared PQ chain plus the coarse-cell argmin,
     // per-query 2-probe list, and the cell-restricted ADC join.

@@ -96,4 +96,39 @@ class ProductQuantizationSpec extends AnyFunSuite {
         "embedding", col("vec_id") < 1, k = 1, m = 2, codes = 1)
     }
   }
+
+  test("sqTopK: span-255 grid codes losslessly (approx ≡ exact, all hits)") {
+    // Values on the 0.000..0.255 milli-grid make every per-dim span
+    // exactly 255, so code = value and reconstruction is the identity:
+    // the SQ ranking must coincide with exact ranking (hit = 1
+    // everywhere) and approx_d must equal the exact squared distance.
+    val vecs = emb(
+      0L -> Seq(0.000, 0.255), 1L -> Seq(0.001, 0.254),
+      2L -> Seq(0.100, 0.150), 3L -> Seq(0.255, 0.000),
+      4L -> Seq(0.200, 0.050))
+    val got = graft.ext.Similarity.sqTopK(vecs, "vec_id", "embedding",
+        col("vec_id") < 2, k = 3)
+      .orderBy("query_id", "rank").collect()
+    assert(got.length == 6)
+    assert(got.forall(_.getInt(4) == 1), "span-255 codec must be lossless")
+    // query 0 = (0, 255); its nearest is vec 1 = (1, 254): d = 1 + 1.
+    val top = got.find(r => r.getLong(0) == 0L && r.getInt(1) == 1).get
+    assert(top.getLong(2) == 1L && top.getLong(3) == 2L)
+  }
+
+  test("sqTopK: deterministic across runs and ranks are 1..k per query") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def run() = graft.ext.Similarity.sqTopK(e, "vec_id", "embedding",
+        col("vec_id") < 5, k = 3)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSeq
+    val a = run()
+    assert(a == run(), "SQ ranking must be run-deterministic")
+    a.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted == Seq(1, 2, 3))
+    }
+    assert(a.forall(r => r._4 >= 0L), "squared distances are non-negative")
+  }
 }
