@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Components, Dedup, TextAnalysis}
+import graft.ext.{Components, Dedup, Skyline, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -804,6 +804,66 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
         .limit(20)
+    }),
+
+    // k-anonymity audit (Sweeney 2002) over a generalization ladder —
+    // the privacy QC a pipeline runs before releasing / training on
+    // user-adjacent rows: level 0 = (nation, segment, balance-band),
+    // level 1 drops the band, level 2 keeps only the segment. ONE
+    // grouping-sets pass (single shuffle) computes every equivalence
+    // class at all three grains; per level we report the k-anonymity
+    // actually achieved (min class size) and the suppression a k=10
+    // release would need (rows in classes below k). All integers; the
+    // band is floor(acctbal/1000) — one correctly-rounded double op.
+    "q232_k_anonymity" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(
+        col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+      val cls = c.groupingSets(
+          Seq(Seq(col("nat"), col("seg"), col("band")),
+            Seq(col("nat"), col("seg")), Seq(col("seg"))),
+          col("nat"), col("seg"), col("band"))
+        .agg(count(lit(1)).as("cls_n"), grouping_id().as("gid"))
+      cls.groupBy(expr("CASE gid WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END")
+          .cast("int").as("level"))
+        .agg(count(lit(1)).as("n_classes"),
+          min(col("cls_n")).as("k_anonymity"),
+          sum(when(col("cls_n") < 10, 1L).otherwise(0L))
+            .as("classes_below_k"),
+          sum(when(col("cls_n") < 10, col("cls_n")).otherwise(0L))
+            .as("rows_below_k"),
+          sum(col("cls_n")).as("n_rows"))
+        .withColumn("suppression_ppm",
+          expr("(1000000 * rows_below_k) DIV n_rows"))
+        .select(col("level"), col("n_classes"), col("k_anonymity"),
+          col("classes_below_k"), col("rows_below_k"),
+          col("suppression_ppm"))
+        .orderBy(col("level"))
+    }),
+
+    // Skyline / Pareto frontier (Börzsönyi et al. 2001) over per-
+    // customer value: the multi-criteria "best customers" query no
+    // single ORDER BY can answer — maximize lifetime spend, order
+    // count, and recency simultaneously; a customer survives iff no
+    // other is >= on all three and > on one. One aggregation shuffle,
+    // then ext.Skyline's two-phase distributed pass (local sort-
+    // filter-skyline per partition — dominance transitivity makes the
+    // local pass lossless — then one merge over the output-sized
+    // survivors). All-BIGINT dims: cents, counts, epoch days.
+    "q233_skyline_customers" -> ((s, d) => {
+      val agg = Tables.orders(s, d)
+        .groupBy(col("o_custkey").cast("long").as("cust"))
+        .agg(
+          sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .as("spent_cents"),
+          count(lit(1)).as("n_orders"),
+          datediff(to_date(max(col("o_orderdate"))),
+            to_date(lit("1992-01-01"))).cast("long").as("last_day"))
+      Skyline.skylineMax(agg, Seq("spent_cents", "n_orders", "last_day"))
+        .select(col("cust"), col("spent_cents"), col("n_orders"),
+          col("last_day"))
+        .orderBy(col("spent_cents").desc, col("cust"))
     }),
 
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
@@ -2864,6 +2924,50 @@ object AnalyticsQueries {
         |SELECT m.event_type, n_days, n_pairs, ts_slope_milli, ols_slope_milli
         |FROM med m JOIN anch USING (event_type) JOIN ols USING (event_type)
         |ORDER BY m.event_type""".stripMargin,
+
+    // q232 oracle: the same grouping-sets lattice; level decoded from
+    // per-column GROUPING() bits, k/suppression arithmetic all BIGINT
+    // (operands non-negative, // ≡ DIV).
+    "q232_k_anonymity" ->
+      """WITH base AS (SELECT CAST(c_nationkey AS BIGINT) nat,
+        |    c_mktsegment seg, CAST(floor(c_acctbal / 1000) AS BIGINT) band
+        |  FROM customer),
+        |cls AS (SELECT CAST(count(*) AS BIGINT) cls_n,
+        |          GROUPING(nat) * 4 + GROUPING(seg) * 2 + GROUPING(band) gid
+        |        FROM base
+        |        GROUP BY GROUPING SETS ((nat, seg, band), (nat, seg), (seg))),
+        |lv AS (SELECT CASE gid WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END lev,
+        |         cls_n FROM cls)
+        |SELECT CAST(lev AS INT) AS "level", CAST(count(*) AS BIGINT) n_classes,
+        |  CAST(min(cls_n) AS BIGINT) k_anonymity,
+        |  CAST(sum(CASE WHEN cls_n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    classes_below_k,
+        |  CAST(sum(CASE WHEN cls_n < 10 THEN cls_n ELSE 0 END) AS BIGINT)
+        |    rows_below_k,
+        |  CAST((1000000 * sum(CASE WHEN cls_n < 10 THEN cls_n ELSE 0 END))
+        |    // sum(cls_n) AS BIGINT) suppression_ppm
+        |FROM lv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q233 oracle: the textbook NOT EXISTS dominance query — a
+    // completely independent (quadratic) evaluation of the same
+    // frontier; fine at oracle scale, and exactly the formulation the
+    // distributed pass must reproduce bit-for-bit.
+    "q233_skyline_customers" ->
+      """WITH agg AS (SELECT CAST(o_custkey AS BIGINT) cust,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      spent_cents,
+        |    CAST(count(*) AS BIGINT) n_orders,
+        |    CAST(datediff('day', DATE '1992-01-01',
+        |      CAST(max(o_orderdate) AS DATE)) AS BIGINT) last_day
+        |  FROM orders GROUP BY 1)
+        |SELECT a.cust, a.spent_cents, a.n_orders, a.last_day
+        |FROM agg a
+        |WHERE NOT EXISTS (SELECT 1 FROM agg b
+        |  WHERE b.spent_cents >= a.spent_cents
+        |    AND b.n_orders >= a.n_orders AND b.last_day >= a.last_day
+        |    AND (b.spent_cents > a.spent_cents OR b.n_orders > a.n_orders
+        |         OR b.last_day > a.last_day))
+        |ORDER BY a.spent_cents DESC, a.cust""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full
