@@ -866,6 +866,92 @@ object AnalyticsQueries {
         .orderBy(col("spent_cents").desc, col("cust"))
     }),
 
+    // l-diversity audit (Machanavajjhala et al. 2006) — k-anonymity's
+    // (q232) complement: a large equivalence class is still a full
+    // disclosure if the SENSITIVE attribute is constant inside it.
+    // QI = (nation, balance-band); sensitive = market segment. Per
+    // class: l = distinct sensitive values, top share = the modal
+    // segment's share (the adversary's posterior). Output is the l
+    // histogram — classes/rows at each diversity level plus the worst
+    // modal share (ppm) — l=1 rows are the disclosures. Two map-side-
+    // combinable shuffles (class×seg → class → l); everything after
+    // the first aggregate is class-count-sized.
+    "q234_l_diversity" -> ((s, d) => {
+      val cell = Tables.customer(s, d).groupBy(
+          col("c_nationkey").cast("long").as("nat"),
+          floor(col("c_acctbal") / 1000).cast("long").as("band"),
+          col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("sc"))
+      val cls = cell.groupBy(col("nat"), col("band"))
+        .agg(sum(col("sc")).as("cls_n"), count(lit(1)).as("l"),
+          max(col("sc")).as("top_cnt"))
+        .withColumn("top_share_ppm", expr("(1000000 * top_cnt) DIV cls_n"))
+      cls.groupBy(col("l"))
+        .agg(count(lit(1)).as("n_classes"), sum(col("cls_n")).as("n_rows"),
+          max(col("top_share_ppm")).as("worst_top_share_ppm"))
+        .orderBy(col("l"))
+    }),
+
+    // t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007): even
+    // a diverse class leaks if its sensitive DISTRIBUTION diverges from
+    // the global one. QI = (nation, segment); sensitive ORDERED
+    // attribute = balance band. t = Earth Mover's Distance between the
+    // class and global band distributions — for a 1-D ordered attribute
+    // EMD is the mean |cumulative-share gap|, kept integer-exact by
+    // cross-multiplying the two denominators:
+    //   t_ppm = 10^6·Σ_j|cum_c(j)·N − cum_g(j)·n_c|
+    //           DIV ((B−1)·n_c·N).
+    // The band grid is VALUE-RANGE-bounded (B ≈ 12 whatever the row
+    // count), so the per-class dense grid — classes × broadcast band
+    // table, missing bands contributing their full cumulative gap — is
+    // model-sized at any scale; the only full-data passes are the
+    // three leading aggregates. int64 envelope enforced in the plan
+    // (q90 pattern).
+    "q235_t_closeness" -> ((s, d) => {
+      val base = Tables.customer(s, d).select(
+        col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+      val classes = base.groupBy(col("nat"), col("seg"))
+        .agg(count(lit(1)).as("cls_n"))
+      val cell = base.groupBy(col("nat"), col("seg"), col("band"))
+        .agg(count(lit(1)).as("cc"))
+      // Global band cumulative counts: the window runs over the
+      // B-row band table, not the data.
+      val gcum = base.groupBy(col("band")).agg(count(lit(1)).as("gc"))
+        .withColumn("gcum", sum(col("gc")).over(Window.orderBy(col("band"))))
+        .select(col("band"), col("gcum"))
+      val consts = gcum.agg(max(col("gcum")).as("n_tot"),
+        count(lit(1)).as("n_bands"))
+      val wcls = Window.partitionBy(col("nat"), col("seg"))
+        .orderBy(col("band"))
+      val cum = classes.crossJoin(broadcast(gcum))
+        .join(cell, Seq("nat", "seg", "band"), "left")
+        .na.fill(0L, Seq("cc"))
+        .withColumn("ccum", sum(col("cc")).over(wcls))
+      cum.crossJoin(broadcast(consts))
+        .groupBy(col("nat"), col("seg"), col("cls_n"), col("n_tot"),
+          col("n_bands"))
+        .agg(sum(abs(col("ccum") * col("n_tot") - col("gcum") * col("cls_n")))
+          .as("emd_num"))
+        // A-priori wraparound envelope (q90 discipline): every |term|
+        // ≤ n_c·N and there are B of them, so 10^6·B·n_c·N < 2^63
+        // proves both the sum and the final scaled numerator exact.
+        .withColumn("cls_n", col("cls_n") + coalesce(
+          assert_true(
+            lit(1.0e6) * col("n_bands").cast("double") *
+              col("cls_n").cast("double") * col("n_tot").cast("double")
+              < lit(4.6e18),
+            lit("q235 EMD numerator would overflow int64: rescale shares"))
+            .cast("long"),
+          lit(0L)))
+        .withColumn("t_ppm", expr(
+          "(1000000 * emd_num) DIV (greatest(n_bands - 1, 1) * cls_n * n_tot)"))
+        .select(col("nat"), col("seg"), col("cls_n"), col("t_ppm"))
+        .orderBy(col("t_ppm").desc, col("nat"), col("seg"))
+        .limit(20)
+    }),
+
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
     // classic fraud / synthetic-data detector: observed first-
     // significant-digit shares of order totals against the Benford
@@ -2968,6 +3054,54 @@ object AnalyticsQueries {
         |    AND (b.spent_cents > a.spent_cents OR b.n_orders > a.n_orders
         |         OR b.last_day > a.last_day))
         |ORDER BY a.spent_cents DESC, a.cust""".stripMargin,
+
+    // q234 oracle: the same two-level aggregate; l histogram with the
+    // worst modal share, // ≡ DIV on non-negative operands.
+    "q234_l_diversity" ->
+      """WITH cell AS (SELECT CAST(c_nationkey AS BIGINT) nat,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) band, c_mktsegment seg,
+        |    CAST(count(*) AS BIGINT) sc
+        |  FROM customer GROUP BY 1, 2, 3),
+        |cls AS (SELECT nat, band, CAST(sum(sc) AS BIGINT) cls_n,
+        |    CAST(count(*) AS BIGINT) l, CAST(max(sc) AS BIGINT) top_cnt
+        |  FROM cell GROUP BY 1, 2)
+        |SELECT l, CAST(count(*) AS BIGINT) n_classes,
+        |  CAST(sum(cls_n) AS BIGINT) n_rows,
+        |  CAST(max((1000000 * top_cnt) // cls_n) AS BIGINT)
+        |    worst_top_share_ppm
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q235 oracle: the identical cross-multiplied EMD — dense grid via
+    // CROSS JOIN with the band cumulative table, per-class cumsum,
+    // integer numerator, same (B−1)·n_c·N denominator.
+    "q235_t_closeness" ->
+      """WITH base AS (SELECT CAST(c_nationkey AS BIGINT) nat,
+        |    c_mktsegment seg, CAST(floor(c_acctbal / 1000) AS BIGINT) band
+        |  FROM customer),
+        |classes AS (SELECT nat, seg, CAST(count(*) AS BIGINT) cls_n
+        |  FROM base GROUP BY 1, 2),
+        |cell AS (SELECT nat, seg, band, CAST(count(*) AS BIGINT) cc
+        |  FROM base GROUP BY 1, 2, 3),
+        |gcum AS (SELECT band, CAST(sum(count(*))
+        |      OVER (ORDER BY band) AS BIGINT) gcum
+        |  FROM base GROUP BY band),
+        |consts AS (SELECT CAST(max(gcum) AS BIGINT) n_tot,
+        |    CAST(count(*) AS BIGINT) n_bands FROM gcum),
+        |cum AS (SELECT c.nat, c.seg, c.cls_n, g.band, g.gcum,
+        |    CAST(sum(COALESCE(l.cc, 0))
+        |      OVER (PARTITION BY c.nat, c.seg ORDER BY g.band) AS BIGINT) ccum
+        |  FROM classes c CROSS JOIN gcum g
+        |  LEFT JOIN cell l ON l.nat = c.nat AND l.seg = c.seg
+        |    AND l.band = g.band),
+        |t AS (SELECT nat, seg, cls_n,
+        |    CAST(sum(abs(ccum * (SELECT n_tot FROM consts)
+        |      - gcum * cls_n)) AS BIGINT) emd_num
+        |  FROM cum GROUP BY 1, 2, 3)
+        |SELECT nat, seg, cls_n,
+        |  CAST((1000000 * emd_num)
+        |    // (greatest((SELECT n_bands FROM consts) - 1, 1) * cls_n
+        |       * (SELECT n_tot FROM consts)) AS BIGINT) t_ppm
+        |FROM t ORDER BY t_ppm DESC, nat, seg LIMIT 20""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full

@@ -524,6 +524,28 @@ class PlanSpec extends AnyFunSuite {
       s"resize plan must not aggregate:\n$p")
   }
 
+  test("q232 k-anonymity: one Expand pass serves all three grains, map-side partials") {
+    val p = plan("q232_k_anonymity")
+    // The generalization ladder must be ONE grouping-sets pass — a
+    // single Expand feeding one shuffle — not three scans unioned.
+    assert("Expand".r.findAllIn(p).length == 1,
+      s"ladder must be one Expand pass:\n$p")
+    assert(p.contains("partial_"), s"class counting lost map-side partials:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected product:\n$p")
+  }
+
+  test("q235 t-closeness: band grid rides broadcasts, no shuffled product") {
+    val p = plan("q235_t_closeness")
+    // The dense class×band grid and the constants row must arrive by
+    // broadcast (band table is value-range-bounded); a CartesianProduct
+    // would mean the grid shuffles with the data.
+    assert(!p.contains("CartesianProduct"),
+      s"grid must broadcast, not product-shuffle:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast grid join:\n$p")
+    assert(p.contains("partial_"), s"leading aggregates lost partials:\n$p")
+  }
+
   test("q224 winnowing: pairing is an equi-join on the fingerprint hash, no product") {
     val p = plan("q224_winnowing_pairs")
     assert(!p.contains("CartesianProduct") &&
