@@ -952,6 +952,108 @@ object AnalyticsQueries {
         .limit(20)
     }),
 
+    // Fagin's Threshold Algorithm early-termination audit (Fagin,
+    // Lotem & Naor, PODS 2001): top-k by a monotone combined score
+    // (lifetime spend + recency bonus) WITHOUT scanning the corpus —
+    // walk the two per-attribute ranked lists in parallel; at depth d
+    // the threshold T(d) = s1(d) + s2(d) bounds every unseen row, so
+    // once the k-th best SEEN combined score exceeds T(d) (strict >,
+    // so the deterministic tiebreak can't be ambushed by an unseen
+    // tie) the scan may stop. The whole simulation runs on the two
+    // depth-capped lists (D = 500, a contract cap the oracle shares;
+    // TakeOrdered builds them distributed — no global window touches
+    // the corpus). Output: the top-k (computed by FULL scan — so the
+    // oracle independently verifies TA's guarantee) + the measured
+    // stop depth, seen-set size, scanned ppm, and the guarantee check
+    // (top-k ∩ seen = k). On the fixture TA stops at depth 11 having
+    // touched 1.5% of candidates — the number that says a 100 TB
+    // ranked retrieval should walk postings, not scan.
+    "q236_ta_topk_audit" -> ((s, d) => {
+      val K = 10; val D = 500
+      val scored = Tables.orders(s, d)
+        .groupBy(col("o_custkey").cast("long").as("cust"))
+        .agg(
+          sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("s1"),
+          (datediff(to_date(max(col("o_orderdate"))),
+            to_date(lit("1992-01-01"))).cast("long") * 10000L).as("s2"))
+        .withColumn("c", col("s1") + col("s2"))
+      val w1 = Window.orderBy(col("s1").desc, col("cust"))
+      val w2 = Window.orderBy(col("s2").desc, col("cust"))
+      val top1 = scored.orderBy(col("s1").desc, col("cust")).limit(D)
+        .withColumn("r1", row_number().over(w1))
+      val top2 = scored.orderBy(col("s2").desc, col("cust")).limit(D)
+        .withColumn("r2", row_number().over(w2))
+      val cands = top1.select(col("cust"), col("c"), col("r1"))
+        .join(top2.select(col("cust").as("cust2"), col("c").as("c2"),
+          col("r2")), col("cust") === col("cust2"), "full")
+        .select(coalesce(col("cust"), col("cust2")).as("cust"),
+          coalesce(col("c"), col("c2")).as("c"),
+          least(coalesce(col("r1"), lit(D + 1)),
+            coalesce(col("r2"), lit(D + 1))).as("m"))
+      val depths = top1.select(col("r1").as("dep"), col("s1").as("t1"))
+        .join(top2.select(col("r2").as("dep"), col("s2").as("t2")), Seq("dep"))
+        .select(col("dep"), (col("t1") + col("t2")).as("thr"))
+      // k-th best seen combined score at every depth: a capped
+      // depths×cands expansion (≤ D·|cands| rows by contract).
+      val kth = depths.join(cands, col("m") <= col("dep"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("dep")).orderBy(col("c").desc, col("cust"))))
+        .filter(col("rk") === K)
+        .select(col("dep"), col("thr"), col("c").as("kth_c"))
+      val stop = kth.filter(col("kth_c") > col("thr"))
+        .agg(min(col("dep")).cast("long").as("stop_depth"))
+      val seen = cands.crossJoin(broadcast(stop))
+        .filter(col("m") <= col("stop_depth"))
+        .agg(count(lit(1)).as("seen_n"))
+      val gk = scored.orderBy(col("c").desc, col("cust")).limit(K)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("c").desc, col("cust"))).cast("long"))
+      val taIn = gk.select(col("cust").as("gcust"))
+        .join(cands, col("gcust") === col("cust"))
+        .crossJoin(broadcast(stop))
+        .filter(col("m") <= col("stop_depth"))
+        .agg(count(lit(1)).as("ta_topk_in_seen"))
+      val corpus = scored.agg(count(lit(1)).as("corpus_n"))
+      val audit = stop.crossJoin(seen).crossJoin(corpus).crossJoin(taIn)
+        .withColumn("scanned_ppm", expr("(1000000 * seen_n) DIV corpus_n"))
+      gk.select(col("rnk"), col("cust"), col("c").as("combined"))
+        .crossJoin(broadcast(audit))
+        .select(col("rnk"), col("cust"), col("combined"), col("stop_depth"),
+          col("seen_n"), col("corpus_n"), col("scanned_ppm"),
+          col("ta_topk_in_seen"))
+        .orderBy(col("rnk"))
+    }),
+
+    // Sample-and-scale AQP error audit (the BlinkDB contract, Agarwal
+    // et al. 2013, on the engine's md5-draw discipline): a
+    // deterministic 1/16 sample (first md5 hex nibble = '0' — the
+    // Sampling.draw algebra, bit-reproducible in any md5 engine), the
+    // Horvitz-Thompson ×16 scale-up, and the TRUE relative error
+    // against the exact aggregate, per group — both computed in ONE
+    // conditional-aggregation pass (single shuffle, map-side partials).
+    // The number a pipeline needs before it trusts a sampled dashboard
+    // at 100 TB, measured instead of assumed.
+    "q237_aqp_error" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+        (substring(md5(col("event_id").cast("string").cast("binary")), 1, 1)
+          === lit("0")).as("in_sample"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(col("cents")).as("sum_exact"),
+          (sum(when(col("in_sample"), 1L).otherwise(0L)) * 16L).as("n_est"),
+          (sum(when(col("in_sample"), col("cents")).otherwise(0L)) * 16L)
+            .as("sum_est"))
+        .withColumn("err_cnt_ppm",
+          expr("(1000000 * abs(n_est - n_exact)) DIV n_exact"))
+        .withColumn("err_sum_ppm",
+          expr("(1000000 * abs(sum_est - sum_exact)) DIV greatest(abs(sum_exact), 1)"))
+        .select(col("event_type"), col("n_exact"), col("n_est"),
+          col("err_cnt_ppm"), col("sum_exact"), col("sum_est"),
+          col("err_sum_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
     // classic fraud / synthetic-data detector: observed first-
     // significant-digit shares of order totals against the Benford
@@ -3102,6 +3204,69 @@ object AnalyticsQueries {
         |    // (greatest((SELECT n_bands FROM consts) - 1, 1) * cls_n
         |       * (SELECT n_tot FROM consts)) AS BIGINT) t_ppm
         |FROM t ORDER BY t_ppm DESC, nat, seg LIMIT 20""".stripMargin,
+
+    // q236 oracle: the same TA simulation in CTEs — same D=500 cap,
+    // same strict-> stop rule — but the top-k itself comes from a FULL
+    // scan, so the compare independently verifies TA's guarantee.
+    "q236_ta_topk_audit" ->
+      """WITH scored AS (SELECT CAST(o_custkey AS BIGINT) cust,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) s1,
+        |    CAST(datediff('day', DATE '1992-01-01',
+        |      CAST(max(o_orderdate) AS DATE)) AS BIGINT) * 10000 s2
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT cust, s1, s2, s1 + s2 c FROM scored),
+        |t1 AS (SELECT cust, s1, c, row_number()
+        |    OVER (ORDER BY s1 DESC, cust) r1 FROM sc QUALIFY r1 <= 500),
+        |t2 AS (SELECT cust, s2, c, row_number()
+        |    OVER (ORDER BY s2 DESC, cust) r2 FROM sc QUALIFY r2 <= 500),
+        |cands AS (SELECT COALESCE(a.cust, b.cust) cust,
+        |    COALESCE(a.c, b.c) c,
+        |    least(COALESCE(a.r1, 501), COALESCE(b.r2, 501)) m
+        |  FROM t1 a FULL JOIN t2 b ON a.cust = b.cust),
+        |depths AS (SELECT a.r1 dep, a.s1 + b.s2 thr
+        |  FROM t1 a JOIN t2 b ON a.r1 = b.r2),
+        |kth AS (SELECT dep, thr, c kth_c FROM (
+        |    SELECT dd.dep, dd.thr, ca.c, ca.cust, row_number()
+        |      OVER (PARTITION BY dd.dep ORDER BY ca.c DESC, ca.cust) rk
+        |    FROM depths dd JOIN cands ca ON ca.m <= dd.dep) WHERE rk = 10),
+        |stop AS (SELECT CAST(min(dep) AS BIGINT) stop_depth
+        |  FROM kth WHERE kth_c > thr),
+        |seen AS (SELECT CAST(count(*) AS BIGINT) seen_n
+        |  FROM cands, stop WHERE m <= stop_depth),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) corpus_n FROM sc),
+        |gk AS (SELECT cust, c, CAST(row_number()
+        |    OVER (ORDER BY c DESC, cust) AS BIGINT) rnk
+        |  FROM sc QUALIFY rnk <= 10),
+        |tam AS (SELECT CAST(count(*) AS BIGINT) ta_topk_in_seen
+        |  FROM gk JOIN cands USING (cust), stop WHERE m <= stop_depth)
+        |SELECT gk.rnk, gk.cust, gk.c AS combined, stop.stop_depth,
+        |  seen.seen_n, corpus.corpus_n,
+        |  CAST((1000000 * seen.seen_n) // corpus.corpus_n AS BIGINT)
+        |    scanned_ppm,
+        |  tam.ta_topk_in_seen
+        |FROM gk, stop, seen, corpus, tam ORDER BY gk.rnk""".stripMargin,
+
+    // q237 oracle: identical md5-nibble membership, ×16 HT scale-up,
+    // one conditional aggregate; // ≡ DIV (numerators non-negative).
+    "q237_aqp_error" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) cents,
+        |    substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0' in_sample
+        |  FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) n_exact,
+        |    CAST(sum(cents) AS BIGINT) sum_exact,
+        |    CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+        |      * 16 n_est,
+        |    CAST(sum(CASE WHEN in_sample THEN cents ELSE 0 END) AS BIGINT)
+        |      * 16 sum_est
+        |  FROM ev GROUP BY 1)
+        |SELECT event_type, n_exact, n_est,
+        |  CAST((1000000 * abs(n_est - n_exact)) // n_exact AS BIGINT)
+        |    err_cnt_ppm,
+        |  sum_exact, sum_est,
+        |  CAST((1000000 * abs(sum_est - sum_exact))
+        |    // greatest(abs(sum_exact), 1) AS BIGINT) err_sum_ppm
+        |FROM g ORDER BY 1""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full

@@ -546,6 +546,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"leading aggregates lost partials:\n$p")
   }
 
+  test("q236 TA audit: ranked lists come from TakeOrdered, not a corpus window") {
+    val p = plan("q236_ta_topk_audit")
+    // The only full-data operators may be the scoring aggregate and
+    // TakeOrdered top-D/top-k; every window in the plan runs on the
+    // depth-capped lists. A corpus-wide row_number would be the exact
+    // single-partition sort TA exists to avoid.
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ranked lists must be TakeOrdered:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"scoring aggregate lost map-side partials:\n$p")
+  }
+
   test("q224 winnowing: pairing is an equi-join on the fingerprint hash, no product") {
     val p = plan("q224_winnowing_pairs")
     assert(!p.contains("CartesianProduct") &&
