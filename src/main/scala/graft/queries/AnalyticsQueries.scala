@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Components, Dedup, Skyline, TextAnalysis}
+import graft.ext.{Components, CubeLattice, Dedup, Skyline, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1052,6 +1052,46 @@ object AnalyticsQueries {
           col("err_cnt_ppm"), col("sum_exact"), col("sum_est"),
           col("err_sum_ppm"))
         .orderBy(col("event_type"))
+    }),
+
+    // Greedy cube materialization (Harinarayan, Rajaraman & Ullman,
+    // SIGMOD 1996) — WHICH cuboids to pre-aggregate, decided from
+    // measured sizes instead of guessed: one grouping-sets pass over
+    // the (nation, segment, year) star computes the exact row count of
+    // all 2³ cuboids (a second tiny aggregate counts groups per gid),
+    // then the paper's greedy — each step picks the view whose
+    // materialization saves the most total answer cost, provably
+    // within (1−1/e) of optimal — chooses 3 views beyond the
+    // always-kept top. The lattice is dimension-count-sized (8 rows at
+    // ANY data scale), so the driver crossing is model-sized; the
+    // oracle is the same greedy unrolled as three SQL stages. This is
+    // the decision procedure behind the engine's session pre-aggregate
+    // (q02/q126) made first-class.
+    "q238_cube_greedy" -> ((s, d) => {
+      val names = Map(0L -> "()", 1L -> "yr", 2L -> "seg", 3L -> "seg,yr",
+        4L -> "nat", 5L -> "nat,yr", 6L -> "nat,seg", 7L -> "nat,seg,yr")
+      val base = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").cast("long").as("nat"),
+          col("c_mktsegment").as("seg"), year(col("o_orderdate")).as("yr"))
+      val cub = base.groupingSets(
+          Seq(Seq(col("nat"), col("seg"), col("yr")),
+            Seq(col("nat"), col("seg")), Seq(col("nat"), col("yr")),
+            Seq(col("seg"), col("yr")), Seq(col("nat")), Seq(col("seg")),
+            Seq(col("yr")), Seq.empty),
+          col("nat"), col("seg"), col("yr"))
+        .agg(grouping_id().as("gid"))
+      val sizes = cub.groupBy((lit(7) - col("gid")).cast("long").as("mask"))
+        .agg(count(lit(1)).as("v_size"))
+        .collect() // exactly 2^3 rows by construction — model-sized
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val picks = CubeLattice.greedyPicks(sizes, 3)
+        .map { case (st, m, sz, b, tc) => (st, names(m), m, sz, b, tc) }
+      s.createDataFrame(picks)
+        .toDF("step", "view_name", "mask", "v_size", "benefit",
+          "total_cost")
+        .orderBy(col("step"))
     }),
 
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
@@ -3267,6 +3307,68 @@ object AnalyticsQueries {
         |  CAST((1000000 * abs(sum_est - sum_exact))
         |    // greatest(abs(sum_exact), 1) AS BIGINT) err_sum_ppm
         |FROM g ORDER BY 1""".stripMargin,
+
+    // q238 oracle: the same greedy unrolled as three SQL stages over
+    // the 8-row lattice — benefit per candidate via the subset join
+    // (w & v) = w, argmax with the (benefit DESC, mask) tiebreak,
+    // per-cuboid min-ancestor cost recomputed after each pick.
+    "q238_cube_greedy" ->
+      """WITH base AS (SELECT CAST(c_nationkey AS BIGINT) nat,
+        |    c_mktsegment seg, year(o_orderdate) yr
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT GROUPING(nat)*4 + GROUPING(seg)*2 + GROUPING(yr) gid
+        |  FROM base GROUP BY GROUPING SETS ((nat, seg, yr), (nat, seg),
+        |    (nat, yr), (seg, yr), (nat), (seg), (yr), ())),
+        |sz AS (SELECT CAST(7 - gid AS BIGINT) mask,
+        |    CAST(count(*) AS BIGINT) v_size FROM g GROUP BY 1),
+        |b1 AS (SELECT v.mask, v.v_size, CAST(sum(greatest(0,
+        |      (SELECT v_size FROM sz WHERE mask = 7) - v.v_size))
+        |      AS BIGINT) benefit
+        |  FROM sz v JOIN sz w ON (w.mask & v.mask) = w.mask
+        |  WHERE v.mask <> 7 GROUP BY 1, 2),
+        |p1 AS (SELECT mask, v_size, benefit FROM b1
+        |  ORDER BY benefit DESC, mask LIMIT 1),
+        |c1 AS (SELECT w.mask wm, CAST(min(v.v_size) AS BIGINT) vcost
+        |  FROM sz w JOIN sz v ON (w.mask & v.mask) = w.mask
+        |  WHERE v.mask = 7 OR v.mask = (SELECT mask FROM p1) GROUP BY 1),
+        |t1 AS (SELECT CAST(sum(vcost) AS BIGINT) total_cost FROM c1),
+        |b2 AS (SELECT v.mask, v.v_size,
+        |    CAST(sum(greatest(0, c.vcost - v.v_size)) AS BIGINT) benefit
+        |  FROM sz v JOIN c1 c ON (c.wm & v.mask) = c.wm
+        |  WHERE v.mask <> 7 AND v.mask <> (SELECT mask FROM p1)
+        |  GROUP BY 1, 2),
+        |p2 AS (SELECT mask, v_size, benefit FROM b2
+        |  ORDER BY benefit DESC, mask LIMIT 1),
+        |c2 AS (SELECT w.mask wm, CAST(min(v.v_size) AS BIGINT) vcost
+        |  FROM sz w JOIN sz v ON (w.mask & v.mask) = w.mask
+        |  WHERE v.mask IN (7, (SELECT mask FROM p1), (SELECT mask FROM p2))
+        |  GROUP BY 1),
+        |t2 AS (SELECT CAST(sum(vcost) AS BIGINT) total_cost FROM c2),
+        |b3 AS (SELECT v.mask, v.v_size,
+        |    CAST(sum(greatest(0, c.vcost - v.v_size)) AS BIGINT) benefit
+        |  FROM sz v JOIN c2 c ON (c.wm & v.mask) = c.wm
+        |  WHERE v.mask NOT IN (7, (SELECT mask FROM p1),
+        |    (SELECT mask FROM p2)) GROUP BY 1, 2),
+        |p3 AS (SELECT mask, v_size, benefit FROM b3
+        |  ORDER BY benefit DESC, mask LIMIT 1),
+        |c3 AS (SELECT w.mask wm, CAST(min(v.v_size) AS BIGINT) vcost
+        |  FROM sz w JOIN sz v ON (w.mask & v.mask) = w.mask
+        |  WHERE v.mask IN (7, (SELECT mask FROM p1), (SELECT mask FROM p2),
+        |    (SELECT mask FROM p3)) GROUP BY 1),
+        |t3 AS (SELECT CAST(sum(vcost) AS BIGINT) total_cost FROM c3),
+        |steps AS (
+        |  SELECT 1 step, mask, v_size, benefit,
+        |    (SELECT total_cost FROM t1) total_cost FROM p1
+        |  UNION ALL SELECT 2, mask, v_size, benefit,
+        |    (SELECT total_cost FROM t2) FROM p2
+        |  UNION ALL SELECT 3, mask, v_size, benefit,
+        |    (SELECT total_cost FROM t3) FROM p3)
+        |SELECT CAST(step AS INT) step,
+        |  CASE mask WHEN 0 THEN '()' WHEN 1 THEN 'yr' WHEN 2 THEN 'seg'
+        |    WHEN 3 THEN 'seg,yr' WHEN 4 THEN 'nat' WHEN 5 THEN 'nat,yr'
+        |    WHEN 6 THEN 'nat,seg' ELSE 'nat,seg,yr' END view_name,
+        |  mask, v_size, benefit, total_cost
+        |FROM steps ORDER BY step""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full
