@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Components, CubeLattice, Dedup, Skyline, TextAnalysis}
+import graft.ext.{Components, CubeLattice, Dedup, Skyline, TextAnalysis, VOptHistogram}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1131,6 +1131,32 @@ object AnalyticsQueries {
         .select(col("dep"), col("n_rows"), col("violations"),
           col("g3_ppm"), col("holds"))
         .orderBy(col("dep"))
+    }),
+
+    // V-optimal histogram (Jagadish et al., VLDB 1998) over the
+    // balance-band frequency vector: the synopsis an optimizer keeps
+    // for selectivity estimation, built by the paper's exact DP
+    // instead of equi-width guessing. The frequency vector is
+    // value-range-bounded (11 bands at any row count), so the DP is
+    // model-sized driver work (q238 discipline); the oracle is the
+    // SAME DP unrolled as three SQL join stages with the identical
+    // (err, k) tiebreak. Integer-exact: each segment's SSE is scaled
+    // by LCM(1..16)/len so bucketings compare in exact int64.
+    "q240_voptimal_histogram" -> ((s, d) => {
+      val bands = Tables.customer(s, d)
+        .groupBy(floor(col("c_acctbal") / 1000).cast("long").as("band"))
+        .agg(count(lit(1)).as("f"))
+        .orderBy(col("band"))
+        .collect() // ≤16 rows by value range — model-sized
+      val (buckets, total) =
+        VOptHistogram.fit(bands.map(_.getLong(1)).toSeq, 4)
+      val rows = buckets.map(b => (b.bucket,
+        bands(b.loIdx - 1).getLong(0), bands(b.hiIdx - 1).getLong(0),
+        b.nRows, b.sseScaled, total))
+      s.createDataFrame(rows)
+        .toDF("bucket", "lo_band", "hi_band", "n_rows", "sse_scaled",
+          "total_sse_scaled")
+        .orderBy(col("bucket"))
     }),
 
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
@@ -3452,6 +3478,52 @@ object AnalyticsQueries {
         |      CAST(count(*) AS BIGINT) c FROM documents GROUP BY 1, 2)
         |    GROUP BY a)
         |) ORDER BY dep""".stripMargin,
+
+    // q240 oracle: the same DP unrolled — segment errors from pair-
+    // joined cumulative sums, three ranked stages with the (err, k)
+    // tiebreak, backtrack joins, bucket rows reassembled from seg.
+    "q240_voptimal_histogram" ->
+      """WITH bands AS (SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) band,
+        |    CAST(count(*) AS BIGINT) f FROM customer GROUP BY 1),
+        |idx AS (SELECT band, f,
+        |    CAST(row_number() OVER (ORDER BY band) AS BIGINT) i FROM bands),
+        |cum AS (SELECT i, band, f,
+        |    CAST(sum(f) OVER (ORDER BY i) AS BIGINT) cf,
+        |    CAST(sum(f * f) OVER (ORDER BY i) AS BIGINT) cf2 FROM idx),
+        |nv AS (SELECT CAST(max(i) AS BIGINT) v FROM cum),
+        |sege AS (SELECT lo.i lo, hi.i hi,
+        |    hi.cf - lo.cf + lo.f sf,
+        |    CAST((720720 // (hi.i - lo.i + 1)) *
+        |      ((hi.i - lo.i + 1) * (hi.cf2 - lo.cf2 + lo.f * lo.f)
+        |       - (hi.cf - lo.cf + lo.f) * (hi.cf - lo.cf + lo.f))
+        |      AS BIGINT) e
+        |  FROM cum lo JOIN cum hi ON lo.i <= hi.i),
+        |d1 AS (SELECT hi j, e e1 FROM sege WHERE lo = 1),
+        |d2 AS (SELECT j, k, e2 FROM (
+        |    SELECT s.hi j, d1.j k, d1.e1 + s.e e2, row_number()
+        |      OVER (PARTITION BY s.hi ORDER BY d1.e1 + s.e, d1.j) rn
+        |    FROM d1 JOIN sege s ON s.lo = d1.j + 1) WHERE rn = 1),
+        |d3 AS (SELECT j, k, e3 FROM (
+        |    SELECT s.hi j, d2.j k, d2.e2 + s.e e3, row_number()
+        |      OVER (PARTITION BY s.hi ORDER BY d2.e2 + s.e, d2.j) rn
+        |    FROM d2 JOIN sege s ON s.lo = d2.j + 1) WHERE rn = 1),
+        |d4 AS (SELECT k, e4 FROM (
+        |    SELECT d3.j k, d3.e3 + s.e e4, row_number()
+        |      OVER (ORDER BY d3.e3 + s.e, d3.j) rn
+        |    FROM d3 JOIN sege s ON s.lo = d3.j + 1
+        |      AND s.hi = (SELECT v FROM nv)) WHERE rn = 1),
+        |bt AS (SELECT d2.k k1, d3.k k2, d4.k k3, d4.e4 total
+        |  FROM d4 JOIN d3 ON d3.j = d4.k JOIN d2 ON d2.j = d3.k),
+        |cuts AS (SELECT 1 bucket, CAST(1 AS BIGINT) lo, k1 hi, total FROM bt
+        |  UNION ALL SELECT 2, k1 + 1, k2, total FROM bt
+        |  UNION ALL SELECT 3, k2 + 1, k3, total FROM bt
+        |  UNION ALL SELECT 4, k3 + 1, (SELECT v FROM nv), total FROM bt)
+        |SELECT CAST(c.bucket AS INT) bucket, il.band lo_band,
+        |  ih.band hi_band, s.sf n_rows, s.e sse_scaled,
+        |  c.total total_sse_scaled
+        |FROM cuts c JOIN sege s ON s.lo = c.lo AND s.hi = c.hi
+        |JOIN cum il ON il.i = c.lo JOIN cum ih ON ih.i = c.hi
+        |ORDER BY 1""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full
