@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Components, CubeLattice, Dedup, Skyline, TextAnalysis, VOptHistogram}
+import graft.ext.{Components, CubeLattice, Dedup, Skyline, SynopsisAudit, TextAnalysis, VOptHistogram}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1157,6 +1157,44 @@ object AnalyticsQueries {
         .toDF("bucket", "lo_band", "hi_band", "n_rows", "sse_scaled",
           "total_sse_scaled")
         .orderBy(col("bucket"))
+    }),
+
+    // Synopsis selectivity-error audit — the reason q240 exists,
+    // measured: equi-width, equi-depth (Piatetsky-Shapiro & Connell
+    // 1984) and V-optimal (Jagadish et al. 1998) histograms built over
+    // the SAME band frequency vector, then every prefix-range query
+    // (band ≤ t for each of the V thresholds) estimated under the
+    // uniform-spread assumption and compared to the exact cumulative
+    // count. Reported per histogram: mean and worst absolute error
+    // (ppm of N). All boundary rules are cross-multiplied integer
+    // contracts (SynopsisAudit scaladoc) that the oracle restates
+    // literally, so the three bucketings are bit-identical in both
+    // engines. Model-sized driver work after one band aggregate.
+    "q241_synopsis_error" -> ((s, d) => {
+      val bands = Tables.customer(s, d)
+        .groupBy(floor(col("c_acctbal") / 1000).cast("long").as("band"))
+        .agg(count(lit(1)).as("f"))
+        .orderBy(col("band"))
+        .collect() // ≤16 rows by value range — model-sized
+      val f = bands.map(_.getLong(1)).toIndexedSeq
+      val v = f.length
+      val n = f.sum
+      val cf = f.scanLeft(0L)(_ + _).toIndexedSeq
+      def segSum(lo: Int, hi: Int): Long = cf(hi) - cf(lo - 1)
+      val hists = Seq(
+        "equi_depth" -> SynopsisAudit.equiDepth(cf, 4),
+        "equi_width" -> SynopsisAudit.equiWidth(v, 4),
+        "v_optimal" -> VOptHistogram.fit(f, 4)._1
+          .map(b => (b.loIdx, b.hiIdx)))
+      val rows = hists.map { case (name, bks) =>
+        val errs = (1 to v).map(t =>
+          math.abs(SynopsisAudit.prefixEstimate(bks, segSum, t) - cf(t)))
+        (name, v.toLong, (1000000L * errs.sum) / (v.toLong * n),
+          errs.map(e => 1000000L * e / n).max)
+      }
+      s.createDataFrame(rows)
+        .toDF("hist", "n_queries", "mean_abs_err_ppm", "max_abs_err_ppm")
+        .orderBy(col("hist"))
     }),
 
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
@@ -3524,6 +3562,90 @@ object AnalyticsQueries {
         |FROM cuts c JOIN sege s ON s.lo = c.lo AND s.hi = c.hi
         |JOIN cum il ON il.i = c.lo JOIN cum ih ON ih.i = c.hi
         |ORDER BY 1""".stripMargin,
+
+    // q241 oracle: all three bucketings restated in SQL — equi-width
+    // via (i·V)//B, equi-depth via the clamped cross-multiplied rule,
+    // V-optimal via the q240 DP stack — then the same uniform-spread
+    // prefix estimates against exact cumulative counts.
+    "q241_synopsis_error" ->
+      """WITH bands AS (SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) band,
+        |    CAST(count(*) AS BIGINT) f FROM customer GROUP BY 1),
+        |idx AS (SELECT band, f,
+        |    CAST(row_number() OVER (ORDER BY band) AS BIGINT) i FROM bands),
+        |cum AS (SELECT i, band, f,
+        |    CAST(sum(f) OVER (ORDER BY i) AS BIGINT) cf,
+        |    CAST(sum(f * f) OVER (ORDER BY i) AS BIGINT) cf2 FROM idx),
+        |nv AS (SELECT CAST(max(i) AS BIGINT) v FROM cum),
+        |tot AS (SELECT CAST(sum(f) AS BIGINT) n FROM bands),
+        |sege AS (SELECT lo.i lo, hi.i hi,
+        |    hi.cf - lo.cf + lo.f sf,
+        |    CAST((720720 // (hi.i - lo.i + 1)) *
+        |      ((hi.i - lo.i + 1) * (hi.cf2 - lo.cf2 + lo.f * lo.f)
+        |       - (hi.cf - lo.cf + lo.f) * (hi.cf - lo.cf + lo.f))
+        |      AS BIGINT) e
+        |  FROM cum lo JOIN cum hi ON lo.i <= hi.i),
+        |d1 AS (SELECT hi j, e e1 FROM sege WHERE lo = 1),
+        |d2 AS (SELECT j, k, e2 FROM (
+        |    SELECT s.hi j, d1.j k, d1.e1 + s.e e2, row_number()
+        |      OVER (PARTITION BY s.hi ORDER BY d1.e1 + s.e, d1.j) rn
+        |    FROM d1 JOIN sege s ON s.lo = d1.j + 1) WHERE rn = 1),
+        |d3 AS (SELECT j, k, e3 FROM (
+        |    SELECT s.hi j, d2.j k, d2.e2 + s.e e3, row_number()
+        |      OVER (PARTITION BY s.hi ORDER BY d2.e2 + s.e, d2.j) rn
+        |    FROM d2 JOIN sege s ON s.lo = d2.j + 1) WHERE rn = 1),
+        |d4 AS (SELECT k, e4 FROM (
+        |    SELECT d3.j k, d3.e3 + s.e e4, row_number()
+        |      OVER (ORDER BY d3.e3 + s.e, d3.j) rn
+        |    FROM d3 JOIN sege s ON s.lo = d3.j + 1
+        |      AND s.hi = (SELECT v FROM nv)) WHERE rn = 1),
+        |bt AS (SELECT d2.k k1, d3.k k2, d4.k k3
+        |  FROM d4 JOIN d3 ON d3.j = d4.k JOIN d2 ON d2.j = d3.k),
+        |ed1 AS (SELECT least(greatest(
+        |    (SELECT min(i) FROM cum, tot WHERE cf * 4 >= 1 * n), 1),
+        |    (SELECT v FROM nv) - 3) h),
+        |ed2 AS (SELECT least(greatest(
+        |    (SELECT min(i) FROM cum, tot WHERE cf * 4 >= 2 * n),
+        |    (SELECT h FROM ed1) + 1), (SELECT v FROM nv) - 2) h),
+        |ed3 AS (SELECT least(greatest(
+        |    (SELECT min(i) FROM cum, tot WHERE cf * 4 >= 3 * n),
+        |    (SELECT h FROM ed2) + 1), (SELECT v FROM nv) - 1) h),
+        |allb AS (
+        |  SELECT 'equi_width' hist,
+        |    ((t.i - 1) * (SELECT v FROM nv)) // 4 + 1 lo,
+        |    (t.i * (SELECT v FROM nv)) // 4 hi
+        |  FROM (VALUES (1), (2), (3), (4)) t(i)
+        |  UNION ALL
+        |  SELECT 'equi_depth', CAST(1 AS BIGINT), (SELECT h FROM ed1)
+        |  UNION ALL SELECT 'equi_depth', (SELECT h FROM ed1) + 1,
+        |    (SELECT h FROM ed2)
+        |  UNION ALL SELECT 'equi_depth', (SELECT h FROM ed2) + 1,
+        |    (SELECT h FROM ed3)
+        |  UNION ALL SELECT 'equi_depth', (SELECT h FROM ed3) + 1,
+        |    (SELECT v FROM nv)
+        |  UNION ALL
+        |  SELECT 'v_optimal', CAST(1 AS BIGINT), (SELECT k1 FROM bt)
+        |  UNION ALL SELECT 'v_optimal', (SELECT k1 FROM bt) + 1,
+        |    (SELECT k2 FROM bt)
+        |  UNION ALL SELECT 'v_optimal', (SELECT k2 FROM bt) + 1,
+        |    (SELECT k3 FROM bt)
+        |  UNION ALL SELECT 'v_optimal', (SELECT k3 FROM bt) + 1,
+        |    (SELECT v FROM nv)),
+        |est AS (SELECT b.hist, c.i t,
+        |    CAST(sum(CASE WHEN b.hi <= c.i THEN s.sf
+        |      WHEN b.lo > c.i THEN 0
+        |      ELSE (s.sf * (c.i - b.lo + 1)) // (b.hi - b.lo + 1) END)
+        |      AS BIGINT) est
+        |  FROM allb b JOIN sege s ON s.lo = b.lo AND s.hi = b.hi, cum c
+        |  GROUP BY 1, 2),
+        |err AS (SELECT e.hist, e.t, abs(e.est - c2.cf) ae
+        |  FROM est e JOIN cum c2 ON c2.i = e.t)
+        |SELECT hist, (SELECT v FROM nv) n_queries,
+        |  CAST((1000000 * sum(ae))
+        |    // ((SELECT v FROM nv) * (SELECT n FROM tot)) AS BIGINT)
+        |    mean_abs_err_ppm,
+        |  CAST(max((1000000 * ae) // (SELECT n FROM tot)) AS BIGINT)
+        |    max_abs_err_ppm
+        |FROM err GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full
