@@ -1197,6 +1197,54 @@ object AnalyticsQueries {
         .orderBy(col("hist"))
     }),
 
+    // Selinger join-order cost audit (Selinger et al., SIGMOD 1979)
+    // with EXACT intermediate cardinalities: every connected interval
+    // of the region–nation–customer(BUILDING)–orders chain is counted
+    // for real (ten distributed count aggregates — the audit's point
+    // is measured, not estimated, sizes), then all 8 connected
+    // left-deep orders are costed as Σ intermediate-result rows and
+    // ranked. The plan-space spread (best vs worst order) is the
+    // number that justifies an optimizer at 100 TB; the subset
+    // lattice is relation-count-sized, so the driver crossing is ten
+    // integers. Orders whose prefixes make identical interval sets
+    // tie exactly and break on the order label.
+    "q242_join_order_audit" -> ((s, d) => {
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+        .where(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+      val rn = r.join(n, col("r_regionkey") === col("n_regionkey"))
+      val nc = n.join(c, col("n_nationkey") === col("c_nationkey"))
+      val co = c.join(o, col("c_custkey") === col("o_custkey"))
+      val rnc = rn.join(c, col("n_nationkey") === col("c_nationkey"))
+      val nco = nc.join(o, col("c_custkey") === col("o_custkey"))
+      val rnco = rnc.join(o, col("c_custkey") === col("o_custkey"))
+      val sz = Map("RN" -> rn.count(), "NC" -> nc.count(),
+        "CO" -> co.count(), "RNC" -> rnc.count(), "NCO" -> nco.count(),
+        "RNCO" -> rnco.count())
+      val chain = Seq("R", "N", "C", "O")
+      val pos = chain.zipWithIndex.toMap
+      def interval(pre: Seq[String]): String = {
+        val ps = pre.map(pos)
+        chain.slice(ps.min, ps.max + 1).mkString
+      }
+      val orders8 = Seq(
+        Seq("R", "N", "C", "O"), Seq("N", "R", "C", "O"),
+        Seq("N", "C", "R", "O"), Seq("N", "C", "O", "R"),
+        Seq("C", "N", "R", "O"), Seq("C", "N", "O", "R"),
+        Seq("C", "O", "N", "R"), Seq("O", "C", "N", "R"))
+      val costed = orders8.map { ord =>
+        val cost = (2 to 4).map(k => sz(interval(ord.take(k)))).sum
+        (ord.mkString(","), cost)
+      }.sortBy { case (lbl, cost) => (cost, lbl) }
+      val rows = costed.zipWithIndex.map { case ((lbl, cost), i) =>
+        (lbl, cost, (i + 1).toLong)
+      }
+      s.createDataFrame(rows).toDF("ord", "cost_rows", "rnk")
+        .orderBy(col("rnk"))
+    }),
+
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
     // classic fraud / synthetic-data detector: observed first-
     // significant-digit shares of order totals against the Benford
@@ -3646,6 +3694,47 @@ object AnalyticsQueries {
         |  CAST(max((1000000 * ae) // (SELECT n FROM tot)) AS BIGINT)
         |    max_abs_err_ppm
         |FROM err GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q242 oracle: the same ten exact counts as CTEs, the same eight
+    // left-deep orders costed explicitly, row_number on (cost, ord).
+    "q242_join_order_audit" ->
+      """WITH cb AS (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |rn AS (SELECT CAST(count(*) AS BIGINT) v FROM region
+        |  JOIN nation ON r_regionkey = n_regionkey),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) v FROM nation
+        |  JOIN cb ON n_nationkey = c_nationkey),
+        |co AS (SELECT CAST(count(*) AS BIGINT) v FROM cb
+        |  JOIN orders ON c_custkey = o_custkey),
+        |rnc AS (SELECT CAST(count(*) AS BIGINT) v FROM region
+        |  JOIN nation ON r_regionkey = n_regionkey
+        |  JOIN cb ON n_nationkey = c_nationkey),
+        |nco AS (SELECT CAST(count(*) AS BIGINT) v FROM nation
+        |  JOIN cb ON n_nationkey = c_nationkey
+        |  JOIN orders ON c_custkey = o_custkey),
+        |rnco AS (SELECT CAST(count(*) AS BIGINT) v FROM region
+        |  JOIN nation ON r_regionkey = n_regionkey
+        |  JOIN cb ON n_nationkey = c_nationkey
+        |  JOIN orders ON c_custkey = o_custkey),
+        |costed AS (
+        |  SELECT 'R,N,C,O' ord, (SELECT v FROM rn) + (SELECT v FROM rnc)
+        |    + (SELECT v FROM rnco) cost_rows
+        |  UNION ALL SELECT 'N,R,C,O', (SELECT v FROM rn)
+        |    + (SELECT v FROM rnc) + (SELECT v FROM rnco)
+        |  UNION ALL SELECT 'N,C,R,O', (SELECT v FROM nc)
+        |    + (SELECT v FROM rnc) + (SELECT v FROM rnco)
+        |  UNION ALL SELECT 'N,C,O,R', (SELECT v FROM nc)
+        |    + (SELECT v FROM nco) + (SELECT v FROM rnco)
+        |  UNION ALL SELECT 'C,N,R,O', (SELECT v FROM nc)
+        |    + (SELECT v FROM rnc) + (SELECT v FROM rnco)
+        |  UNION ALL SELECT 'C,N,O,R', (SELECT v FROM nc)
+        |    + (SELECT v FROM nco) + (SELECT v FROM rnco)
+        |  UNION ALL SELECT 'C,O,N,R', (SELECT v FROM co)
+        |    + (SELECT v FROM nco) + (SELECT v FROM rnco)
+        |  UNION ALL SELECT 'O,C,N,R', (SELECT v FROM co)
+        |    + (SELECT v FROM nco) + (SELECT v FROM rnco))
+        |SELECT ord, cost_rows,
+        |  CAST(row_number() OVER (ORDER BY cost_rows, ord) AS BIGINT) rnk
+        |FROM costed ORDER BY rnk""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full
