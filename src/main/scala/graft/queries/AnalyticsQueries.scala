@@ -1245,6 +1245,62 @@ object AnalyticsQueries {
         .orderBy(col("rnk"))
     }),
 
+    // q-gram signature edit-distance join (Gravano et al., VLDB 2001;
+    // signature bound per Chaudhuri et al., SSJoin): all name pairs
+    // within edit distance k = 2 WITHOUT the quadratic pass the oracle
+    // runs. Three lossless necessary conditions chain: (1) signature
+    // filter — each string keeps its k·q+1 = 7 globally-rarest grams
+    // (an edit destroys ≤ q grams, so ≤ k·q total ⇒ matching pairs
+    // MUST share a signature gram); candidates form only inside a
+    // signature gram's posting list; (2) length filter |la−lb| ≤ k;
+    // (3) bag-count filter Σ least(ca,cb) ≥ max(la,lb) − q + 1 − k·q.
+    // Survivors verify with codegen'd levenshtein. The oracle is the
+    // textbook quadratic scan — if any filter were wrong, a dropped
+    // pair would hash-mismatch. This is q202/q228's prefix-filter
+    // discipline instantiated for EDIT distance, the fuzzy-join scale
+    // path (posting-list-bounded, never names²).
+    "q243_qgram_edit_join" -> ((s, d) => {
+      val q = 3; val k = 2
+      val nm = graft.ops.TransientCache.persist(
+        Tables.part(s, d).select(col("p_name")).distinct()
+          .withColumn("len", length(col("p_name")).cast("long")))
+      val grams = nm.select(col("p_name"), col("len"),
+          explode(expr(
+            s"transform(sequence(1, CAST(len AS INT) - ${q - 1}), " +
+              s"i -> substring(p_name, i, $q))")).as("gram"))
+        .groupBy(col("p_name"), col("len"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+      val gcnt = graft.ops.TransientCache.persist(grams)
+      val df = gcnt.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      val sig = gcnt.join(df, "gram")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("p_name"))
+            .orderBy(col("df"), col("gram"))))
+        .filter(col("rk") <= k * q + 1)
+        .select(col("gram"), col("p_name"), col("len"))
+      val cand = sig.as("a").join(sig.as("b"),
+          col("a.gram") === col("b.gram") &&
+            col("a.p_name") < col("b.p_name") &&
+            abs(col("a.len") - col("b.len")) <= k)
+        .select(col("a.p_name").as("na"), col("a.len").as("la"),
+          col("b.p_name").as("nb"), col("b.len").as("lb"))
+        .distinct()
+      val counted = cand
+        .join(gcnt.select(col("p_name").as("na"), col("gram"),
+          col("c").as("ca")), Seq("na"))
+        .join(gcnt.select(col("p_name").as("nb"), col("gram"),
+          col("c").as("cb")), Seq("nb", "gram"))
+        .groupBy(col("na"), col("nb"), col("la"), col("lb"))
+        .agg(sum(least(col("ca"), col("cb"))).as("shared"))
+        .filter(col("shared") >=
+          greatest(col("la"), col("lb")) - lit(q - 1) - lit(k * q))
+      counted
+        .withColumn("ed", levenshtein(col("na"), col("nb")).cast("long"))
+        .filter(col("ed") <= k)
+        .select(col("na").as("name_a"), col("nb").as("name_b"), col("ed"))
+        .orderBy(col("name_a"), col("name_b"))
+    }),
+
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
     // classic fraud / synthetic-data detector: observed first-
     // significant-digit shares of order totals against the Benford
@@ -3735,6 +3791,17 @@ object AnalyticsQueries {
         |SELECT ord, cost_rows,
         |  CAST(row_number() OVER (ORDER BY cost_rows, ord) AS BIGINT) rnk
         |FROM costed ORDER BY rnk""".stripMargin,
+
+    // q243 oracle: the textbook quadratic dominance — every name pair
+    // scored with levenshtein directly; the engine's three-filter
+    // funnel must reproduce it exactly or a dropped pair mismatches.
+    "q243_qgram_edit_join" ->
+      """WITH nm AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name name_a, b.p_name name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) ed
+        |FROM nm a JOIN nm b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full
