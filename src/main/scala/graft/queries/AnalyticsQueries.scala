@@ -1301,6 +1301,59 @@ object AnalyticsQueries {
         .orderBy(col("name_a"), col("name_b"))
     }),
 
+    // Copeland pairwise-majority rank fusion (Copeland 1951; the
+    // Condorcet-method complement to q135/q140's RRF): three integer
+    // rankers over documents — size (n_chars), lexical diversity
+    // (distinct whitespace tokens), digit load (ascending) — and a
+    // document beats another when a MAJORITY of rankers prefer it.
+    // Rankings never materialize: ranker preference is a direct
+    // metric-tuple comparison with the doc-id tiebreak, so there is no
+    // corpus-wide row_number. The pairwise stage runs on the capped
+    // candidate pool (union of each ranker's TakeOrdered top-50 —
+    // ≤150 docs by contract, the oracle applies the same cap), never
+    // docs². Copeland score = wins − losses; with 3 rankers and total
+    // tiebreaks every pair is decided.
+    "q244_copeland_fusion" -> ((s, d) => {
+      val m = Tables.documents(s, d).select(col("doc_id"),
+        col("n_chars").cast("long").as("m1"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("m2"),
+        (length(col("text")) - length(regexp_replace(col("text"),
+          "[0-9]", ""))).cast("long").as("m3"))
+      val pool = graft.ops.TransientCache.persist(
+        m.orderBy(col("m1").desc, col("doc_id")).limit(50)
+          .unionByName(m.orderBy(col("m2").desc, col("doc_id")).limit(50))
+          .unionByName(m.orderBy(col("m3").asc, col("doc_id")).limit(50))
+          .distinct())
+      val a = pool.select(col("doc_id").as("da"), col("m1").as("a1"),
+        col("m2").as("a2"), col("m3").as("a3"))
+      val b = pool.select(col("doc_id").as("db"), col("m1").as("b1"),
+        col("m2").as("b2"), col("m3").as("b3"))
+      val pairs = a.join(b, col("da") < col("db"))
+        .withColumn("v1", when(col("a1") > col("b1") ||
+          (col("a1") === col("b1") && col("da") < col("db")), 1)
+          .otherwise(0))
+        .withColumn("v2", when(col("a2") > col("b2") ||
+          (col("a2") === col("b2") && col("da") < col("db")), 1)
+          .otherwise(0))
+        .withColumn("v3", when(col("a3") < col("b3") ||
+          (col("a3") === col("b3") && col("da") < col("db")), 1)
+          .otherwise(0))
+        .withColumn("a_wins", (col("v1") + col("v2") + col("v3") >= 2)
+          .cast("int"))
+      val winsA = pairs.groupBy(col("da").as("doc_id"))
+        .agg(sum(col("a_wins")).as("w"), count(lit(1)).as("n"))
+      val winsB = pairs.groupBy(col("db").as("doc_id"))
+        .agg(sum(lit(1) - col("a_wins")).as("w"), count(lit(1)).as("n"))
+      winsA.unionByName(winsB)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w")).as("wins"),
+          (sum(col("n")) - sum(col("w"))).as("losses"))
+        .withColumn("copeland", col("wins") - col("losses"))
+        .select(col("doc_id"), col("wins"), col("losses"), col("copeland"))
+        .orderBy(col("copeland").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
     // classic fraud / synthetic-data detector: observed first-
     // significant-digit shares of order totals against the Benford
@@ -3802,6 +3855,42 @@ object AnalyticsQueries {
         |FROM nm a JOIN nm b ON a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // q244 oracle: the same metric tuples, the same top-50-per-ranker
+    // pool, the same majority CASE logic — pairwise over the capped
+    // pool with wins/losses reassembled per doc.
+    "q244_copeland_fusion" ->
+      """WITH m AS (SELECT doc_id, CAST(n_chars AS BIGINT) m1,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) m2,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS BIGINT) m3
+        |  FROM documents),
+        |p1 AS (SELECT * FROM m ORDER BY m1 DESC, doc_id LIMIT 50),
+        |p2 AS (SELECT * FROM m ORDER BY m2 DESC, doc_id LIMIT 50),
+        |p3 AS (SELECT * FROM m ORDER BY m3 ASC, doc_id LIMIT 50),
+        |pool AS (SELECT DISTINCT * FROM (
+        |  SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |  UNION ALL SELECT * FROM p3)),
+        |pairs AS (SELECT a.doc_id da, b.doc_id db,
+        |    (CASE WHEN a.m1 > b.m1 OR (a.m1 = b.m1 AND a.doc_id < b.doc_id)
+        |      THEN 1 ELSE 0 END
+        |     + CASE WHEN a.m2 > b.m2 OR (a.m2 = b.m2 AND a.doc_id < b.doc_id)
+        |      THEN 1 ELSE 0 END
+        |     + CASE WHEN a.m3 < b.m3 OR (a.m3 = b.m3 AND a.doc_id < b.doc_id)
+        |      THEN 1 ELSE 0 END) votes_a
+        |  FROM pool a JOIN pool b ON a.doc_id < b.doc_id),
+        |dec AS (SELECT da, db, CASE WHEN votes_a >= 2 THEN 1 ELSE 0 END aw
+        |  FROM pairs),
+        |per AS (
+        |  SELECT da doc_id, CAST(sum(aw) AS BIGINT) w,
+        |    CAST(count(*) AS BIGINT) n FROM dec GROUP BY 1
+        |  UNION ALL
+        |  SELECT db, CAST(sum(1 - aw) AS BIGINT), CAST(count(*) AS BIGINT)
+        |  FROM dec GROUP BY 1)
+        |SELECT doc_id, CAST(sum(w) AS BIGINT) wins,
+        |  CAST(sum(n) - sum(w) AS BIGINT) losses,
+        |  CAST(2 * sum(w) - sum(n) AS BIGINT) copeland
+        |FROM per GROUP BY 1 ORDER BY copeland DESC, doc_id LIMIT 20""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full
