@@ -38,6 +38,26 @@ import org.apache.spark.sql.types.LongType
   */
 object Skyline {
 
+  /** 2-D frontier maintenance step for the streaming register: insert
+    * `p` into frontier `pts`, dropping it if dominated and pruning
+    * points it dominates. Identical points are all kept (ties dominate
+    * nothing), matching [[skylineMax]]. The final frontier is a
+    * function of the SET of inserted points — insertion order and
+    * batch splits cannot change it (property-spec'd), which is what
+    * makes the streaming register ≡ the batch operator. */
+  def insert2(pts: List[(Long, Long)], p: (Long, Long))
+      : List[(Long, Long)] = {
+    def dom(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 >= b._1 && a._2 >= b._2 && (a._1 > b._1 || a._2 > b._2)
+    if (pts.exists(q => dom(q, p))) pts
+    else p :: pts.filterNot(q => dom(p, q))
+  }
+
+  /** Fold a collection of 2-D points into its Pareto frontier via
+    * [[insert2]]. */
+  def foldFrontier2(pts: Iterable[(Long, Long)]): List[(Long, Long)] =
+    pts.foldLeft(List.empty[(Long, Long)])(insert2)
+
   /** Pareto frontier of `df` maximizing every column in `dims`
     * (non-null LongType). Non-dimension columns ride along as
     * payload. Output order is unspecified — callers sort. */

@@ -1354,6 +1354,47 @@ object AnalyticsQueries {
         .limit(20)
     }),
 
+    // Selectivity-independence error audit — the third leg of the
+    // optimizer-audit trilogy (q241 synopses, q242 join orders): for
+    // every pair of four predicates on orders, the attribute-value-
+    // independence estimate sel(A)·sel(B) the Selinger model assumes
+    // vs the EXACT conjunctive count, as a cross-multiplied ratio
+    // (10⁶·n_ab·n DIV n_a·n_b — 10⁶ = independent, above = positive
+    // correlation the model underestimates). ONE conditional-
+    // aggregation pass computes all four marginals and six pairwise
+    // counts (single scan, map-side partials); the pairs unpivot via
+    // stack. The measured answer to "how wrong is independence here".
+    "q245_independence_audit" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        (col("o_orderstatus") === "F").cast("long").as("fa"),
+        (col("o_orderpriority") === "1-URGENT").cast("long").as("fb"),
+        (year(col("o_orderdate")) >= 1995).cast("long").as("fc"),
+        (col("o_totalprice") >= 100000.0).cast("long").as("fd"))
+      val agg = o.agg(count(lit(1)).as("n"),
+        sum(col("fa")).as("na"), sum(col("fb")).as("nb"),
+        sum(col("fc")).as("nc"), sum(col("fd")).as("nd"),
+        sum(col("fa") * col("fb")).as("nab"),
+        sum(col("fa") * col("fc")).as("nac"),
+        sum(col("fa") * col("fd")).as("nad"),
+        sum(col("fb") * col("fc")).as("nbc"),
+        sum(col("fb") * col("fd")).as("nbd"),
+        sum(col("fc") * col("fd")).as("ncd"))
+      agg.select(expr("""stack(6,
+          'prio_URGENT*price_ge_100k', nb, nd, nbd,
+          'prio_URGENT*year_ge_1995', nb, nc, nbc,
+          'status_F*price_ge_100k', na, nd, nad,
+          'status_F*prio_URGENT', na, nb, nab,
+          'status_F*year_ge_1995', na, nc, nac,
+          'year_ge_1995*price_ge_100k', nc, nd, ncd)
+          AS (pair, n_a, n_b, n_ab)"""), col("n"))
+        .withColumn("est_ab", expr("(n_a * n_b) DIV n"))
+        .withColumn("indep_ratio_ppm", expr(
+          "CASE WHEN n_a * n_b > 0 THEN (1000000 * n_ab * n) DIV (n_a * n_b) END"))
+        .select(col("pair"), col("n_a"), col("n_b"), col("n_ab"),
+          col("est_ab"), col("indep_ratio_ppm"))
+        .orderBy(col("pair"))
+    }),
+
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
     // classic fraud / synthetic-data detector: observed first-
     // significant-digit shares of order totals against the Benford
@@ -3891,6 +3932,41 @@ object AnalyticsQueries {
         |  CAST(sum(n) - sum(w) AS BIGINT) losses,
         |  CAST(2 * sum(w) - sum(n) AS BIGINT) copeland
         |FROM per GROUP BY 1 ORDER BY copeland DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q245 oracle: the same one-pass flags aggregate, six pair rows
+    // UNION ALL'd, same cross-multiplied independence ratio.
+    "q245_independence_audit" ->
+      """WITH f AS (SELECT
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END fa,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END fb,
+        |    CASE WHEN year(o_orderdate) >= 1995 THEN 1 ELSE 0 END fc,
+        |    CASE WHEN o_totalprice >= 100000.0 THEN 1 ELSE 0 END fd
+        |  FROM orders),
+        |a AS (SELECT CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(fa) AS BIGINT) na, CAST(sum(fb) AS BIGINT) nb,
+        |    CAST(sum(fc) AS BIGINT) nc, CAST(sum(fd) AS BIGINT) nd,
+        |    CAST(sum(fa * fb) AS BIGINT) nab,
+        |    CAST(sum(fa * fc) AS BIGINT) nac,
+        |    CAST(sum(fa * fd) AS BIGINT) nad,
+        |    CAST(sum(fb * fc) AS BIGINT) nbc,
+        |    CAST(sum(fb * fd) AS BIGINT) nbd,
+        |    CAST(sum(fc * fd) AS BIGINT) ncd
+        |  FROM f),
+        |p AS (
+        |  SELECT 'prio_URGENT*price_ge_100k' pair, nb n_a, nd n_b,
+        |    nbd n_ab, n FROM a
+        |  UNION ALL SELECT 'prio_URGENT*year_ge_1995', nb, nc, nbc, n FROM a
+        |  UNION ALL SELECT 'status_F*price_ge_100k', na, nd, nad, n FROM a
+        |  UNION ALL SELECT 'status_F*prio_URGENT', na, nb, nab, n FROM a
+        |  UNION ALL SELECT 'status_F*year_ge_1995', na, nc, nac, n FROM a
+        |  UNION ALL SELECT 'year_ge_1995*price_ge_100k', nc, nd, ncd, n
+        |    FROM a)
+        |SELECT pair, n_a, n_b, n_ab,
+        |  CAST((n_a * n_b) // n AS BIGINT) est_ab,
+        |  CASE WHEN n_a * n_b > 0
+        |    THEN CAST((1000000 * n_ab * n) // (n_a * n_b) AS BIGINT) END
+        |    indep_ratio_ppm
+        |FROM p ORDER BY pair""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full

@@ -49,6 +49,17 @@ final case class CusumState(s: Long, smax: Long, n: Long)
 final case class CusumUpdate(event_type: String, n_seen: Long,
                              s: Long, s_max: Long)
 
+/** Streaming skyline register state/update: the maintained 2-D Pareto
+  * frontier over (value cents, event time µs) — q233's merge pass
+  * arriving incrementally. `packed` flattens the frontier as
+  * (v, t, v, t, …) sorted, so the spec compares it as a value. The
+  * frontier is a function of the point SET (insert order and batch
+  * splits can't change it — Skyline.insert2's property spec), and the
+  * state is output-sized by the same argument as the batch merge. */
+final case class SkyState(pts: List[(Long, Long)])
+final case class SkyUpdate(n_seen: Long, n_frontier: Int,
+                           packed: Seq[Long])
+
 /** AQP register per event_type: exact and md5-nibble-sampled counters
   * maintained together (q237's two legs as streaming state). All four
   * folds are `+`, so registers after any batch split equal the batch
@@ -257,6 +268,29 @@ object EventsStream {
           }
           state.update(st)
           AqpUpdate(typ, st.n, st.sumC, st.ns, st.sumS)
+      }
+  }
+
+  /** Streaming twin of q233: maintain the (value, recency) Pareto
+    * frontier of events as keyed state — each arrival is dropped if
+    * dominated or inserted while pruning what it dominates
+    * (Skyline.insert2). One global register (the frontier IS the
+    * output-sized merge state); n_seen counts arrivals folded. */
+  def skylineRegister(spark: SparkSession, events: DataFrame)
+      : Dataset[SkyUpdate] = {
+    import spark.implicits._
+    events.select(expr("CAST(floor(value * 100) AS BIGINT)").as("v"),
+        unix_micros(col("ts")).as("t"))
+      .as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .mapGroupsWithState[SkyState, SkyUpdate](GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[SkyState]) =>
+          var pts = state.getOption.map(_.pts).getOrElse(Nil)
+          var n = 0L
+          it.foreach { p => pts = graft.ext.Skyline.insert2(pts, p); n += 1 }
+          state.update(SkyState(pts))
+          SkyUpdate(n, pts.length,
+            pts.sorted.flatMap(p => Seq(p._1, p._2)))
       }
   }
 

@@ -53,6 +53,30 @@ class SkylineSpec extends AnyFunSuite {
     assert(run(pts, 8).size == 50)
   }
 
+  test("foldFrontier2 is insertion-order- and batch-split-invariant") {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val base = Skyline.foldFrontier2(pts).sorted
+    // Any permutation folds to the same frontier…
+    (1 to 5).foreach { i =>
+      val shuffled = new scala.util.Random(i).shuffle(pts)
+      assert(Skyline.foldFrontier2(shuffled).sorted == base)
+    }
+    // …and folding in splits (state carried between batches) too.
+    val (b1, b2) = pts.splitAt(73)
+    val carried = b2.foldLeft(Skyline.foldFrontier2(b1))(Skyline.insert2)
+    assert(carried.sorted == base)
+    // And it matches the brute-force 2-D dominance filter as a set.
+    val brute = pts.filter(a => !pts.exists(b =>
+      b._1 >= a._1 && b._2 >= a._2 && (b._1 > a._1 || b._2 > a._2)))
+    assert(base.toSet == brute.toSet)
+  }
+
+  test("insert2 keeps exact-tie duplicates, like the batch operator") {
+    val f = Skyline.foldFrontier2(Seq((5L, 5L), (5L, 5L), (3L, 3L)))
+    assert(f.sorted == List((5L, 5L), (5L, 5L)))
+  }
+
   test("empty input yields an empty skyline") {
     assert(run(Seq.empty, 4).isEmpty)
   }

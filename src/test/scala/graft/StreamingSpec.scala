@@ -875,6 +875,23 @@ class StreamingSpec extends AnyFunSuite {
       assert(ns <= n && ns * 16 >= 0) }
   }
 
+  test("streaming skyline register equals the batch Pareto frontier") {
+    import graft.streaming.EventsStream
+    val updates = EventsStream.skylineRegister(
+      spark, EventsStream.readEvents(spark, sf))
+    runAvailableNow(updates.toDF(), "sky_reg", OutputMode.Update())
+    val packed = spark.table("sky_reg").collect().last
+      .getAs[scala.collection.Seq[Long]]("packed")
+    val got = packed.grouped(2).map(p => (p(0), p(1))).toSet
+    val batch = graft.ext.Skyline.skylineMax(
+        Tables.events(spark, sf).select(
+          expr("CAST(floor(value * 100) AS BIGINT)").as("v"),
+          unix_micros(col("ts")).as("t")),
+        Seq("v", "t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got == batch)
+  }
+
   test("streaming CUSUM carries the fold across micro-batches") {
     import graft.streaming.EventsStream
     import spark.implicits._
