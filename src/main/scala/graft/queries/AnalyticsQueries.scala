@@ -1395,6 +1395,56 @@ object AnalyticsQueries {
         .orderBy(col("pair"))
     }),
 
+    // Cramér's V² categorical-association audit (Cramér 1946) — the
+    // profiling complement to q239's FDs: per column pair, χ² from
+    // the contingency table as the integer contract
+    //   χ²_milli = Σ_cells (1000·d²) DIV (ra·cb·n),  d = o·n − ra·cb
+    // (floor-before-sum, the q229 discipline — deterministic in any
+    // engine), and V² = χ²/(n·min(r−1,c−1)) in ppm. Each pair is one
+    // contingency aggregate + two broadcast marginal joins; the cell
+    // grid is category-bounded, so everything after the first
+    // aggregate is model-sized. The per-cell numerator's int64
+    // envelope (1000·d² < 2^63, d ≤ n·min marginal) is ENFORCED
+    // in-plan (q90 pattern).
+    "q246_cramers_v" -> ((s, d) => {
+      def assoc(df: DataFrame, ca: String, cb: String, label: String)
+          : DataFrame = {
+        val base = df.select(col(ca).cast("string").as("a"),
+          col(cb).cast("string").as("b"))
+        val cells = base.groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("o"))
+        val ma = base.groupBy(col("a")).agg(count(lit(1)).as("ra"))
+        val mb = base.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+        val nn = base.agg(count(lit(1)).as("n"),
+          countDistinct(col("a")).as("r_cats"),
+          countDistinct(col("b")).as("c_cats"))
+        cells.join(broadcast(ma), "a").join(broadcast(mb), "b")
+          .crossJoin(broadcast(nn))
+          .withColumn("dd", col("o") * col("n") - col("ra") * col("cb"))
+          .withColumn("o", col("o") + coalesce(
+            assert_true(lit(1.0e3) * col("dd").cast("double")
+              * col("dd").cast("double") < lit(4.6e18),
+              lit("q246 chi2 cell would overflow int64: rescale counts"))
+              .cast("long"), lit(0L)))
+          .withColumn("t_milli", expr(
+            "(1000 * dd * dd) DIV (ra * cb * n)"))
+          .groupBy(col("n"), col("r_cats"), col("c_cats"))
+          .agg(sum(col("t_milli")).as("chi2_milli"))
+          .select(lit(label).as("pair"), col("n"),
+            col("r_cats"), col("c_cats"), col("chi2_milli"),
+            expr("(1000 * chi2_milli) DIV (n * least(r_cats - 1, c_cats - 1))")
+              .as("v2_ppm"))
+      }
+      assoc(Tables.orders(s, d), "o_orderstatus", "o_orderpriority",
+          "orders: status x priority")
+        .unionByName(assoc(Tables.orders(s, d)
+            .withColumn("yr", year(col("o_orderdate"))),
+          "o_orderstatus", "yr", "orders: status x year"))
+        .unionByName(assoc(Tables.customer(s, d), "c_nationkey",
+          "c_mktsegment", "customer: nation x segment"))
+        .orderBy(col("pair"))
+    }),
+
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
     // classic fraud / synthetic-data detector: observed first-
     // significant-digit shares of order totals against the Benford
@@ -3967,6 +4017,43 @@ object AnalyticsQueries {
         |    THEN CAST((1000000 * n_ab * n) // (n_a * n_b) AS BIGINT) END
         |    indep_ratio_ppm
         |FROM p ORDER BY pair""".stripMargin,
+
+    // q246 oracle: the identical floor-before-sum χ² contract per
+    // pair; categories stringified the same way ppm/milli scales match.
+    "q246_cramers_v" ->
+      """WITH o1 AS (SELECT CAST(o_orderstatus AS VARCHAR) a,
+        |    CAST(o_orderpriority AS VARCHAR) b FROM orders),
+        |o2 AS (SELECT CAST(o_orderstatus AS VARCHAR) a,
+        |    CAST(year(o_orderdate) AS VARCHAR) b FROM orders),
+        |o3 AS (SELECT CAST(c_nationkey AS VARCHAR) a,
+        |    CAST(c_mktsegment AS VARCHAR) b FROM customer),
+        |u AS (
+        |  SELECT 'orders: status x priority' pair, a, b FROM o1
+        |  UNION ALL SELECT 'orders: status x year', a, b FROM o2
+        |  UNION ALL SELECT 'customer: nation x segment', a, b FROM o3),
+        |cells AS (SELECT pair, a, b, CAST(count(*) AS BIGINT) o
+        |  FROM u GROUP BY 1, 2, 3),
+        |ma AS (SELECT pair, a, CAST(count(*) AS BIGINT) ra
+        |  FROM u GROUP BY 1, 2),
+        |mb AS (SELECT pair, b, CAST(count(*) AS BIGINT) cb
+        |  FROM u GROUP BY 1, 2),
+        |nn AS (SELECT pair, CAST(count(*) AS BIGINT) n,
+        |    CAST(count(DISTINCT a) AS BIGINT) r_cats,
+        |    CAST(count(DISTINCT b) AS BIGINT) c_cats
+        |  FROM u GROUP BY 1),
+        |t AS (SELECT c.pair, nn.n, nn.r_cats, nn.c_cats,
+        |    CAST(sum((1000 * (c.o * nn.n - ma.ra * mb.cb)
+        |      * (c.o * nn.n - ma.ra * mb.cb))
+        |      // (ma.ra * mb.cb * nn.n)) AS BIGINT) chi2_milli
+        |  FROM cells c
+        |  JOIN ma ON ma.pair = c.pair AND ma.a = c.a
+        |  JOIN mb ON mb.pair = c.pair AND mb.b = c.b
+        |  JOIN nn ON nn.pair = c.pair
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT pair, n, r_cats, c_cats, chi2_milli,
+        |  CAST((1000 * chi2_milli)
+        |    // (n * least(r_cats - 1, c_cats - 1)) AS BIGINT) v2_ppm
+        |FROM t ORDER BY pair""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full
