@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Components, CubeLattice, Dedup, Skyline, SynopsisAudit, TextAnalysis, VOptHistogram}
+import graft.ext.{Components, CubeLattice, Dedup, Skyline, SynopsisAudit, TextAnalysis, VOptHistogram, Wavelet}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1443,6 +1443,33 @@ object AnalyticsQueries {
         .unionByName(assoc(Tables.customer(s, d), "c_nationkey",
           "c_mktsegment", "customer: nation x segment"))
         .orderBy(col("pair"))
+    }),
+
+    // Haar wavelet synopsis with top-k thresholding (Matias, Vitter &
+    // Wang, SIGMOD 1998) — the second classic synopsis next to q240's
+    // V-optimal histogram, over the same band frequency vector.
+    // Unnormalized transform keeps every coefficient in exact int64;
+    // Haar orthogonality makes the thresholding error the SUM OF
+    // DROPPED ENERGIES d²·2^(8−l) — no reconstruction pass — and that
+    // integer energy is the keep/drop ranking (energy DESC, lev, idx),
+    // restated literally by the oracle's ranked UNION of the four
+    // transform levels. Output: the 4 kept coefficients + the exact
+    // scaled SSE the 11 dropped ones cost.
+    "q247_wavelet_synopsis" -> ((s, d) => {
+      val bands = Tables.customer(s, d)
+        .groupBy(floor(col("c_acctbal") / 1000).cast("long").as("band"))
+        .agg(count(lit(1)).as("f"))
+        .orderBy(col("band"))
+        .collect() // ≤16 rows by value range — model-sized
+      val (kept, total, dropped) =
+        Wavelet.threshold(bands.map(_.getLong(1)).toSeq, 4)
+      val rows = kept.map { case (r, l, i, c, e) =>
+        (r.toLong, l.toLong, i.toLong, c, e, total, dropped)
+      }
+      s.createDataFrame(rows)
+        .toDF("rnk", "lev", "idx", "coeff", "energy", "s_total",
+          "sse_dropped")
+        .orderBy(col("rnk"))
     }),
 
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
@@ -4054,6 +4081,45 @@ object AnalyticsQueries {
         |  CAST((1000 * chi2_milli)
         |    // (n * least(r_cats - 1, c_cats - 1)) AS BIGINT) v2_ppm
         |FROM t ORDER BY pair""".stripMargin,
+
+    // q247 oracle: the unnormalized Haar pyramid as four grouped
+    // CTE stages (sign by index parity), energies d²·2^(8−l), the same
+    // (energy DESC, lev, idx) ranking, dropped-energy sum as the SSE.
+    "q247_wavelet_synopsis" ->
+      """WITH bands AS (SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) band,
+        |    CAST(count(*) AS BIGINT) f FROM customer GROUP BY 1),
+        |bidx AS (SELECT f, row_number() OVER (ORDER BY band) - 1 i
+        |  FROM bands),
+        |g16 AS (SELECT unnest(generate_series(0, 15)) i),
+        |x AS (SELECT g16.i, CAST(COALESCE(bidx.f, 0) AS BIGINT) v
+        |  FROM g16 LEFT JOIN bidx ON bidx.i = g16.i),
+        |l1 AS (SELECT i // 2 j,
+        |    CAST(sum(CASE WHEN i % 2 = 0 THEN v ELSE -v END) AS BIGINT) d,
+        |    CAST(sum(v) AS BIGINT) s FROM x GROUP BY 1),
+        |l2 AS (SELECT j // 2 j,
+        |    CAST(sum(CASE WHEN j % 2 = 0 THEN s ELSE -s END) AS BIGINT) d,
+        |    CAST(sum(s) AS BIGINT) s FROM l1 GROUP BY 1),
+        |l3 AS (SELECT j // 2 j,
+        |    CAST(sum(CASE WHEN j % 2 = 0 THEN s ELSE -s END) AS BIGINT) d,
+        |    CAST(sum(s) AS BIGINT) s FROM l2 GROUP BY 1),
+        |l4 AS (SELECT j // 2 j,
+        |    CAST(sum(CASE WHEN j % 2 = 0 THEN s ELSE -s END) AS BIGINT) d,
+        |    CAST(sum(s) AS BIGINT) s FROM l3 GROUP BY 1),
+        |coeffs AS (
+        |  SELECT 1 lev, j idx, d coeff, d * d * 128 energy FROM l1
+        |  UNION ALL SELECT 2, j, d, d * d * 64 FROM l2
+        |  UNION ALL SELECT 3, j, d, d * d * 32 FROM l3
+        |  UNION ALL SELECT 4, j, d, d * d * 16 FROM l4),
+        |rankd AS (SELECT lev, idx, coeff, energy,
+        |    row_number() OVER (ORDER BY energy DESC, lev, idx) rnk
+        |  FROM coeffs)
+        |SELECT CAST(rnk AS BIGINT) rnk, CAST(lev AS BIGINT) lev,
+        |  CAST(idx AS BIGINT) idx, CAST(coeff AS BIGINT) coeff,
+        |  CAST(energy AS BIGINT) energy,
+        |  CAST((SELECT s FROM l4) AS BIGINT) s_total,
+        |  CAST((SELECT sum(energy) FROM rankd WHERE rnk > 4) AS BIGINT)
+        |    sse_dropped
+        |FROM rankd WHERE rnk <= 4 ORDER BY rnk""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full
