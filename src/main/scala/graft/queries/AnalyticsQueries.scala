@@ -1472,6 +1472,36 @@ object AnalyticsQueries {
         .orderBy(col("rnk"))
     }),
 
+    // Row-pattern matching (SQL:2016 MATCH_RECOGNIZE-lite): count the
+    // browse-to-buy pattern view (click)+ purchase per (user, day) by
+    // encoding each bounded day sequence as a code string — one
+    // character per event, ordered by (ts, event_id) — and counting
+    // non-overlapping leftmost regex matches. The sequence grain is
+    // (user, day), so state is day-bounded at any scale (the same
+    // sessionize-first discipline as q45/q107); the heavy lifting is
+    // one groupBy with a sorted collect into a bounded string, then
+    // scan-speed regex. Spark has no MATCH_RECOGNIZE — this is the
+    // composition that expresses it.
+    "q248_row_pattern" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        date_trunc("day", col("ts")).as("day"), col("ts"),
+        col("event_id"),
+        expr("""CASE event_type WHEN 'click' THEN 'c'
+          WHEN 'error' THEN 'e' WHEN 'purchase' THEN 'p'
+          WHEN 'signup' THEN 's' ELSE 'v' END""").as("cd"))
+      ev.groupBy(col("user_id"), col("day"))
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(" +
+            "struct(ts, event_id, cd))), x -> x.cd), '')").as("seq"))
+        .withColumn("n_matches",
+          size(expr("regexp_extract_all(seq, 'vc+p', 0)")).cast("long"))
+        .filter(col("n_matches") > 0)
+        .withColumn("seq_len", length(col("seq")).cast("long"))
+        .select(col("user_id"), col("day"), col("seq"), col("seq_len"),
+          col("n_matches"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
     // classic fraud / synthetic-data detector: observed first-
     // significant-digit shares of order totals against the Benford
@@ -4120,6 +4150,24 @@ object AnalyticsQueries {
         |  CAST((SELECT sum(energy) FROM rankd WHERE rnk > 4) AS BIGINT)
         |    sse_dropped
         |FROM rankd WHERE rnk <= 4 ORDER BY rnk""".stripMargin,
+
+    // q248 oracle: ordered string_agg per (user, day), the same
+    // non-overlapping leftmost regex count (RE2 and java.util.regex
+    // agree on this alternation-free pattern).
+    "q248_row_pattern" ->
+      """WITH ev AS (SELECT user_id,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, ts, event_id,
+        |    CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+        |      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+        |      ELSE 'v' END cd
+        |  FROM events),
+        |seqs AS (SELECT user_id, day,
+        |    string_agg(cd, '' ORDER BY ts, event_id) seq
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT user_id, day, seq, CAST(length(seq) AS BIGINT) seq_len,
+        |  CAST(len(regexp_extract_all(seq, 'vc+p')) AS BIGINT) n_matches
+        |FROM seqs WHERE len(regexp_extract_all(seq, 'vc+p')) > 0
+        |ORDER BY user_id, day""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full
