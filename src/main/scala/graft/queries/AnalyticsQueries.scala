@@ -1502,6 +1502,82 @@ object AnalyticsQueries {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    // Length-bucketed batching padding-waste sweep — the dynamic-
+    // batching knob a training pipeline tunes, measured: docs sort by
+    // token count into k quantile buckets (cross-multiplied rank rule,
+    // no division), fixed batches of 8 form INSIDE each bucket in
+    // length order, and every batch pads to its max. Swept over
+    // k ∈ {1,2,4,8}: waste_ppm = 10⁶·(padded − tokens) DIV padded per
+    // k — the curve that says how many buckets buy how much GPU time.
+    // The k×docs expansion is 4× one small scan; ranking windows
+    // partition by k (audit-scale; at corpus scale the rank is the
+    // range-partitioned sort a bucketed writer already does).
+    "q249_padding_sweep" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      val ks = docs.crossJoin(broadcast(
+        s.createDataFrame(Seq(1L, 2L, 4L, 8L).map(Tuple1(_))).toDF("k")))
+      val wr = Window.partitionBy(col("k"))
+        .orderBy(col("tok"), col("doc_id"))
+      val ranked = ks
+        .withColumn("pos", row_number().over(wr).cast("long"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+        .withColumn("bucket",
+          expr("((pos - 1) * k) DIV n_docs"))
+        .withColumn("slot", row_number().over(
+          Window.partitionBy(col("k"), col("bucket"))
+            .orderBy(col("tok"), col("doc_id"))).cast("long"))
+        .withColumn("batch", expr("(slot - 1) DIV 8"))
+      ranked.groupBy(col("k"), col("bucket"), col("batch"))
+        .agg(max(col("tok")).as("mx"), count(lit(1)).as("cnt"),
+          sum(col("tok")).as("tk"))
+        .groupBy(col("k"))
+        .agg(sum(col("tk")).as("sum_tokens"),
+          sum(col("mx") * col("cnt")).as("padded_tokens"),
+          count(lit(1)).as("n_batches"))
+        .withColumn("waste_ppm", expr(
+          "(1000000 * (padded_tokens - sum_tokens)) DIV padded_tokens"))
+        .select(col("k"), col("n_batches"), col("sum_tokens"),
+          col("padded_tokens"), col("waste_ppm"))
+        .orderBy(col("k"))
+    }),
+
+    // Drill-across (Kimball's conformed-dimension join): two FACT
+    // tables — orders and events — aggregated independently to the
+    // shared day-of-month grain, then full-outer joined so neither
+    // fact filters the other. Each fact contributes its own measures
+    // plus its ppm share of its own total (cross-multiplied), the
+    // payday-cycle comparison a single-fact query cannot make. Two
+    // map-side-combinable aggregates + one 31-row join: the conformed
+    // grain is value-range-bounded, so the join is broadcast-trivial
+    // at any scale.
+    "q250_drill_across" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .groupBy(dayofmonth(col("o_orderdate")).cast("long").as("dom"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+            .as("revenue_cents"))
+      val e = Tables.events(s, d)
+        .groupBy(dayofmonth(col("ts")).cast("long").as("dom"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(floor(value * 100) AS BIGINT)"))
+            .as("event_value_cents"))
+      val joined = o.join(e, Seq("dom"), "full")
+        .na.fill(0L, Seq("n_orders", "revenue_cents", "n_events",
+          "event_value_cents"))
+      joined.crossJoin(broadcast(joined.agg(
+          sum(col("revenue_cents")).as("tot_rev"),
+          sum(col("event_value_cents")).as("tot_ev"))))
+        .withColumn("rev_share_ppm",
+          expr("(1000000 * revenue_cents) DIV tot_rev"))
+        .withColumn("ev_share_ppm",
+          expr("(1000000 * event_value_cents) DIV tot_ev"))
+        .select(col("dom"), col("n_orders"), col("revenue_cents"),
+          col("rev_share_ppm"), col("n_events"),
+          col("event_value_cents"), col("ev_share_ppm"))
+        .orderBy(col("dom"))
+    }),
+
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
     // classic fraud / synthetic-data detector: observed first-
     // significant-digit shares of order totals against the Benford
@@ -4168,6 +4244,68 @@ object AnalyticsQueries {
         |  CAST(len(regexp_extract_all(seq, 'vc+p')) AS BIGINT) n_matches
         |FROM seqs WHERE len(regexp_extract_all(seq, 'vc+p')) > 0
         |ORDER BY user_id, day""".stripMargin,
+
+    // q249 oracle: the same cross-multiplied bucket rule, in-bucket
+    // slots, batches of 8, and padded = Σ max·cnt arithmetic.
+    "q249_padding_sweep" ->
+      """WITH docs AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) tok
+        |  FROM documents),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM docs),
+        |ks AS (SELECT unnest([1, 2, 4, 8]) k),
+        |r AS (SELECT ks.k, d.doc_id, d.tok, CAST(row_number()
+        |    OVER (PARTITION BY ks.k ORDER BY d.tok, d.doc_id) AS BIGINT) pos
+        |  FROM ks CROSS JOIN docs d),
+        |b AS (SELECT k, doc_id, tok,
+        |    ((pos - 1) * k) // (SELECT n_docs FROM nd) bucket FROM r),
+        |sl AS (SELECT k, bucket, tok, CAST(row_number()
+        |    OVER (PARTITION BY k, bucket ORDER BY tok, doc_id) AS BIGINT)
+        |    slot
+        |  FROM b),
+        |bt AS (SELECT k, bucket, (slot - 1) // 8 batch,
+        |    CAST(max(tok) AS BIGINT) mx, CAST(count(*) AS BIGINT) cnt,
+        |    CAST(sum(tok) AS BIGINT) tk
+        |  FROM sl GROUP BY 1, 2, 3),
+        |agg AS (SELECT CAST(k AS BIGINT) k,
+        |    CAST(count(*) AS BIGINT) n_batches,
+        |    CAST(sum(tk) AS BIGINT) sum_tokens,
+        |    CAST(sum(mx * cnt) AS BIGINT) padded_tokens
+        |  FROM bt GROUP BY 1)
+        |SELECT k, n_batches, sum_tokens, padded_tokens,
+        |  CAST((1000000 * (padded_tokens - sum_tokens)) // padded_tokens
+        |    AS BIGINT) waste_ppm
+        |FROM agg ORDER BY k""".stripMargin,
+
+    // q250 oracle: two independent fact aggregates at the conformed
+    // day-of-month grain, FULL JOIN, same cross-multiplied shares.
+    "q250_drill_across" ->
+      """WITH o AS (SELECT CAST(date_part('day', o_orderdate) AS BIGINT)
+        |      dom,
+        |    CAST(count(*) AS BIGINT) n_orders,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) revenue_cents
+        |  FROM orders GROUP BY 1),
+        |e AS (SELECT CAST(date_part('day', CAST(ts AS TIMESTAMP))
+        |      AS BIGINT) dom,
+        |    CAST(count(*) AS BIGINT) n_events,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |      event_value_cents
+        |  FROM events GROUP BY 1),
+        |j AS (SELECT COALESCE(o.dom, e.dom) dom,
+        |    COALESCE(n_orders, 0) n_orders,
+        |    COALESCE(revenue_cents, 0) revenue_cents,
+        |    COALESCE(n_events, 0) n_events,
+        |    COALESCE(event_value_cents, 0) event_value_cents
+        |  FROM o FULL JOIN e ON o.dom = e.dom),
+        |t AS (SELECT CAST(sum(revenue_cents) AS BIGINT) tot_rev,
+        |    CAST(sum(event_value_cents) AS BIGINT) tot_ev FROM j)
+        |SELECT dom, n_orders, revenue_cents,
+        |  CAST((1000000 * revenue_cents) // (SELECT tot_rev FROM t)
+        |    AS BIGINT) rev_share_ppm,
+        |  n_events, event_value_cents,
+        |  CAST((1000000 * event_value_cents) // (SELECT tot_ev FROM t)
+        |    AS BIGINT) ev_share_ppm
+        |FROM j ORDER BY dom""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full
