@@ -1578,6 +1578,54 @@ object AnalyticsQueries {
         .orderBy(col("dom"))
     }),
 
+    // SON two-phase frequent itemsets (Savasere, Omiecinski & Navathe,
+    // VLDB 1995 — the MapReduce-era distributed Apriori): baskets =
+    // (user, day) distinct event-type sets; phase 1 counts pairs
+    // INSIDE each partition (an explicit deterministic shard column —
+    // pmod(hash(user), 4) — playing the executor grain) and keeps
+    // local-frequents at the scaled threshold (s·n_p) DIV N; phase 2
+    // counts ONLY the surviving candidates globally. Pigeonhole makes
+    // the candidate set a superset of every globally frequent pair, so
+    // the output is EXACT — the oracle computes it with a plain global
+    // threshold and must agree bit-for-bit whatever the sharding. At
+    // 100 TB phase 1 is map-side work per shard and phase 2 touches
+    // candidate pairs only.
+    "q251_son_frequent_pairs" -> ((s, d) => {
+      val minPpm = 140000L // support threshold: 14% of baskets
+      val bask = graft.ops.TransientCache.persist(
+        Tables.events(s, d).select(col("user_id"),
+            date_trunc("day", col("ts")).as("day"), col("event_type"))
+          .distinct()
+          .withColumn("pid", pmod(hash(col("user_id")), lit(4))))
+      val nTot = bask.select(col("user_id"), col("day")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val localN = bask.select(col("pid"), col("user_id"), col("day"))
+        .distinct()
+        .groupBy(col("pid")).agg(count(lit(1)).as("n_p"))
+      val pairs = bask.as("x").join(bask.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.day") === col("y.day") &&
+            col("x.event_type") < col("y.event_type"))
+        .select(col("x.pid").as("pid"), col("x.user_id").as("u"),
+          col("x.day").as("dy"), col("x.event_type").as("ta"),
+          col("y.event_type").as("tb"))
+      // Pigeonhole: n_ab/N ≥ s ⇒ c_p/n_p ≥ s in at least one shard —
+      // cross-multiplied, no division.
+      val localFreq = pairs.groupBy(col("pid"), col("ta"), col("tb"))
+        .agg(count(lit(1)).as("c_p"))
+        .join(broadcast(localN), "pid")
+        .filter(col("c_p") * lit(1000000L) >= lit(minPpm) * col("n_p"))
+      val cands = localFreq.select(col("ta"), col("tb")).distinct()
+      pairs.join(broadcast(cands), Seq("ta", "tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_ab"))
+        .crossJoin(broadcast(nTot))
+        .filter(col("n_ab") * lit(1000000L) >= lit(minPpm) * col("n_baskets"))
+        .withColumn("support_ppm", expr("(1000000 * n_ab) DIV n_baskets"))
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("n_ab"), col("n_baskets"), col("support_ppm"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
     // classic fraud / synthetic-data detector: observed first-
     // significant-digit shares of order totals against the Benford
@@ -4306,6 +4354,26 @@ object AnalyticsQueries {
         |  CAST((1000000 * event_value_cents) // (SELECT tot_ev FROM t)
         |    AS BIGINT) ev_share_ppm
         |FROM j ORDER BY dom""".stripMargin,
+
+    // q251 oracle: the PLAIN global threshold — SON's losslessness is
+    // the claim under test; any shard-dependence would hash-mismatch.
+    "q251_son_frequent_pairs" ->
+      """WITH bask AS (SELECT DISTINCT user_id,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type
+        |  FROM events),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) n_baskets
+        |  FROM (SELECT DISTINCT user_id, day FROM bask)),
+        |p AS (SELECT a.event_type ta, b.event_type tb,
+        |    CAST(count(*) AS BIGINT) n_ab
+        |  FROM bask a JOIN bask b ON a.user_id = b.user_id
+        |    AND a.day = b.day AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta type_a, tb type_b, n_ab,
+        |  (SELECT n_baskets FROM nb) n_baskets,
+        |  CAST((1000000 * n_ab) // (SELECT n_baskets FROM nb) AS BIGINT)
+        |    support_ppm
+        |FROM p WHERE n_ab * 1000000 >= 140000 * (SELECT n_baskets FROM nb)
+        |ORDER BY 1, 2""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full
