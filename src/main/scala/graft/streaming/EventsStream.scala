@@ -60,6 +60,12 @@ final case class SkyState(pts: List[(Long, Long)])
 final case class SkyUpdate(n_seen: Long, n_frontier: Int,
                            packed: Seq[Long])
 
+/** DGIM register state/update: the O(log²N) sliding-window bit
+  * counter (ext.Dgim) as keyed streaming state; `packed` flattens the
+  * bucket list as (size, end, size, end, …) for the state encoder. */
+final case class DgimState(idx: Long, packed: Seq[Long])
+final case class DgimUpdate(n_seen: Long, n_buckets: Int, estimate: Long)
+
 /** AQP register per event_type: exact and md5-nibble-sampled counters
   * maintained together (q237's two legs as streaming state). All four
   * folds are `+`, so registers after any batch split equal the batch
@@ -291,6 +297,34 @@ object EventsStream {
           state.update(SkyState(pts))
           SkyUpdate(n, pts.length,
             pts.sorted.flatMap(p => Seq(p._1, p._2)))
+      }
+  }
+
+  /** DGIM "purchases in the last n events" register (Datar et al.
+    * 2002): ≤ 2 buckets per power-of-two size, estimate within 50% by
+    * theorem — answered at ingest from O(log²n) state, no event
+    * storage. Order contract (ts, event_id), the CUSUM discipline;
+    * StreamingSpec pins register ≡ the pure ordered fold and the
+    * error bound against the exact window count. */
+  def dgimRegister(spark: SparkSession, events: DataFrame, n: Long)
+      : Dataset[DgimUpdate] = {
+    import spark.implicits._
+    events.select(col("ts"), col("event_id"),
+        (col("event_type") === lit("purchase")).as("bit"))
+      .as[(java.sql.Timestamp, Long, Boolean)]
+      .groupByKey(_ => 0)
+      .mapGroupsWithState[DgimState, DgimUpdate](GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[DgimState]) =>
+          var st = state.getOption
+            .map(s => graft.ext.Dgim.State(s.idx,
+              s.packed.grouped(2).map(p => (p(0), p(1))).toList))
+            .getOrElse(graft.ext.Dgim.empty)
+          it.toArray.sortBy(r => (toUs(r._1), r._2)).foreach { r =>
+            st = graft.ext.Dgim.update(st, r._3, n)
+          }
+          state.update(DgimState(st.idx,
+            st.buckets.flatMap(p => Seq(p._1, p._2))))
+          DgimUpdate(st.idx, st.buckets.length, graft.ext.Dgim.estimate(st))
       }
   }
 

@@ -892,6 +892,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == batch)
   }
 
+  test("streaming DGIM register equals the pure ordered fold and bounds the window count") {
+    import graft.streaming.EventsStream
+    val n = 1000L
+    val updates = EventsStream.dgimRegister(
+      spark, EventsStream.readEvents(spark, sf), n)
+    runAvailableNow(updates.toDF(), "dgim_reg", OutputMode.Update())
+    val last = spark.table("dgim_reg").collect().last
+    val (nSeen, est) = (last.getAs[Long]("n_seen"), last.getAs[Long]("estimate"))
+    // Pure fold over the same (ts, event_id)-ordered bits.
+    val rows = Tables.events(spark, sf)
+      .select(col("ts"), col("event_id"),
+        (col("event_type") === lit("purchase")).as("bit"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(r => ((r._1.getTime / 1000) * 1000000L + r._1.getNanos / 1000, r._2))
+    val st = graft.ext.Dgim.fold(rows.map(_._3).toSeq, n)
+    assert(nSeen == rows.length.toLong && est == graft.ext.Dgim.estimate(st))
+    // And the theorem holds against the exact window count.
+    val exact = rows.takeRight(n.toInt).count(_._3).toLong
+    assert(math.abs(est - exact) <= exact / 2 + 1, s"est=$est exact=$exact")
+  }
+
   test("streaming CUSUM carries the fold across micro-batches") {
     import graft.streaming.EventsStream
     import spark.implicits._
