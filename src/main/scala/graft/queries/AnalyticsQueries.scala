@@ -1626,6 +1626,73 @@ object AnalyticsQueries {
         .orderBy(col("type_a"), col("type_b"))
     }),
 
+    // Hamilton largest-remainder apportionment (Hamilton 1792; the
+    // quota method): split a fixed sampling budget of B = 10 000 slots
+    // across sources in proportion to token mass, integer-exactly —
+    // floor quotas (B·w_h) DIV W first, then the leftover seats go to
+    // the largest cross-multiplied remainders B·w_h − quota·W with the
+    // source-name tiebreak. Σ alloc = B by construction (the property
+    // divisor methods only approximate); the allocator behind q56/
+    // q144's sampling stages made a first-class, auditable operator.
+    // One aggregate; everything after is source-count-sized.
+    "q252_hamilton_alloc" -> ((s, d) => {
+      val b = 10000L
+      val w = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long"))
+          .as("n_tokens"))
+      val tot = w.agg(sum(col("n_tokens")).as("w_tot"),
+        count(lit(1)).as("n_sources"))
+      val quotas = w.crossJoin(broadcast(tot))
+        .withColumn("quota", expr(s"($b * n_tokens) DIV w_tot"))
+        .withColumn("rem", expr(s"$b * n_tokens - quota * w_tot"))
+      val leftover = quotas.agg((lit(b) - sum(col("quota"))).as("l"))
+      quotas.crossJoin(broadcast(leftover))
+        .withColumn("rrank", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+        .withColumn("extra", (col("rrank") <= col("l")).cast("long"))
+        .withColumn("alloc", col("quota") + col("extra"))
+        .select(col("source"), col("n_tokens"), col("quota"),
+          col("extra"), col("alloc"))
+        .orderBy(col("source"))
+    }),
+
+    // Posting-list compression planning audit — the index-engineering
+    // decision (Elias-Fano vs delta+varint) made from measured bits,
+    // not habit: for the 50 highest-df terms, the exact varint size of
+    // the d-gap stream (CASE ladder over 2⁷ʲ thresholds) vs the
+    // Elias-Fano size n·(2 + ⌊log₂(U/n)⌋) — ⌊log₂⌋ computed EXACTLY as
+    // length(bin(x)) − 1, no floating log. Gaps via one per-term lag
+    // window over the postings (term-partitioned — the posting list IS
+    // the partition); top-50 selection is TakeOrdered by (df, term).
+    "q253_postings_compression" -> ((s, d) => {
+      val toks = graft.ops.TransientCache.persist(
+        Tables.documents(s, d).select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("term"))
+          .where(length(col("term")) > 0)
+          .distinct())
+      val dfT = toks.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), max(col("doc_id")).as("mx"))
+      val top = dfT.orderBy(col("df").desc, col("term")).limit(50)
+      val wt = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+      val gaps = toks.join(broadcast(top.select(col("term"))), "term")
+        .withColumn("gap", col("doc_id") -
+          coalesce(lag(col("doc_id"), 1).over(wt), lit(-1L)))
+        .withColumn("vb", expr("""CASE WHEN gap < 128 THEN 1
+          WHEN gap < 16384 THEN 2 WHEN gap < 2097152 THEN 3
+          WHEN gap < 268435456 THEN 4 ELSE 5 END"""))
+      gaps.groupBy(col("term"))
+        .agg(sum(col("vb")).cast("long").as("varint_bytes"))
+        .join(broadcast(top), "term")
+        .withColumn("ef_bits", expr(
+          "df * (2 + length(bin((mx + 1) DIV df)) - 1)").cast("long"))
+        .withColumn("winner", expr(
+          "CASE WHEN varint_bytes * 8 <= ef_bits THEN 'varint' ELSE 'ef' END"))
+        .select(col("term"), col("df"), col("varint_bytes"),
+          col("ef_bits"), col("winner"))
+        .orderBy(col("df").desc, col("term"))
+    }),
+
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
     // classic fraud / synthetic-data detector: observed first-
     // significant-digit shares of order totals against the Benford
@@ -4374,6 +4441,54 @@ object AnalyticsQueries {
         |    support_ppm
         |FROM p WHERE n_ab * 1000000 >= 140000 * (SELECT n_baskets FROM nb)
         |ORDER BY 1, 2""".stripMargin,
+
+    // q252 oracle: same floor quotas, cross-multiplied remainders,
+    // largest-remainder ranking with the source tiebreak.
+    "q252_hamilton_alloc" ->
+      """WITH w AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) w_tot FROM w),
+        |q AS (SELECT source, n_tokens,
+        |    (10000 * n_tokens) // (SELECT w_tot FROM t) quota,
+        |    10000 * n_tokens - ((10000 * n_tokens) // (SELECT w_tot FROM t))
+        |      * (SELECT w_tot FROM t) rem
+        |  FROM w),
+        |l AS (SELECT 10000 - CAST(sum(quota) AS BIGINT) lv FROM q),
+        |r AS (SELECT source, n_tokens, quota, rem, CAST(row_number()
+        |    OVER (ORDER BY rem DESC, source) AS BIGINT) rrank FROM q)
+        |SELECT source, n_tokens, CAST(quota AS BIGINT) quota,
+        |  CAST(CASE WHEN rrank <= (SELECT lv FROM l) THEN 1 ELSE 0 END
+        |    AS BIGINT) extra,
+        |  CAST(quota + CASE WHEN rrank <= (SELECT lv FROM l)
+        |    THEN 1 ELSE 0 END AS BIGINT) alloc
+        |FROM r ORDER BY source""".stripMargin,
+
+    // q253 oracle: identical gap stream (lag from −1), varint CASE
+    // ladder, and the exact bin-length log₂ in the Elias-Fano formula.
+    "q253_postings_compression" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, t.term FROM documents,
+        |    unnest(string_split(lower(text), ' ')) AS t(term)
+        |  WHERE length(t.term) > 0),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) df,
+        |    CAST(max(doc_id) AS BIGINT) mx FROM toks GROUP BY 1),
+        |top AS (SELECT * FROM dft ORDER BY df DESC, term LIMIT 50),
+        |g AS (SELECT t.term, doc_id - COALESCE(lag(doc_id) OVER
+        |      (PARTITION BY t.term ORDER BY doc_id), -1) gap
+        |  FROM toks t JOIN top ON top.term = t.term),
+        |vb AS (SELECT term, CAST(sum(CASE WHEN gap < 128 THEN 1
+        |    WHEN gap < 16384 THEN 2 WHEN gap < 2097152 THEN 3
+        |    WHEN gap < 268435456 THEN 4 ELSE 5 END) AS BIGINT)
+        |    varint_bytes
+        |  FROM g GROUP BY 1)
+        |SELECT top.term, top.df, vb.varint_bytes,
+        |  CAST(top.df * (2 + length(bin((top.mx + 1) // top.df)) - 1)
+        |    AS BIGINT) ef_bits,
+        |  CASE WHEN vb.varint_bytes * 8 <=
+        |    top.df * (2 + length(bin((top.mx + 1) // top.df)) - 1)
+        |    THEN 'varint' ELSE 'ef' END winner
+        |FROM top JOIN vb ON vb.term = top.term
+        |ORDER BY top.df DESC, top.term""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full
