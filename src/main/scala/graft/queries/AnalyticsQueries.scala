@@ -1693,6 +1693,52 @@ object AnalyticsQueries {
         .orderBy(col("df").desc, col("term"))
     }),
 
+    // Multi-touch attribution bake-off — first-touch vs last-touch vs
+    // linear, the marketing-OLAP model comparison, integer-exact: each
+    // purchase carries 1000 milli-credits per model; its touches are
+    // the user's non-purchase events in the preceding 24h (a banded
+    // range join on user — touch volume is user-day-local, never
+    // events²); linear splits 1000 DIV n per touch with the remainder
+    // to the LAST touch (contract), so every model sums to exactly
+    // 1000·purchases. Untouched purchases credit the 'direct' channel
+    // in all three models. One ranked window per purchase decides
+    // first/last; the disagreement between columns is the point.
+    "q254_attribution_models" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"),
+          col("event_id").as("pid"))
+      val touch = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id").as("tu"), col("ts").as("tts"),
+          col("event_id").as("tid"), col("event_type").as("channel"))
+      val pairs = purch.join(touch,
+        col("tu") === col("pu") && col("tts") < col("pts") &&
+          col("tts") >= col("pts") - expr("INTERVAL 1 DAY"))
+      val wAsc = Window.partitionBy(col("pid"))
+        .orderBy(col("tts"), col("tid"))
+      val ranked = pairs
+        .withColumn("rn", row_number().over(wAsc).cast("long"))
+        .withColumn("nt", count(lit(1)).over(
+          Window.partitionBy(col("pid"))).cast("long"))
+      val credited = ranked.select(col("channel"),
+        when(col("rn") === 1L, 1000L).otherwise(0L).as("first_milli"),
+        when(col("rn") === col("nt"), 1000L).otherwise(0L)
+          .as("last_milli"),
+        (expr("1000 DIV nt") + when(col("rn") === col("nt"),
+          expr("1000 - nt * (1000 DIV nt)")).otherwise(0L))
+          .as("linear_milli"))
+      val direct = purch.join(
+          ranked.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+        .select(lit("direct").as("channel"), lit(1000L).as("first_milli"),
+          lit(1000L).as("last_milli"), lit(1000L).as("linear_milli"))
+      credited.unionByName(direct)
+        .groupBy(col("channel"))
+        .agg(sum(col("first_milli")).as("first_touch_milli"),
+          sum(col("last_milli")).as("last_touch_milli"),
+          sum(col("linear_milli")).as("linear_milli"))
+        .orderBy(col("channel"))
+    }),
+
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
     // classic fraud / synthetic-data detector: observed first-
     // significant-digit shares of order totals against the Benford
@@ -4489,6 +4535,36 @@ object AnalyticsQueries {
         |    THEN 'varint' ELSE 'ef' END winner
         |FROM top JOIN vb ON vb.term = top.term
         |ORDER BY top.df DESC, top.term""".stripMargin,
+
+    // q254 oracle: the same banded join, per-purchase (ts, event_id)
+    // ranking, remainder-to-last linear split, and 'direct' fallback.
+    "q254_attribution_models" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id,
+        |    event_type FROM events),
+        |purch AS (SELECT user_id pu, ts pts, event_id pid FROM ev
+        |  WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id tu, ts tts, event_id tid,
+        |    event_type channel FROM ev WHERE event_type <> 'purchase'),
+        |pairs AS (SELECT pid, channel, tts, tid FROM purch JOIN touch
+        |  ON tu = pu AND tts < pts AND tts >= pts - INTERVAL 1 DAY),
+        |ranked AS (SELECT pid, channel,
+        |    CAST(row_number() OVER (PARTITION BY pid ORDER BY tts, tid)
+        |      AS BIGINT) rn,
+        |    CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) nt
+        |  FROM pairs),
+        |credited AS (SELECT channel,
+        |    CASE WHEN rn = 1 THEN 1000 ELSE 0 END first_milli,
+        |    CASE WHEN rn = nt THEN 1000 ELSE 0 END last_milli,
+        |    (1000 // nt) + CASE WHEN rn = nt
+        |      THEN 1000 - nt * (1000 // nt) ELSE 0 END linear_milli
+        |  FROM ranked
+        |  UNION ALL
+        |  SELECT 'direct', 1000, 1000, 1000 FROM purch
+        |  WHERE pid NOT IN (SELECT DISTINCT pid FROM ranked))
+        |SELECT channel, CAST(sum(first_milli) AS BIGINT) first_touch_milli,
+        |  CAST(sum(last_milli) AS BIGINT) last_touch_milli,
+        |  CAST(sum(linear_milli) AS BIGINT) linear_milli
+        |FROM credited GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full
