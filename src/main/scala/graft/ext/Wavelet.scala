@@ -45,6 +45,22 @@ object Wavelet {
     (out.toSeq, cur.head)
   }
 
+  /** 16·x̂ for all 16 positions from the total plus kept (lev, idx,
+    * coeff) details: 16·x̂_i = s_total + Σ sign·coeff·2^(4−lev), sign
+    * by bit (lev−1) of i, support block i >> lev. (WaveletSpec keeps
+    * its own independent copy of this identity as the cross-check.) */
+  def reconstruct16(total: Long, kept: Seq[(Int, Int, Long)]): Seq[Long] =
+    (0 until 16).map { i =>
+      var v = total
+      kept.foreach { case (lev, idx, c) =>
+        if ((i >> lev) == idx) {
+          val sign = if (((i >> (lev - 1)) & 1) == 0) 1L else -1L
+          v += sign * c * (1L << (4 - lev))
+        }
+      }
+      v
+    }
+
   /** Top-k thresholding: kept coefficients ranked by (energy DESC,
     * lev, idx) and the exact scaled SSE of the dropped rest. */
   def threshold(freqs: Seq[Long], k: Int)

@@ -1739,6 +1739,48 @@ object AnalyticsQueries {
         .orderBy(col("channel"))
     }),
 
+    // Four-way synopsis bake-off — q241 plus the q247 wavelet as the
+    // fourth estimator, all over the SAME frequency vector and the
+    // SAME prefix-range queries: equi-width, equi-depth, V-optimal,
+    // and the top-4-coefficient Haar reconstruction (16·x̂ summed,
+    // clamped at 0, one DIV 16 — negative reconstruction clamps
+    // BEFORE the division so floor-vs-truncate can never diverge).
+    // The complete answer to "which synopsis should the catalog
+    // store for this column", measured.
+    "q255_synopsis_bakeoff" -> ((s, d) => {
+      val bands = Tables.customer(s, d)
+        .groupBy(floor(col("c_acctbal") / 1000).cast("long").as("band"))
+        .agg(count(lit(1)).as("f"))
+        .orderBy(col("band"))
+        .collect() // ≤16 rows by value range — model-sized
+      val f = bands.map(_.getLong(1)).toIndexedSeq
+      val v = f.length
+      val n = f.sum
+      val cf = f.scanLeft(0L)(_ + _).toIndexedSeq
+      def segSum(lo: Int, hi: Int): Long = cf(hi) - cf(lo - 1)
+      val (wk, wtot, _) = Wavelet.threshold(f, 4)
+      val x16 = Wavelet.reconstruct16(wtot, wk.map(t => (t._2, t._3, t._4)))
+      val px16 = x16.scanLeft(0L)(_ + _)
+      def wEst(t: Int): Long = math.max(px16(t), 0L) / 16L
+      val bucketed = Seq(
+        "equi_depth" -> SynopsisAudit.equiDepth(cf, 4),
+        "equi_width" -> SynopsisAudit.equiWidth(v, 4),
+        "v_optimal" -> VOptHistogram.fit(f, 4)._1
+          .map(b => (b.loIdx, b.hiIdx)))
+      val rows = (bucketed.map { case (name, bks) =>
+        name -> (1 to v).map(t =>
+          math.abs(SynopsisAudit.prefixEstimate(bks, segSum, t) - cf(t)))
+      } :+ ("wavelet_top4" ->
+        (1 to v).map(t => math.abs(wEst(t) - cf(t)))))
+        .map { case (name, errs) =>
+          (name, v.toLong, (1000000L * errs.sum) / (v.toLong * n),
+            errs.map(e => 1000000L * e / n).max)
+        }
+      s.createDataFrame(rows)
+        .toDF("hist", "n_queries", "mean_abs_err_ppm", "max_abs_err_ppm")
+        .orderBy(col("hist"))
+    }),
+
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
     // classic fraud / synthetic-data detector: observed first-
     // significant-digit shares of order totals against the Benford
@@ -4565,6 +4607,131 @@ object AnalyticsQueries {
         |  CAST(sum(last_milli) AS BIGINT) last_touch_milli,
         |  CAST(sum(linear_milli) AS BIGINT) linear_milli
         |FROM credited GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q255 oracle: the q241 stack (three bucketings) + the q247 Haar
+    // stack + the sign/weight reconstruction of 16·x̂ from the kept
+    // coefficients, prefix-summed, clamped at 0 before the one DIV 16.
+    "q255_synopsis_bakeoff" ->
+      """WITH bands AS (SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) band,
+        |    CAST(count(*) AS BIGINT) f FROM customer GROUP BY 1),
+        |idx AS (SELECT band, f,
+        |    CAST(row_number() OVER (ORDER BY band) AS BIGINT) i FROM bands),
+        |cum AS (SELECT i, band, f,
+        |    CAST(sum(f) OVER (ORDER BY i) AS BIGINT) cf,
+        |    CAST(sum(f * f) OVER (ORDER BY i) AS BIGINT) cf2 FROM idx),
+        |nv AS (SELECT CAST(max(i) AS BIGINT) v FROM cum),
+        |tot AS (SELECT CAST(sum(f) AS BIGINT) n FROM bands),
+        |sege AS (SELECT lo.i lo, hi.i hi,
+        |    hi.cf - lo.cf + lo.f sf,
+        |    CAST((720720 // (hi.i - lo.i + 1)) *
+        |      ((hi.i - lo.i + 1) * (hi.cf2 - lo.cf2 + lo.f * lo.f)
+        |       - (hi.cf - lo.cf + lo.f) * (hi.cf - lo.cf + lo.f))
+        |      AS BIGINT) e
+        |  FROM cum lo JOIN cum hi ON lo.i <= hi.i),
+        |d1 AS (SELECT hi j, e e1 FROM sege WHERE lo = 1),
+        |d2 AS (SELECT j, k, e2 FROM (
+        |    SELECT s.hi j, d1.j k, d1.e1 + s.e e2, row_number()
+        |      OVER (PARTITION BY s.hi ORDER BY d1.e1 + s.e, d1.j) rn
+        |    FROM d1 JOIN sege s ON s.lo = d1.j + 1) WHERE rn = 1),
+        |d3 AS (SELECT j, k, e3 FROM (
+        |    SELECT s.hi j, d2.j k, d2.e2 + s.e e3, row_number()
+        |      OVER (PARTITION BY s.hi ORDER BY d2.e2 + s.e, d2.j) rn
+        |    FROM d2 JOIN sege s ON s.lo = d2.j + 1) WHERE rn = 1),
+        |d4 AS (SELECT k, e4 FROM (
+        |    SELECT d3.j k, d3.e3 + s.e e4, row_number()
+        |      OVER (ORDER BY d3.e3 + s.e, d3.j) rn
+        |    FROM d3 JOIN sege s ON s.lo = d3.j + 1
+        |      AND s.hi = (SELECT v FROM nv)) WHERE rn = 1),
+        |bt AS (SELECT d2.k k1, d3.k k2, d4.k k3
+        |  FROM d4 JOIN d3 ON d3.j = d4.k JOIN d2 ON d2.j = d3.k),
+        |ed1 AS (SELECT least(greatest(
+        |    (SELECT min(i) FROM cum, tot WHERE cf * 4 >= 1 * n), 1),
+        |    (SELECT v FROM nv) - 3) h),
+        |ed2 AS (SELECT least(greatest(
+        |    (SELECT min(i) FROM cum, tot WHERE cf * 4 >= 2 * n),
+        |    (SELECT h FROM ed1) + 1), (SELECT v FROM nv) - 2) h),
+        |ed3 AS (SELECT least(greatest(
+        |    (SELECT min(i) FROM cum, tot WHERE cf * 4 >= 3 * n),
+        |    (SELECT h FROM ed2) + 1), (SELECT v FROM nv) - 1) h),
+        |allb AS (
+        |  SELECT 'equi_width' hist,
+        |    ((t.i - 1) * (SELECT v FROM nv)) // 4 + 1 lo,
+        |    (t.i * (SELECT v FROM nv)) // 4 hi
+        |  FROM (VALUES (1), (2), (3), (4)) t(i)
+        |  UNION ALL
+        |  SELECT 'equi_depth', CAST(1 AS BIGINT), (SELECT h FROM ed1)
+        |  UNION ALL SELECT 'equi_depth', (SELECT h FROM ed1) + 1,
+        |    (SELECT h FROM ed2)
+        |  UNION ALL SELECT 'equi_depth', (SELECT h FROM ed2) + 1,
+        |    (SELECT h FROM ed3)
+        |  UNION ALL SELECT 'equi_depth', (SELECT h FROM ed3) + 1,
+        |    (SELECT v FROM nv)
+        |  UNION ALL
+        |  SELECT 'v_optimal', CAST(1 AS BIGINT), (SELECT k1 FROM bt)
+        |  UNION ALL SELECT 'v_optimal', (SELECT k1 FROM bt) + 1,
+        |    (SELECT k2 FROM bt)
+        |  UNION ALL SELECT 'v_optimal', (SELECT k2 FROM bt) + 1,
+        |    (SELECT k3 FROM bt)
+        |  UNION ALL SELECT 'v_optimal', (SELECT k3 FROM bt) + 1,
+        |    (SELECT v FROM nv)),
+        |estb AS (SELECT b.hist, c.i t,
+        |    CAST(sum(CASE WHEN b.hi <= c.i THEN s.sf
+        |      WHEN b.lo > c.i THEN 0
+        |      ELSE (s.sf * (c.i - b.lo + 1)) // (b.hi - b.lo + 1) END)
+        |      AS BIGINT) est
+        |  FROM allb b JOIN sege s ON s.lo = b.lo AND s.hi = b.hi, cum c
+        |  GROUP BY 1, 2),
+        |errb AS (SELECT e.hist, e.t, abs(e.est - c2.cf) ae
+        |  FROM estb e JOIN cum c2 ON c2.i = e.t),
+        |bidx AS (SELECT f, row_number() OVER (ORDER BY band) - 1 i
+        |  FROM bands),
+        |g16 AS (SELECT unnest(generate_series(0, 15)) i),
+        |x AS (SELECT g16.i, CAST(COALESCE(bidx.f, 0) AS BIGINT) v
+        |  FROM g16 LEFT JOIN bidx ON bidx.i = g16.i),
+        |w1 AS (SELECT i // 2 j,
+        |    CAST(sum(CASE WHEN i % 2 = 0 THEN v ELSE -v END) AS BIGINT) d,
+        |    CAST(sum(v) AS BIGINT) s FROM x GROUP BY 1),
+        |w2 AS (SELECT j // 2 j,
+        |    CAST(sum(CASE WHEN j % 2 = 0 THEN s ELSE -s END) AS BIGINT) d,
+        |    CAST(sum(s) AS BIGINT) s FROM w1 GROUP BY 1),
+        |w3 AS (SELECT j // 2 j,
+        |    CAST(sum(CASE WHEN j % 2 = 0 THEN s ELSE -s END) AS BIGINT) d,
+        |    CAST(sum(s) AS BIGINT) s FROM w2 GROUP BY 1),
+        |w4 AS (SELECT j // 2 j,
+        |    CAST(sum(CASE WHEN j % 2 = 0 THEN s ELSE -s END) AS BIGINT) d,
+        |    CAST(sum(s) AS BIGINT) s FROM w3 GROUP BY 1),
+        |coeffs AS (
+        |  SELECT 1 lev, j idx2, d coeff, d * d * 128 energy FROM w1
+        |  UNION ALL SELECT 2, j, d, d * d * 64 FROM w2
+        |  UNION ALL SELECT 3, j, d, d * d * 32 FROM w3
+        |  UNION ALL SELECT 4, j, d, d * d * 16 FROM w4),
+        |rankd AS (SELECT lev, idx2, coeff, row_number()
+        |    OVER (ORDER BY energy DESC, lev, idx2) rnk FROM coeffs),
+        |wkept AS (SELECT lev, idx2, coeff FROM rankd WHERE rnk <= 4),
+        |contrib AS (SELECT g.i, CAST(COALESCE(sum(
+        |    CASE WHEN (g.i // (CASE k.lev WHEN 1 THEN 2 WHEN 2 THEN 4
+        |        WHEN 3 THEN 8 ELSE 16 END)) = k.idx2
+        |      THEN (CASE WHEN ((g.i // (CASE k.lev WHEN 1 THEN 1
+        |          WHEN 2 THEN 2 WHEN 3 THEN 4 ELSE 8 END)) % 2) = 0
+        |        THEN 1 ELSE -1 END) * k.coeff
+        |        * (CASE k.lev WHEN 1 THEN 8 WHEN 2 THEN 4
+        |           WHEN 3 THEN 2 ELSE 1 END)
+        |      ELSE 0 END), 0) AS BIGINT) c
+        |  FROM g16 g LEFT JOIN wkept k ON 1 = 1 GROUP BY 1),
+        |xhat AS (SELECT i, (SELECT s FROM w4) + c v16 FROM contrib),
+        |werr AS (SELECT 'wavelet_top4' hist, cu.i t,
+        |    abs(greatest((SELECT sum(v16) FROM xhat WHERE i < cu.i), 0)
+        |      // 16 - cu.cf) ae
+        |  FROM cum cu),
+        |allerr AS (SELECT hist, t, ae FROM errb
+        |  UNION ALL SELECT hist, t, ae FROM werr)
+        |SELECT hist, (SELECT v FROM nv) n_queries,
+        |  CAST((1000000 * sum(ae))
+        |    // ((SELECT v FROM nv) * (SELECT n FROM tot)) AS BIGINT)
+        |    mean_abs_err_ppm,
+        |  CAST(max((1000000 * ae) // (SELECT n FROM tot)) AS BIGINT)
+        |    max_abs_err_ppm
+        |FROM allerr GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full
