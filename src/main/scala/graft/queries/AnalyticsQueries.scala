@@ -1781,6 +1781,52 @@ object AnalyticsQueries {
         .orderBy(col("hist"))
     }),
 
+    // Bloom filter false-positive-rate sweep (Bloom 1970) — the q223
+    // pattern (measured error vs size) for membership filters: the
+    // customer key set is inserted into simulated filters of m ∈
+    // {4096, 16384, 65536} bits with k = 3 md5-slice hash positions
+    // (bit array = the DISTINCT position set — exactly a Bloom filter
+    // by definition), then 1500 guaranteed-non-member probes measure
+    // the real FPR per size alongside the fill ratio. Deterministic in
+    // any md5 engine; the number that sizes q141's semi-join filter
+    // before a 100 TB run commits to it.
+    "q256_bloom_fpr_sweep" -> ((s, d) => {
+      val ms = s.createDataFrame(
+        Seq(4096L, 16384L, 65536L).map(Tuple1(_))).toDF("m")
+      val js = s.createDataFrame(Seq(1, 2, 3).map(Tuple1(_))).toDF("j")
+      val mem = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("key"))
+      def positions(df: DataFrame): DataFrame =
+        df.crossJoin(broadcast(ms)).crossJoin(broadcast(js))
+          .withColumn("pos", expr(
+            "CAST(conv(substring(md5(CAST(concat(CAST(key AS STRING), " +
+              "':', CAST(j AS STRING)) AS BINARY)), 1, 8), 16, 10) " +
+              "AS BIGINT) % m"))
+      val bits = graft.ops.TransientCache.persist(
+        positions(mem).select(col("m"), col("pos")).distinct())
+      val bitCnt = bits.groupBy(col("m"))
+        .agg(count(lit(1)).as("bits_set"))
+      val pp = positions(mem.select((col("key") + 1000000L).as("key")))
+        .select(col("m"), col("key"), col("pos")).distinct()
+      val tot = pp.groupBy(col("m"), col("key"))
+        .agg(count(lit(1)).as("npos"))
+      val hit = pp.join(bits, Seq("m", "pos"), "left_semi")
+        .groupBy(col("m"), col("key")).agg(count(lit(1)).as("matched"))
+      tot.join(hit, Seq("m", "key"), "left")
+        .withColumn("isfp",
+          (coalesce(col("matched"), lit(0L)) === col("npos")).cast("long"))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n_probes"), sum(col("isfp")).as("false_pos"))
+        .join(bitCnt, "m")
+        .crossJoin(broadcast(mem.agg(count(lit(1)).as("n_inserted"))))
+        .withColumn("fill_ppm", expr("(1000000 * bits_set) DIV m"))
+        .withColumn("fpr_ppm", expr("(1000000 * false_pos) DIV n_probes"))
+        .select(col("m"), col("n_inserted"), col("bits_set"),
+          col("fill_ppm"), col("n_probes"), col("false_pos"),
+          col("fpr_ppm"))
+        .orderBy(col("m"))
+    }),
+
     // Benford first-digit audit (Newcomb 1881; Benford 1938) — the
     // classic fraud / synthetic-data detector: observed first-
     // significant-digit shares of order totals against the Benford
@@ -4732,6 +4778,41 @@ object AnalyticsQueries {
         |  CAST(max((1000000 * ae) // (SELECT n FROM tot)) AS BIGINT)
         |    max_abs_err_ppm
         |FROM allerr GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q256 oracle: same md5-slice positions (hex via '0x' cast), same
+    // distinct-position bit array, same all-positions-present test.
+    "q256_bloom_fpr_sweep" ->
+      """WITH mem AS (SELECT CAST(c_custkey AS BIGINT) kk FROM customer),
+        |ms AS (SELECT unnest([4096, 16384, 65536]) m),
+        |js AS (SELECT unnest([1, 2, 3]) j),
+        |mpos AS (SELECT DISTINCT m,
+        |    CAST(concat('0x', substr(md5(concat(CAST(kk AS VARCHAR),
+        |      ':', CAST(j AS VARCHAR))), 1, 8)) AS BIGINT) % m pos
+        |  FROM mem, ms, js),
+        |bitcnt AS (SELECT m, CAST(count(*) AS BIGINT) bits_set
+        |  FROM mpos GROUP BY 1),
+        |pr AS (SELECT kk + 1000000 kk FROM mem),
+        |ppos AS (SELECT DISTINCT m, kk,
+        |    CAST(concat('0x', substr(md5(concat(CAST(kk AS VARCHAR),
+        |      ':', CAST(j AS VARCHAR))), 1, 8)) AS BIGINT) % m pos
+        |  FROM pr, ms, js),
+        |tot AS (SELECT m, kk, CAST(count(*) AS BIGINT) npos
+        |  FROM ppos GROUP BY 1, 2),
+        |hit AS (SELECT p.m, p.kk, CAST(count(*) AS BIGINT) matched
+        |  FROM ppos p JOIN mpos b ON b.m = p.m AND b.pos = p.pos
+        |  GROUP BY 1, 2),
+        |fp AS (SELECT t.m, CAST(count(*) AS BIGINT) n_probes,
+        |    CAST(sum(CASE WHEN COALESCE(h.matched, 0) = t.npos
+        |      THEN 1 ELSE 0 END) AS BIGINT) false_pos
+        |  FROM tot t LEFT JOIN hit h ON h.m = t.m AND h.kk = t.kk
+        |  GROUP BY 1),
+        |nm AS (SELECT CAST(count(*) AS BIGINT) n_inserted FROM mem)
+        |SELECT CAST(fp.m AS BIGINT) m, (SELECT n_inserted FROM nm)
+        |    n_inserted, b.bits_set,
+        |  CAST((1000000 * b.bits_set) // fp.m AS BIGINT) fill_ppm,
+        |  fp.n_probes, fp.false_pos,
+        |  CAST((1000000 * fp.false_pos) // fp.n_probes AS BIGINT) fpr_ppm
+        |FROM fp JOIN bitcnt b ON b.m = fp.m ORDER BY 1""".stripMargin,
 
     // q230 oracle: the identical Morton interleave spelled as BIGINT
     // shift/mask arithmetic, ntile file assignment with the same full
