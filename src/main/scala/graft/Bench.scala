@@ -47,8 +47,12 @@ object Bench {
           spark.catalog.clearCache()
         }
         val t0 = System.nanoTime()
+        // Same Parity.outputDoubles wrap as Verify.dumpAll so the benched
+        // plan is the verified plan (the cast is a final projection; cost
+        // is noise-level).
         val ok =
-          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          try { graft.queries.Parity.outputDoubles(fn(spark, sfDir))
+            .queryExecution.toRdd.count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             failed += name

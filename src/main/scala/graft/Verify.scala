@@ -25,14 +25,22 @@ object Verify {
     * instead of the key silently dropping out of CORRECTNESS), and all
     * failures land in `outDir/_errors.json` ("{}" when clean). Returns the
     * failure map; factored out of main so a spec can drive it with a
-    * deliberately-broken query. */
+    * deliberately-broken query.
+    *
+    * Output normalization ([[graft.queries.Parity.outputDoubles]] — decimal
+    * → double, tz-aware timestamp → TIMESTAMP_NTZ) is applied HERE,
+    * unconditionally, not per query: round 7 shipped three queries that
+    * each forgot the per-query cast and failed the driver's strict
+    * schema+hash gate on a wall-clock-identical answer (r7 verdict item 1).
+    * A dump-boundary convention belongs at the dump boundary. */
   private[graft] def dumpAll(spark: SparkSession, sfDir: String, outDir: String,
       queries: Iterable[(String, (SparkSession, String) => DataFrame)])
       : Map[String, String] = {
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try graft.queries.Parity.outputDoubles(fn(spark, sfDir))
+        .coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -202,19 +202,44 @@ object Dedup {
     }(Encoders.row(outSchema))
   }
 
-  /** LSH banding: r consecutive minhashes concatenated per band; docs
-    * colliding in any band become candidate pairs; candidates are then
-    * verified against the full signature (estimated Jaccard =
-    * fraction of agreeing minhashes). Returns (doc_a, doc_b, n_agree). */
-  def lshCandidatePairs(sigs: DataFrame, nHashes: Int = 8, bandSize: Int = 2): DataFrame = {
+  /** The exploded (doc, band, key) band-bucket rows — exposed so the
+    * q257 cap audit can read bucket sizes from the same construction
+    * the candidate join uses. */
+  def bandRows(sigs: DataFrame, nHashes: Int, bandSize: Int): DataFrame = {
     val nBands = nHashes / bandSize
     val bandStructs = (0 until nBands).map { b =>
       val key = concat((0 until bandSize).map(r => col(s"h${b * bandSize + r}")): _*)
       struct(lit(b).as("band"), key.as("key"))
     }
-    val bands = sigs.select(col("doc"), explode(array(bandStructs: _*)).as("bk"))
+    sigs.select(col("doc"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands.as("a").join(bands.as("b"),
+  }
+
+  /** LSH banding: r consecutive minhashes concatenated per band; docs
+    * colliding in any band become candidate pairs; candidates are then
+    * verified against the full signature (estimated Jaccard =
+    * fraction of agreeing minhashes). Returns (doc_a, doc_b, n_agree).
+    *
+    * `maxBucket` is the hot-band owner cap (r7 verdict item 6): a band
+    * bucket with B owners emits B(B−1)/2 candidates, so ONE viral
+    * boilerplate band key turns the join quadratic at corpus scale.
+    * Buckets with more than `maxBucket` owners are excluded from
+    * candidate generation — the same 50-owner discipline q150/q157
+    * apply to frame/landmark buckets. The recall consequence is
+    * MEASURED, not assumed: q257 sweeps the cap against the exact-
+    * Jaccard truth (at the production banding the fixture's largest
+    * bucket is 33 owners at sf0.1, so 50 is headroom, not pruning).
+    * Audits that need the uncapped curve (the q198 band-size sweep and
+    * the nesting spec) pass `Int.MaxValue` explicitly — a cap can break
+    * cand(r) ⊆ cand(r') nesting when a coarse-band bucket is hot. */
+  def lshCandidatePairs(sigs: DataFrame, nHashes: Int = 8, bandSize: Int = 2,
+                        maxBucket: Int = 50): DataFrame = {
+    val bands = bandRows(sigs, nHashes, bandSize)
+    val ok = bands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("nown")).where(col("nown") <= maxBucket)
+      .select(col("band"), col("key"))
+    val capped = bands.join(ok, Seq("band", "key"), "left_semi")
+    val cand = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
@@ -804,12 +829,9 @@ object Dedup {
     * re-deriving the prefix index per consumer. */
   def verifyJaccardCandidates(shRows: DataFrame, cands: DataFrame,
                               numJ: Int, denJ: Int): DataFrame = {
-    // Build gram sets only for docs that appear in a candidate pair
-    // (semi-join BEFORE the collect_list): the verification stage's
-    // cost must be candidate-sized, not corpus-sized — at 100 TB the
-    // candidate set is a vanishing fraction of the corpus and the
-    // full-corpus collect_list would dwarf the join it feeds.
-    // Deliberately NOT pre-restricted to candidate docs. Both restricted
+    // Gram sets are built over the FULL shingle stream, then joined to
+    // the candidate pairs — deliberately NOT pre-restricted to candidate
+    // docs. Both restricted
     // forms were built and measured at sf0.1 and both lost: a semi-join
     // re-sorts the full shingle stream (4.7 s → 8.8 s in the full bench)
     // and a broadcast of the candidate-doc list thrashes the driver

@@ -110,8 +110,13 @@ object Skyline {
 
     val enc = Encoders.row(schema)
     val local = df.mapPartitions(localPass _)(enc)
-    // Merge pass over the output-sized survivors; coalesce(1) is a
-    // shuffle-free narrow merge of already-tiny partition skylines.
-    local.coalesce(1).mapPartitions(localPass _)(enc)
+    // Merge pass over the output-sized survivors. repartition(1), NOT
+    // coalesce(1): coalesce is a narrow dependency, so Spark would fuse
+    // the upstream per-partition passes into the single merged task and
+    // run them SEQUENTIALLY — silently losing the two-phase plan's
+    // parallelism (r7 advice). The repartition shuffle moves only the
+    // already-tiny partition skylines, and the stage boundary it forces
+    // is exactly what keeps the local passes parallel.
+    local.repartition(1).mapPartitions(localPass _)(enc)
   }
 }

@@ -31,7 +31,7 @@ object EventQueries {
           max(col("ts")).as("session_end"),
           sum(col("value").cast("decimal(18,6)")).as("total_value"))
         .orderBy(col("user_id"), col("session_id"))
-        .transform(Parity.outputDoubles)
+        
     }),
 
     // F18 JSON decode: parse the props payload, aggregate per event type.

@@ -386,7 +386,10 @@ object ExtQueries {
       val truth = jaccardTruth(s, d)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
       val sweep = Seq(1, 2, 4, 8).map { r =>
-        Dedup.lshCandidatePairs(minhashSigs(s, d), 8, r)
+        // Explicitly UNCAPPED: the sweep audits the raw banding curve
+        // (capping would break the cand(r) nesting the spec pins); the
+        // hot-band cap itself is the swept parameter in q257.
+        Dedup.lshCandidatePairs(minhashSigs(s, d), 8, r, Int.MaxValue)
           .select(col("doc_a"), col("doc_b"))
           .join(truth, Seq("doc_a", "doc_b"), "left")
           .agg(count(lit(1)).as("n_cand"),
@@ -401,6 +404,64 @@ object ExtQueries {
           expr("(1000000 * n_tp) div n_truth").as("recall_ppm"),
           expr("(1000000 * n_tp) div nullif(n_cand, 0)").as("precision_ppm"))
         .orderBy(col("band_size"))
+    }),
+
+    // Hot-band cap audit — the measurement behind the maxBucket=50
+    // default lshCandidatePairs now applies (r7 verdict item 6): sweep
+    // the owner cap and score each capped candidate set against the
+    // exact-Jaccard truth. ONE uncapped band join is aggregated to
+    // pair grain with the MIN shared-bucket size (a pair survives cap
+    // c iff min_nown <= c — exactly the capped join's predicate,
+    // ExtSpec-pinned), so the sweep costs one join + a scan, not one
+    // join per cap; the pair aggregate is the q228 discipline (never
+    // persist collision grain). cap = 0 encodes the uncapped baseline.
+    // At this fixture the production cap (50) drops nothing — the
+    // small caps price what capping WOULD cost in recall, the curve an
+    // operator reads before tightening the cap on a boilerplate-heavy
+    // corpus.
+    "q257_lsh_cap_audit" -> ((s, d) => {
+      val bands = Dedup.bandRows(minhashSigs(s, d), 8, 2)
+      val bcnt = graft.ops.TransientCache.persist(
+        bands.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("nown")))
+      val bw = bands.join(bcnt, Seq("band", "key"))
+      val agree = (0 until 8)
+        .map(p => when(col(s"sa.h$p") === col(s"sb.h$p"), 1).otherwise(0))
+        .reduce(_ + _)
+      val sigs = minhashSigs(s, d)
+      val truth = jaccardTruth(s, d)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+      val pairs = graft.ops.TransientCache.persist(
+        bw.as("a").join(bw.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc") < col("b.doc"))
+          .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+          .agg(min(col("a.nown")).as("min_nown"))
+          .join(sigs.as("sa"), col("doc_a") === col("sa.doc"))
+          .join(sigs.as("sb"), col("doc_b") === col("sb.doc"))
+          .select(col("doc_a"), col("doc_b"), col("min_nown"),
+            when(agree >= 4, 1L).otherwise(0L).as("v"))
+          .join(truth, Seq("doc_a", "doc_b"), "left"))
+      val caps = Seq(0L, 2L, 5L, 10L, 25L, 50L)
+      val capDf = s.range(1).select(explode(array(caps.map(lit): _*)).as("cap"))
+      val per = capDf.join(pairs,
+          col("cap") === 0 || col("min_nown") <= col("cap"), "left")
+        .groupBy(col("cap"))
+        .agg(count(col("doc_a")).as("n_cand"),
+          coalesce(sum(col("v")), lit(0L)).as("n_pred"),
+          coalesce(sum(col("v") * col("t")), lit(0L)).as("n_tp"))
+      val dropped = capDf.join(bcnt,
+          col("cap") > 0 && col("nown") > col("cap"), "left")
+        .groupBy(col("cap")).agg(count(col("nown")).as("n_buckets_dropped"))
+      val base = pairs.agg(count(lit(1)).as("u_cand"))
+      val nt = jaccardTruth(s, d).agg(count(lit(1)).as("n_truth"))
+      per.join(dropped, Seq("cap"))
+        .crossJoin(base).crossJoin(nt)
+        .select(col("cap"), col("n_buckets_dropped"), col("n_cand"),
+          col("n_pred"), col("n_truth"), col("n_tp"),
+          expr("(1000000 * n_tp) div n_truth").as("recall_ppm"),
+          expr("(1000000 * n_cand) div u_cand").as("cand_kept_ppm"))
+        .orderBy(col("cap"))
     }),
 
     // The LSH S-curve, measured against theory — the textbook collision
@@ -886,16 +947,24 @@ object ExtQueries {
     // funnel q202's prefix rule starts, run one stage deeper: prefix+
     // length candidates → positional-filtered candidates → exact
     // verified pairs, all at the same t = 4/5. The collision join is
-    // materialized ONCE; both candidate sets are projections of it
-    // (the positional test is a per-collision predicate, not a new
-    // join). Lossless by construction AND by oracle: n_pairs verifies
+    // aggregated ONCE to PAIR grain — groupBy(doc_a, doc_b).max(pos_ok)
+    // — and only that pair-sized table persists; both candidate counts
+    // and the verification input are projections of it. (r7 verdict:
+    // the previous plan persisted the COLLISION-grain join output and
+    // distinct'ed it twice; collision cardinality ≫ pair cardinality,
+    // so the persist thrashed exactly under memory pressure — 4.8 s on
+    // the builder host, 61.7 s on the pressured driver host. The
+    // aggregate is strictly less state: partial map-side max collapses
+    // collisions before the shuffle, the same answer comes out, and
+    // the persisted footprint is what SCALE.md always claimed.)
+    // Lossless by construction AND by oracle: n_pairs verifies
     // from the POSITIONAL candidates while the oracle counts the full
     // unpruned join — a true pair wrongly pruned shows as a mismatch.
     "q228_ppjoin_positional" -> ((s, d) => {
       val sh = bigramShingles(s, d)
       val pre = graft.ops.TransientCache.persist(
         Dedup.prefixPostings(sh, 4, 5))
-      val coll = graft.ops.TransientCache.persist(
+      val pairs = graft.ops.TransientCache.persist(
         pre.as("a").join(pre.as("b"),
             col("a.s") === col("b.s") && col("a.doc") < col("b.doc") &&
               lit(5) * least(col("a.nd"), col("b.nd")) >=
@@ -903,13 +972,13 @@ object ExtQueries {
           .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
             (lit(9) * (lit(1L) +
               least(col("a.nd") - col("a.i"), col("b.nd") - col("b.i"))) >=
-              lit(4) * (col("a.nd") + col("b.nd"))).cast("int").as("pos_ok")))
-      val candPos = graft.ops.TransientCache.persist(
-        coll.where(col("pos_ok") === 1)
-          .select(col("doc_a"), col("doc_b")).distinct())
-      coll.select(col("doc_a"), col("doc_b")).distinct()
-        .agg(count(lit(1)).as("n_prefix_candidates"))
-        .crossJoin(candPos.agg(count(lit(1)).as("n_positional_candidates")))
+              lit(4) * (col("a.nd") + col("b.nd"))).cast("int").as("pos_ok"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(max(col("pos_ok")).as("pos_ok")))
+      val candPos = pairs.where(col("pos_ok") === 1)
+        .select(col("doc_a"), col("doc_b"))
+      pairs.agg(count(lit(1)).as("n_prefix_candidates"),
+          sum(col("pos_ok")).cast("long").as("n_positional_candidates"))
         .crossJoin(Dedup.verifyJaccardCandidates(sh, candPos, 4, 5)
           .agg(count(lit(1)).as("n_pairs")))
         .select(col("n_prefix_candidates"), col("n_positional_candidates"),
@@ -1752,8 +1821,12 @@ object ExtQueries {
        |  FROM shl WHERE len(sl) > 0),
        |bands AS (
        |  $bands),
+       |okb AS (SELECT band, bkey FROM bands
+       |        GROUP BY 1, 2 HAVING count(*) <= 50),
+       |cband AS (SELECT doc, band, bkey FROM bands
+       |          JOIN okb USING (band, bkey)),
        |cand AS (SELECT DISTINCT a.doc da, b.doc db
-       |         FROM bands a JOIN bands b
+       |         FROM cband a JOIN cband b
        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc),
        |lshp AS (SELECT da doc_a, db doc_b, CAST($agree AS INT) n_agree
        |         FROM cand JOIN sig sa ON da = sa.doc JOIN sig sb ON db = sb.doc
@@ -1804,6 +1877,54 @@ object ExtQueries {
        |  CAST((1000000 * n_tp) // nullif(n_cand, 0) AS BIGINT) precision_ppm
        |FROM sw CROSS JOIN tn
        |ORDER BY band_size""".stripMargin
+  }
+
+  /** q257 oracle: bucket sizes + pair-grain min shared-bucket size from
+    * the same sig/bands CTEs, then the cap sweep as a 6-row caps table
+    * theta-joined against the annotated pair set (cap 0 = uncapped). */
+  private def lshCapAuditSql: String = {
+    val agree = (0 until 8).map(p =>
+      s"CASE WHEN sa.h$p = sb.h$p THEN 1 ELSE 0 END").mkString(" + ")
+    s"""$lshPairCtes,
+       |bcnt AS (SELECT band, bkey, count(*) nown FROM bands GROUP BY 1, 2),
+       |bwn AS (SELECT doc, bands.band, bands.bkey, nown
+       |        FROM bands JOIN bcnt USING (band, bkey)),
+       |pr AS (SELECT a.doc da, b.doc db, min(a.nown) mn
+       |       FROM bwn a JOIN bwn b
+       |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc
+       |       GROUP BY 1, 2),
+       |ver AS (SELECT da, db, mn,
+       |          CASE WHEN $agree >= 4 THEN 1 ELSE 0 END v
+       |        FROM pr JOIN sig sa ON da = sa.doc JOIN sig sb ON db = sb.doc),
+       |sh2 AS (SELECT DISTINCT doc_id, w || ' ' || t[i+1] s FROM u WHERE i < len(t)),
+       |cnt AS (SELECT doc_id, count(*) n FROM sh2 GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i
+       |          FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |truth AS (SELECT doc_a, doc_b FROM inter
+       |          JOIN cnt ca ON doc_a = ca.doc_id
+       |          JOIN cnt cb ON doc_b = cb.doc_id
+       |          WHERE 5 * i >= 1 * (ca.n + cb.n - i)),
+       |vt AS (SELECT da, db, mn, v,
+       |         CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE NULL END t
+       |       FROM ver LEFT JOIN truth t ON da = t.doc_a AND db = t.doc_b),
+       |caps AS (SELECT CAST(unnest([0, 2, 5, 10, 25, 50]) AS BIGINT) cap),
+       |per AS (SELECT cap, count(vt.da) n_cand,
+       |          coalesce(sum(v), 0) n_pred, coalesce(sum(v * t), 0) n_tp
+       |        FROM caps LEFT JOIN vt ON cap = 0 OR mn <= cap
+       |        GROUP BY cap),
+       |drp AS (SELECT cap, count(bcnt.nown) nbd
+       |        FROM caps LEFT JOIN bcnt ON cap > 0 AND nown > cap
+       |        GROUP BY cap),
+       |base AS (SELECT count(*) u_cand FROM vt),
+       |tn AS (SELECT count(*) n_truth FROM truth)
+       |SELECT cap, CAST(nbd AS BIGINT) n_buckets_dropped,
+       |  CAST(n_cand AS BIGINT) n_cand, CAST(n_pred AS BIGINT) n_pred,
+       |  CAST(n_truth AS BIGINT) n_truth, CAST(n_tp AS BIGINT) n_tp,
+       |  CAST((1000000 * n_tp) // n_truth AS BIGINT) recall_ppm,
+       |  CAST((1000000 * n_cand) // u_cand AS BIGINT) cand_kept_ppm
+       |FROM per JOIN drp USING (cap) CROSS JOIN base CROSS JOIN tn
+       |ORDER BY cap""".stripMargin
   }
 
   private def dupFlowSql: String =
@@ -2043,6 +2164,8 @@ object ExtQueries {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q198_lsh_band_sweep" -> lshSweepSql,
+
+    "q257_lsh_cap_audit" -> lshCapAuditSql,
 
     // q201 oracle: recompute the claim index from the filtered corpus
     // from scratch — comparing it against Spark's incremental repair IS

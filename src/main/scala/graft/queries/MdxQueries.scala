@@ -115,14 +115,13 @@ object MdxQueries {
         hist,
         MdxLowerer.preAggregateSlice(s, d, cube, pa,
           fact.where(col("l_orderkey") % 7 === 0)))
-      Parity.outputDoubles(
-        MdxLowerer.mergePreAggs(cube, pa, parts)
-          .groupBy(col("n_name"))
-          .agg(sum(col("sum_base_price")).as("sum_base_price"),
-            sum(col("count_order")).as("count_order"))
-          .select(col("n_name").as("nation"),
-            col("sum_base_price"), col("count_order"))
-          .orderBy(col("nation")))
+      MdxLowerer.mergePreAggs(cube, pa, parts)
+        .groupBy(col("n_name"))
+        .agg(sum(col("sum_base_price")).as("sum_base_price"),
+          sum(col("count_order")).as("count_order"))
+        .select(col("n_name").as("nation"),
+          col("sum_base_price"), col("count_order"))
+        .orderBy(col("nation"))
     })
   )
 

@@ -50,7 +50,7 @@ object PipelineQueries {
       AsOfJoin.asOfInner(purchases, clicks, "user_id", "ts",
           Seq("event_id", "ts", "value"), "event_id", "click_")
         .orderBy(col("event_id"))
-        .transform(Parity.outputDoubles)
+        
     }),
 
     // Near-dup pair graph -> document clusters: connected components
@@ -376,7 +376,7 @@ object PipelineQueries {
         .groupBy(col("cohort_week"), col("week_offset"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("cohort_week"), col("week_offset"))
-        .transform(Parity.outputDoubles)
+        
     }),
 
     // Characteristic terms per source: top-5 tokens by tf*idf per
@@ -572,7 +572,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_purchases"),
           sum(col("p_value").cast("decimal(18,6)")).as("purchase_value"))
         .orderBy(col("event_id"))
-        .transform(Parity.outputDoubles)
+        
     }),
 
     // Oracle-reproducible HyperLogLog (A8's scale path): 256-register
@@ -792,7 +792,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"))
         .orderBy(col("n_name"))
-        .transform(Parity.outputDoubles)
+        
     }),
 
     // Skew salt plan: turn the per-key frequency profile into the
@@ -836,7 +836,7 @@ object PipelineQueries {
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
             .as("revenue"))
         .orderBy(col("p_brand"))
-        .transform(Parity.outputDoubles)
+        
     }),
 
     // UniMax language-balanced budget allocation (Chung et al. 2023):

@@ -34,7 +34,7 @@ object Relational {
     // (ref MEASURE_AGGREGATOR `backend/olap_service.py:110`).
     // Scale: partial hash agg map-side; 6-group output. Filter pushed to scan.
     "q01_pricing_summary" -> ((s, d) => {
-      Parity.outputDoubles(Tables.lineitem(s, d)
+      Tables.lineitem(s, d)
         .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -44,7 +44,7 @@ object Relational {
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus")))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
     // J3 star join + A1: fact ⋈ 4 dims. Dims broadcast (region/nation tiny,
@@ -61,12 +61,12 @@ object Relational {
       // cold cost is the aggregate build, measured by Bench's cold pass.
       val agg = graft.mdx.MdxLowerer.coveringAggregate(s, d,
         graft.mdx.SalesCube.cube, Seq("r_name", "n_name")).get
-      Parity.outputDoubles(agg
+      agg
         .where(col("r_name") === "ASIA")
         .groupBy(col("n_name"))
         .agg(sum(col("sum_disc_price")).as("revenue"))
         .select(col("n_name").as("nation"), col("revenue"))
-        .orderBy(desc("revenue"), col("nation")))
+        .orderBy(desc("revenue"), col("nation"))
     }),
 
     // P3/P4/P6/P9/P10/P11: equality, inequality, case-insensitive contains,
@@ -227,7 +227,7 @@ object Relational {
       // result bit-identical to the flat star-join form.
       val agg = graft.mdx.MdxLowerer.coveringAggregate(s, d,
         graft.mdx.SalesCube.cube, Seq("r_name", "n_name")).get
-      Parity.outputDoubles(agg
+      agg
         .rollup(col("r_name"), col("n_name"))
         .agg(sum(col("sum_qty")).as("sum_qty"))
         .select(
@@ -235,16 +235,16 @@ object Relational {
           col("sum_qty"),
           when(col("r_name").isNull, 2).when(col("n_name").isNull, 1)
             .otherwise(0).as("lvl"))
-        .orderBy(col("lvl"), col("region"), col("nation")))
+        .orderBy(col("lvl"), col("region"), col("nation"))
     }),
 
     // F13 date parts + A1 over orders.
     "q16_orders_by_year" -> ((s, d) => {
-      Parity.outputDoubles(Tables.orders(s, d)
+      Tables.orders(s, d)
         .groupBy(year(col("o_orderdate")).as("order_year"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("total_price"))
-        .orderBy(col("order_year")))
+        .orderBy(col("order_year"))
     }),
 
     // F14/X4 checksum hash (md5 — deterministic across engines).
@@ -268,12 +268,12 @@ object Relational {
     // Streaming batch-equivalent: tumbling 1 h window over events
     // (Q5; the streaming form lives in graft.streaming.EventsStream).
     "q19_events_window" -> ((s, d) => {
-      Parity.outputDoubles(Tables.events(s, d)
+      Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).as("total_value"))
-        .orderBy(col("hour"), col("event_type")))
+        .orderBy(col("hour"), col("event_type"))
     }),
 
     // F12 NaN/inf → null sanitize (ref `backend/olap_service.py:326-334`).

@@ -303,8 +303,11 @@ class ExtSpec extends AnyFunSuite {
     // than four unrelated numbers.
     val sigs = Dedup.minhashSignaturesTyped(
       Tables.documents(spark, sf), "text", "doc_id", 8)
+    // Uncapped, like the q198 sweep: the hot-band owner cap can break
+    // nesting (a coarse-band bucket may be hot while its sub-bands are
+    // not), so the nesting theorem is a property of the RAW banding.
     val sets = Seq(1, 2, 4, 8).map { r =>
-      r -> Dedup.lshCandidatePairs(sigs, 8, r)
+      r -> Dedup.lshCandidatePairs(sigs, 8, r, Int.MaxValue)
         .select("doc_a", "doc_b").collect()
         .map(x => (x.getLong(0), x.getLong(1))).toSet
     }
@@ -313,6 +316,28 @@ class ExtSpec extends AnyFunSuite {
         s"band_size=$rc produced pairs absent at band_size=$rf")
     }
     assert(sets.head._2.nonEmpty)
+  }
+
+  test("hot-band owner cap drops exactly the pairs whose every shared bucket is hot") {
+    // 60 docs with identical text share every band bucket (60 owners >
+    // cap 50), two other near-dup docs sit in buckets of 2. The capped
+    // join must drop ALL pairs among the 60 clones (their only shared
+    // buckets are hot) and keep the small pair; the equivalence
+    // predicate is min-shared-bucket-size <= cap, which q257's sweep
+    // relies on.
+    val clones = (1L to 60L).map(i => (i, "alpha beta gamma delta epsilon"))
+    val small = Seq((101L, "zeta eta theta iota kappa"),
+      (102L, "zeta eta theta iota kappa"))
+    val df = (clones ++ small).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, "text", "doc_id", 8)
+    val capped = Dedup.lshCandidatePairs(sigs, 8, 2, 50)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((101L, 102L)))
+    val uncapped = Dedup.lshCandidatePairs(sigs, 8, 2, Int.MaxValue)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 60 * 59 / 2 + 1)
   }
 
   test("minhash signature agreement is 8/8 for identical shingle sets") {

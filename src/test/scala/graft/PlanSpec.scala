@@ -558,6 +558,38 @@ class PlanSpec extends AnyFunSuite {
       s"scoring aggregate lost map-side partials:\n$p")
   }
 
+  test("q178 KS: no single-partition window anywhere in the plan (r7 item 5)") {
+    // The classic KS global sort is re-expressed as histogram grain +
+    // value-bucketed two-phase prefix sums; the only windows left are
+    // PARTITIONED by bucket. An unpartitioned Window.orderBy here would
+    // be the one corpus-sized single-partition WindowExec in the repo —
+    // pin its absence structurally, not by log inspection.
+    // String-level because AQE wraps the tree (AdaptiveSparkPlanExec
+    // does not expose children to collect): a WindowExec prints as
+    // `Window [exprs], [partition], [order]` when partitioned and
+    // `Window [exprs], [order]` when global — so every Window line must
+    // carry TWO `], [` separators.
+    val p = plan("q178_ks_drift")
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.nonEmpty, s"expected the bucket-partitioned cum-sum window:\n$p")
+    winLines.foreach { l =>
+      assert("\\], \\[".r.findAllIn(l).size >= 2,
+        s"single-partition WindowExec in q178 plan:\n$l")
+    }
+  }
+
+  test("q228 PPJoin: candidate state is pair grain — aggregate before persist, partial max") {
+    val p = plan("q228_ppjoin_positional")
+    // The r7 plan persisted collision-grain rows then distinct'ed them
+    // twice; the r8 plan aggregates to (doc_a, doc_b) with a map-side
+    // partial max BEFORE anything persists, so persisted state is
+    // pair-sized by construction.
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"pair aggregate lost its map-side partial:\n$p")
+    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+      s"pair table should be the persisted artifact:\n$p")
+  }
+
   test("q224 winnowing: pairing is an equi-join on the fingerprint hash, no product") {
     val p = plan("q224_winnowing_pairs")
     assert(!p.contains("CartesianProduct") &&

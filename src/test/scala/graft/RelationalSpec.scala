@@ -55,10 +55,13 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("q01 aggregates are internally consistent") {
-    val rows = SparkEntry.queries("q01_pricing_summary")(spark, sf).collect()
+    // Queries emit decimal-exact measures since r8 (the double cast
+    // lives at the dump boundary, Verify.dumpAll); the spec reads what
+    // the driver reads by applying the same boundary transform.
+    val rows = graft.queries.Parity.outputDoubles(
+      SparkEntry.queries("q01_pricing_summary")(spark, sf)).collect()
     rows.foreach { r =>
       assert(r.getAs[Long]("count_order") > 0)
-      // Measures go out as double (Parity.outputDoubles driver-hash rule).
       assert(r.getAs[Double]("sum_base_price") > 0)
     }
   }
@@ -71,9 +74,11 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("q15 rollup grand total equals sum of region subtotals") {
-    val rows = SparkEntry.queries("q15_rollup")(spark, sf).collect()
-    // sum_qty is a double holding an exact 2-dp decimal (quantities are
-    // integers; well under 2^53) so BigDecimal-per-element sums are exact.
+    // Dump-boundary transform, as in q01's test: the dumped sum_qty is
+    // a double holding an exact 2-dp decimal (quantities are integers;
+    // well under 2^53) so BigDecimal-per-element sums are exact.
+    val rows = graft.queries.Parity.outputDoubles(
+      SparkEntry.queries("q15_rollup")(spark, sf)).collect()
     def total(lvl: Int): BigDecimal = rows.filter(_.getAs[Int]("lvl") == lvl)
       .map(r => BigDecimal(r.getAs[Double]("sum_qty"))).sum
     assert(total(2) == total(1) && total(2) == total(0))

@@ -48,7 +48,11 @@ class StreamingSpec extends AnyFunSuite {
         col("value"), col("click_event_id"),
         col("click_ts").cast("timestamp_ntz"), col("click_value"))
       .collect().map(_.toString).toSet
-    val batch = SparkEntry.queries("q53_events_asof")(spark, sf)
+    // Dump-boundary transform on the batch side (since r8 the query
+    // emits raw tz-aware timestamps; Verify.dumpAll applies the NTZ
+    // cast) so both sides compare in NTZ.
+    val batch = graft.queries.Parity.outputDoubles(
+        SparkEntry.queries("q53_events_asof")(spark, sf))
       .select("event_id", "user_id", "ts", "value",
         "click_event_id", "click_ts", "click_value")
       .collect().map(_.toString).toSet
@@ -108,13 +112,15 @@ class StreamingSpec extends AnyFunSuite {
     val sessions = EventsStream.sessionize(spark,
       EventsStream.readEvents(spark, sf))
     runAvailableNow(sessions.toDF(), "sessions", OutputMode.Append())
-    // The batch twin emits Parity-cast TIMESTAMP_NTZ columns; cast the
-    // streamed (tz-aware) timestamps the same way before row-compare.
+    // Both sides compare in NTZ: the streamed timestamps cast here, the
+    // batch twin through the same dump-boundary transform Verify
+    // applies (since r8 queries emit raw tz-aware timestamps).
     val streamed = spark.table("sessions")
       .select(col("user_id"), col("session_start").cast("timestamp_ntz"),
         col("session_end").cast("timestamp_ntz"), col("n_events"))
       .collect().map(_.toString).toSet
-    val batch = SparkEntry.queries("q45_events_sessionize")(spark, sf)
+    val batch = graft.queries.Parity.outputDoubles(
+      SparkEntry.queries("q45_events_sessionize")(spark, sf))
     val all = batch
       .select("user_id", "session_start", "session_end", "n_events")
       .collect().map(_.toString).toSet

@@ -53,6 +53,34 @@ class VerifyContractSpec extends AnyFunSuite {
     assert(Files.readString(Paths.get(s"$out/_errors.json")) == "{}")
   }
 
+  test("dumpAll normalizes raw tz-aware timestamps and decimals (r7 item 1)") {
+    // Round 7 shipped three queries that forgot the per-query
+    // Parity.outputDoubles cast and failed the driver's schema gate on
+    // tz-aware day columns. The normalization now lives in dumpAll
+    // itself, so a query emitting RAW date_trunc TimestampType (and a
+    // raw decimal) must still dump as NTZ + double — i.e. the written
+    // parquet can never carry the dtypes the driver's compare rejects.
+    val raw: (SparkSession, String) => DataFrame = (s, d) =>
+      Tables.events(s, d).selectExpr(
+        "date_trunc('day', ts) AS day",
+        "CAST(value AS DECIMAL(18,3)) AS v")
+    // Direct query output really is the dangerous pair of dtypes…
+    val direct = raw(spark, sf).schema
+    assert(direct("day").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(direct("v").dataType.isInstanceOf[
+      org.apache.spark.sql.types.DecimalType])
+    // …and the dump boundary neutralizes both, unconditionally.
+    val out = Files.createTempDirectory("verify_contract_ntz").toString
+    val errors = Verify.dumpAll(spark, sf, out, Seq("vc_raw_ts" -> raw))
+    assert(errors.isEmpty)
+    val dumped = spark.read.parquet(s"$out/vc_raw_ts").schema
+    assert(dumped("day").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(dumped("v").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+  }
+
   test("a failed overwrite of a previously-green result leaves no stale parquet") {
     val out = Files.createTempDirectory("verify_contract_stale").toString
     Verify.dumpAll(spark, sf, out, Seq("vc_q" -> good))
