@@ -348,6 +348,99 @@ object Similarity {
       .select(col("vec_id"), col("rank"), col("nbr_id"), col("dot"))
   }
 
+  /** Graph-walk ANN serving — the navigable-graph architecture class
+    * (Malkov & Yashunin, "Efficient and robust approximate nearest
+    * neighbor search using Hierarchical Navigable Small World graphs",
+    * 2018) re-expressed as BOUNDED-round DataFrame joins: route each
+    * query to its IVF cell (the coarse layer), enter at the cell's
+    * lowest-id member, then `rounds` beam expansions over the stored
+    * cell-local kNN graph — each round joins the current beam (width
+    * `beam`) against the edge list, exactly scores only the NEW
+    * candidates (anti-join against everything already scored), and
+    * re-ranks. Deterministic end to end: ties break (cos desc,
+    * vec_id), the entry rule is min member id, rounds/beam are
+    * plan-time constants — a SQL oracle replays the walk bit-for-bit.
+    *
+    * 100 TB shape: each round is one equi-join of a (|Q|·beam)-sized
+    * frontier against the edge table (shuffle keyed on node id) plus a
+    * frontier-sized window — per-query work is O(rounds·beam·degree),
+    * independent of cell size, where [[ivfTopK]] pays the FULL cell
+    * scan per probe. The q262 audit measures the recall that economy
+    * costs on this fixture. Returns (query_id, rank, vec_id, dot)
+    * for the final top-k, plus n_explored (size of the scored set —
+    * the walk's whole cost) on every row. */
+  def graphBeamSearch(emb: DataFrame, idCol: String, embCol: String,
+                      edges: DataFrame, isQuery: Column, k: Int = 10,
+                      beam: Int = 4, rounds: Int = 3,
+                      nlist: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("qv"))
+    val q = e.where(isQuery)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+    val asg = ivfAssignments(emb, idCol, embCol, nlist)
+    val entry = asg.select(col("vec_id").as("query_id"), col("cid"))
+      .join(q.select(col("query_id")), Seq("query_id"))
+      .join(asg, Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id")).agg(min(col("vec_id")).as("vec_id"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(e, Seq("vec_id")).join(q, Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dotQ(col("qqv"), col("qv")).as("dot"),
+        normQ(col("qqv")).as("nq"), normQ(col("qv")).as("nc"))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("nq").cast("double") * col("nc").cast("double")))
+      .select(col("query_id"), col("vec_id"), col("dot"), col("cos"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("vec_id"))
+    val edg = edges.select(col("vec_id"), col("nbr_id"))
+    var scored = graft.ops.TransientCache.persist(score(entry))
+    (1 to rounds).foreach { _ =>
+      val frontier = scored.withColumn("rn", row_number().over(wq))
+        .where(col("rn") <= beam).select(col("query_id"), col("vec_id"))
+      val fresh = frontier.join(edg, Seq("vec_id"))
+        .select(col("query_id"), col("nbr_id").as("vec_id")).distinct()
+        .where(col("vec_id") =!= col("query_id"))
+        .join(scored.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+      scored = graft.ops.TransientCache.persist(
+        scored.unionByName(score(fresh)))
+    }
+    val explored = scored.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_explored"))
+    scored.withColumn("rank", row_number().over(wq))
+      .where(col("rank") <= k)
+      .join(broadcast(explored), Seq("query_id"))
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id"), col("dot"), col("n_explored"))
+  }
+
+  /** Long-range "bridge" edges for the navigable graph: each vector
+    * links to the MIN-id member of its `nCells` best cells (by the
+    * shared deterministic-centroid cosine, ties toward lower cid) —
+    * the cross-cell links a cell-local kNN graph lacks. q262 measured
+    * that lack directly (beam walks trapped in one cell, 26%
+    * recall@10); q263 measures what these ≤ nCells extra edges per
+    * vector buy back. This is NSW's core idea — a few long edges make
+    * the graph navigable — kept deterministic and oracle-replayable.
+    * At scale: one broadcast-centroid scoring pass + a broadcast join
+    * against the nlist-sized min-member table; edge count grows
+    * linearly in vectors. */
+  def bridgeEdges(emb: DataFrame, idCol: String, embCol: String,
+                  nlist: Int = 16, nCells: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("qv"))
+    val cent = centroids(e, nlist)
+    val byCell = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cid"))
+    val top = cellScores(e, cent)
+      .withColumn("rn", row_number().over(byCell)).where(col("rn") <= nCells)
+      .select(col("vec_id"), col("cid"))
+    val minMember = ivfAssignments(emb, idCol, embCol, nlist)
+      .groupBy(col("cid")).agg(min(col("vec_id")).as("nbr_id"))
+    top.join(broadcast(minMember), Seq("cid"))
+      .where(col("nbr_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("nbr_id"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= numT/denT within a
     * blocking key (label), integer cross-multiplied:
     * cos >= t  <=>  dot > 0 && dot² * denT² >= numT² * na * nb.

@@ -521,35 +521,23 @@ object AnalyticsQueries {
     // window is gone): the corpus collapses FIRST to the distinct-
     // length histogram (KS's peer-inclusive RANGE frame means D only
     // moves at distinct values, so the per-value grain is exact, not
-    // an approximation), then cumulative counts are a two-phase
-    // prefix sum over VALUE-based buckets — within-bucket running
-    // sums via a window PARTITIONED by bucket (parallel across
-    // buckets), bucket-prefix offsets via a bounded triangular join
-    // over bucket totals. No single-partition WindowExec anywhere in
-    // the plan (PlanSpec-pinned); every stage after the first groupBy
-    // is histogram- or bucket-sized.
+    // an approximation), then cumulative counts come from
+    // ops.BucketedPrefix.runningSums — the two-phase prefix scan over
+    // VALUE-based buckets (within-bucket windows PARTITIONED by
+    // bucket, bucket-prefix offsets via a bounded triangular join;
+    // q258/q259 share the op). No single-partition WindowExec anywhere
+    // in the plan (PlanSpec-pinned); every stage after the first
+    // groupBy is histogram- or bucket-sized.
     "q178_ks_drift" -> ((s, d) => {
       val hist = graft.ops.TransientCache.persist(
         Tables.documents(s, d)
           .groupBy(col("n_chars").cast("long").as("v"))
           .agg(
             sum(when(col("source") === "src0", 1L).otherwise(0L)).as("sa"),
-            sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("sb"))
-          .withColumn("bkt", expr("v div 256")))
-      val btot = hist.groupBy(col("bkt"))
-        .agg(sum(col("sa")).as("ta"), sum(col("sb")).as("tb"))
-      val offs = btot.as("x")
-        .join(btot.as("y"), col("y.bkt") < col("x.bkt"), "left")
-        .groupBy(col("x.bkt").as("bkt"))
-        .agg(coalesce(sum(col("y.ta")), lit(0L)).as("oa"),
-          coalesce(sum(col("y.tb")), lit(0L)).as("ob"))
-      val wB = Window.partitionBy(col("bkt")).orderBy(col("v"))
-      val cum = hist
-        .withColumn("la", sum(col("sa")).over(wB))
-        .withColumn("lb", sum(col("sb")).over(wB))
-        .join(broadcast(offs), Seq("bkt"))
-        .select((col("oa") + col("la")).as("ca"),
-          (col("ob") + col("lb")).as("cb"))
+            sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("sb")))
+      val cum = graft.ops.BucketedPrefix
+        .runningSums(hist, "v", Seq("sa", "sb"), 256L)
+        .select(col("run_sa").as("ca"), col("run_sb").as("cb"))
       val tot = hist.agg(sum(col("sa")).as("n_a"), sum(col("sb")).as("n_b"))
       val dmax = cum.crossJoin(broadcast(tot))
         .select(abs(col("ca") * col("n_b") - col("cb") * col("n_a")).as("dn"))
@@ -2562,6 +2550,65 @@ object AnalyticsQueries {
         .select(col("p_name"), col("entity"), col("n_parts"),
           col("n_names"), col("entity_parts"))
         .orderBy(col("p_name"))
+    }),
+
+    // Fellegi–Sunter probabilistic record-linkage scoring (Fellegi &
+    // Sunter, "A Theory for Record Linkage", 1969) — the SCORING model
+    // classic ER pipelines put on top of blocking, next to q159's
+    // candidate generation and q162's sorted neighborhood. Candidates
+    // = distinct names sharing the second-token blocking key (q159's
+    // contract); comparison fields = brand, type, size of each
+    // name's min-partkey representative. Per-field u-probability
+    // (chance agreement between two RANDOM records) is estimated from
+    // the data as Σ f_v(f_v−1)/(N(N−1)) in milli, clamped to [1, 999]
+    // (the "rare agreement still counts" guard that keeps both ratio
+    // denominators alive); m is the textbook literal 950 milli for
+    // every field — a stated modeling constant, not a fit. Per-field
+    // milli likelihood ratios (m/u on agree, (1000−m)/(1000−u) on
+    // disagree) multiply into ONE integer score — the monotone
+    // product form of the classic log-odds sum, ≤ (9.5·10⁵)³ < 2⁶³,
+    // so no logs and no overflow. Output: top-20 pairs with the
+    // agreement pattern, total order (score desc, names). 100 TB:
+    // u-estimation is a value-frequency aggregate, candidates are
+    // blocking-bounded, the score is map-side algebra on a one-row
+    // broadcast of the three u constants.
+    "q261_fellegi_sunter" -> ((s, d) => {
+      val rec = graft.ops.TransientCache.persist(
+        Tables.part(s, d).groupBy(col("p_name"))
+          .agg(min(struct(col("p_partkey"), col("p_brand"),
+            col("p_type"), col("p_size"))).as("r"))
+          .select(col("p_name"), col("r.p_brand").as("brand"),
+            col("r.p_type").as("ptype"),
+            col("r.p_size").cast("long").as("sz"),
+            element_at(split(col("p_name"), " "), 2).as("noun")))
+      val nTot = rec.agg(count(lit(1)).as("n_rec"))
+      def uMilli(c: String) = rec.groupBy(col(c))
+        .agg(count(lit(1)).as("f"))
+        .agg(sum(expr("f * (f - 1)")).as("num"))
+        .crossJoin(nTot)
+        .select(expr(
+          "greatest(least(CAST((1000 * num) DIV (n_rec * (n_rec - 1)) " +
+            "AS BIGINT), 999L), 1L)").as(s"u_$c"))
+      val us = uMilli("brand").crossJoin(uMilli("ptype"))
+        .crossJoin(uMilli("sz"))
+      def ratio(ag: String, u: String): Column =
+        when(col(ag) === 1, expr(s"950000L DIV $u"))
+          .otherwise(expr(s"50000L DIV (1000L - $u)"))
+      rec.as("a").join(rec.as("b"),
+          col("a.noun") === col("b.noun") && col("a.p_name") < col("b.p_name"))
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          (col("a.brand") === col("b.brand")).cast("int").as("ag_brand"),
+          (col("a.ptype") === col("b.ptype")).cast("int")
+            .as("ag_type"),
+          (col("a.sz") === col("b.sz")).cast("int").as("ag_size"))
+        .crossJoin(broadcast(us))
+        .withColumn("score",
+          ratio("ag_brand", "u_brand") * ratio("ag_type", "u_ptype") *
+            ratio("ag_size", "u_sz"))
+        .select(col("name_a"), col("name_b"), col("ag_brand"),
+          col("ag_type"), col("ag_size"), col("score"))
+        .orderBy(col("score").desc, col("name_a"), col("name_b"))
+        .limit(20)
     }),
 
     // Sorted-neighborhood record linkage (Hernández & Stolfo 1995) —
@@ -5706,6 +5753,44 @@ object AnalyticsQueries {
     // Components via recursive reachability-to-minimum (the q136 oracle
     // pattern) — an independent algorithm from the Spark union-find /
     // pointer-jumping path, same labels.
+    "q261_fellegi_sunter" ->
+      """WITH rec AS (SELECT p_name,
+        |    arg_min(p_brand, p_partkey) brand,
+        |    arg_min(p_type, p_partkey) ptype,
+        |    CAST(arg_min(p_size, p_partkey) AS BIGINT) sz,
+        |    split_part(p_name, ' ', 2) noun
+        |  FROM part GROUP BY p_name),
+        |nt AS (SELECT count(*) n_rec FROM rec),
+        |ub AS (SELECT greatest(least(CAST((1000 * sum(f * (f - 1))) //
+        |           (n_rec * (n_rec - 1)) AS BIGINT), 999), 1) u_brand
+        |       FROM (SELECT count(*) f FROM rec GROUP BY brand) CROSS JOIN nt
+        |       GROUP BY n_rec),
+        |uc AS (SELECT greatest(least(CAST((1000 * sum(f * (f - 1))) //
+        |           (n_rec * (n_rec - 1)) AS BIGINT), 999), 1) u_ptype
+        |       FROM (SELECT count(*) f FROM rec GROUP BY ptype) CROSS JOIN nt
+        |       GROUP BY n_rec),
+        |uz AS (SELECT greatest(least(CAST((1000 * sum(f * (f - 1))) //
+        |           (n_rec * (n_rec - 1)) AS BIGINT), 999), 1) u_sz
+        |       FROM (SELECT count(*) f FROM rec GROUP BY sz) CROSS JOIN nt
+        |       GROUP BY n_rec),
+        |cand AS (SELECT a.p_name name_a, b.p_name name_b,
+        |    CASE WHEN a.brand = b.brand THEN 1 ELSE 0 END ag_brand,
+        |    CASE WHEN a.ptype = b.ptype THEN 1 ELSE 0 END ag_type,
+        |    CASE WHEN a.sz = b.sz THEN 1 ELSE 0 END ag_size
+        |  FROM rec a JOIN rec b ON a.noun = b.noun AND a.p_name < b.p_name),
+        |sc AS (SELECT name_a, name_b, ag_brand, ag_type, ag_size,
+        |    (CASE WHEN ag_brand = 1 THEN 950000 // u_brand
+        |          ELSE 50000 // (1000 - u_brand) END) *
+        |    (CASE WHEN ag_type = 1 THEN 950000 // u_ptype
+        |          ELSE 50000 // (1000 - u_ptype) END) *
+        |    (CASE WHEN ag_size = 1 THEN 950000 // u_sz
+        |          ELSE 50000 // (1000 - u_sz) END) score
+        |  FROM cand CROSS JOIN ub CROSS JOIN uc CROSS JOIN uz)
+        |SELECT name_a, name_b, CAST(ag_brand AS INT) AS ag_brand,
+        |  CAST(ag_type AS INT) AS ag_type,
+        |  CAST(ag_size AS INT) AS ag_size, CAST(score AS BIGINT) AS score
+        |FROM sc ORDER BY score DESC, name_a, name_b LIMIT 20""".stripMargin,
+
     "q159_entity_resolution" ->
       """WITH nm AS (SELECT p_name, min(p_partkey) id,
         |              CAST(count(*) AS BIGINT) n_parts

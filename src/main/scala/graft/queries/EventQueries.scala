@@ -34,6 +34,101 @@ object EventQueries {
         
     }),
 
+    // Peak concurrent sessions per day — the capacity number a serving
+    // or ingest planner reads off the session table. Sessions (q45's
+    // 30-min-gap construction) become +1/−1 boundary deltas netted per
+    // distinct instant, then ONE exact global prefix sum via
+    // ops.BucketedPrefix (q178's two-phase scan — the running sum is
+    // over a global time order yet no single-partition window exists).
+    // Half-open [start, end): an end and a start at the same instant
+    // net inside the same groupBy key, so tie order cannot matter, and
+    // a single-event session (start == end) nets to zero duration —
+    // both engines agree by construction. Concurrency is piecewise
+    // constant, so the per-day peak is evaluated at the day's change
+    // instants (a day's carried-in level is the prior day's closing
+    // instant value; at any realistic event density every day has
+    // boundaries). Peak ties resolve to the EARLIEST instant. 100 TB:
+    // deltas are session-bounded (2 rows/session), the scan is
+    // bucket-parallel, the day rollup calendar-bounded.
+    "q258_peak_concurrency" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("is_new", when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+          .otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      val deltas = sess
+        .select(unix_micros(col("st")).as("us"), lit(1L).as("dlt"))
+        .unionByName(sess
+          .select(unix_micros(col("en")).as("us"), lit(-1L).as("dlt")))
+        .groupBy(col("us")).agg(sum(col("dlt")).as("delta"))
+      val cum = graft.ops.TransientCache.persist(
+        graft.ops.BucketedPrefix
+          .runningSums(deltas, "us", Seq("delta"), 3600000000L)
+          .select(col("us"), col("run_delta").as("conc"))
+          .withColumn("day", date_trunc("day", timestamp_micros(col("us")))))
+      val peaks = cum.groupBy(col("day"))
+        .agg(max(col("conc")).as("peak_concurrency"))
+      cum.join(peaks, Seq("day"))
+        .where(col("conc") === col("peak_concurrency"))
+        .groupBy(col("day"), col("peak_concurrency"))
+        .agg(min(col("us")).as("peak_at_us"))
+        .select(col("day"), col("peak_concurrency"),
+          timestamp_micros(col("peak_at_us")).as("peak_at"))
+        .orderBy(col("day"))
+    }),
+
+    // Watermark lateness sweep under bounded-disorder arrival — the
+    // curve that SIZES a streaming watermark before deployment. The
+    // fixture's event_id is exactly time-ordered (generated in ts
+    // order), so out-of-order arrival is simulated deterministically:
+    // within each 64-event block, events arrive in md5(event_id)
+    // order — bounded disorder (≤ 63 positions), the shape partitioned
+    // checkpointed ingest actually produces, and both engines replay
+    // it bit-for-bit. Each event's high-water mark (largest ts seen
+    // STRICTLY before it in arrival order) comes from
+    // ops.BucketedPrefix.runningMaxExclusive — a global running max
+    // with no single-partition window. lateness = max(0, hwm − ts);
+    // swept W ∈ {0 s, 1 s, 10 s, 60 s}: the events a watermark of W
+    // would drop (lateness > W) in ppm, plus the max lateness — read
+    // off the W where drop_ppm is acceptable. 100 TB: arrival ranks
+    // are block-local row_numbers (block-parallel), the prefix scan is
+    // bucket-parallel, the sweep is one scan of the persisted
+    // lateness column.
+    "q259_watermark_lateness" -> ((s, d) => {
+      val wBlk = Window.partitionBy(col("blk")).orderBy(col("h"), col("event_id"))
+      val arr = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("blk", expr("event_id div 64"))
+        .withColumn("h", md5(col("event_id").cast("string").cast("binary")))
+        .withColumn("arrival",
+          col("blk") * 64 + row_number().over(wBlk).cast("long") - 1)
+      val lat = graft.ops.TransientCache.persist(
+        graft.ops.BucketedPrefix
+          .runningMaxExclusive(arr, "arrival", Seq("us"), 4096L)
+          .select(col("us"),
+            greatest(coalesce(col("run_us") - col("us"), lit(0L)), lit(0L))
+              .as("late_us")))
+      val caps = Seq(0L, 1000000L, 10000000L, 60000000L)
+      val capDf = s.range(1)
+        .select(explode(array(caps.map(lit): _*)).as("watermark_us"))
+      val tot = lat.agg(count(lit(1)).as("n_events"),
+        max(col("late_us")).as("max_late_us"))
+      capDf.join(lat, col("late_us") > col("watermark_us"), "left")
+        .groupBy(col("watermark_us"))
+        .agg(count(col("us")).as("n_dropped"))
+        .crossJoin(tot)
+        .select(col("watermark_us"), col("n_dropped"), col("n_events"),
+          expr("(1000000 * n_dropped) div n_events").as("drop_ppm"),
+          col("max_late_us"))
+        .orderBy(col("watermark_us"))
+    }),
+
     // F18 JSON decode: parse the props payload, aggregate per event type.
     "q46_events_json" -> ((s, d) => {
       val schema = new StructType().add("k", IntegerType)
@@ -67,6 +162,57 @@ object EventQueries {
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q258_peak_concurrency" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) pts
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN pts IS NULL
+        |      OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(pts AS TIMESTAMP)) > 1800000000
+        |    THEN 1 ELSE 0 END nw
+        |  FROM l),
+        |x AS (
+        |  SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) sid
+        |  FROM s),
+        |se AS (SELECT user_id, sid, min(ts) st, max(ts) en FROM x GROUP BY 1, 2),
+        |dl AS (SELECT epoch_us(CAST(st AS TIMESTAMP)) us, 1 dlt FROM se
+        |       UNION ALL
+        |       SELECT epoch_us(CAST(en AS TIMESTAMP)), -1 FROM se),
+        |g AS (SELECT us, sum(dlt) delta FROM dl GROUP BY 1),
+        |c AS (SELECT us, CAST(sum(delta) OVER (ORDER BY us
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) conc
+        |      FROM g),
+        |cd AS (SELECT us, conc, date_trunc('day', make_timestamp(us)) AS day FROM c),
+        |pk AS (SELECT day, max(conc) peak_concurrency FROM cd GROUP BY 1)
+        |SELECT cd.day AS day,
+        |  CAST(pk.peak_concurrency AS BIGINT) AS peak_concurrency,
+        |  make_timestamp(min(us)) AS peak_at
+        |FROM cd JOIN pk ON cd.day = pk.day AND cd.conc = pk.peak_concurrency
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q259_watermark_lateness" ->
+      """WITH a AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) us,
+        |    event_id // 64 blk, md5(CAST(event_id AS VARCHAR)) h
+        |  FROM events),
+        |r AS (SELECT *, blk * 64 + row_number() OVER (PARTITION BY blk
+        |        ORDER BY h, event_id) - 1 arrival
+        |      FROM a),
+        |m AS (SELECT us, max(us) OVER (ORDER BY arrival
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) mx
+        |      FROM r),
+        |lt AS (SELECT us, greatest(coalesce(mx - us, 0), 0) late_us FROM m),
+        |w AS (SELECT CAST(unnest([0, 1000000, 10000000, 60000000]) AS BIGINT) watermark_us),
+        |t AS (SELECT count(*) n_events, max(late_us) max_late_us FROM lt),
+        |g AS (SELECT watermark_us, count(lt.us) n_dropped
+        |      FROM w LEFT JOIN lt ON late_us > watermark_us GROUP BY 1)
+        |SELECT watermark_us, CAST(n_dropped AS BIGINT) AS n_dropped,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST((1000000 * n_dropped) // n_events AS BIGINT) AS drop_ppm,
+        |  CAST(max_late_us AS BIGINT) AS max_late_us
+        |FROM g CROSS JOIN t ORDER BY watermark_us""".stripMargin,
 
     "q46_events_json" ->
       """SELECT event_type,

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ext.{Clustering, Dedup, Multimodal, ProductQuantization, Similarity, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators (BASELINE.json north star): dedup
@@ -404,6 +404,49 @@ object ExtQueries {
           expr("(1000000 * n_tp) div n_truth").as("recall_ppm"),
           expr("(1000000 * n_tp) div nullif(n_cand, 0)").as("precision_ppm"))
         .orderBy(col("band_size"))
+    }),
+
+    // b-bit minhash audit (Li & König, "b-Bit Minwise Hashing", 2010):
+    // store ONE bit per minhash (32× smaller signatures at scale) and
+    // estimate J from bit agreement with the b=1 bias correction
+    // Ĵ = 2A − 1 (clamped at 0). Both estimators read the SAME 8-hash
+    // session signature table (bit = parity of the hash's last hex
+    // digit) and are scored against the exact bigram Jaccard over the
+    // truth pairs: per estimator, pair count, mean absolute error
+    // (milli; non-negative, so integer DIV is engine-safe) and the
+    // SIGNED error sum (no division — Spark DIV truncates while
+    // DuckDB // floors on negatives, so signed ratios never divide).
+    // The table answers the storage question directly: what accuracy
+    // do the dropped 31 bits per hash actually cost on this corpus.
+    "q260_bbit_minhash" -> ((s, d) => {
+      val truth = jaccardTruth(s, d)
+        .select(col("doc_a"), col("doc_b"),
+          expr("CAST((1000 * n_inter) DIV (n_a + n_b - n_inter) AS BIGINT)")
+            .as("jm"))
+      val sigs = minhashSigs(s, d)
+      val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+      def bit(side: String, p: Int): Column =
+        when(substring(col(s"$side.h$p"), 8, 1).isin(oddHex: _*), 1)
+          .otherwise(0)
+      val agreeF = (0 until 8).map(p =>
+        when(col(s"sa.h$p") === col(s"sb.h$p"), 1).otherwise(0)).reduce(_ + _)
+      val agreeB = (0 until 8).map(p =>
+        when(bit("sa", p) === bit("sb", p), 1).otherwise(0)).reduce(_ + _)
+      val base = graft.ops.TransientCache.persist(
+        truth.join(sigs.as("sa"), col("doc_a") === col("sa.doc"))
+          .join(sigs.as("sb"), col("doc_b") === col("sb.doc"))
+          .select(col("jm"),
+            (agreeF * 125).cast("long").as("e_full"),
+            greatest(agreeB * 250 - 1000, lit(0)).cast("long").as("e_bit")))
+      def leg(nm: String, c: String) = base.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(abs(col(c) - col("jm"))).as("sae_milli"),
+          sum(col(c) - col("jm")).as("err_sum_milli"))
+        .select(lit(nm).as("estimator"), col("n_pairs"),
+          expr("sae_milli div n_pairs").as("mae_milli"),
+          col("sae_milli"), col("err_sum_milli"))
+      leg("bbit1x8", "e_bit").unionByName(leg("minhash8", "e_full"))
+        .orderBy(col("estimator"))
     }),
 
     // Hot-band cap audit — the measurement behind the maxBucket=50
@@ -1266,6 +1309,55 @@ object ExtQueries {
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         col("vec_id") < 10, 3, 8).orderBy("query_id", "rank")),
 
+    // Graph-walk ANN with in-pass recall audit — the third serving
+    // architecture next to bucketed LSH (q28) and IVF cell probing
+    // (q29), the NSW/HNSW class re-expressed as bounded-round joins:
+    // coarse-route each query to its IVF cell, enter at the cell's
+    // lowest-id member, then a 3-round beam walk (width 4) over the
+    // stored q63 kNN graph, scoring ONLY what the walk touches.
+    // `hit` flags membership in the exact brute-force top-10 (the
+    // q109 audit discipline, carried in-row); `n_explored` is the
+    // walk's whole cost — the economy a graph walk buys over q29's
+    // full-cell scans, priced in recall on the same table.
+    "q262_graph_ann_beam" -> ((s, d) => {
+      val truth = Similarity.bruteForceTopK(Tables.embeddings(s, d),
+          "vec_id", "embedding", col("vec_id") < 10, 10)
+        .select(col("query_id"), col("vec_id"), lit(1).as("h"))
+      Similarity.graphBeamSearch(Tables.embeddings(s, d), "vec_id",
+          "embedding", knnEdges(s, d), col("vec_id") < 10, 10, 4, 3)
+        .join(truth, Seq("query_id", "vec_id"), "left")
+        .select(col("query_id"), col("rank"), col("vec_id"), col("dot"),
+          coalesce(col("h"), lit(0)).cast("int").as("hit"),
+          col("n_explored"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // The bridged graph walk — q262's audit exposed WHY the cell-local
+    // graph caps recall (the walk cannot leave the entry cell); this
+    // is the NSW remedy measured: ≤ 3 long-range "bridge" edges per
+    // vector (to the min-id member of its 3 best cells) union the
+    // same q63 kNN edges, SAME walk parameters, same in-row audit.
+    // Reading q262 and q263 side by side prices the bridges: what
+    // recall the extra linear-in-N edges buy, at what extra
+    // n_explored — the measured argument for long-range edges before
+    // trusting any graph index at corpus scale.
+    "q263_graph_ann_bridged" -> ((s, d) => {
+      val truth = Similarity.bruteForceTopK(Tables.embeddings(s, d),
+          "vec_id", "embedding", col("vec_id") < 10, 10)
+        .select(col("query_id"), col("vec_id"), lit(1).as("h"))
+      val edges = knnEdges(s, d).select(col("vec_id"), col("nbr_id"))
+        .unionByName(Similarity.bridgeEdges(Tables.embeddings(s, d),
+          "vec_id", "embedding", 16, 3))
+        .distinct()
+      Similarity.graphBeamSearch(Tables.embeddings(s, d), "vec_id",
+          "embedding", edges, col("vec_id") < 10, 10, 4, 3)
+        .join(truth, Seq("query_id", "vec_id"), "left")
+        .select(col("query_id"), col("rank"), col("vec_id"), col("dot"),
+          coalesce(col("h"), lit(0)).cast("int").as("hit"),
+          col("n_explored"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // MMR diversified re-rank (Carbonell & Goldstein 1998, λ=0.7): the
     // top-20 cosine candidates for query vec 0, greedily re-picked to
     // 8 by integer 7·rel − 3·maxsim — the diversification pass that
@@ -1882,6 +1974,84 @@ object ExtQueries {
   /** q257 oracle: bucket sizes + pair-grain min shared-bucket size from
     * the same sig/bands CTEs, then the cap sweep as a 6-row caps table
     * theta-joined against the annotated pair set (cap 0 = uncapped). */
+  /** q262/q263 oracle: unrolled replay of the 3-round beam walk over
+    * the shared knnCtes edge chain — entry at the query cell's min
+    * member, per round top-4 beam → edge expansion → NOT-EXISTS dedup
+    * → score union; hit flag from the q27-shape brute-force top-10.
+    * `edgeSel` supplies the edge set (q262: the raw kNN edges; q263:
+    * kNN ∪ the per-vector top-3-cell min-member bridges). */
+  private def graphBeamSql: String =
+    graphBeamSqlWith("SELECT vec_id, nbr_id FROM r WHERE rank <= 3")
+
+  private def graphBeamBridgedSql: String = graphBeamSqlWith(
+    """SELECT DISTINCT vec_id, nbr_id FROM (
+      |  SELECT vec_id, nbr_id FROM r WHERE rank <= 3
+      |  UNION ALL
+      |  SELECT t.vec_id, mm.nbr_id FROM
+      |    (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+      |       row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn
+      |     FROM asg0) WHERE rn <= 3) t
+      |  JOIN (SELECT cid, min(vec_id) nbr_id FROM asg GROUP BY cid) mm
+      |    USING (cid)
+      |  WHERE mm.nbr_id <> t.vec_id)""".stripMargin)
+
+  private def graphBeamSqlWith(edgeSel: String): String = {
+    def scoreSel(cand: String): String =
+      s"""SELECT x.query_id, x.vec_id,
+         |    CAST(list_dot_product(q1.q, q2.q) AS BIGINT) dot,
+         |    CAST(CAST(list_dot_product(q1.q, q2.q) AS BIGINT) AS DOUBLE)
+         |      / sqrt(CAST(n1.n AS DOUBLE) * CAST(n2.n AS DOUBLE)) cs
+         |  FROM $cand x
+         |  JOIN qe q1 ON x.query_id = q1.vec_id
+         |  JOIN qe q2 ON x.vec_id = q2.vec_id
+         |  JOIN nrm n1 ON x.query_id = n1.vec_id
+         |  JOIN nrm n2 ON x.vec_id = n2.vec_id""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      s"""b$i AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cs DESC, vec_id) rn FROM s${i - 1}) WHERE rn <= 4),
+         |x$i AS (SELECT DISTINCT b.query_id, edg.nbr_id vec_id
+         |       FROM b$i b JOIN edg ON b.vec_id = edg.vec_id
+         |       WHERE edg.nbr_id <> b.query_id
+         |         AND NOT EXISTS (SELECT 1 FROM s${i - 1} s
+         |           WHERE s.query_id = b.query_id AND s.vec_id = edg.nbr_id)),
+         |s$i AS (SELECT * FROM s${i - 1} UNION ALL
+         |  ${scoreSel(s"x$i")})""".stripMargin
+    }.mkString(",\n")
+    s"""$knnCtes,
+       |edg AS ($edgeSel),
+       |qs AS (SELECT vec_id query_id FROM qe WHERE vec_id < 10),
+       |ent AS (SELECT qa.vec_id query_id, min(m.vec_id) vec_id
+       |        FROM asg qa JOIN qs ON qa.vec_id = qs.query_id
+       |        JOIN asg m ON m.cid = qa.cid AND m.vec_id <> qa.vec_id
+       |        GROUP BY 1),
+       |s0 AS (
+       |  ${scoreSel("ent")}),
+       |$rounds,
+       |fin AS (SELECT query_id, vec_id, dot,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cs DESC, vec_id) rank
+       |        FROM s3),
+       |expl AS (SELECT query_id, count(*) n_explored FROM s3 GROUP BY 1),
+       |btsc AS (SELECT q.vec_id query_id, c.vec_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY CAST(CAST(list_dot_product(q.q, c.q) AS BIGINT) AS DOUBLE)
+       |        / sqrt(CAST(nq.n AS DOUBLE) * CAST(nc.n AS DOUBLE)) DESC,
+       |      c.vec_id) rank
+       |  FROM qe q
+       |  JOIN qe c ON c.vec_id <> q.vec_id
+       |  JOIN nrm nq ON q.vec_id = nq.vec_id
+       |  JOIN nrm nc ON c.vec_id = nc.vec_id
+       |  WHERE q.vec_id < 10),
+       |bt AS (SELECT query_id, vec_id FROM btsc WHERE rank <= 10)
+       |SELECT f.query_id, CAST(f.rank AS INT) AS rank, f.vec_id, f.dot,
+       |  CASE WHEN bt.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit,
+       |  CAST(e.n_explored AS BIGINT) AS n_explored
+       |FROM fin f JOIN expl e USING (query_id)
+       |LEFT JOIN bt ON f.query_id = bt.query_id AND f.vec_id = bt.vec_id
+       |WHERE f.rank <= 10 ORDER BY f.query_id, f.rank""".stripMargin
+  }
+
   private def lshCapAuditSql: String = {
     val agree = (0 until 8).map(p =>
       s"CASE WHEN sa.h$p = sb.h$p THEN 1 ELSE 0 END").mkString(" + ")
@@ -2166,6 +2336,51 @@ object ExtQueries {
     "q198_lsh_band_sweep" -> lshSweepSql,
 
     "q257_lsh_cap_audit" -> lshCapAuditSql,
+
+    "q262_graph_ann_beam" -> graphBeamSql,
+
+    "q263_graph_ann_bridged" -> graphBeamBridgedSql,
+
+    "q260_bbit_minhash" -> {
+      val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+        .map(c => s"'$c'").mkString(", ")
+      def b(side: String, p: Int) = s"(substr($side.h$p, 8, 1) IN ($odd))"
+      val agreeF = (0 until 8).map(p =>
+        s"CASE WHEN sa.h$p = sb.h$p THEN 1 ELSE 0 END").mkString(" + ")
+      val agreeB = (0 until 8).map(p =>
+        s"CASE WHEN ${b("sa", p)} = ${b("sb", p)} THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""$lshPairCtes,
+         |sh2 AS (SELECT DISTINCT doc_id, w || ' ' || t[i+1] s FROM u WHERE i < len(t)),
+         |cnt AS (SELECT doc_id, count(*) n FROM sh2 GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i
+         |          FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |truthp AS (SELECT doc_a, doc_b,
+         |            CAST((1000 * i) // (ca.n + cb.n - i) AS BIGINT) jm
+         |          FROM inter
+         |          JOIN cnt ca ON doc_a = ca.doc_id
+         |          JOIN cnt cb ON doc_b = cb.doc_id
+         |          WHERE 5 * i >= 1 * (ca.n + cb.n - i)),
+         |pe AS (SELECT jm,
+         |         CAST(($agreeF) * 125 AS BIGINT) e_full,
+         |         CAST(greatest(($agreeB) * 250 - 1000, 0) AS BIGINT) e_bit
+         |       FROM truthp
+         |       JOIN sig sa ON doc_a = sa.doc JOIN sig sb ON doc_b = sb.doc),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) n_pairs,
+         |         CAST(sum(abs(e_bit - jm)) AS BIGINT) sae_b,
+         |         CAST(sum(e_bit - jm) AS BIGINT) es_b,
+         |         CAST(sum(abs(e_full - jm)) AS BIGINT) sae_f,
+         |         CAST(sum(e_full - jm) AS BIGINT) es_f
+         |       FROM pe)
+         |SELECT 'bbit1x8' AS estimator, n_pairs,
+         |  CAST(sae_b // n_pairs AS BIGINT) AS mae_milli,
+         |  sae_b AS sae_milli, es_b AS err_sum_milli FROM ag
+         |UNION ALL
+         |SELECT 'minhash8', n_pairs, CAST(sae_f // n_pairs AS BIGINT),
+         |  sae_f, es_f FROM ag
+         |ORDER BY estimator""".stripMargin
+    },
 
     // q201 oracle: recompute the claim index from the filtered corpus
     // from scratch — comparing it against Spark's incremental repair IS

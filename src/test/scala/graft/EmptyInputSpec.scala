@@ -104,7 +104,33 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Similarity.knnGraph(emptyEmb, "vec_id", "embedding", 3, 16).count() == 0)
     assert(Similarity.nearDupPairs(emptyEmb, "vec_id", "embedding", "label")
       .count() == 0)
+    assert(Similarity.graphBeamSearch(emptyEmb, "vec_id", "embedding",
+      Similarity.knnGraph(emptyEmb, "vec_id", "embedding", 3, 16),
+      col("vec_id") < 10).count() == 0)
+    assert(Similarity.bridgeEdges(emptyEmb, "vec_id", "embedding").count() == 0)
     graft.ops.TransientCache.releaseAll()
+  }
+
+  test("bucketed prefix scan returns empty on empty input, exact on tiny input") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("k", "x")
+    assert(graft.ops.BucketedPrefix.runningSums(empty, "k", Seq("x"), 8L)
+      .count() == 0)
+    assert(graft.ops.BucketedPrefix
+      .runningMaxExclusive(empty, "k", Seq("x"), 8L).count() == 0)
+    // Tiny equivalence pin vs the single-partition window the op
+    // replaces — unique keys spanning several buckets, including an
+    // empty bucket gap.
+    val df = Seq((0L, 5L), (1L, 2L), (7L, 9L), (8L, 1L), (33L, 4L), (34L, 9L))
+      .toDF("k", "x")
+    val runs = graft.ops.BucketedPrefix.runningSums(df, "k", Seq("x"), 8L)
+      .orderBy("k").select("run_x").collect().map(_.getLong(0)).toSeq
+    assert(runs == Seq(5L, 7L, 16L, 17L, 21L, 30L))
+    val maxes = graft.ops.BucketedPrefix
+      .runningMaxExclusive(df, "k", Seq("x"), 8L)
+      .orderBy("k").select("run_x").collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    assert(maxes == Seq(-1L, 5L, 5L, 9L, 9L, 9L))
   }
 
   test("corpus-hygiene and analytics operators return empty on empty input") {

@@ -558,7 +558,7 @@ class PlanSpec extends AnyFunSuite {
       s"scoring aggregate lost map-side partials:\n$p")
   }
 
-  test("q178 KS: no single-partition window anywhere in the plan (r7 item 5)") {
+  test("BucketedPrefix consumers (q178/q258/q259): no single-partition window in any plan") {
     // The classic KS global sort is re-expressed as histogram grain +
     // value-bucketed two-phase prefix sums; the only windows left are
     // PARTITIONED by bucket. An unpartitioned Window.orderBy here would
@@ -569,13 +569,18 @@ class PlanSpec extends AnyFunSuite {
     // `Window [exprs], [partition], [order]` when partitioned and
     // `Window [exprs], [order]` when global — so every Window line must
     // carry TWO `], [` separators.
-    val p = plan("q178_ks_drift")
-    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
-    assert(winLines.nonEmpty, s"expected the bucket-partitioned cum-sum window:\n$p")
-    winLines.foreach { l =>
-      assert("\\], \\[".r.findAllIn(l).size >= 2,
-        s"single-partition WindowExec in q178 plan:\n$l")
-    }
+    Seq("q178_ks_drift", "q258_peak_concurrency", "q259_watermark_lateness")
+      .foreach { name =>
+        val p = plan(name)
+        val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+        assert(winLines.nonEmpty,
+          s"$name: expected the bucket-partitioned prefix window:\n$p")
+        winLines.foreach { l =>
+          assert("\\], \\[".r.findAllIn(l).size >= 2,
+            s"single-partition WindowExec in $name plan:\n$l")
+        }
+        graft.ops.TransientCache.releaseAll()
+      }
   }
 
   test("q228 PPJoin: candidate state is pair grain — aggregate before persist, partial max") {
