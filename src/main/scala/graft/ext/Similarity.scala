@@ -374,7 +374,12 @@ object Similarity {
                       beam: Int = 4, rounds: Int = 3,
                       nlist: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val e = emb.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("qv"))
+    // One materialized quantization: score() runs once per round and
+    // would otherwise re-scan + re-quantize the embedding table each
+    // time (rounds+1 scans measured at ~6 s of pure overhead on the
+    // sf0.1 bench before this persist).
+    val e = graft.ops.TransientCache.persist(
+      emb.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("qv")))
     val q = e.where(isQuery)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
     val asg = ivfAssignments(emb, idCol, embCol, nlist)
@@ -392,8 +397,20 @@ object Similarity {
         sqrt(col("nq").cast("double") * col("nc").cast("double")))
       .select(col("query_id"), col("vec_id"), col("dot"), col("cos"))
     val wq = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("vec_id"))
-    val edg = edges.select(col("vec_id"), col("nbr_id"))
-    var scored = graft.ops.TransientCache.persist(score(entry))
+    // The edge table joins into every round — materialize it once (in
+    // production it IS the stored graph artifact; here the caller may
+    // hand in a derived union like q263's bridged set).
+    val edg = graft.ops.TransientCache.persist(
+      edges.select(col("vec_id"), col("nbr_id")))
+    // Per-round localCheckpoint, not persist: each round references the
+    // scored-so-far table three times (frontier, dedup anti-join,
+    // union), so a lazy persist keeps a logical plan that re-analyzes
+    // the whole unrolled walk every round — measured as ~6 s of
+    // DATA-INDEPENDENT driver time at both sf0.01 and sf0.1. The
+    // checkpoint truncates lineage at a (queries × beam·degree)-sized
+    // table, so each round plans against a leaf. State is bounded by
+    // |Q|·(1 + rounds·beam·degree) rows at any corpus size.
+    var scored = graft.ops.TransientCache.track(score(entry).localCheckpoint())
     (1 to rounds).foreach { _ =>
       val frontier = scored.withColumn("rn", row_number().over(wq))
         .where(col("rn") <= beam).select(col("query_id"), col("vec_id"))
@@ -402,8 +419,8 @@ object Similarity {
         .where(col("vec_id") =!= col("query_id"))
         .join(scored.select(col("query_id"), col("vec_id")),
           Seq("query_id", "vec_id"), "left_anti")
-      scored = graft.ops.TransientCache.persist(
-        scored.unionByName(score(fresh)))
+      scored = graft.ops.TransientCache.track(
+        scored.unionByName(score(fresh)).localCheckpoint())
     }
     val explored = scored.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_explored"))
@@ -431,10 +448,15 @@ object Similarity {
     val e = emb.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("qv"))
     val cent = centroids(e, nlist)
     val byCell = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cid"))
-    val top = cellScores(e, cent)
-      .withColumn("rn", row_number().over(byCell)).where(col("rn") <= nCells)
-      .select(col("vec_id"), col("cid"))
-    val minMember = ivfAssignments(emb, idCol, embCol, nlist)
+    // One centroid-scoring pass serves both legs (top-nCells bridges
+    // AND the rn=1 assignment the min-member table reads) — the
+    // assignment convention is byCell rn=1, identical to
+    // ivfAssignments, just not re-scored.
+    val ranked = graft.ops.TransientCache.persist(
+      cellScores(e, cent).withColumn("rn", row_number().over(byCell))
+        .select(col("vec_id"), col("cid"), col("rn")))
+    val top = ranked.where(col("rn") <= nCells).select(col("vec_id"), col("cid"))
+    val minMember = ranked.where(col("rn") === 1)
       .groupBy(col("cid")).agg(min(col("vec_id")).as("nbr_id"))
     top.join(broadcast(minMember), Seq("cid"))
       .where(col("nbr_id") =!= col("vec_id"))

@@ -2345,6 +2345,43 @@ object AnalyticsQueries {
         .orderBy(col("custkey"), col("version"))
         ),
 
+    // MIN-view maintenance under DELETES — the incremental-maintenance
+    // corner q126 (sums, insert-only) and q213 (join views) leave
+    // open: MIN/MAX folds inserts trivially but a delete can KILL the
+    // stored extremum, and then nothing short of touching the group
+    // again is correct. The maintained path does the minimum work
+    // that is: groups whose stored min survives the delete batch keep
+    // their stored row UNTOUCHED (left-anti — no recompute, no scan);
+    // only groups whose stored min appears among their deleted values
+    // recompute from survivors. The oracle recomputes EVERY group from
+    // scratch and derives the recompute flag independently — so the
+    // compare proves maintained ≡ recompute AND that the flag marks
+    // exactly the groups that needed work. Delete batch = every 7th
+    // order. 100 TB: the affected-group set is delete-bounded; the
+    // recompute is a semi-join-scoped aggregate, never a view rebuild.
+    "q264_min_maint_deletes" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey").as("custkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"),
+        (col("o_orderkey") % 7 === 0).as("del"))
+      val stored = graft.ops.TransientCache.persist(
+        o.groupBy(col("custkey")).agg(min(col("cents")).as("min0")))
+      val delMin = o.where(col("del")).groupBy(col("custkey"))
+        .agg(min(col("cents")).as("dmin"))
+      val affected = stored.join(delMin, Seq("custkey"))
+        .where(col("dmin") === col("min0")).select(col("custkey"))
+      val recomputed = o.where(!col("del"))
+        .join(affected, Seq("custkey"), "left_semi")
+        .groupBy(col("custkey")).agg(min(col("cents")).as("min_cents"))
+        .withColumn("recomputed", lit(1))
+      val untouched = stored.join(affected, Seq("custkey"), "left_anti")
+        .select(col("custkey"), col("min0").as("min_cents"))
+        .withColumn("recomputed", lit(0))
+      recomputed.unionByName(untouched)
+        .select(col("custkey"), col("min_cents"),
+          col("recomputed").cast("int").as("recomputed"))
+        .orderBy(col("custkey"))
+    }),
+
     // Point-in-time (interval) dimension lookup: each event joined to
     // the SCD-2 priority version valid at its timestamp — executed on
     // the as-of path (union + one key shuffle + one window pass, then
@@ -5753,6 +5790,25 @@ object AnalyticsQueries {
     // Components via recursive reachability-to-minimum (the q136 oracle
     // pattern) — an independent algorithm from the Spark union-find /
     // pointer-jumping path, same labels.
+    // q264 oracle: min_cents from a FULL from-scratch recompute over
+    // survivors; the flag derived independently (deleted min == base
+    // min) — the compare proves maintained ≡ recompute, flag included.
+    "q264_min_maint_deletes" ->
+      """WITH o AS (SELECT o_custkey custkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) cents,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END del
+        |  FROM orders),
+        |st AS (SELECT custkey, min(cents) min0 FROM o GROUP BY 1),
+        |dm AS (SELECT custkey, min(cents) dmin FROM o WHERE del = 1 GROUP BY 1),
+        |scratch AS (SELECT custkey, min(cents) min_cents FROM o
+        |            WHERE del = 0 GROUP BY 1),
+        |fl AS (SELECT st.custkey,
+        |         CASE WHEN dm.dmin = st.min0 THEN 1 ELSE 0 END rec
+        |       FROM st LEFT JOIN dm USING (custkey))
+        |SELECT s.custkey, s.min_cents, CAST(fl.rec AS INT) AS recomputed
+        |FROM scratch s JOIN fl USING (custkey)
+        |ORDER BY s.custkey""".stripMargin,
+
     "q261_fellegi_sunter" ->
       """WITH rec AS (SELECT p_name,
         |    arg_min(p_brand, p_partkey) brand,

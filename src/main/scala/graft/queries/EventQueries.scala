@@ -129,6 +129,43 @@ object EventQueries {
         .orderBy(col("watermark_us"))
     }),
 
+    // Time-weighted daily average under last-observation-carried-
+    // forward — the aggregation monitoring and finance read off
+    // sparse gauges, where a plain AVG over-weights busy hours: each
+    // observation holds until the series' next one, intervals clip to
+    // day boundaries, and the day's value is Σv·overlap ÷ Σoverlap in
+    // exact integer µs·milli arithmetic (v ≤ ~3·10⁵ milli × day ≤
+    // 8.64·10¹⁰ µs keeps every product < 2⁶³). The day expansion is a
+    // bounded sequence() explode (gaps are observation-bounded);
+    // series are window-partition-parallel, the rollup is
+    // (type, day)-keyed — the 100 TB shape is one window + one
+    // explode + one groupBy, no self-join. Same-timestamp ties order
+    // by event_id; the zero-length interval drops, so the LATER
+    // observation is the one that holds — both engines replay the
+    // same lead() order.
+    "q266_time_weighted_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val iv = Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          expr("CAST(floor(value * 1000) AS BIGINT)").as("v"))
+        .withColumn("nts", lead(col("ts"), 1).over(w))
+        .where(col("nts").isNotNull)
+      iv.withColumn("day",
+          explode(sequence(date_trunc("day", col("ts")),
+            date_trunc("day", col("nts")), expr("interval 1 day"))))
+        .withColumn("ov_start",
+          greatest(unix_micros(col("ts")), unix_micros(col("day"))))
+        .withColumn("ov_end", least(unix_micros(col("nts")),
+          unix_micros(col("day")) + lit(86400000000L)))
+        .where(col("ov_end") > col("ov_start"))
+        .withColumn("dur", col("ov_end") - col("ov_start"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_intervals"), sum(col("dur")).as("dur_us"),
+          expr("CAST(sum(v * dur) DIV sum(dur) AS BIGINT)").as("twa_milli"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // F18 JSON decode: parse the props payload, aggregate per event type.
     "q46_events_json" -> ((s, d) => {
       val schema = new StructType().add("k", IntegerType)
@@ -213,6 +250,26 @@ object EventQueries {
         |  CAST((1000000 * n_dropped) // n_events AS BIGINT) AS drop_ppm,
         |  CAST(max_late_us AS BIGINT) AS max_late_us
         |FROM g CROSS JOIN t ORDER BY watermark_us""".stripMargin,
+
+    "q266_time_weighted_avg" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) ts, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) v FROM events),
+        |l AS (SELECT *, lead(ts) OVER (PARTITION BY event_type
+        |        ORDER BY ts, event_id) nts FROM e),
+        |iv AS (SELECT * FROM l WHERE nts IS NOT NULL),
+        |dx AS (SELECT event_type, v, ts, nts,
+        |    unnest(generate_series(date_trunc('day', ts),
+        |      date_trunc('day', nts), INTERVAL 1 DAY)) AS day
+        |  FROM iv),
+        |ov AS (SELECT event_type, day, v,
+        |    greatest(epoch_us(ts), epoch_us(day)) s,
+        |    least(epoch_us(nts), epoch_us(day) + 86400000000) e2
+        |  FROM dx),
+        |f AS (SELECT event_type, day, v, e2 - s dur FROM ov WHERE e2 > s)
+        |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(dur) AS BIGINT) AS dur_us,
+        |  CAST(sum(v * dur) // sum(dur) AS BIGINT) AS twa_milli
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q46_events_json" ->
       """SELECT event_type,

@@ -449,6 +449,41 @@ object ExtQueries {
         .orderBy(col("estimator"))
     }),
 
+    // Top-k rank churn between corpus halves — the dashboard-stability
+    // question ("did the top-20 list actually move?") answered with
+    // integer metrics instead of eyeballing: token document-frequency
+    // ranks in the even-doc half vs the odd-doc half (value-based
+    // split, no sampling), per token in either top-20: both ranks
+    // (0 = absent — an entry/drop marker) and the Spearman-footrule
+    // displacement |rank_a − rank_b| for tokens in both (the
+    // non-negative rank-correlation companion; Kendall's τ needs a
+    // sign and signed integer division diverges between engines).
+    // One distinct-(doc,token) pass over the session positional
+    // postings, both halves counted in the same aggregate; top-20s
+    // are TakeOrdered + a 20-row ranking window — vocabulary never
+    // sorts globally.
+    "q265_rank_churn" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dfs = graft.ops.TransientCache.persist(
+        posPostings(s, d).select(col("doc"), col("token")).distinct()
+          .groupBy(col("token"))
+          .agg(sum(when(col("doc") % 2 === 0, 1L).otherwise(0L)).as("df_a"),
+            sum(when(col("doc") % 2 === 1, 1L).otherwise(0L)).as("df_b")))
+      def top(dfc: String, rk: String) =
+        dfs.orderBy(col(dfc).desc, col("token")).limit(20)
+          .withColumn(rk, row_number()
+            .over(Window.orderBy(col(dfc).desc, col("token"))).cast("long"))
+          .select(col("token"), col(rk))
+      top("df_a", "rank_a").join(top("df_b", "rank_b"), Seq("token"), "full_outer")
+        .select(col("token"),
+          coalesce(col("rank_a"), lit(0L)).as("rank_a"),
+          coalesce(col("rank_b"), lit(0L)).as("rank_b"))
+        .withColumn("displacement",
+          when(col("rank_a") > 0 && col("rank_b") > 0,
+            abs(col("rank_a") - col("rank_b"))).otherwise(lit(0L)))
+        .orderBy(col("token"))
+    }),
+
     // Hot-band cap audit — the measurement behind the maxBucket=50
     // default lshCandidatePairs now applies (r7 verdict item 6): sweep
     // the owner cap and score each capped candidate set against the
@@ -2340,6 +2375,27 @@ object ExtQueries {
     "q262_graph_ann_beam" -> graphBeamSql,
 
     "q263_graph_ann_bridged" -> graphBeamBridgedSql,
+
+    "q265_rank_churn" ->
+      s"""$tokCte,
+         |ud AS (SELECT DISTINCT doc_id, unnest(t) token FROM tok),
+         |dfs AS (SELECT token,
+         |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) df_a,
+         |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) df_b
+         |  FROM ud GROUP BY 1),
+         |ta AS (SELECT token, rank_a FROM (
+         |    SELECT token, CAST(row_number() OVER (ORDER BY df_a DESC, token)
+         |      AS BIGINT) rank_a FROM dfs) WHERE rank_a <= 20),
+         |tb AS (SELECT token, rank_b FROM (
+         |    SELECT token, CAST(row_number() OVER (ORDER BY df_b DESC, token)
+         |      AS BIGINT) rank_b FROM dfs) WHERE rank_b <= 20),
+         |j AS (SELECT coalesce(ta.token, tb.token) token,
+         |        coalesce(rank_a, 0) rank_a, coalesce(rank_b, 0) rank_b
+         |      FROM ta FULL OUTER JOIN tb ON ta.token = tb.token)
+         |SELECT token, rank_a, rank_b,
+         |  CASE WHEN rank_a > 0 AND rank_b > 0 THEN abs(rank_a - rank_b)
+         |       ELSE 0 END AS displacement
+         |FROM j ORDER BY token""".stripMargin,
 
     "q260_bbit_minhash" -> {
       val odd = Seq("1", "3", "5", "7", "9", "b", "d", "f")
