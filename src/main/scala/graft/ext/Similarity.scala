@@ -287,6 +287,23 @@ object Similarity {
       .select(col("vec_id"), col("cid"))
   }
 
+  /** Each QUERY vector's centroid ranking `(query_id, cid, rn)` under
+    * the shared deterministic-centroid convention — rn = 1 is the
+    * query's own assignment cell, rn <= nprobe is exactly the probe
+    * set [[ivfTopK]] scans. Exposed so the q267 nprobe sweep can
+    * derive the SCANNED-candidate cost of each config from the same
+    * ranking the serving path uses. */
+  def queryCellRanks(emb: DataFrame, idCol: String, embCol: String,
+                     isQuery: Column, nlist: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("qv"))
+    val cent = centroids(e, nlist)
+    val byCell = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cid"))
+    cellScores(e.where(isQuery), cent)
+      .withColumn("rn", row_number().over(byCell))
+      .select(col("vec_id").as("query_id"), col("cid"), col("rn"))
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
               isQuery: Column, k: Int = 3, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)

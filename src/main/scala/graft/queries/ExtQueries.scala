@@ -1344,6 +1344,50 @@ object ExtQueries {
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         col("vec_id") < 10, 3, 8).orderBy("query_id", "rank")),
 
+    // IVF nprobe sweep — the serving-knob curve q198 draws for LSH
+    // bands and q257 for the hot-band cap, drawn for the IVF probe
+    // count: recall@10 vs candidates SCANNED at nprobe ∈ {1,2,4,8},
+    // all off the shared centroid convention. n_scanned is derived
+    // from the same query-cell ranking the serving path probes (cell
+    // sizes summed, the query's own row excluded once — it sits in
+    // exactly its rn=1 cell), so the cost column measures the real
+    // funnel, not an estimate. The table an operator reads before
+    // setting nprobe at corpus scale, where each probe is a full cell
+    // scan.
+    "q267_ivf_nprobe_sweep" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 10, 10)
+        .select(col("query_id"), col("vec_id"), lit(1L).as("t"))
+      val csize = Similarity.ivfAssignments(emb, "vec_id", "embedding", 16)
+        .groupBy(col("cid")).agg(count(lit(1)).as("csz"))
+      val qr = graft.ops.TransientCache.persist(
+        Similarity.queryCellRanks(emb, "vec_id", "embedding",
+          col("vec_id") < 10, 16))
+      val nq = qr.where(col("rn") === 1).agg(count(lit(1)).as("n_queries"))
+      val rows = Seq(1, 2, 4, 8).map { np =>
+        val scanned = qr.where(col("rn") <= np)
+          .join(broadcast(csize), Seq("cid"))
+          .agg(sum(col("csz")).as("raw"))
+          .crossJoin(nq)
+          .select((col("raw") - col("n_queries")).as("n_scanned"))
+        Similarity.ivfTopK(emb, "vec_id", "embedding",
+            col("vec_id") < 10, 10, 16, np)
+          .select(col("query_id"), col("vec_id"))
+          .join(truth, Seq("query_id", "vec_id"), "left")
+          .agg(count(lit(1)).as("n_pred"),
+            coalesce(sum(col("t")), lit(0L)).as("n_tp"))
+          .crossJoin(scanned)
+          .select(lit(np).as("nprobe"), col("n_scanned"), col("n_pred"),
+            col("n_tp"))
+      }.reduce(_ unionByName _)
+      rows.crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(col("nprobe"), col("n_scanned"), col("n_pred"),
+          col("n_truth"), col("n_tp"),
+          expr("(1000000 * n_tp) div n_truth").as("recall_ppm"))
+        .orderBy(col("nprobe"))
+    }),
+
     // Graph-walk ANN with in-pass recall audit — the third serving
     // architecture next to bucketed LSH (q28) and IVF cell probing
     // (q29), the NSW/HNSW class re-expressed as bounded-round joins:
@@ -2087,6 +2131,60 @@ object ExtQueries {
        |WHERE f.rank <= 10 ORDER BY f.query_id, f.rank""".stripMargin
   }
 
+  /** q267 oracle: the q29 probe chain unrolled per nprobe config, cost
+    * from the same ranked-cell CTE (cell sizes summed minus the one
+    * self row per query), recall against the q27-shape brute top-10. */
+  private def ivfNprobeSweepSql: String = {
+    val cfg = Seq(1, 2, 4, 8).map { np =>
+      s"""pr_$np AS (SELECT query_id, cid FROM qcr WHERE rn <= $np),
+         |sc_$np AS (SELECT p.query_id, a.vec_id,
+         |    CAST(list_dot_product(qq.q, cq.q) AS BIGINT) dot, nq.n nq, nc.n nc
+         |  FROM pr_$np p
+         |  JOIN asg a ON p.cid = a.cid AND a.vec_id <> p.query_id
+         |  JOIN qe qq ON p.query_id = qq.vec_id
+         |  JOIN qe cq ON a.vec_id = cq.vec_id
+         |  JOIN nrm nq ON p.query_id = nq.vec_id
+         |  JOIN nrm nc ON a.vec_id = nc.vec_id),
+         |rk_$np AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+         |        vec_id) rank
+         |    FROM sc_$np) WHERE rank <= 10),
+         |st_$np AS (SELECT $np nprobe,
+         |    (SELECT CAST(sum(csz) AS BIGINT) FROM pr_$np JOIN csz USING (cid))
+         |      - (SELECT count(*) FROM qs) n_scanned,
+         |    CAST(count(*) AS BIGINT) n_pred,
+         |    CAST(coalesce(sum(CASE WHEN bt.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) n_tp
+         |  FROM rk_$np r
+         |  LEFT JOIN bt ON r.query_id = bt.query_id AND r.vec_id = bt.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val un = Seq(1, 2, 4, 8).map(np => s"SELECT * FROM st_$np").mkString(" UNION ALL ")
+    s"""$ivfAsgCtes,
+       |qs AS (SELECT vec_id query_id FROM qe WHERE vec_id < 10),
+       |qcr AS (SELECT vec_id query_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn
+       |  FROM asg0 WHERE vec_id < 10),
+       |csz AS (SELECT cid, count(*) csz FROM asg GROUP BY cid),
+       |btsc AS (SELECT q.vec_id query_id, c.vec_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY CAST(CAST(list_dot_product(q.q, c.q) AS BIGINT) AS DOUBLE)
+       |        / sqrt(CAST(nq.n AS DOUBLE) * CAST(nc.n AS DOUBLE)) DESC,
+       |      c.vec_id) rank
+       |  FROM qe q
+       |  JOIN qe c ON c.vec_id <> q.vec_id
+       |  JOIN nrm nq ON q.vec_id = nq.vec_id
+       |  JOIN nrm nc ON c.vec_id = nc.vec_id
+       |  WHERE q.vec_id < 10),
+       |bt AS (SELECT query_id, vec_id FROM btsc WHERE rank <= 10),
+       |$cfg,
+       |tn AS (SELECT CAST(count(*) AS BIGINT) n_truth FROM bt),
+       |sw AS ($un)
+       |SELECT nprobe, n_scanned, n_pred, n_truth, n_tp,
+       |  CAST((1000000 * n_tp) // n_truth AS BIGINT) recall_ppm
+       |FROM sw CROSS JOIN tn ORDER BY nprobe""".stripMargin
+  }
+
   private def lshCapAuditSql: String = {
     val agree = (0 until 8).map(p =>
       s"CASE WHEN sa.h$p = sb.h$p THEN 1 ELSE 0 END").mkString(" + ")
@@ -2375,6 +2473,8 @@ object ExtQueries {
     "q262_graph_ann_beam" -> graphBeamSql,
 
     "q263_graph_ann_bridged" -> graphBeamBridgedSql,
+
+    "q267_ivf_nprobe_sweep" -> ivfNprobeSweepSql,
 
     "q265_rank_churn" ->
       s"""$tokCte,
