@@ -75,6 +75,16 @@ final case class AqpUpdate(event_type: String, n_exact: Long,
                            sum_exact: Long, n_sample: Long,
                            sum_sample: Long)
 
+/** High-water-mark register per event_type — the streaming face of
+  * q259's watermark-sizing audit: state is (hwm, n, three late
+  * counters), O(1) per key at any scale. hwmUs = Long.MinValue encodes
+  * "nothing seen yet". */
+final case class HwmState(hwmUs: Long, n: Long, late1s: Long,
+                          late10s: Long, late60s: Long)
+final case class HwmUpdate(event_type: String, n_seen: Long, hwm_us: Long,
+                           n_late_1s: Long, n_late_10s: Long,
+                           n_late_60s: Long)
+
 object EventsStream {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -325,6 +335,51 @@ object EventsStream {
           state.update(DgimState(st.idx,
             st.buckets.flatMap(p => Seq(p._1, p._2))))
           DgimUpdate(st.idx, st.buckets.length, graft.ext.Dgim.estimate(st))
+      }
+  }
+
+  /** Per-series high-water-mark register — the streaming face of the
+    * q259 watermark-sizing audit: maintains the largest event time
+    * seen and how many events arrived later than it by more than
+    * 1 s / 10 s / 60 s. State is O(1) per series at any corpus size —
+    * this IS the arithmetic Spark's own watermark runs, kept per-key
+    * and with the lateness histogram a deployment reads to size its
+    * delay. Events fold in q259's simulated bounded-disorder arrival
+    * order (md5 permutation within 64-id blocks, here series-local so
+    * the key partitions the work): an event is late at threshold W iff
+    * hwm − ts > W at its arrival, strictly — the same predicate as the
+    * batch sweep. StreamingSpec pins the fold ≡ the ordered batch
+    * replay and the state carry across micro-batches. */
+  def hwmRegisters(spark: SparkSession, events: DataFrame): Dataset[HwmUpdate] = {
+    import spark.implicits._
+    events.select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        expr("event_id div 64").as("blk"),
+        md5(col("event_id").cast("string").cast("binary")).as("h"))
+      .as[(String, Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[HwmState, HwmUpdate](GroupStateTimeout.NoTimeout()) {
+        case (typ, it, state: GroupState[HwmState]) =>
+          val prev = state.getOption.getOrElse(
+            HwmState(Long.MinValue, 0L, 0L, 0L, 0L))
+          var hwm = prev.hwmUs
+          var n = prev.n
+          var l1 = prev.late1s
+          var l10 = prev.late10s
+          var l60 = prev.late60s
+          it.toArray.sortBy(r => (r._4, r._5, r._2)).foreach { r =>
+            val us = r._3
+            if (hwm != Long.MinValue) {
+              val late = hwm - us
+              if (late > 1000000L) l1 += 1
+              if (late > 10000000L) l10 += 1
+              if (late > 60000000L) l60 += 1
+            }
+            if (us > hwm) hwm = us
+            n += 1
+          }
+          state.update(HwmState(hwm, n, l1, l10, l60))
+          HwmUpdate(typ, n, hwm, l1, l10, l60)
       }
   }
 

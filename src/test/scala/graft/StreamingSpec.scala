@@ -852,6 +852,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("streaming HWM registers equal the ordered batch fold (q259's arrival contract)") {
+    import graft.streaming.EventsStream
+    val updates = EventsStream.hwmRegisters(
+      spark, EventsStream.readEvents(spark, sf))
+    runAvailableNow(updates.toDF(), "hwm_regs", OutputMode.Update())
+    val got = spark.table("hwm_regs").collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // Batch replay of the same series-local bounded-disorder arrival
+    // order: (event_id div 64, md5(id), id).
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"),
+        expr("event_id div 64").as("blk"),
+        md5(col("event_id").cast("string").cast("binary")).as("h"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val expected = rows.groupBy(_._1).map { case (t, rs) =>
+      var hwm = Long.MinValue; var l1 = 0L; var l10 = 0L; var l60 = 0L
+      rs.sortBy(r => (r._4, r._5, r._2)).foreach { r =>
+        if (hwm != Long.MinValue) {
+          val late = hwm - r._3
+          if (late > 1000000L) l1 += 1
+          if (late > 10000000L) l10 += 1
+          if (late > 60000000L) l60 += 1
+        }
+        if (r._3 > hwm) hwm = r._3
+      }
+      t -> ((rs.length.toLong, hwm, l1, l10, l60))
+    }
+    assert(got.nonEmpty && got == expected)
+    // The simulated disorder must actually bite — a lateness register
+    // pinned green on all-zero counters would prove nothing.
+    assert(got.values.map(_._3).sum > 0, "no late events — degenerate fixture?")
+  }
+
+  test("streaming HWM registers carry state across micro-batches") {
+    import graft.streaming.EventsStream
+    val dir = java.nio.file.Files.createTempDirectory("hwm_2b")
+    def writeAs(name: String, mtime: Long,
+                rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("hwm_w")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // Block 0, md5-order: md5("1") < md5("2") → id 1 (ts 200) arrives
+    // BEFORE id 2 (ts 100): id 2 is 100 s late (all three counters).
+    writeAs("b1.parquet", 1000000L,
+      Seq((1L, t(200), 1L, "drift", 1.0), (2L, t(100), 1L, "drift", 1.0)))
+    // Batch 2 continues against the CARRIED hwm (200 s): id 3 (ts 150)
+    // is 50 s late — 1 s and 10 s counters only.
+    writeAs("b2.parquet", 2000000L,
+      Seq((3L, t(150), 1L, "drift", 1.0)))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val updates = EventsStream.hwmRegisters(spark, stream)
+    runAvailableNow(updates.toDF(), "hwm_2b", OutputMode.Update())
+    val got = spark.table("hwm_2b").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got.contains((2L, 200000000L, 1L, 1L, 1L)), s"batch-1 fold wrong: $got")
+    assert(got.contains((3L, 200000000L, 2L, 2L, 1L)), s"cross-batch fold wrong: $got")
+  }
+
   test("streaming AQP registers equal the batch q237 legs (HT estimate included)") {
     import graft.streaming.EventsStream
     val updates = EventsStream.aqpRegisters(
