@@ -158,4 +158,40 @@ class AnalyticsPropertySpec extends AnyFunSuite {
     assert(got.map(_.getLong(2)).distinct.length == pairs.length,
       "distinct (x,y) pairs must get distinct Morton keys")
   }
+
+  test("BucketedPrefix: bucketed two-phase scans equal the naive global fold " +
+    "for random keys and widths") {
+    import spark.implicits._
+    // Random unique non-negative keys (sparse, so buckets are ragged
+    // and some are empty), random values incl. zeros, random bucket
+    // widths incl. 1 (every key its own bucket) and a width larger
+    // than the whole key range (one bucket = the single-partition
+    // window this op replaces).
+    val keyGen = Gen.choose(0L, 4000L)
+    for (seed <- 1L to 5L; width <- Seq(1L, 7L, 64L, 100000L)) {
+      val keys = Gen.listOfN(120, keyGen)(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed * 31 + width)).getOrElse(Nil)
+        .distinct
+      val vals = Gen.listOfN(keys.length, Gen.choose(-50L, 50L))(
+        Gen.Parameters.default, org.scalacheck.rng.Seed(seed))
+        .getOrElse(Nil)
+      val rows = keys.zip(vals)
+      val df = rows.toDF("k", "x")
+      val sorted = rows.sortBy(_._1)
+      val refSums = sorted.scanLeft(0L) { case (acc, (_, x)) => acc + x }.tail
+      val gotSums = graft.ops.BucketedPrefix
+        .runningSums(df, "k", Seq("x"), width)
+        .orderBy("k").select("run_x").collect().map(_.getLong(0)).toSeq
+      assert(gotSums == refSums, s"sums diverge (seed=$seed width=$width)")
+      val refMaxes = sorted.map(_._2)
+        .scanLeft(Option.empty[Long]) { (acc, x) =>
+          Some(acc.fold(x)(math.max(_, x)))
+        }.dropRight(1)
+      val gotMaxes = graft.ops.BucketedPrefix
+        .runningMaxExclusive(df, "k", Seq("x"), width)
+        .orderBy("k").select("run_x").collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+      assert(gotMaxes == refMaxes, s"maxes diverge (seed=$seed width=$width)")
+    }
+  }
 }
