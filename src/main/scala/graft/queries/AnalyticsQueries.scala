@@ -2382,6 +2382,52 @@ object AnalyticsQueries {
         .orderBy(col("custkey"))
     }),
 
+    // Bitemporal as-of — the two-axis point query q98 (valid time) and
+    // q102 (valid-time lookup) stop short of: "as KNOWN at T_tx, which
+    // version was valid at T_valid". Versions carry BOTH a valid-from
+    // (the order date, q98's axis) and a transaction time (when the
+    // warehouse learned of it — a deterministic 0–71 h ingest lag,
+    // orderkey % 72 hours, so late arrivals retro-correct history and
+    // the two axes genuinely diverge). Four probe pairs — same
+    // T_valid at next-day vs end-of-history T_tx — make the
+    // correction visible: the next-day probe answers from the
+    // versions known THEN, the late probe from the corrected record.
+    // Selection = max (valid_from, version) among versions with
+    // vt ≤ T_valid AND tx ≤ T_tx; all comparisons in exact epoch-µs.
+    // 100 TB: probes broadcast against the version scan, one
+    // (probe, user)-partitioned rank — never a version self-join.
+    "q268_bitemporal_asof" -> ((s, d) => {
+      val wv = Window.partitionBy(col("user_id"))
+        .orderBy(col("vt_us"), col("o_orderkey"))
+      val v = Tables.orders(s, d).where(col("o_custkey") < 100)
+        .select(col("o_custkey").as("user_id"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("vt_us"),
+          col("o_orderpriority").as("priority"), col("o_orderkey"))
+        .withColumn("version", row_number().over(wv).cast("int"))
+        .withColumn("tx_us",
+          col("vt_us") + (col("o_orderkey") % 72) * lit(3600000000L))
+      val probes = Seq(
+        (1, "1994-01-01 00:00:00", "1994-01-02 00:00:00"),
+        (2, "1994-01-01 00:00:00", "1998-12-31 00:00:00"),
+        (3, "1996-06-15 00:00:00", "1996-06-16 00:00:00"),
+        (4, "1996-06-15 00:00:00", "1998-12-31 00:00:00"))
+      val pr = probes.map { case (i, tv, tt) =>
+        s.range(1).select(lit(i).cast("int").as("probe_id"),
+          unix_micros(lit(tv).cast("timestamp")).as("tv_us"),
+          unix_micros(lit(tt).cast("timestamp")).as("tt_us"))
+      }.reduce(_ unionByName _)
+      val wSel = Window.partitionBy(col("probe_id"), col("user_id"))
+        .orderBy(col("vt_us").desc, col("version").desc)
+      v.join(broadcast(pr),
+          col("vt_us") <= col("tv_us") && col("tx_us") <= col("tt_us"))
+        .withColumn("rn", row_number().over(wSel))
+        .where(col("rn") === 1)
+        .select(col("probe_id"), col("user_id"), col("version"),
+          col("priority"),
+          timestamp_micros(col("vt_us")).as("valid_from"))
+        .orderBy(col("probe_id"), col("user_id"))
+    }),
+
     // Point-in-time (interval) dimension lookup: each event joined to
     // the SCD-2 priority version valid at its timestamp — executed on
     // the as-of path (union + one key shuffle + one window pass, then
@@ -5790,6 +5836,36 @@ object AnalyticsQueries {
     // Components via recursive reachability-to-minimum (the q136 oracle
     // pattern) — an independent algorithm from the Spark union-find /
     // pointer-jumping path, same labels.
+    "q268_bitemporal_asof" ->
+      """WITH v AS (SELECT o_custkey user_id,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) vt_us,
+        |    o_orderpriority priority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_orderdate AS TIMESTAMP), o_orderkey) ver,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP))
+        |      + (o_orderkey % 72) * 3600000000 tx_us
+        |  FROM orders WHERE o_custkey < 100),
+        |p AS (SELECT * FROM (VALUES
+        |    (1, epoch_us(TIMESTAMP '1994-01-01 00:00:00'),
+        |        epoch_us(TIMESTAMP '1994-01-02 00:00:00')),
+        |    (2, epoch_us(TIMESTAMP '1994-01-01 00:00:00'),
+        |        epoch_us(TIMESTAMP '1998-12-31 00:00:00')),
+        |    (3, epoch_us(TIMESTAMP '1996-06-15 00:00:00'),
+        |        epoch_us(TIMESTAMP '1996-06-16 00:00:00')),
+        |    (4, epoch_us(TIMESTAMP '1996-06-15 00:00:00'),
+        |        epoch_us(TIMESTAMP '1998-12-31 00:00:00'))
+        |  ) AS t(probe_id, tv_us, tt_us)),
+        |sel AS (SELECT probe_id, user_id, ver, priority, vt_us FROM (
+        |    SELECT p.probe_id, v.user_id, v.ver, v.priority, v.vt_us,
+        |      row_number() OVER (PARTITION BY p.probe_id, v.user_id
+        |        ORDER BY v.vt_us DESC, v.ver DESC) rn
+        |    FROM v JOIN p ON v.vt_us <= p.tv_us AND v.tx_us <= p.tt_us)
+        |  WHERE rn = 1)
+        |SELECT CAST(probe_id AS INT) AS probe_id, user_id,
+        |  CAST(ver AS INT) AS "version", priority,
+        |  make_timestamp(vt_us) AS valid_from
+        |FROM sel ORDER BY probe_id, user_id""".stripMargin,
+
     // q264 oracle: min_cents from a FULL from-scratch recompute over
     // survivors; the flag derived independently (deleted min == base
     // min) — the compare proves maintained ≡ recompute, flag included.
