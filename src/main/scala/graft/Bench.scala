@@ -1,4 +1,5 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated}
 import org.apache.spark.sql.SparkSession
 
 object Bench {
@@ -17,7 +18,11 @@ object Bench {
     // aggregates/projections for some plans; counting the physical plan's
     // InternalRow RDD executes every operator as written. n>=2 iterations
     // make first-run JIT/codegen noise visible; headline = warmed run.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // Default 3 since r9: passes 2..n run in DIFFERENT (seeded-shuffled)
+    // registry orders, so >=2 clean warm orders land in bench.json and
+    // order-dependent contamination (r8's q01 warm anomaly) shows up as
+    // cross-order variance instead of landing forever on one victim.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // Optional comma-separated substring filter for iterating on a hot
     // query without paying the full suite (dev-only; the driver ignores it).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
@@ -25,6 +30,52 @@ object Bench {
       case Some(pats) => SparkEntry.queries.filter { case (n, _) => pats.exists(n.contains) }
       case None => SparkEntry.queries
     }
+
+    // ---- telemetry (r8 verdict item 1: make eviction/recompute pressure
+    // observable instead of inferred from timing shape) -----------------
+    // Block-level counters from the listener bus: `toDisk` counts RDD
+    // blocks whose updated status is disk-only — for our MEMORY_AND_DISK
+    // persists that is exactly "evicted from memory under pressure,
+    // spilled to the disk tier" (initial stores report useMemory=true).
+    // `removed` counts blocks dropped entirely (unpersist OR a true
+    // eviction-without-disk). releaseAll's unpersists are async, so a
+    // query's `rm` may include the PREVIOUS query's release tail; the
+    // pressure signal of interest is `disk` spikes, which unpersist never
+    // produces.
+    val toDiskCtr = new java.util.concurrent.atomic.AtomicLong
+    val removedCtr = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onBlockUpdated(b: SparkListenerBlockUpdated): Unit = {
+        val info = b.blockUpdatedInfo
+        if (info.blockId.isRDD) {
+          val lvl = info.storageLevel
+          if (!lvl.isValid) removedCtr.incrementAndGet()
+          else if (lvl.useDisk && !lvl.useMemory) toDiskCtr.incrementAndGet()
+        }
+      }
+    })
+    // Single-JVM local mode: driver GC time IS the suite's GC time. An
+    // 8-second scan+groupBy (q01, r8) with gc_ms ~= wall time is a heap-
+    // pressure pause, not a plan problem — the counter settles it.
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    // Post-query storage residency: blockmanager storage memory in use,
+    // persisted-RDD partitions missing from cache (partial eviction), and
+    // cached bytes resident on the disk tier.
+    def storageSnap(): (Double, Long, Double) = {
+      val memUsed = spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, rem) => max - rem }.sum / 1e6
+      val infos = spark.sparkContext.getRDDStorageInfo
+      val missing = infos.map(i => (i.numPartitions - i.numCachedPartitions).toLong).sum
+      val diskMb = infos.map(_.diskSize).sum / 1e6
+      (memUsed, missing, diskMb)
+    }
+    final case class QTele(gcMs: Long, toDisk: Long, removed: Long,
+                           storeMb: Double, missParts: Long, diskMb: Double)
+
     // A thrown query must never masquerade as a timing (round-5 verdict
     // item 3: two analysis-time crashes looked like 15x speedups).
     // Failures are tracked PER PASS (r6 advice: a query that throws in
@@ -32,11 +83,15 @@ object Bench {
     // contaminate the reported pass's failed list, and a cold-only
     // failure must be distinguishable from a warm one), reported in
     // BENCH_SUMMARY, and excluded from every total.
-    final case class Pass(times: Map[String, Double], failed: Seq[String], artifacts: Map[String, Double])
-    def runPass(cold: Boolean): Pass = {
+    final case class Pass(order: String, times: Seq[(String, Double)],
+                          failed: Seq[String], artifacts: Map[String, Double],
+                          tele: Seq[(String, QTele)])
+    def runPass(cold: Boolean, order: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+                orderLabel: String): Pass = {
       val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+      val tele = scala.collection.mutable.ArrayBuffer.empty[(String, QTele)]
       graft.ops.SessionCache.drainBuildLog(spark) // attribute builds to this pass only
-      val times = selected.flatMap { case (name, fn) =>
+      val times = order.flatMap { case (name, fn) =>
         if (cold) {
           // Cold = no cross-query amortization: evict the session-shared
           // artifacts (signature tables, kNN graph, PQ model, member
@@ -46,13 +101,20 @@ object Bench {
           graft.ops.SessionCache.clear(spark)
           spark.catalog.clearCache()
         }
+        val gc0 = gcMs; val d0 = toDiskCtr.get; val rm0 = removedCtr.get
         val t0 = System.nanoTime()
         // Same Parity.outputDoubles wrap as Verify.dumpAll so the benched
         // plan is the verified plan (the cast is a final projection; cost
         // is noise-level).
         val ok =
-          try { graft.queries.Parity.outputDoubles(fn(spark, sfDir))
-            .queryExecution.toRdd.count(); true }
+          try {
+            graft.queries.Parity.outputDoubles(fn(spark, sfDir))
+              .queryExecution.toRdd.count()
+            val (memMb, miss, dMb) = storageSnap()
+            tele += name -> QTele(gcMs - gc0, toDiskCtr.get - d0,
+              removedCtr.get - rm0, memMb, miss, dMb)
+            true
+          }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             failed += name
@@ -61,33 +123,55 @@ object Bench {
           finally graft.ops.TransientCache.releaseAll()
         if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
       }
-      Pass(times.toMap, failed.toSeq, graft.ops.SessionCache.drainBuildLog(spark))
+      Pass(orderLabel, times, failed.toSeq,
+        graft.ops.SessionCache.drainBuildLog(spark), tele.toSeq)
     }
+    val registryOrder = selected.toSeq.sortBy(_._1)
+    // Deterministic per-pass orders (no wall-clock seeds — resume-safe):
+    // pass 1 runs registry order (comparable with every prior round);
+    // passes 2..n run seeded Fisher-Yates shuffles so each query's
+    // neighborhood differs across passes.
+    def orderFor(pass: Int): (String, Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+      if (pass <= 1) ("registry", registryOrder)
+      else (s"shuffled:$pass", new scala.util.Random(pass.toLong).shuffle(registryOrder))
     // SPARK_GRAFT_BENCH_COLD=1 -> cold-only (dev loop); default runs the
     // warm iterations first (headline, comparable across rounds) and then
     // ONE cold pass so both numbers land in every round's output.
     val coldOnly = sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
-    val perIter = if (coldOnly) Seq.empty else (1 to iters).map(_ => runPass(cold = false))
-    val cold = runPass(cold = true)
+    val perIter = if (coldOnly) Seq.empty else (1 to iters).map { i =>
+      val (lbl, ord) = orderFor(i); runPass(cold = false, ord, lbl)
+    }
+    val cold = runPass(cold = true, registryOrder, "registry")
     val warmed = if (coldOnly) cold else perIter.last
     def r3(v: Double): String = f"$v%.3f"
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     def jarr(xs: Iterable[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (warmed.times.nonEmpty) warmed.times.values.sum else 0.0
-    val coldTotal = if (cold.times.nonEmpty) cold.times.values.sum else 0.0
-    val iterTotals = (perIter.map(_.times.values.sum) :+ coldTotal).map(r3).mkString("[", ",", "]")
+    def jtele(xs: Iterable[(String, QTele)]): String =
+      xs.map { case (k, t) =>
+        "\"" + k + "\":{\"gc_ms\":" + t.gcMs + ",\"disk\":" + t.toDisk +
+          ",\"rm\":" + t.removed + ",\"mem_mb\":" + r3(t.storeMb) +
+          ",\"miss\":" + t.missParts + ",\"disk_mb\":" + r3(t.diskMb) + "}"
+      }.mkString("{", ",", "}")
+    val total = if (warmed.times.nonEmpty) warmed.times.map(_._2).sum else 0.0
+    val coldTotal = if (cold.times.nonEmpty) cold.times.map(_._2).sum else 0.0
+    val iterTotals = (perIter.map(_.times.map(_._2).sum) :+ coldTotal).map(r3).mkString("[", ",", "]")
     // Artifact builds are charged to whichever query misses first, so the
     // warm total decomposes as: query work + artifact_build_s (the builds
     // the reported pass paid; on a fully-warmed pass this is ~0 because
     // iteration 1 already built everything). first_pass_artifact_build_s
     // is the real once-per-session amortized cost.
     val firstPassArtifacts = perIter.headOption.map(_.artifacts.values.sum).getOrElse(0.0)
-    val slowest = warmed.times.toSeq.sortBy(-_._2).take(20)
+    val slowest = warmed.times.sortBy(-_._2).take(20)
+    val warmGcS = warmed.tele.map(_._2.gcMs).sum / 1e3
+    val warmDisk = warmed.tele.map(_._2.toDisk).sum
     // Full machine-readable dump -> file (137-entry stdout lines were the
     // likely cause of two rounds of "parsed": null in the driver
     // artifact); stdout keeps only a compact line.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench.json")
+    val warmPassesJson = perIter.map { p =>
+      s"""{"order":"${p.order}","total":${r3(p.times.map(_._2).sum)},"times":${jmap(p.times)}}"""
+    }.mkString("[", ",", "]")
     val full =
       s"""{"sf":"$sfDir","total":${r3(total)},"cold_total":${r3(coldTotal)},"n_queries":${warmed.times.size},
          |"iteration_totals":$iterTotals,
@@ -96,17 +180,21 @@ object Bench {
          |"first_pass_artifact_build_s":${r3(firstPassArtifacts)},
          |"artifacts_first_pass":${jmap(perIter.headOption.map(_.artifacts).getOrElse(cold.artifacts))},
          |"artifacts_cold":${jmap(cold.artifacts)},
+         |"warm_passes":$warmPassesJson,
+         |"telemetry_warm":${jtele(warmed.tele)},
+         |"telemetry_cold":${jtele(cold.tele)},
+         |"gc_s_warm":${r3(warmGcS)},"evict_to_disk_warm":$warmDisk,
          |"queries":${jmap(warmed.times)},
          |"queries_cold":${jmap(cold.times)}}""".stripMargin
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath), full.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
-    println(s"""BENCH_SUMMARY {"total":${r3(total)},"cold_total":${r3(coldTotal)},"n_queries":${warmed.times.size},"failed_warm":${jarr(warmed.failed)},"failed_cold":${jarr(cold.failed)},"artifact_build_s":${r3(warmed.artifacts.values.sum)},"first_pass_artifact_build_s":${r3(firstPassArtifacts)},"full_json":"$outPath"}""")
+    println(s"""BENCH_SUMMARY {"total":${r3(total)},"cold_total":${r3(coldTotal)},"n_queries":${warmed.times.size},"failed_warm":${jarr(warmed.failed)},"failed_cold":${jarr(cold.failed)},"artifact_build_s":${r3(warmed.artifacts.values.sum)},"first_pass_artifact_build_s":${r3(firstPassArtifacts)},"gc_s_warm":${r3(warmGcS)},"evict_to_disk_warm":$warmDisk,"full_json":"$outPath"}""")
     // Machine-readable line LAST, pure JSON, and SMALL: totals + the 20
     // slowest warm queries only (the full per-query map lives in the
     // file above). "failed" keeps the legacy union meaning for the
     // driver; per-pass splits are in BENCH_SUMMARY and the file.
     val failedUnion = (warmed.failed ++ cold.failed).distinct
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(slowest)},"n_queries":${warmed.times.size},"cold_total":${r3(coldTotal)},"artifact_build_s":${r3(warmed.artifacts.values.sum)},"first_pass_artifact_build_s":${r3(firstPassArtifacts)},"failed":${jarr(failedUnion)},"full_json":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(slowest)},"n_queries":${warmed.times.size},"cold_total":${r3(coldTotal)},"artifact_build_s":${r3(warmed.artifacts.values.sum)},"first_pass_artifact_build_s":${r3(firstPassArtifacts)},"gc_s_warm":${r3(warmGcS)},"evict_to_disk_warm":$warmDisk,"failed":${jarr(failedUnion)},"full_json":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

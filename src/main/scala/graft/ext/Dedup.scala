@@ -235,10 +235,18 @@ object Dedup {
   def lshCandidatePairs(sigs: DataFrame, nHashes: Int = 8, bandSize: Int = 2,
                         maxBucket: Int = 50): DataFrame = {
     val bands = bandRows(sigs, nHashes, bandSize)
-    val ok = bands.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("nown")).where(col("nown") <= maxBucket)
-      .select(col("band"), col("key"))
-    val capped = bands.join(ok, Seq("band", "key"), "left_semi")
+    // Uncapped callers skip the cap machinery entirely (r8 verdict item
+    // 1): the groupBy + left_semi legs cost two exchanges per call, and
+    // with maxBucket = Int.MaxValue they keep every row — q198 pays that
+    // four times in its sweep for a filter that filters nothing.
+    val capped =
+      if (maxBucket == Int.MaxValue) bands
+      else {
+        val ok = bands.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("nown")).where(col("nown") <= maxBucket)
+          .select(col("band"), col("key"))
+        bands.join(ok, Seq("band", "key"), "left_semi")
+      }
     val cand = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc") < col("b.doc"))

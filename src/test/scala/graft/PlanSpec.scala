@@ -589,8 +589,11 @@ class PlanSpec extends AnyFunSuite {
     // twice; the r8 plan aggregates to (doc_a, doc_b) with a map-side
     // partial max BEFORE anything persists, so persisted state is
     // pair-sized by construction.
-    assert(p.contains("partial_max") || p.contains("partial_"),
-      s"pair aggregate lost its map-side partial:\n$p")
+    // Pin the MAX specifically (r8 advice: `|| partial_` subsumed the
+    // first disjunct, so any partial aggregate — even a regressed
+    // distinct's partial grouping — kept this green).
+    assert(p.contains("partial_max"),
+      s"pair aggregate lost its map-side partial max:\n$p")
     assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
       s"pair table should be the persisted artifact:\n$p")
   }
