@@ -17,10 +17,17 @@ import org.apache.spark.sql.functions._
   *     deterministic, no sampled range boundaries;
   *  2. within-bucket running aggregates via a window PARTITIONED by
   *     bucket (parallel across buckets);
-  *  3. bucket-prefix offsets from a triangular join over the
-  *     bucket-total table (buckets², but buckets are bounded by
-  *     key-range/width — broadcast-scale), combined with the
-  *     within-bucket leg.
+  *  3. bucket-prefix offsets computed RECURSIVELY over the bucket-total
+  *     table (r8 advice: a flat triangular join is O(B²) comparisons,
+  *     and for epoch-microsecond keys B grows linearly with the data's
+  *     time span): buckets are grouped into super-buckets of
+  *     [[superWidth]]; within a super-bucket the exclusive prefix is a
+  *     window PARTITIONED by super-bucket (parallel, ≤ superWidth rows
+  *     per partition), and only the super-bucket totals — B/superWidth
+  *     rows — go through the triangular join. Offset cost drops from
+  *     O(B²) to O(B·superWidth + (B/superWidth)²): a decade of 1-hour
+  *     buckets is B ≈ 87 k → 87 k·1024 + 85² instead of 7.6e9
+  *     comparisons, and the joined table stays broadcast-scale.
   *
   * Caller contract: `orderCol` must be globally unique (aggregate ties
   * away first, as q178 does at the distinct-value grain) so inclusive /
@@ -30,6 +37,12 @@ import org.apache.spark.sql.functions._
   * column per requested aggregate.
   */
 object BucketedPrefix {
+
+  /** Buckets per super-bucket in the offset recursion. 1024 keeps both
+    * legs tiny over any realistic key range: the per-super window sorts
+    * ≤1024 bucket-total rows, and the triangular join squares only
+    * B/1024. */
+  private val superWidth = 1024L
 
   /** Inclusive running SUM of each column in `sumCols` over the global
     * `orderCol` order. Peer-free input ⇒ identical to the peer-inclusive
@@ -56,14 +69,33 @@ object BucketedPrefix {
     val withB = df.withColumn("__bp_bkt",
       expr(s"$orderCol div $bucketWidth"))
     val tAggs = cols.map(c => agg(col(c)).as(s"__bp_t_$c"))
+    // Null-as-identity combine: either leg below may be legitimately
+    // absent (first bucket of a super-bucket, first super-bucket), and
+    // all-absent must STAY null so the callers' zero/null semantics at
+    // the final combine are preserved.
+    def nullAware(a: Column, b: Column): Column =
+      when(a.isNull, b).when(b.isNull, a).otherwise(combine(a, b))
     val btot = withB.groupBy(bkt).agg(tAggs.head, tAggs.tail: _*)
-    // Strictly-prior buckets only (y < x): the offset leg is exclusive
-    // at bucket grain by construction, which serves both modes.
-    val oAggs = cols.map(c => agg(col(s"y.__bp_t_$c")).as(s"__bp_o_$c"))
-    val offs = btot.as("x")
-      .join(btot.as("y"), col("y.__bp_bkt") < col("x.__bp_bkt"), "left")
-      .groupBy(col("x.__bp_bkt").as("__bp_bkt"))
-      .agg(oAggs.head, oAggs.tail: _*)
+      .withColumn("__bp_sup", expr(s"__bp_bkt div $superWidth"))
+    // Leg A — strictly-prior buckets INSIDE my super-bucket: a window
+    // partitioned by super-bucket (parallel; ≤ superWidth rows each).
+    val wSup = Window.partitionBy(col("__bp_sup")).orderBy(bkt)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withinSup = cols.foldLeft(btot) { (acc, c) =>
+      acc.withColumn(s"__bp_w_$c", agg(col(s"__bp_t_$c")).over(wSup))
+    }
+    // Leg B — strictly-prior SUPER-buckets: triangular join over the
+    // super-totals only (B/superWidth rows — the only quadratic piece).
+    val sAggs = cols.map(c => agg(col(s"__bp_t_$c")).as(s"__bp_s_$c"))
+    val stot = btot.groupBy(col("__bp_sup")).agg(sAggs.head, sAggs.tail: _*)
+    val pAggs = cols.map(c => agg(col(s"y.__bp_s_$c")).as(s"__bp_p_$c"))
+    val sOffs = stot.as("x")
+      .join(stot.as("y"), col("y.__bp_sup") < col("x.__bp_sup"), "left")
+      .groupBy(col("x.__bp_sup").as("__bp_sup"))
+      .agg(pAggs.head, pAggs.tail: _*)
+    val offs = withinSup.join(broadcast(sOffs), Seq("__bp_sup"))
+      .select(bkt +: cols.map(c =>
+        nullAware(col(s"__bp_p_$c"), col(s"__bp_w_$c")).as(s"__bp_o_$c")): _*)
     val frame = if (exclusive)
       Window.partitionBy(bkt).orderBy(col(orderCol))
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -44,12 +44,17 @@ object EventQueries {
     // net inside the same groupBy key, so tie order cannot matter, and
     // a single-event session (start == end) nets to zero duration —
     // both engines agree by construction. Concurrency is piecewise
-    // constant, so the per-day peak is evaluated at the day's change
-    // instants (a day's carried-in level is the prior day's closing
-    // instant value; at any realistic event density every day has
-    // boundaries). Peak ties resolve to the EARLIEST instant. 100 TB:
-    // deltas are session-bounded (2 rows/session), the scan is
-    // bucket-parallel, the day rollup calendar-bounded.
+    // constant; each day's peak considers BOTH its change instants and
+    // its carried-in opening level (the prior present day's closing
+    // value, r8 advice: a day opening above its intra-day max — prior
+    // day closed at 5, first boundary drops to 4 — must report 5). The
+    // opening comes from a day-grain triangular join over per-day
+    // closing levels (days², calendar-bounded — a decade is 3650 rows).
+    // Peak ties resolve to the EARLIEST moment: midnight when the
+    // carried-in level ties-or-beats the intra-day max, else the
+    // earliest tying instant. Row domain stays days WITH change
+    // instants. 100 TB: deltas are session-bounded (2 rows/session),
+    // the scan is bucket-parallel, the day rollup calendar-bounded.
     "q258_peak_concurrency" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -72,14 +77,29 @@ object EventQueries {
           .runningSums(deltas, "us", Seq("delta"), 3600000000L)
           .select(col("us"), col("run_delta").as("conc"))
           .withColumn("day", date_trunc("day", timestamp_micros(col("us")))))
+      val dayClose = cum.groupBy(col("day"))
+        .agg(max_by(col("conc"), col("us")).as("close"))
+      val opening = dayClose.as("x")
+        .join(dayClose.as("y"), col("y.day") < col("x.day"), "left")
+        .groupBy(col("x.day").as("day"))
+        .agg(max_by(col("y.close"), col("y.day")).as("opening"))
       val peaks = cum.groupBy(col("day"))
-        .agg(max(col("conc")).as("peak_concurrency"))
+        .agg(max(col("conc")).as("inmax"))
+        .join(opening, Seq("day"))
+        .select(col("day"), col("opening"), col("inmax"),
+          greatest(col("inmax"), col("opening")).as("peak_concurrency"))
       cum.join(peaks, Seq("day"))
         .where(col("conc") === col("peak_concurrency"))
-        .groupBy(col("day"), col("peak_concurrency"))
+        .groupBy(col("day"), col("peak_concurrency"), col("opening"))
         .agg(min(col("us")).as("peak_at_us"))
+        .unionByName(peaks // carried-in strictly above every instant: no tying row
+          .where(col("opening") > col("inmax"))
+          .select(col("day"), col("peak_concurrency"), col("opening"),
+            lit(null).cast("long").as("peak_at_us")))
         .select(col("day"), col("peak_concurrency"),
-          timestamp_micros(col("peak_at_us")).as("peak_at"))
+          when(col("opening").isNotNull &&
+              col("opening") >= col("peak_concurrency"), col("day"))
+            .otherwise(timestamp_micros(col("peak_at_us"))).as("peak_at"))
         .orderBy(col("day"))
     }),
 
@@ -223,12 +243,20 @@ object EventQueries {
         |        ROWS UNBOUNDED PRECEDING) AS BIGINT) conc
         |      FROM g),
         |cd AS (SELECT us, conc, date_trunc('day', make_timestamp(us)) AS day FROM c),
-        |pk AS (SELECT day, max(conc) peak_concurrency FROM cd GROUP BY 1)
-        |SELECT cd.day AS day,
-        |  CAST(pk.peak_concurrency AS BIGINT) AS peak_concurrency,
-        |  make_timestamp(min(us)) AS peak_at
-        |FROM cd JOIN pk ON cd.day = pk.day AND cd.conc = pk.peak_concurrency
-        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+        |dcl AS (SELECT day, arg_max(conc, us) clsv FROM cd GROUP BY 1),
+        |op AS (SELECT x.day, arg_max(y.clsv, y.day) opening
+        |       FROM dcl x LEFT JOIN dcl y ON y.day < x.day GROUP BY 1),
+        |pk AS (SELECT im.day, op.opening, im.inmax,
+        |         greatest(im.inmax, coalesce(op.opening, im.inmax)) peak
+        |       FROM (SELECT day, max(conc) inmax FROM cd GROUP BY 1) im
+        |       JOIN op ON im.day = op.day),
+        |pt AS (SELECT cd.day, min(us) mus
+        |       FROM cd JOIN pk ON cd.day = pk.day AND cd.conc = pk.peak
+        |       GROUP BY 1)
+        |SELECT pk.day AS day, CAST(pk.peak AS BIGINT) AS peak_concurrency,
+        |  CASE WHEN pk.opening IS NOT NULL AND pk.opening >= pk.peak
+        |    THEN pk.day ELSE make_timestamp(pt.mus) END AS peak_at
+        |FROM pk LEFT JOIN pt ON pk.day = pt.day ORDER BY 1""".stripMargin,
 
     "q259_watermark_lateness" ->
       """WITH a AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) us,

@@ -194,4 +194,37 @@ class AnalyticsPropertySpec extends AnyFunSuite {
       assert(gotMaxes == refMaxes, s"maxes diverge (seed=$seed width=$width)")
     }
   }
+
+  test("q258: a day opening above its intra-day max reports the carried-in " +
+    "level at midnight") {
+    import spark.implicits._
+    // 5 users hold sessions across midnight: all start 21:00 day 1, the
+    // ends stagger through day 2 (00:20..01:40, one drop each). Day 2's
+    // change instants only ever see concurrency 4..0, but the day OPENS
+    // at 5 — the r8-advice case where "peak among within-day instants"
+    // under-reports the true peak. Events every 20 min keep each user's
+    // chain one 30-min-gap session.
+    val t0 = java.time.Instant.parse("2024-03-01T21:00:00Z")
+    val rows = for {
+      u <- 1 to 5
+      end = t0.plusSeconds((200 + (u - 1) * 20) * 60) // 00:20 + (u-1)*20min
+      n = (java.time.Duration.between(t0, end).toMinutes / 20).toInt
+      i <- 0 to n
+    } yield (u.toLong * 1000 + i, t0.plusSeconds(i * 20L * 60), u.toLong)
+    val dir = java.nio.file.Files.createTempDirectory("peak_conc").toString
+    rows.map { case (eid, ts, uid) =>
+      (eid, java.sql.Timestamp.from(ts), uid)
+    }.toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q258_peak_concurrency")(spark, dir)
+      .collect().map(r => (r.getTimestamp(0).toInstant, r.getLong(1),
+        r.getTimestamp(2).toInstant))
+    assert(got.length == 2, s"expected 2 day rows, got ${got.toSeq}")
+    val day1 = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    val day2 = java.time.Instant.parse("2024-03-02T00:00:00Z")
+    assert(got(0) == ((day1, 5L, t0)), s"day1 row: ${got(0)}")
+    // Carried-in level 5 beats the intra-day max 4; earliest moment at
+    // the peak is the day boundary itself.
+    assert(got(1) == ((day2, 5L, day2)), s"day2 row: ${got(1)}")
+  }
 }

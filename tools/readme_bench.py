@@ -9,30 +9,65 @@ BENCH_STATS_BEGIN/END markers. Run it whenever bench.json is refreshed;
 a README that disagrees with bench.json is then a one-command fix, and
 any hand edit inside the markers is overwritten.
 
+Round-8 verdict item 4: numbers are now PROVENANCE-LABELED (builder-host
+vs driver-host). The builder numbers come from the committed bench.json;
+the driver-host totals are read from the newest BENCH_r*.json tail so the
+README never quotes a builder number a driver run silently contradicts.
+Round-8 verdict item 3: the per-query profile quotes the MEDIAN across
+the warm passes (which run in different seeded registry orders since r9),
+so one order-dependent outlier cannot define a query's quoted time.
+
 Usage: python3 tools/readme_bench.py [bench.json] [README.md]
 """
-import json, re, sys
+import json, re, statistics, sys
 from pathlib import Path
 
 BENCH = Path(sys.argv[1] if len(sys.argv) > 1 else "bench.json")
 README = Path(sys.argv[2] if len(sys.argv) > 2 else "README.md")
 
 b = json.loads(BENCH.read_text())
-q = b["queries"]
-times = sorted(q.values())
+
+# Per-query medians across warm passes (>=2 distinct orders when the
+# r9+ Bench wrote warm_passes); fall back to the single reported map.
+passes = [p["times"] for p in b.get("warm_passes", []) if p.get("times")]
+if not passes:
+    passes = [b["queries"]]
+med_q = {k: statistics.median([p[k] for p in passes if k in p])
+         for k in b["queries"]}
+times = sorted(med_q.values())
 n = len(times)
-slowest = sorted(q.items(), key=lambda kv: -kv[1])[:3]
+slowest = sorted(med_q.items(), key=lambda kv: -kv[1])[:3]
 under2 = sum(1 for t in times if t < 2.0)
 med = times[n // 2]
+orders = len(passes)
+
+# Driver-host totals from the newest BENCH_r*.json (the round driver's
+# own run of this same Bench main on its host).
+driver_note = ""
+rounds = sorted(Path(".").glob("BENCH_r*.json"))
+if rounds:
+    latest = rounds[-1]
+    m = re.search(r'BENCH_SUMMARY ({.*?})', json.loads(latest.read_text())
+                  .get("tail", ""))
+    if m:
+        try:
+            d = json.loads(m.group(1))
+            driver_note = (
+                f" Driver-host ({latest.name}, {d['n_queries']} queries): "
+                f"warm {d['total']:.1f} s, cold {d['cold_total']:.1f} s.")
+        except (json.JSONDecodeError, KeyError):
+            pass
 
 lines = [
-    f"Latest full bench (`bench.json`, sf `{b['sf']}`, local[32], "
-    f"{b['n_queries']} queries): warm total {b['total']:.1f} s, cold total "
-    f"{b['cold_total']:.1f} s (session caches cleared before every query); "
-    f"failed_warm={b['failed_warm']}, failed_cold={b['failed_cold']}; "
-    f"first-pass session-artifact builds {b['first_pass_artifact_build_s']:.1f} s.",
-    f"Warm per-query profile: median {med:.2f} s, {under2}/{n} queries under "
-    f"2 s; slowest three: "
+    f"Latest full bench (`bench.json`, **builder-host**, sf `{b['sf']}`, "
+    f"local[32], {b['n_queries']} queries): warm total {b['total']:.1f} s, "
+    f"cold total {b['cold_total']:.1f} s (session caches cleared before "
+    f"every query); failed_warm={b['failed_warm']}, "
+    f"failed_cold={b['failed_cold']}; first-pass session-artifact builds "
+    f"{b['first_pass_artifact_build_s']:.1f} s.{driver_note}",
+    f"Warm per-query profile (builder-host median across {orders} pass "
+    f"order{'s' if orders != 1 else ''}): median {med:.2f} s, {under2}/{n} "
+    f"queries under 2 s; slowest three: "
     + ", ".join(f"{k} {v:.1f} s" for k, v in slowest) + ".",
     "Totals vary ~±10–20% run-to-run with page-cache state and ~1.3–1.5×",
     "between hosts; the full per-query map is the committed `bench.json`.",
