@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden whole-stage-codegen census (r8 verdict item 5): PlanAudit's
+  * wscg/noncg columns existed but nothing FAILED when a hot query's
+  * operator drifted out of codegen — the regression only surfaced as a
+  * bench delta a round later. This pins (wscg spans, non-codegen
+  * operator count) for a hot-query set against a committed golden, so
+  * the drift becomes a named red test at commit time.
+  *
+  * Census state is the deterministic WARM shape: each query runs once
+  * first so its session artifacts exist (SessionCacheSpec uses a private
+  * newSession precisely so no concurrent suite clears them), then the
+  * censused execution sees stable InMemory scans.
+  *
+  * Intentional plan changes: run with SPARK_GRAFT_ACCEPT_CENSUS=1 —
+  * the spec prints the updated golden map literal to paste below (and
+  * still fails if it differed, so acceptance is an explicit edit, never
+  * an env var left set in CI).
+  */
+object CodegenCensusGolden {
+  /** name -> (wscg spans, non-codegen operators), sf0.001, warm state,
+    * shared 4-thread test session. */
+  val golden: Map[String, (Int, Int)] = Map(
+    "q01_pricing_summary" -> (3, 3),
+    "q03_filter_members" -> (9, 14),
+    "q164_join_size_estimate" -> (10, 13),
+    "q178_ks_drift" -> (3, 5),
+    "q198_lsh_band_sweep" -> (31, 122),
+    "q202_prefix_filter_join" -> (8, 27),
+    "q225_winnow_density" -> (5, 17),
+    "q228_ppjoin_positional" -> (6, 21),
+    "q23_dedup_minhash_lsh" -> (9, 41),
+    "q258_peak_concurrency" -> (32, 34),
+    "q259_watermark_lateness" -> (18, 22),
+    "q26_embed_neardup" -> (4, 11),
+    "q60_chunk_windows" -> (3, 4),
+    "q66_pii_redaction" -> (2, 2),
+    "q87_ivfpq_ann" -> (8, 31),
+    "q92_block_dedup" -> (7, 9),
+  )
+}
+
+class CodegenCensusSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("hot-query codegen census matches the committed golden") {
+    val names = CodegenCensusGolden.golden.keys.toSeq.sorted
+    // Warm pass: materialize once so session artifacts exist and the
+    // censused plan is the stable warm shape.
+    names.foreach { n =>
+      SparkEntry.queries(n)(spark, sf).queryExecution.toRdd.count()
+      graft.ops.TransientCache.releaseAll()
+    }
+    val got = names.map { n =>
+      val cs = PlanAudit.census(SparkEntry.queries(n)(spark, sf).queryExecution)
+      graft.ops.TransientCache.releaseAll()
+      n -> (cs.wscg, cs.noncg)
+    }
+    val diffs = got.filter { case (n, v) => CodegenCensusGolden.golden(n) != v }
+    if (diffs.nonEmpty || sys.env.contains("SPARK_GRAFT_ACCEPT_CENSUS")) {
+      val literal = got.map { case (n, (w, g)) =>
+        s"""    "$n" -> ($w, $g),"""
+      }.mkString("\n")
+      info(s"current census (paste into CodegenCensusGolden.golden):\n$literal")
+    }
+    assert(diffs.isEmpty, diffs.map { case (n, (w, g)) =>
+      val (gw, gg) = CodegenCensusGolden.golden(n)
+      s"$n: wscg $gw->$w noncg $gg->$g"
+    }.mkString("codegen census drift (accept via the printed literal):\n",
+      "\n", ""))
+  }
+}

@@ -5,9 +5,16 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Contract tests for the session-lifetime cache: build-once sharing,
   * the clear() cold-measurement hook, and memo's single-build race
-  * semantics. */
+  * semantics.
+  *
+  * Runs against a PRIVATE `newSession()` (SessionCache keys by session
+  * instance): sbt runs suites in parallel in one JVM, and a clear() of
+  * the shared test session would evict other suites' live artifacts
+  * mid-flight — in particular it would flip CodegenCensusSpec's pinned
+  * warm-state plans to their cold shapes. The toy range(5) plans here
+  * collide with nobody through the plan-equality CacheManager either. */
 class SessionCacheSpec extends AnyFunSuite {
-  lazy val spark = SparkTestSession.spark
+  lazy val spark = SparkTestSession.spark.newSession()
 
   test("getOrBuild builds once, shares, and rebuilds after clear") {
     var builds = 0
