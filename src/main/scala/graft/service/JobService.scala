@@ -93,20 +93,46 @@ object JobService {
     readJobs(spark, root).where(col("id") === id).as[Job].collect().headOption
   }
 
+  /** One claim token per (job, generation); generation = number of
+    * PENDING events so far (submission + each requeue), so a requeued
+    * job is claimable again while a live generation stays exclusive. */
+  private def claimFile(root: String, id: String, gen: Long): java.io.File =
+    new java.io.File(s"$root/claims/$id.gen-$gen")
+
   private def executeOne(spark: SparkSession, root: String, sfDir: String,
                          job: Job): Unit = {
-    // Best-effort claim (ref `backend/db_runner.py`'s atomic
-    // `UPDATE ... WHERE status='PENDING'`): re-read the job's CURRENT
-    // status right before running, so a second runner — or the batch loop
-    // racing the streaming runner — that already wrote RUNNING turns this
-    // call into a no-op instead of a duplicate execution. Cost: one
-    // filtered log read per claim (O(log size) — acceptable for a
-    // driver-side job queue; a deployment partitioning job_events by id
-    // makes this a partition-pruned read). The window remains
-    // check-then-append, so it narrows the race rather than eliminating
-    // it — eliminating it needs a storage layer with conditional writes
-    // (the reference's UPDATE..WHERE, or Delta's txn log).
-    if (!status(spark, root, job.id).map(_.status).contains(Pending)) return
+    // Two-stage claim (ref `backend/db_runner.py`'s atomic
+    // `UPDATE ... WHERE status='PENDING'`):
+    //  1. re-read the job's CURRENT events right before running — a
+    //     runner that already wrote a terminal state (or holds a live
+    //     RUNNING claim) turns this call into a no-op. One filtered log
+    //     read per claim; a deployment partitioning job_events by id
+    //     makes it partition-pruned.
+    //  2. an ATOMIC conditional write decides ties the read can't see:
+    //     `createNewFile` on a per-(job, generation) token is the
+    //     local-FS twin of the reference's UPDATE..WHERE (at cluster
+    //     scale: a Delta txn or any storage conditional put). The token
+    //     comes BEFORE the RUNNING append, so a losing drainer appends
+    //     NOTHING — a loser's late RUNNING row could otherwise land
+    //     after the winner's COMPLETED and leave the job looking
+    //     claimed forever. Only the token winner writes RUNNING and
+    //     executes — double-COMPLETE is impossible within a generation
+    //     (JobsConcurrencySpec drives this under real thread
+    //     contention). A claimant dying between token and RUNNING is
+    //     recovered by requeueStale's pending-with-burned-token sweep.
+    //     Across generations the sweep's liveness contract still
+    //     applies: requeueing a slow-but-alive claimant re-opens the
+    //     window by design.
+    val evs = events(spark, root).where(col("id") === job.id)
+      .select(col("status"), col("event_at"), col("seq")).collect()
+    if (evs.isEmpty) return
+    val latest = evs.maxBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+      .getString(0)
+    if (latest != Pending) return
+    val gen = evs.count(_.getString(0) == Pending)
+    val token = claimFile(root, job.id, gen)
+    token.getParentFile.mkdirs()
+    if (!token.createNewFile()) return // lost the tie: the winner executes
     transition(spark, root, job, Running)
     val t0 = System.nanoTime()
     try {
@@ -257,7 +283,11 @@ object JobService {
     * by appending a fresh PENDING event — the append-only twin of the
     * reference runner's stale-job reset (`backend/db_runner.py`'s
     * status-machine recovery), after which any runner completes it
-    * normally. Returns the requeued ids.
+    * normally. Also sweeps the narrower claim-token crash window: a job
+    * still PENDING past the horizon whose current generation's token is
+    * burned (claimant died after `createNewFile`, before its RUNNING
+    * append) — the fresh PENDING bumps the generation, freeing a new
+    * token. Returns the requeued ids.
     *
     * Liveness contract: `staleAfterSeconds` must exceed the longest
     * legitimate job runtime — requeueing a claim whose owner is merely
@@ -268,9 +298,11 @@ object JobService {
     *
     * BOUNDED RETRY (ref `scanner/DGIS_SCAN_2_stable.py:152-167` — 3
     * tries, exponential spacing): a job that keeps killing its runner
-    * would otherwise requeue forever. Attempt count = RUNNING events in
-    * the log (each claim appends one — the log IS the retry counter, no
-    * schema change). A stale claim with `maxAttempts` tries transitions
+    * would otherwise requeue forever. Attempt count = PENDING events in
+    * the log (the submission plus one per requeue — the log IS the retry
+    * counter, no schema change; RUNNING events no longer work as the
+    * counter because tied claimants may append duplicate RUNNING rows
+    * for one generation). A stale claim with `maxAttempts` tries transitions
     * FAILED instead of PENDING; below the cap, attempt k is only swept
     * after `staleAfterSeconds * 2^(k-1)` — the reference's 2^n backoff
     * re-expressed on the sweep horizon. */
@@ -278,17 +310,24 @@ object JobService {
                    staleAfterSeconds: Long, maxAttempts: Int = 3): Seq[String] = {
     import spark.implicits._
     val now = System.currentTimeMillis()
-    val running = readJobs(spark, root)
-      .where(col("status") === Running).as[Job].collect()
-    if (running.isEmpty) return Seq.empty
-    val attempts = events(spark, root).where(col("status") === Running)
+    val latest = readJobs(spark, root)
+      .where(col("status") === Running || col("status") === Pending)
+      .as[Job].collect()
+    if (latest.isEmpty) return Seq.empty
+    val attempts = events(spark, root).where(col("status") === Pending)
       .groupBy(col("id")).agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
-    running.toSeq.flatMap { j =>
+    latest.toSeq.flatMap { j =>
       val n = attempts.getOrElse(j.id, 1L)
+      // A job whose latest event is still PENDING is only stuck if its
+      // generation's claim token was burned without a RUNNING follow-up
+      // (claimant died between token and append); an unclaimed PENDING
+      // job is just waiting for a runner and must not be touched.
+      val stuck = j.status == Running ||
+        (j.status == Pending && claimFile(root, j.id, n).exists())
       val horizonMs =
         staleAfterSeconds * 1000L * (1L << math.min(n - 1, 16L).toInt)
-      if (j.updated_at.getTime >= now - horizonMs) None
+      if (!stuck || j.updated_at.getTime >= now - horizonMs) None
       else if (n >= maxAttempts) {
         transition(spark, root, j, Failed,
           error = s"gave up after $n attempts (max $maxAttempts)")
