@@ -3356,7 +3356,51 @@ object AnalyticsQueries {
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n_events"))
         .orderBy(col("user_id"), col("session_start"))
-        )
+        ),
+
+    // Exact GLOBAL order statistics (p25/p50/p75/p90/p99) with no
+    // single-partition sort — the corpus-scale form of q57/q182's
+    // per-group rank-crossing, which relies on a partition key a global
+    // statistic doesn't have. Value-bucket the cents; a bucket-count
+    // table + ops.BucketedPrefix running sum locates each rank's host
+    // bucket; a window PARTITIONED by bucket (≤ bucketWidth distinct
+    // values) crosses the residual rank inside only the host buckets.
+    // Type-1 (lower) statistics — k = (n−1)·p/100 + 1 — so every answer
+    // is a REAL data value, no interpolation semantics to reconcile.
+    // 100 TB: two bucket-grain shuffles + one value-grain window over
+    // the semi-join-pruned host buckets; nothing global is ever sorted,
+    // and the rank table is 5 rows however large the corpus.
+    "q269_global_quantiles" -> ((s, d) => {
+      val bw = 16384L
+      val v = Tables.lineitem(s, d)
+        .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("c"))
+      val bcnt = v.groupBy(expr(s"c div $bw").as("bkt"))
+        .agg(count(lit(1)).as("cnt"))
+      val brun = graft.ops.BucketedPrefix
+        .runningSums(bcnt, "bkt", Seq("cnt"), 64L)
+      val n = v.agg(count(lit(1)).as("n"))
+      val ks = s.range(1)
+        .select(explode(array(Seq(25, 50, 75, 90, 99).map(lit): _*)).as("pq"))
+        .crossJoin(n)
+        .select(col("pq").cast("bigint").as("p"),
+          expr("((n - 1) * pq) div 100 + 1").as("k"))
+      val tgt = ks.join(brun,
+          col("run_cnt") >= col("k") && col("run_cnt") - col("cnt") < col("k"))
+        .select(col("p"), col("k"), col("bkt"),
+          (col("run_cnt") - col("cnt")).as("base"))
+      val wB = Window.partitionBy(col("bkt")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inB = v.withColumn("bkt", expr(s"c div $bw"))
+        .join(broadcast(tgt.select(col("bkt")).distinct()), Seq("bkt"),
+          "left_semi")
+        .groupBy(col("bkt"), col("c")).agg(count(lit(1)).as("vc"))
+        .withColumn("vrun", sum(col("vc")).over(wB))
+      tgt.join(inB, Seq("bkt"))
+        .where(col("base") + col("vrun") >= col("k") &&
+          col("base") + col("vrun") - col("vc") < col("k"))
+        .select(col("p"), col("k"), col("c").as("value_cents"))
+        .orderBy(col("p"))
+    })
   )
 
   /** THE (event_type, day, n_events, value_q) daily aggregate — q91,
@@ -6009,6 +6053,19 @@ object AnalyticsQueries {
         |  COALESCE(lead(od) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
         |  (lead(od) OVER w IS NULL) AS is_current
         |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q269 oracle: the oracle MAY sort globally (DuckDB, oracle-sized
+    // data) — rank k picked straight off a row_number over the full
+    // value order; identical type-1 rank rule.
+    "q269_global_quantiles" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) c
+        |           FROM lineitem),
+        |cn AS (SELECT count(*) n FROM v),
+        |p AS (SELECT CAST(unnest([25, 50, 75, 90, 99]) AS BIGINT) p),
+        |k AS (SELECT p, ((n - 1) * p) // 100 + 1 k FROM p CROSS JOIN cn),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c) rn FROM v)
+        |SELECT p, CAST(k.k AS BIGINT) AS k, r.c AS value_cents
+        |FROM k JOIN r ON r.rn = k.k ORDER BY p""".stripMargin
   )
 }

@@ -197,6 +197,49 @@ object EventQueries {
           sum(col("k")).cast("bigint").as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))
+    }),
+
+    // Cross-user session interval-overlap pairs per day — the RANGE
+    // JOIN Spark has no native operator for, expressed bucket-bounded:
+    // each session (q45's 30-min-gap construction, CLOSED [st, en]
+    // intervals) lands in every 1-hour bucket it touches (a
+    // span-bounded sequence() explode), candidate pairs form only
+    // INSIDE a bucket (equi-join on the bucket key — never a global
+    // theta join), and each overlapping pair is counted exactly once,
+    // in the bucket containing max(st_a, st_b) — the canonical
+    // interval-join dedup rule, so no global DISTINCT is needed
+    // either. A pair's day is the day of that same overlap start.
+    // 100 TB: bucket population is exactly the concurrency q258
+    // measures, so pair work is Σ_buckets(concurrency²) — capacity-
+    // bounded, never sessions².
+    "q270_session_overlap" -> ((s, d) => {
+      val hour = 3600000000L
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("is_new", when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+          .otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(unix_micros(min(col("ts"))).as("st"),
+          unix_micros(max(col("ts"))).as("en"))
+      val b = sess.withColumn("bkt",
+        explode(sequence(expr(s"st div $hour"), expr(s"en div $hour"))))
+      b.as("a").join(b.as("b"),
+          col("a.bkt") === col("b.bkt") &&
+            col("a.user_id") < col("b.user_id") &&
+            col("a.st") <= col("b.en") && col("b.st") <= col("a.en") &&
+            expr(s"greatest(a.st, b.st) div $hour") === col("a.bkt"))
+        .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"),
+          greatest(col("a.st"), col("b.st")).as("ov"))
+        .groupBy(date_trunc("day", timestamp_micros(col("ov"))).as("day"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("ua") * lit(10000000L) + col("ub"))
+            .as("n_user_pairs"))
+        .orderBy(col("day"))
     })
   )
 
@@ -305,6 +348,34 @@ object EventQueries {
         |  CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
         |  min(CAST(props->>'$.k' AS INT)) AS min_k,
         |  max(CAST(props->>'$.k' AS INT)) AS max_k
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q270 oracle: the range join stated DIRECTLY (oracle-sized data);
+    // the engine's bucketed form must produce the identical pair set.
+    "q270_session_overlap" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) pts
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN pts IS NULL
+        |      OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(pts AS TIMESTAMP)) > 1800000000
+        |    THEN 1 ELSE 0 END nw
+        |  FROM l),
+        |x AS (
+        |  SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) sid
+        |  FROM s),
+        |se AS (SELECT user_id, sid,
+        |         epoch_us(CAST(min(ts) AS TIMESTAMP)) st,
+        |         epoch_us(CAST(max(ts) AS TIMESTAMP)) en
+        |       FROM x GROUP BY 1, 2),
+        |pr AS (SELECT a.user_id ua, b.user_id ub, greatest(a.st, b.st) ov
+        |       FROM se a JOIN se b ON a.user_id < b.user_id
+        |         AND a.st <= b.en AND b.st <= a.en)
+        |SELECT date_trunc('day', make_timestamp(ov)) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT ua * 10000000 + ub) AS BIGINT) AS n_user_pairs
+        |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -558,7 +558,7 @@ class PlanSpec extends AnyFunSuite {
       s"scoring aggregate lost map-side partials:\n$p")
   }
 
-  test("BucketedPrefix consumers (q178/q258/q259): no single-partition window in any plan") {
+  test("BucketedPrefix consumers (q178/q258/q259/q269): no single-partition window in any plan") {
     // The classic KS global sort is re-expressed as histogram grain +
     // value-bucketed two-phase prefix sums; the only windows left are
     // PARTITIONED by bucket. An unpartitioned Window.orderBy here would
@@ -569,7 +569,8 @@ class PlanSpec extends AnyFunSuite {
     // `Window [exprs], [partition], [order]` when partitioned and
     // `Window [exprs], [order]` when global — so every Window line must
     // carry TWO `], [` separators.
-    Seq("q178_ks_drift", "q258_peak_concurrency", "q259_watermark_lateness")
+    Seq("q178_ks_drift", "q258_peak_concurrency", "q259_watermark_lateness",
+        "q269_global_quantiles")
       .foreach { name =>
         val p = plan(name)
         val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
@@ -581,6 +582,19 @@ class PlanSpec extends AnyFunSuite {
         }
         graft.ops.TransientCache.releaseAll()
       }
+  }
+
+  test("q270 interval overlap: pairing is a bucket equi-join, never a nested-loop product") {
+    val p = plan("q270_session_overlap")
+    // The range join must stay inside hash-partitioned bucket groups —
+    // a BNLJ here would be the sessions² theta join the bucketing exists
+    // to avoid.
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"interval pairing left the bucket equi-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"expected a hash/merge equi-join on the bucket key:\n$p")
   }
 
   test("q228 PPJoin: candidate state is pair grain — aggregate before persist, partial max") {
