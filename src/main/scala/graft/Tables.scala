@@ -73,6 +73,12 @@ object GraftSession {
         s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .config("spark.sql.shuffle.partitions", threads.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // The generated-class cache defaults to 100 entries; a 270-query
+      // registry (and 40 parallel test suites) churns far past that, so
+      // identical plans recompile constantly and — under concurrent
+      // first-compiles — can trip Janino's nested-class accessor race.
+      // Size it to hold the working set.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Dump timestamps as µs (not INT96/ns): the driver's pandas read of

@@ -20,6 +20,34 @@ class JobsConcurrencySpec extends AnyFunSuite {
     "one claim token per job, no stray RUNNING tail") {
     import org.apache.spark.sql.functions.col
     val mdx = "SELECT {[Measures].[sum_qty]} ON COLUMNS FROM [Sales]"
+    // Warm every codegen path the drainers hit (event-log append encoder,
+    // readJobs window, result write) on the MAIN thread first: Janino's
+    // first compile of the same generated classes from two threads at
+    // once can spuriously fail to resolve a nested-class accessor (a
+    // compile-cache race, nothing to do with the claim machine under
+    // test), and a warm cache turns the contended compiles into hits.
+    locally {
+      val warmRoot = java.nio.file.Files
+        .createTempDirectory("graft_jobs_conc_warm").toString
+      val w = JobService.submit(spark, warmRoot, "SALES", mdx)
+      JobService.runPending(spark, warmRoot, sf)
+      assert(JobService.status(spark, warmRoot, w).get.status ==
+        JobService.Completed)
+    }
+    // The rare residual: the JVM-wide codegen cache is small enough that
+    // a parallel SUITE can evict a warmed entry mid-round, re-exposing
+    // the Janino race. One retry per drainer keeps the spec about claim
+    // semantics (drains are idempotent — a retried sweep re-reads the
+    // same log, so every exactly-once assertion below still binds).
+    def drainWithOneRetry(root: String): Unit =
+      try JobService.runPending(spark, root, sf)
+      catch { case e: Throwable
+        if { var c: Throwable = e; var hit = false
+             while (c != null && !hit) {
+               hit = c.getClass.getName.contains("CompileException"); c = c.getCause }
+             hit } =>
+        JobService.runPending(spark, root, sf)
+      }
     for (round <- 1 to 3) {
       val root = java.nio.file.Files
         .createTempDirectory(s"graft_jobs_conc_$round").toString
@@ -32,10 +60,10 @@ class JobsConcurrencySpec extends AnyFunSuite {
           try {
             gate.await() // maximal contention: both hit the same backlog
             if (t == 2) Thread.sleep(round * 37L) // vary the interleaving
-            JobService.runPending(spark, root, sf)
+            drainWithOneRetry(root)
             // second sweep: anything the first pass lost to a tie must
             // already be terminal, so this must be a no-op
-            JobService.runPending(spark, root, sf)
+            drainWithOneRetry(root)
           } catch { case e: Throwable => errs.add(e) }
         }, s"drainer-$t")
       }
