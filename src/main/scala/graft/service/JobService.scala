@@ -45,7 +45,26 @@ object JobService {
 
   private def appendEvent(spark: SparkSession, root: String, e: JobEvent): Unit = {
     import spark.implicits._
-    Seq(e).toDF().coalesce(1).write.mode(SaveMode.Append).parquet(eventsPath(root))
+    // Concurrent appenders must never share an output-commit directory:
+    // two simultaneous FileOutputCommitter jobs on one path race on the
+    // SHARED `_temporary` dir — the first to finish cleans it up and
+    // deletes the other's in-flight attempt (surfaced by
+    // JobsConcurrencySpec as a chmod/no-such-file task failure). Each
+    // append therefore commits into its own staging dir and publishes
+    // the finished part file into the log under a unique name — the
+    // unique-filename discipline every multi-writer log format (Delta,
+    // Iceberg) builds on; rename-within-FS is the atomic publish.
+    val id = java.util.UUID.randomUUID().toString
+    val dir = new java.io.File(eventsPath(root))
+    dir.mkdirs()
+    val stage = new java.io.File(dir.getParentFile, s".stage-$id")
+    Seq(e).toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage.getPath)
+    val part = Option(stage.listFiles()).getOrElse(Array.empty)
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(throw new java.io.IOException(s"no part file in $stage"))
+    if (!part.renameTo(new java.io.File(dir, s"$id.parquet")))
+      throw new java.io.IOException(s"could not publish event $id")
+    delete(stage)
   }
 
   private def events(spark: SparkSession, root: String): DataFrame = {

@@ -5,9 +5,17 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Golden whole-stage-codegen census (r8 verdict item 5): PlanAudit's
   * wscg/noncg columns existed but nothing FAILED when a hot query's
   * operator drifted out of codegen — the regression only surfaced as a
-  * bench delta a round later. This pins (wscg spans, non-codegen
-  * operator count) for a hot-query set against a committed golden, so
-  * the drift becomes a named red test at commit time.
+  * bench delta a round later. This pins the NON-CODEGEN OPERATOR COUNT
+  * for a hot-query set against a committed golden, so the drift becomes
+  * a named red test at commit time.
+  *
+  * noncg is the pinned column because it is the drift signal AND the
+  * stable one: an operator leaving codegen raises it by exactly one
+  * line. The wscg span COUNT is deliberately not asserted — AQE merges
+  * or splits spans based on runtime shuffle stats, and whether a
+  * transient cache entry from the warm pass finished its async
+  * unpersist flips span boundaries (observed: q259 18↔17 spans, noncg
+  * 22 in both states) without any operator changing execution mode.
   *
   * Census state is the deterministic WARM shape: each query runs once
   * first so its session artifacts exist (SessionCacheSpec uses a private
@@ -20,25 +28,25 @@ import org.scalatest.funsuite.AnyFunSuite
   * an env var left set in CI).
   */
 object CodegenCensusGolden {
-  /** name -> (wscg spans, non-codegen operators), sf0.001, warm state,
-    * shared 4-thread test session. */
-  val golden: Map[String, (Int, Int)] = Map(
-    "q01_pricing_summary" -> (3, 3),
-    "q03_filter_members" -> (9, 14),
-    "q164_join_size_estimate" -> (10, 13),
-    "q178_ks_drift" -> (3, 5),
-    "q198_lsh_band_sweep" -> (31, 122),
-    "q202_prefix_filter_join" -> (8, 27),
-    "q225_winnow_density" -> (5, 17),
-    "q228_ppjoin_positional" -> (6, 21),
-    "q23_dedup_minhash_lsh" -> (9, 41),
-    "q258_peak_concurrency" -> (32, 34),
-    "q259_watermark_lateness" -> (18, 22),
-    "q26_embed_neardup" -> (4, 11),
-    "q60_chunk_windows" -> (3, 4),
-    "q66_pii_redaction" -> (2, 2),
-    "q87_ivfpq_ann" -> (8, 31),
-    "q92_block_dedup" -> (7, 9),
+  /** name -> non-codegen operator count, sf0.001, warm state, shared
+    * 4-thread test session. */
+  val golden: Map[String, Int] = Map(
+    "q01_pricing_summary" -> 3,
+    "q03_filter_members" -> 14,
+    "q164_join_size_estimate" -> 13,
+    "q178_ks_drift" -> 5,
+    "q198_lsh_band_sweep" -> 122,
+    "q202_prefix_filter_join" -> 27,
+    "q225_winnow_density" -> 17,
+    "q228_ppjoin_positional" -> 21,
+    "q23_dedup_minhash_lsh" -> 41,
+    "q258_peak_concurrency" -> 34,
+    "q259_watermark_lateness" -> 22,
+    "q26_embed_neardup" -> 11,
+    "q60_chunk_windows" -> 4,
+    "q66_pii_redaction" -> 2,
+    "q87_ivfpq_ann" -> 31,
+    "q92_block_dedup" -> 9,
   )
 }
 
@@ -57,18 +65,18 @@ class CodegenCensusSpec extends AnyFunSuite {
     val got = names.map { n =>
       val cs = PlanAudit.census(SparkEntry.queries(n)(spark, sf).queryExecution)
       graft.ops.TransientCache.releaseAll()
-      n -> (cs.wscg, cs.noncg)
+      n -> cs
     }
-    val diffs = got.filter { case (n, v) => CodegenCensusGolden.golden(n) != v }
+    val diffs = got.filter { case (n, cs) =>
+      CodegenCensusGolden.golden(n) != cs.noncg }
     if (diffs.nonEmpty || sys.env.contains("SPARK_GRAFT_ACCEPT_CENSUS")) {
-      val literal = got.map { case (n, (w, g)) =>
-        s"""    "$n" -> ($w, $g),"""
+      val literal = got.map { case (n, cs) =>
+        s"""    "$n" -> ${cs.noncg}, // wscg ${cs.wscg}"""
       }.mkString("\n")
       info(s"current census (paste into CodegenCensusGolden.golden):\n$literal")
     }
-    assert(diffs.isEmpty, diffs.map { case (n, (w, g)) =>
-      val (gw, gg) = CodegenCensusGolden.golden(n)
-      s"$n: wscg $gw->$w noncg $gg->$g"
+    assert(diffs.isEmpty, diffs.map { case (n, cs) =>
+      s"$n: noncg ${CodegenCensusGolden.golden(n)} -> ${cs.noncg} (wscg ${cs.wscg})"
     }.mkString("codegen census drift (accept via the printed literal):\n",
       "\n", ""))
   }
