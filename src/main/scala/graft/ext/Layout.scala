@@ -13,12 +13,16 @@ import org.apache.spark.sql.functions._
   * at equal-count file grain, collects exactly the per-file min/max
   * stats Parquet row groups / lakehouse manifests already store, and
   * counts the files a box predicate must read under each layout — the
-  * number a 1000-executor scan actually pays for. The audit's global
-  * sort is the SAME sort the write job would perform (Spark executes it
-  * as a distributed range-partitioned sort when it is a real write;
-  * here the equal-count split is an `ntile`, chosen because its file
-  * boundaries are deterministic and therefore oracle-checkable —
-  * `repartitionByRange` samples its boundaries and is not).
+  * number a 1000-executor scan actually pays for. The equal-count split
+  * is ntile SEMANTICS (deterministic file boundaries, therefore
+  * oracle-checkable — `repartitionByRange` samples its boundaries and
+  * is not) but NOT Spark's ntile window: an unpartitioned ntile is a
+  * single-partition sort of the whole fact table, the one plan shape
+  * that cannot survive the audit's own 100 TB target. Instead each
+  * row's exact global rank comes from the BucketedPrefix discipline
+  * (dynamic-width value buckets + an exclusive bucket-count prefix +
+  * a bucket-PARTITIONED row_number), and the ntile group falls out of
+  * the closed-form rank→tile formula.
   *
   * Everything is integer: keys are BIGINT, the Morton key is a sum of
   * shifted bits, zone bounds and row counts are exact.
@@ -39,6 +43,32 @@ object Layout {
       shiftright(xs, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
         shiftright(ys, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
+  }
+
+  /** Exact global 1-based rank with NO single-partition window — the
+    * ops.BucketedPrefix discipline applied to ranking. `bucketSrc` is
+    * value-bucketed at a dynamic width ((max−min+B)/B, so rows equal on
+    * bucketSrc never split across buckets), bucket-count offsets come
+    * from an exclusive running sum over the ≤B-row bucket table, and
+    * the residual rank is a row_number PARTITIONED by bucket ordered by
+    * `order`. Caller contract: `order` must be a total order whose
+    * leading component is (or refines) `bucketSrc`, so bucket
+    * boundaries respect it. Appends `__rank`; leaves input columns. */
+  private def withGlobalRank(df: DataFrame, bucketSrc: Column,
+                             order: Seq[Column], buckets: Int = 4096): DataFrame = {
+    val src = df.withColumn("__bsrc", bucketSrc.cast("long"))
+    val stats = src.agg(min(col("__bsrc")).as("__mn"), max(col("__bsrc")).as("__mx"))
+    val withB = src.crossJoin(broadcast(stats))
+      .withColumn("__bkt",
+        expr(s"(__bsrc - __mn) div greatest((__mx - __mn + $buckets) div $buckets, 1)"))
+    val bcnt = withB.groupBy(col("__bkt")).agg(count(lit(1)).as("__cnt"))
+    val off = graft.ops.BucketedPrefix
+      .runningSums(bcnt, "__bkt", Seq("__cnt"), 64L)
+      .select(col("__bkt"), (col("run___cnt") - col("__cnt")).as("__off"))
+    val wB = Window.partitionBy(col("__bkt")).orderBy(order: _*)
+    withB.join(broadcast(off), Seq("__bkt"))
+      .withColumn("__rank", col("__off") + row_number().over(wB).cast("long"))
+      .drop("__bkt", "__bsrc", "__mn", "__mx", "__off")
   }
 
   /** Zone-map skipping audit: assign every row to one of `files`
@@ -72,17 +102,25 @@ object Layout {
           lit(s"zOrderKey: key outside [0, 2^$bits) — raise bits"))
           .cast("long"), lit(0L)))
     val ties = tieCols.map(col)
-    val wNat = Window.orderBy(ties: _*)
-    val wZ = Window.orderBy((col("zkey") +: ties): _*)
     val matched = when(col("x").between(xLo, xHi) &&
       col("y").between(yLo, yHi), 1L).otherwise(0L)
+    // ntile(k) over n rows, closed form from the exact 1-based rank:
+    // the first n%k tiles hold n/k+1 rows, the rest n/k.
+    def tileOf: Column = expr(
+      s"""CASE WHEN __rank <= ((__n div $files) + 1) * (__n % $files)
+         | THEN (__rank - 1) div ((__n div $files) + 1) + 1
+         | ELSE (__n % $files) +
+         |   (__rank - ((__n div $files) + 1) * (__n % $files) - 1)
+         |     div (__n div $files) + 1 END""".stripMargin).cast("int")
+    val nRow = base.agg(count(lit(1)).as("__n"))
+    def leg(label: String, bucketSrc: Column, order: Seq[Column]) =
+      withGlobalRank(base, bucketSrc, order)
+        .crossJoin(broadcast(nRow))
+        .select(lit(label).as("layout"), tileOf.as("f"), col("x"),
+          col("y"), matched.as("m"))
     val assigned =
-      base.select(lit("natural").as("layout"),
-          ntile(files).over(wNat).as("f"), col("x"), col("y"),
-          matched.as("m"))
-        .unionAll(base.select(lit("zorder").as("layout"),
-          ntile(files).over(wZ).as("f"), col("x"), col("y"),
-          matched.as("m")))
+      leg("natural", col(tieCols.head).cast("long"), ties)
+        .unionAll(leg("zorder", col("zkey"), col("zkey") +: ties))
     val zones = assigned.groupBy(col("layout"), col("f"))
       .agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
         min(col("y")).as("mny"), max(col("y")).as("mxy"),

@@ -558,7 +558,7 @@ class PlanSpec extends AnyFunSuite {
       s"scoring aggregate lost map-side partials:\n$p")
   }
 
-  test("BucketedPrefix consumers (q178/q258/q259/q269): no single-partition window in any plan") {
+  test("BucketedPrefix consumers (q178/q258/q259/q269/q230): no single-partition window in any plan") {
     // The classic KS global sort is re-expressed as histogram grain +
     // value-bucketed two-phase prefix sums; the only windows left are
     // PARTITIONED by bucket. An unpartitioned Window.orderBy here would
@@ -570,7 +570,7 @@ class PlanSpec extends AnyFunSuite {
     // `Window [exprs], [order]` when global — so every Window line must
     // carry TWO `], [` separators.
     Seq("q178_ks_drift", "q258_peak_concurrency", "q259_watermark_lateness",
-        "q269_global_quantiles")
+        "q269_global_quantiles", "q230_zorder_skipping")
       .foreach { name =>
         val p = plan(name)
         val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
