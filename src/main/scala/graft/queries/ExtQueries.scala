@@ -995,12 +995,15 @@ object ExtQueries {
       val sh = bigramShingles(s, d)
       val collFull = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .agg(sum(expr("df * (df - 1) DIV 2")).as("n_collisions_full"))
-      // Each leg materialized ONCE and reused (TransientCache, runner
-      // releases): the prefix index feeds its collision audit AND the
-      // candidate join; the candidate table feeds its count AND the
-      // verification — without this, every output column re-derives
-      // the whole chain.
-      val pre = graft.ops.TransientCache.persist(
+      // Each leg materialized ONCE and reused: the prefix index feeds
+      // its collision audit AND the candidate join; the candidate table
+      // feeds its count AND the verification — without this, every
+      // output column re-derives the whole chain. The prefix index is a
+      // SESSION artifact (not transient): q228 runs the same t = 4/5
+      // index one funnel stage deeper, so the two queries share one
+      // build — at cluster scale this is a materialized posting table,
+      // exactly like the shingle artifact it derives from.
+      val pre = graft.ops.SessionCache.getOrBuild(s, s"prefix_postings:4:5:$d")(
         Dedup.prefixPostings(sh, 4, 5))
       val collPre = pre.groupBy(col("s")).agg(count(lit(1)).as("pdf"))
         .agg(sum(expr("pdf * (pdf - 1) DIV 2")).as("n_collisions_prefix"))
@@ -1040,7 +1043,7 @@ object ExtQueries {
     // unpruned join — a true pair wrongly pruned shows as a mismatch.
     "q228_ppjoin_positional" -> ((s, d) => {
       val sh = bigramShingles(s, d)
-      val pre = graft.ops.TransientCache.persist(
+      val pre = graft.ops.SessionCache.getOrBuild(s, s"prefix_postings:4:5:$d")(
         Dedup.prefixPostings(sh, 4, 5))
       val pairs = graft.ops.TransientCache.persist(
         pre.as("a").join(pre.as("b"),

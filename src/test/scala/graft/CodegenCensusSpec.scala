@@ -38,7 +38,7 @@ object CodegenCensusGolden {
     "q198_lsh_band_sweep" -> 122,
     "q202_prefix_filter_join" -> 27,
     "q225_winnow_density" -> 17,
-    "q228_ppjoin_positional" -> 21,
+    "q228_ppjoin_positional" -> 20,
     "q23_dedup_minhash_lsh" -> 41,
     "q258_peak_concurrency" -> 34,
     "q259_watermark_lateness" -> 22,
