@@ -90,7 +90,11 @@ object Layout {
                    bits: Int = 21): DataFrame = {
     require(tieCols.nonEmpty, "need a deterministic natural order")
     val lim = 1L << bits
-    val base = df.select(
+    // Persisted once (transient, the query owner releases): the two
+    // rank legs, their bucket statistics and the row count would
+    // otherwise each re-scan the fact and re-derive the Morton key —
+    // six scans for one audit.
+    val base = graft.ops.TransientCache.persist(df.select(
       (Seq(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"),
         zOrderKey(col(xCol), col(yCol), bits).as("zkey")) ++
         tieCols.map(col)): _*)
@@ -100,7 +104,7 @@ object Layout {
         assert_true(
           col("x") >= 0 && col("x") < lim && col("y") >= 0 && col("y") < lim,
           lit(s"zOrderKey: key outside [0, 2^$bits) — raise bits"))
-          .cast("long"), lit(0L)))
+          .cast("long"), lit(0L))))
     val ties = tieCols.map(col)
     val matched = when(col("x").between(xLo, xHi) &&
       col("y").between(yLo, yHi), 1L).otherwise(0L)
