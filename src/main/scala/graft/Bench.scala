@@ -18,11 +18,14 @@ object Bench {
     // aggregates/projections for some plans; counting the physical plan's
     // InternalRow RDD executes every operator as written. n>=2 iterations
     // make first-run JIT/codegen noise visible; headline = warmed run.
-    // Default 3 since r9: passes 2..n run in DIFFERENT (seeded-shuffled)
-    // registry orders, so >=2 clean warm orders land in bench.json and
-    // order-dependent contamination (r8's q01 warm anomaly) shows up as
-    // cross-order variance instead of landing forever on one victim.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // Since r9 passes 2..n run in DIFFERENT (seeded-shuffled) registry
+    // orders, so >=2 warm orders land in bench.json and order-dependent
+    // contamination (r8's q01 warm anomaly) shows up as cross-order
+    // variance instead of landing forever on one victim. Default stays
+    // 2 (registry + shuffled:2) so the driver's unattended run keeps
+    // its r8 wall-time envelope; the committed bench.json is produced
+    // with SPARK_GRAFT_BENCH_ITERS=3 for a third order.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     // Optional comma-separated substring filter for iterating on a hot
     // query without paying the full suite (dev-only; the driver ignores it).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
