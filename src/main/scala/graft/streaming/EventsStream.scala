@@ -85,6 +85,11 @@ final case class HwmUpdate(event_type: String, n_seen: Long, hwm_us: Long,
                            n_late_1s: Long, n_late_10s: Long,
                            n_late_60s: Long)
 
+/** Value-bucket count register — the streaming first stage of the
+  * q269 global-order-statistic discipline: one running count per value
+  * bucket, maintained at ingest. */
+final case class BucketCountUpdate(bucket: Long, n: Long)
+
 object EventsStream {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -380,6 +385,32 @@ object EventsStream {
           }
           state.update(HwmState(hwm, n, l1, l10, l60))
           HwmUpdate(typ, n, hwm, l1, l10, l60)
+      }
+  }
+
+  /** Value-bucket count registers — the streaming face of q269's
+    * global order statistics: the batch op's first stage is a
+    * bucket-count table, and that table is ADD-mergEABLE, so it can be
+    * maintained per arrival as one O(1) counter per bucket (key space
+    * bounded by value-range/width, the same bound the batch op relies
+    * on). Rank location — "which bucket holds the p-th value" — is
+    * then query-time arithmetic over the register table, exactly the
+    * batch bucket-prefix leg; only the within-bucket refinement still
+    * reads data, and only the ONE host bucket. Order-invariant facts
+    * only (counts), so arrival order cannot matter by construction. */
+  def valueBucketRegisters(spark: SparkSession, events: DataFrame,
+                           widthMilli: Long): Dataset[BucketCountUpdate] = {
+    import spark.implicits._
+    events
+      .select(expr(s"(CAST(floor(value * 1000) AS BIGINT)) div $widthMilli")
+        .as("bucket"))
+      .as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, BucketCountUpdate](GroupStateTimeout.NoTimeout()) {
+        case (b, it, state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + it.size
+          state.update(n)
+          BucketCountUpdate(b, n)
       }
   }
 

@@ -924,6 +924,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((3L, 200000000L, 2L, 2L, 1L)), s"cross-batch fold wrong: $got")
   }
 
+  test("streaming value-bucket registers equal the batch bucket counts (q269's first stage)") {
+    import graft.streaming.EventsStream
+    val w = 50000L
+    val updates = EventsStream.valueBucketRegisters(
+      spark, EventsStream.readEvents(spark, sf), w)
+    runAvailableNow(updates.toDF(), "vb_regs", OutputMode.Update())
+    // Registers are monotone counters: if the source split into several
+    // micro-batches, the FINAL register per bucket is the max update.
+    val got = spark.table("vb_regs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).max }
+    val expected = Tables.events(spark, sf)
+      .groupBy(expr(s"(CAST(floor(value * 1000) AS BIGINT)) div $w").as("b"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected && got.nonEmpty)
+    // The register table must actually partition the range — a single
+    // bucket would make the rank-location claim vacuous on this fixture.
+    assert(got.size > 1, s"degenerate single-bucket fixture: $got")
+    // Rank location off the registers IS the batch bucket-prefix leg:
+    // the type-1 median's host bucket agrees with a direct batch scan.
+    val n = got.values.sum
+    val k = (n + 1) / 2
+    val host = got.toSeq.sortBy(_._1)
+      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
+      .find(_._2 >= k).get._1
+    val batchHost = Tables.events(spark, sf)
+      .select(expr("CAST(floor(value * 1000) AS BIGINT)").as("v"))
+      .orderBy(col("v")).limit(k.toInt).agg(max(col("v"))).head.getLong(0) / w
+    assert(host == batchHost, s"register rank location diverged: $host vs $batchHost")
+  }
+
+  test("streaming value-bucket registers carry counts across micro-batches") {
+    import graft.streaming.EventsStream
+    val dir = java.nio.file.Files.createTempDirectory("vb_2b")
+    def writeAs(name: String, mtime: Long,
+                rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("vb_w")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // Batch 1: buckets 0 (value 1.0) and 1 (value 60.0) open at 1 each.
+    writeAs("b1.parquet", 1000000L,
+      Seq((1L, t(100), 1L, "drift", 1.0), (2L, t(200), 1L, "drift", 60.0)))
+    // Batch 2: bucket 0 increments against CARRIED state -> 2.
+    writeAs("b2.parquet", 2000000L,
+      Seq((3L, t(300), 1L, "drift", 1.5)))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val updates = EventsStream.valueBucketRegisters(spark, stream, 50000L)
+    runAvailableNow(updates.toDF(), "vb_2b", OutputMode.Update())
+    val got = spark.table("vb_2b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (1L, 1L), (0L, 2L)), s"register folds wrong: $got")
+  }
+
   test("streaming AQP registers equal the batch q237 legs (HT estimate included)") {
     import graft.streaming.EventsStream
     val updates = EventsStream.aqpRegisters(
