@@ -3400,6 +3400,55 @@ object AnalyticsQueries {
           col("base") + col("vrun") - col("vc") < col("k"))
         .select(col("p"), col("k"), col("c").as("value_cents"))
         .orderBy(col("p"))
+    }),
+
+    // Split-conformal coverage audit (Papadopoulos et al. 2002; Lei et
+    // al. 2018) — the distribution-free way to turn ANY point
+    // predictor into a calibrated accept band, which is how a curation
+    // pipeline sets "flag documents whose length is surprising for
+    // their source" without assuming a distribution. The calibration
+    // split is the deterministic md5 draw (first hex digit < '8' —
+    // the fixture stripes sources by doc_id % 20, so a parity split
+    // would starve every source of one side); the predictor is the
+    // per-source calibration mean (integer floor); the nonconformity
+    // score is |n_chars − pred|; q̂ is the ⌈(n+1)(1−α)⌉-th smallest
+    // calibration score (α = 1/10, type-1 rank — a REAL residual,
+    // capped at n when the small-sample rank exceeds it); measured
+    // test coverage in ppm sits next to the 900 000 target the
+    // theorem guarantees in expectation. All-integer end to end.
+    // 100 TB: one calibration aggregate per source (broadcast-scale),
+    // rank via a window PARTITIONED by source, coverage a second
+    // aggregate — no global sort, no self-join.
+    "q271_conformal_coverage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+            .between("0", "7").as("is_calib"))
+      val calib = docs.where(col("is_calib"))
+      val pred = calib.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_calib"),
+          expr("sum(n_chars) div count(1)").as("pred"))
+      val cres = calib.join(broadcast(pred), Seq("source"))
+        .select(col("source"), col("n_calib"),
+          abs(col("n_chars") - col("pred")).as("r"), col("doc_id"))
+      val wS = Window.partitionBy(col("source"))
+        .orderBy(col("r"), col("doc_id"))
+      val qhat = cres
+        .withColumn("rn", row_number().over(wS).cast("long"))
+        .where(col("rn") ===
+          least(expr("((n_calib + 1) * 9 + 9) div 10"), col("n_calib")))
+        .select(col("source"), col("n_calib"), col("r").as("qhat"))
+      docs.where(!col("is_calib"))
+        .join(broadcast(pred.select(col("source"), col("pred"))), Seq("source"))
+        .join(broadcast(qhat), Seq("source"))
+        .groupBy(col("source"), col("n_calib"), col("qhat"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(abs(col("n_chars") - col("pred")) <= col("qhat"), 1L)
+            .otherwise(0L)).as("n_covered"))
+        .select(col("source"), col("n_calib"), col("n_test"), col("qhat"),
+          col("n_covered"),
+          expr("(1000000 * n_covered) div n_test").as("coverage_ppm"))
+        .orderBy(col("source"))
     })
   )
 
@@ -6066,6 +6115,34 @@ object AnalyticsQueries {
         |k AS (SELECT p, ((n - 1) * p) // 100 + 1 k FROM p CROSS JOIN cn),
         |r AS (SELECT c, row_number() OVER (ORDER BY c) rn FROM v)
         |SELECT p, CAST(k.k AS BIGINT) AS k, r.c AS value_cents
-        |FROM k JOIN r ON r.rn = k.k ORDER BY p""".stripMargin
+        |FROM k JOIN r ON r.rn = k.k ORDER BY p""".stripMargin,
+
+    "q271_conformal_coverage" ->
+      """WITH c AS (SELECT source, doc_id, n_chars FROM documents
+        |           WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |             BETWEEN '0' AND '7'),
+        |p AS (SELECT source, count(*) n_calib,
+        |        sum(n_chars) // count(*) pred
+        |      FROM c GROUP BY 1),
+        |cr AS (SELECT c.source, p.n_calib, abs(c.n_chars - p.pred) r,
+        |         c.doc_id
+        |       FROM c JOIN p ON c.source = p.source),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+        |         ORDER BY r, doc_id) rn FROM cr),
+        |qh AS (SELECT source, n_calib, r qhat FROM rk
+        |       WHERE rn = least(((n_calib + 1) * 9 + 9) // 10, n_calib)),
+        |t AS (SELECT source, doc_id, n_chars FROM documents
+        |      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |        NOT BETWEEN '0' AND '7')
+        |SELECT t.source AS source, CAST(qh.n_calib AS BIGINT) AS n_calib,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(qh.qhat AS BIGINT) AS qhat,
+        |  CAST(sum(CASE WHEN abs(t.n_chars - p.pred) <= qh.qhat
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  CAST((1000000 * sum(CASE WHEN abs(t.n_chars - p.pred) <= qh.qhat
+        |    THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS coverage_ppm
+        |FROM t JOIN p ON t.source = p.source
+        |JOIN qh ON t.source = qh.source
+        |GROUP BY 1, 2, 4 ORDER BY 1""".stripMargin
   )
 }
