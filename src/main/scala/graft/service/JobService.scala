@@ -346,7 +346,17 @@ object JobService {
         (j.status == Pending && claimFile(root, j.id, n).exists())
       val horizonMs =
         staleAfterSeconds * 1000L * (1L << math.min(n - 1, 16L).toInt)
-      if (!stuck || j.updated_at.getTime >= now - horizonMs) None
+      // Staleness anchor: RUNNING jobs age from their last transition,
+      // but a PENDING job with a burned token ages from the TOKEN's
+      // mtime (the claim instant), not the PENDING append — under a
+      // deep backlog the PENDING event can already be past the horizon
+      // the moment a live drainer finally claims it, and anchoring on
+      // updated_at would requeue (or FAIL) a job whose claimant is
+      // alive inside the token-to-RUNNING window (r9 advice).
+      val anchorMs =
+        if (j.status == Pending) claimFile(root, j.id, n).lastModified()
+        else j.updated_at.getTime
+      if (!stuck || anchorMs >= now - horizonMs) None
       else if (n >= maxAttempts) {
         transition(spark, root, j, Failed,
           error = s"gave up after $n attempts (max $maxAttempts)")

@@ -49,6 +49,37 @@ class DgimSpec extends AnyFunSuite {
     assert(Dgim.estimate(st) == 0L, s"stale buckets: ${st.buckets}")
   }
 
+  test("no-expiry fold equals the bijective base-2 closed form (q272's oracle math)") {
+    // q272's DuckDB oracle never runs the fold: it derives the bucket
+    // structure from the bijective base-2 digits of the ones-count.
+    // This property pins that the fold and the closed form agree on
+    // random streams, so the oracle is a genuine independent check.
+    def bijectiveDigits(k0: Long): List[Long] = { // index 0 = size 1
+      var k = k0; val out = scala.collection.mutable.ListBuffer.empty[Long]
+      while (k > 0) { val d = if (k % 2 == 0) 2L else 1L; out += d; k = (k - d) / 2 }
+      out.toList
+    }
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val density = 1 + rnd.nextInt(4)
+      val bits = Seq.fill(200 + rnd.nextInt(2000))(rnd.nextInt(density) == 0)
+      val st = Dgim.fold(bits, Long.MaxValue / 4) // window >= stream: no expiry
+      val k = bits.count(identity).toLong
+      val digits = bijectiveDigits(k)
+      // bucket-size multiset = digits (size 2^j appears digits(j) times)
+      val expectSizes = digits.zipWithIndex
+        .flatMap { case (d, j) => List.fill(d.toInt)(1L << j) }.sorted
+      assert(st.buckets.map(_._1).sorted == expectSizes, s"seed=$seed")
+      if (k > 0) {
+        val top = 1L << (digits.length - 1)
+        // estimate = k − 2^top/2; oldest bucket ends at the 2^top-th one
+        assert(Dgim.estimate(st) == k - top / 2, s"seed=$seed")
+        val onesIdx = bits.zipWithIndex.collect { case (true, i) => i + 1L }
+        assert(st.buckets.last._2 == onesIdx(top.toInt - 1), s"seed=$seed")
+      }
+    }
+  }
+
   test("fold is split-invariant (state carries across batches)") {
     val rnd = new scala.util.Random(9)
     val bits = Seq.fill(1000)(rnd.nextBoolean())

@@ -27,36 +27,51 @@ README = Path(sys.argv[2] if len(sys.argv) > 2 else "README.md")
 
 b = json.loads(BENCH.read_text())
 
-# Per-query medians across warm passes (>=2 distinct orders when the
-# r9+ Bench wrote warm_passes); fall back to the single reported map.
-passes = [p["times"] for p in b.get("warm_passes", []) if p.get("times")]
-if not passes:
-    passes = [b["queries"]]
-med_q = {k: statistics.median([p[k] for p in passes if k in p])
-         for k in b["queries"]}
+# Per-query warm statistic. The r10+ Bench writes its own cross-pass
+# robust stat into "queries" (min of 2 passes, median at >=3 — the
+# "warm_stat" field names it); quote exactly that so the README and the
+# bench headline can never disagree. Older bench.json files carry the
+# last pass alone in "queries" — recompute the median across
+# warm_passes for those.
+stat_name = b.get("warm_stat")
+if stat_name:
+    med_q = dict(b["queries"])
+    stat_label = {"min_warm": "min", "median_warm": "median"}.get(
+        stat_name, stat_name)
+else:
+    passes = [p["times"] for p in b.get("warm_passes", []) if p.get("times")]
+    if not passes:
+        passes = [b["queries"]]
+    med_q = {k: statistics.median([p[k] for p in passes if k in p])
+             for k in b["queries"]}
+    stat_label = "median"
 times = sorted(med_q.values())
 n = len(times)
 slowest = sorted(med_q.items(), key=lambda kv: -kv[1])[:3]
 under2 = sum(1 for t in times if t < 2.0)
 med = times[n // 2]
-orders = len(passes)
+orders = len([p for p in b.get("warm_passes", []) if p.get("times")]) or 1
 
 # Driver-host totals from the newest BENCH_r*.json (the round driver's
-# own run of this same Bench main on its host).
+# own run of this same Bench main on its host). "Newest" is by the
+# NUMERIC round in the name (lexicographic glob order puts r100 before
+# r99), and the load sits inside the guard so one malformed BENCH file
+# degrades to "no driver note" instead of crashing (r9 advice).
 driver_note = ""
-rounds = sorted(Path(".").glob("BENCH_r*.json"))
+rounds = sorted(Path(".").glob("BENCH_r*.json"),
+                key=lambda p: int(re.search(r"(\d+)", p.stem).group(1)))
 if rounds:
     latest = rounds[-1]
-    m = re.search(r'BENCH_SUMMARY ({.*?})', json.loads(latest.read_text())
-                  .get("tail", ""))
-    if m:
-        try:
+    try:
+        tail = json.loads(latest.read_text()).get("tail", "")
+        m = re.search(r'BENCH_SUMMARY ({.*?})', tail)
+        if m:
             d = json.loads(m.group(1))
             driver_note = (
                 f" Driver-host ({latest.name}, {d['n_queries']} queries): "
                 f"warm {d['total']:.1f} s, cold {d['cold_total']:.1f} s.")
-        except (json.JSONDecodeError, KeyError):
-            pass
+    except (json.JSONDecodeError, KeyError, AttributeError, TypeError):
+        pass
 
 lines = [
     f"Latest full bench (`bench.json`, **builder-host**, sf `{b['sf']}`, "
@@ -65,7 +80,7 @@ lines = [
     f"every query); failed_warm={b['failed_warm']}, "
     f"failed_cold={b['failed_cold']}; first-pass session-artifact builds "
     f"{b['first_pass_artifact_build_s']:.1f} s.{driver_note}",
-    f"Warm per-query profile (builder-host median across {orders} pass "
+    f"Warm per-query profile (builder-host {stat_label} across {orders} pass "
     f"order{'s' if orders != 1 else ''}): median {med:.2f} s, {under2}/{n} "
     f"queries under 2 s; slowest three: "
     + ", ".join(f"{k} {v:.1f} s" for k, v in slowest) + ".",
