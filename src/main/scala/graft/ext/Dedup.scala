@@ -400,6 +400,44 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
+  /** [[simhashHammingPairsFromSigs]] with the exact-dup collapse the
+    * component path ([[simhashComponents]]) has always used, applied to
+    * the PAIR surface: identical signatures become one representative
+    * BEFORE the band join (the quadratic stage runs on DISTINCT
+    * signatures), and the pair set expands back afterwards — intra-group
+    * pairs are Hamming 0 by definition (one equi-join on the signature),
+    * cross-group rep pairs fan out through two membership joins, both
+    * output-sized. The pair SET is identical to the uncollapsed call
+    * (identical signatures have identical distances to everything), but
+    * the band-join cost drops from n² to distinct²·P(band collision) —
+    * on a dup-heavy crawl, where identical media repeat endlessly, the
+    * difference between corpus² and content². */
+  def simhashHammingPairsDedupSigs(sigs: DataFrame, maxDist: Int,
+                                   sigBits: Int = 32): DataFrame = {
+    val members = graft.ops.TransientCache.persist(
+      sigs.select(col("doc"), col("simhash")))
+    val sigTable = graft.ops.TransientCache.persist(
+      members.groupBy(col("simhash")).agg(min(col("doc")).as("rep")))
+    val intra = members.as("a").join(members.as("b"),
+        col("a.simhash") === col("b.simhash") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        lit(0).cast("int").as("hamming"))
+    val repPairs = simhashHammingPairsFromSigs(
+      sigTable.select(col("rep").as("doc"), col("simhash")), maxDist, sigBits)
+    val cross = repPairs
+      .join(sigTable.select(col("rep").as("doc_a"), col("simhash").as("sig_a")),
+        "doc_a")
+      .join(sigTable.select(col("rep").as("doc_b"), col("simhash").as("sig_b")),
+        "doc_b")
+      .join(members.select(col("doc").as("da"), col("simhash").as("sig_a")),
+        "sig_a")
+      .join(members.select(col("doc").as("db"), col("simhash").as("sig_b")),
+        "sig_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    intra.unionByName(cross)
+  }
+
   /** Doc → near-dup component membership over the SimHash graph (docs
     * connected iff their signatures are within `maxDist` Hamming bits),
     * component = min reachable doc id; only docs with at least one

@@ -182,13 +182,19 @@ object AnalyticsQueries {
           // every moment AND every partial sum a priori, from inputs
           // arithmetic cannot have corrupted.
           max(abs(col("dx"))).as("mdx"), max(abs(col("dy"))).as("mdy"))
-        // The envelope is ENFORCED, not asserted in prose: first the
-        // a-priori bound (n·mdx·mdy etc. — proves cxy/cxx/cyy did not
-        // wrap), then the final-identity bound (n into the now-trusted
-        // moments), so fail loudly BEFORE any long product the moment
-        // data outgrows exact int64 — silent wraparound would corrupt
-        // slope/corr with no error. The check rides the output `n`
-        // column (n + 0) so pruning can't drop it.
+        // The envelope is ENFORCED, not asserted in prose: the a-priori
+        // bound (n·mdx·mdy etc. — proves the int64 moment SUMS cxy/cxx/
+        // cyy did not wrap; silent wraparound would corrupt slope/corr
+        // with no error), plus a decimal-width bound on the final
+        // identity. The final products n·moment − c·c used to be int64
+        // too and genuinely overflowed at the 10× fixture (n·cyy ≈
+        // 5e19 per nation slice — the r10 scaling run tripped the old
+        // guard exactly as designed); they now run in DECIMAL(38,0),
+        // exact to 1e38 (reachable only past ~sf10⁶), and only the
+        // final correctly-rounded cast to double leaves exact
+        // arithmetic — the identical double DuckDB's BIGINT→DOUBLE
+        // cast produces at oracle scale. The check rides the output
+        // `n` column (n + 0) so pruning can't drop it.
         .withColumn("n", col("n") + coalesce(
           assert_true(
             (col("n").cast("double") *
@@ -201,14 +207,20 @@ object AnalyticsQueries {
               greatest(col("cxx").cast("double"), col("cyy").cast("double"),
                 abs(col("cxy")).cast("double"))
               + col("n").cast("double") * col("n").cast("double")
-              < lit(4.6e18)),
-            lit("q90 anchored moments would overflow int64: add a sub-split level"))
+              < lit(9.0e37)),
+            lit("q90 anchored moments would overflow decimal38: rescale units"))
             .cast("long"),
           lit(0L)))
       st.select(col("n_name"), col("n"),
-          expr("CAST(n * cxy - cx * cy AS DOUBLE)").as("cov_d"),
-          expr("CAST(n * cxx - cx * cx AS DOUBLE)").as("varx_d"),
-          expr("CAST(n * cyy - cy * cy AS DOUBLE)").as("vary_d"),
+          expr("CAST(CAST(n AS DECIMAL(20,0)) * CAST(cxy AS DECIMAL(20,0)) - " +
+            "CAST(cx AS DECIMAL(20,0)) * CAST(cy AS DECIMAL(20,0)) AS DOUBLE)")
+            .as("cov_d"),
+          expr("CAST(CAST(n AS DECIMAL(20,0)) * CAST(cxx AS DECIMAL(20,0)) - " +
+            "CAST(cx AS DECIMAL(20,0)) * CAST(cx AS DECIMAL(20,0)) AS DOUBLE)")
+            .as("varx_d"),
+          expr("CAST(CAST(n AS DECIMAL(20,0)) * CAST(cyy AS DECIMAL(20,0)) - " +
+            "CAST(cy AS DECIMAL(20,0)) * CAST(cy AS DECIMAL(20,0)) AS DOUBLE)")
+            .as("vary_d"),
           col("sx").cast("double").as("sx_d"), col("sy").cast("double").as("sy_d"))
         .withColumn("slope", col("cov_d") / col("varx_d"))
         .select(col("n_name"), col("n"), col("slope"),

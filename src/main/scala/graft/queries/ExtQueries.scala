@@ -758,9 +758,10 @@ object ExtQueries {
     // Effective sample size under the q217 soft-dedup weights (Kish
     // 1965): ESS = (Σw)²/Σw² per source — how many INDEPENDENT
     // documents a source really contributes once its duplication is
-    // priced in. ess_milli is integer-exact ((Σw)² and Σw² are BIGINT
-    // sums of ppm weights; the in-plan envelope trips before (Σw)²
-    // wraps); dedup_tax_ppm = 1e6 − 1e6·ESS/n is the share of the
+    // priced in. ess_milli is integer-exact (Σw and Σw² are BIGINT sums
+    // of ppm weights; the (Σw)² numerator runs in DECIMAL(38,0) with an
+    // exact integral quotient, enveloped in-plan before it can wrap);
+    // dedup_tax_ppm = 1e6 − 1e6·ESS/n is the share of the
     // source's row count that duplication hollowed out. One aggregate
     // over the weight table — the mixture planner's (q58) missing
     // input: budget by ESS, not raw doc counts.
@@ -776,13 +777,21 @@ object ExtQueries {
       val st = w.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
           sum(col("w") * col("w")).as("sw2"))
+        // (Σw)² outgrows int64 at ~3000 ppm-weighted docs per source —
+        // the r10 10× scaling run tripped the old int64 guard exactly
+        // as designed. The ESS numerator now runs in DECIMAL(38,0)
+        // (exact integral quotient via div, the identical value HUGEINT
+        // gives the oracle), good to Σw < 3e17 ≈ 3e11 docs per source;
+        // the envelope now guards the decimal width.
         .withColumn("n_docs", col("n_docs") + coalesce(
           assert_true(col("sw").cast("double") * col("sw").cast("double")
-            * lit(1001.0) < lit(9.2e18),
-            lit("q219 (sum w)^2 would overflow int64: rescale weights"))
+            * lit(1001.0) < lit(9.0e37),
+            lit("q219 (sum w)^2 would overflow decimal38: rescale weights"))
             .cast("long"), lit(0L)))
       st.select(col("source"), col("n_docs"), col("sw"), col("sw2"),
-          expr("CAST((1000 * sw * sw) DIV sw2 AS BIGINT)").as("ess_milli"))
+          expr("CAST((CAST(1000 AS DECIMAL(38,0)) * CAST(sw AS DECIMAL(20,0)) * " +
+            "CAST(sw AS DECIMAL(20,0))) DIV CAST(sw2 AS DECIMAL(20,0)) AS BIGINT)")
+            .as("ess_milli"))
         .withColumn("dedup_tax_ppm",
           expr("CAST(1000000 - (1000 * ess_milli) DIV n_docs AS BIGINT)"))
         .orderBy(col("source"))
@@ -1758,18 +1767,25 @@ object ExtQueries {
     }),
 
     // Perceptual media near-dup: block-mean hash (Yang et al. 2006) over
-    // each decoded payload, then Hamming<=5 pairs through the SAME
-    // pigeonhole banding machinery text SimHash uses (6 bands) — image
-    // dedup rides the text dedup infrastructure unchanged. Threshold 5
-    // was measured, not guessed: planted near-dup payloads land at
-    // Hamming 4-8 on this corpus while unrelated pairs center at ~16.
-    // The oracle verifies the banded pair set against a full pairwise
+    // each decoded payload, then Hamming<=8 pairs through the SAME
+    // pigeonhole banding machinery text SimHash uses (9 bands) — image
+    // dedup rides the text dedup infrastructure unchanged. 64-bit
+    // signature + threshold 8, both measured, not guessed (r10: the
+    // old 5-of-32 config blew up quadratically at the 10× fixture —
+    // random unrelated pairs collide at P(H≤5 of 32) ≈ 6e-5, so the
+    // qualifying-pair SET itself grows as corpus², 2.9k → 354k pairs
+    // for 10× docs, and most of the 32-bit output was that noise):
+    // at 64 bits the measured distribution has planted near-dups at
+    // Hamming 0-8, the unrelated ramp starting ~10 and centering ~30,
+    // and a random collision rate P(H≤8 of 64) ≈ 3e-10 — output stays
+    // genuinely-related-pairs-sized at any realistic corpus. The
+    // oracle verifies the banded pair set against a full pairwise
     // compare (pigeonhole exactness is part of what's being checked).
     "q139_media_neardup" -> ((s, d) => {
       val sigs = graft.ops.TransientCache.persist(
         Multimodal.blockhashSignatures(
-          Multimodal.mediaFromDocuments(Tables.documents(s, d))))
-      Dedup.simhashHammingPairsFromSigs(sigs, 5)
+          Multimodal.mediaFromDocuments(Tables.documents(s, d)), 64))
+      Dedup.simhashHammingPairsDedupSigs(sigs, 8, sigBits = 64)
         .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
           col("hamming"))
         .orderBy("media_a", "media_b")
@@ -3654,34 +3670,34 @@ object ExtQueries {
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q139_media_neardup" -> {
-      val hamming = (1 to 32).map(j =>
+      val hamming = (1 to 64).map(j =>
         s"CASE WHEN substr(a.simhash,$j,1) <> substr(b.simhash,$j,1) THEN 1 ELSE 0 END")
         .mkString(" + ")
       // Full pairwise compare — deliberately NOT the banded protocol, so
       // the oracle independently proves the pigeonhole banding loses no
-      // pair at Hamming <= 2.
+      // pair at Hamming <= 8 over the 64-bit signature.
       s"""WITH ch AS (
          |  SELECT doc_id, i, ascii(substr(text, CAST(i AS INT), 1)) v,
          |    length(text) n
          |  FROM documents,
          |    LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) s
          |  WHERE length(text) > 0),
-         |agg AS (SELECT doc_id, ((i - 1) * 32) // n b,
+         |agg AS (SELECT doc_id, ((i - 1) * 64) // n b,
          |          count(*) nj, sum(v) sj
-         |        FROM ch GROUP BY doc_id, ((i - 1) * 32) // n),
+         |        FROM ch GROUP BY doc_id, ((i - 1) * 64) // n),
          |tot AS (SELECT doc_id, sum(v) s, count(*) n FROM ch GROUP BY doc_id),
          |bits AS (SELECT a.doc_id, a.b,
          |    CASE WHEN a.sj * t.n >= t.s * a.nj THEN '1' ELSE '0' END bt
          |  FROM agg a JOIN tot t USING (doc_id)),
          |sh AS (SELECT t.doc_id,
          |    string_agg(coalesce(bits.bt, '0'), '' ORDER BY g.j) simhash
-         |  FROM tot t CROSS JOIN (SELECT unnest(generate_series(0, 31)) j) g
+         |  FROM tot t CROSS JOIN (SELECT unnest(generate_series(0, 63)) j) g
          |  LEFT JOIN bits ON bits.doc_id = t.doc_id AND bits.b = g.j
          |  GROUP BY t.doc_id),
          |hp AS (SELECT a.doc_id media_a, b.doc_id media_b,
          |    CAST($hamming AS INT) hamming
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |SELECT media_a, media_b, hamming FROM hp WHERE hamming <= 5
+         |SELECT media_a, media_b, hamming FROM hp WHERE hamming <= 8
          |ORDER BY media_a, media_b""".stripMargin
     },
 

@@ -510,6 +510,62 @@ class ExtSpec extends AnyFunSuite {
       pairs.head.getInt(2) == 0)
   }
 
+  test("simhash pair join with exact-dup collapse is lossless (same pair set)") {
+    // Random signatures drawn around 40 base patterns with 0-3 bit
+    // flips: duplicate groups (collapse targets), near pairs (cross-
+    // group expansion), and isolates all occur. The collapsed form must
+    // reproduce the plain banded join's (doc_a, doc_b, hamming) set
+    // EXACTLY — identical signatures have identical distances, so
+    // collapsing them can never change the answer.
+    val rnd = new scala.util.Random(7)
+    val base = Vector.fill(40)(Seq.fill(32)(rnd.nextInt(2)).mkString)
+    val sigRows = (1 to 120).map { i =>
+      val s0 = base(rnd.nextInt(base.size))
+      val s = (0 until rnd.nextInt(4)).foldLeft(s0) { (acc, _) =>
+        val j = rnd.nextInt(32)
+        acc.updated(j, if (acc(j) == '0') '1' else '0')
+      }
+      (i.toLong, s)
+    }.toDF("doc", "simhash")
+    def pairSet3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val plain = pairSet3(Dedup.simhashHammingPairsFromSigs(sigRows, 2))
+    val dedup = pairSet3(Dedup.simhashHammingPairsDedupSigs(sigRows, 2))
+    assert(plain == dedup,
+      s"missing=${(plain -- dedup).take(5)} extra=${(dedup -- plain).take(5)}")
+    assert(plain.nonEmpty, "fixture must actually produce pairs")
+  }
+
+  test("q139 production config: 64-bit blockhash pairs a perturbed payload, not noise") {
+    import graft.ext.Multimodal
+    import graft.ext.Multimodal.MediaRecord
+    // The sf0.01 oracle row is empty-vs-empty (that sample has no
+    // planted media near-dups — min pairwise distance 10 at 64 bits),
+    // so the production shape gets its positive case HERE: a payload
+    // perturbed in one region must pair with its original at a small
+    // nonzero Hamming distance through the exact q139 call chain
+    // (64-bit signature, threshold 8, 9-band pigeonhole), and a
+    // different-profile payload must stay out.
+    val body = (1 to 600).map(i => "tok" + (i % 97)).mkString(" ")
+    val mid = body.length / 2
+    val perturbed = body.substring(0, mid) + "Z" * 60 +
+      body.substring(mid + 60)
+    val inverted = (600 to 1 by -1)
+      .map(i => "z" * (i % 7 + 1) + i).mkString(" ").take(body.length)
+    val media = Seq(
+      MediaRecord(10L, "image", Multimodal.encodePng(8, 8, body.getBytes("UTF-8")), "s"),
+      MediaRecord(11L, "image", Multimodal.encodePng(8, 8, perturbed.getBytes("UTF-8")), "s"),
+      MediaRecord(12L, "image", Multimodal.encodePng(8, 8, inverted.getBytes("UTF-8")), "s"))
+      .toDF()
+    val sigs = Multimodal.blockhashSignatures(media, 64)
+    val got = Dedup.simhashHammingPairsDedupSigs(sigs, 8, sigBits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.map(p => (p._1, p._2)).toSet == Set((10L, 11L)),
+      s"expected exactly the planted pair, got ${got.toSeq}")
+    assert(got.head._3 >= 1 && got.head._3 <= 8,
+      s"perturbation must flip >=1 block mean: ${got.head}")
+  }
+
   test("frameSegments: concatenation rebuilds the decoded stream; stills/garbage emit none") {
     import graft.ext.Multimodal.MediaRecord
     val body = ("x" * 300) + "tail"            // 2 frames: 256 + 48 bytes
