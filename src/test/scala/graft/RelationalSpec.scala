@@ -13,11 +13,21 @@ class RelationalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
+  // Queries whose CORRECT small-fixture answer is the empty set: q139
+  // reports only genuinely near-duplicate media (64-bit blockhash,
+  // Hamming <= 8 — random collisions ~3e-10), and the sf0.001/sf0.01
+  // samples contain no planted media near-dups (measured: min pairwise
+  // distance 10). Forcing rows > 0 would force the operator to emit
+  // noise; its positive case is pinned by ExtSpec's planted-pair test
+  // and the sf0.1 bench corpus (45 real pairs).
+  private val emptyOnTinySf = Set("q139_media_neardup")
+
   test("every registered query runs and returns rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       val n = df.count()
-      assert(n > 0, s"$name returned 0 rows")
+      if (!emptyOnTinySf.contains(name))
+        assert(n > 0, s"$name returned 0 rows")
       // Global census: no query may plan a CartesianProduct — new
       // registry entries get pinned automatically.
       val plan = df.queryExecution.executedPlan.toString
