@@ -44,6 +44,62 @@ object PlanAudit {
       c("BroadcastHashJoin"), c("FileScan"), wscg, nonCg)
   }
 
+  /** Flatten a physical plan including the subtrees the default
+    * `children` walk hides: AQE wrappers, materialized query stages,
+    * cached-relation plans, and subqueries. Window-census traversals
+    * must see through all of them — a single-partition window inside a
+    * persisted intermediate is exactly as serial as one at top level. */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      case _ => p.children
+    }
+    p +: (kids ++ p.subqueries).flatMap(flatten)
+  }
+
+  /** One WindowExec's census coordinates: partition-spec arity, whether
+    * its input is BOUNDED below — by an aggregate (bucket-grain offset
+    * tables), a WindowGroupLimit (rank-limit pushdown keeps ≤ k rows per
+    * group per upstream partition), or a limit — and the partition
+    * column names. The coordinates decide whether a window can serialize
+    * a corpus: arity 0 over an unbounded input is the literal "Moving
+    * all data to a single partition" warning; a low-cardinality
+    * partition over an unbounded input is the q155 shape (parallelism
+    * capped at the partition column's cardinality). */
+  final case class WindowShape(arity: Int, bounded: Boolean,
+                               parts: Seq[String])
+
+  def windowShapes(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[WindowShape] =
+    flatten(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        val bounded = flatten(w.child).exists {
+          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+          case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec => true
+          case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+          case _: org.apache.spark.sql.execution.LocalLimitExec => true
+          case _: org.apache.spark.sql.execution.CollectLimitExec => true
+          case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+          case _ => false
+        }
+        val parts = w.partitionSpec.map {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+          case e => e.sql
+        }
+        WindowShape(w.partitionSpec.size, bounded, parts)
+    }
+
+  /** Count of UNPARTITIONED WindowExec nodes — each one moves its whole
+    * input to a single task. The registry census pins these against the
+    * universal bounded-input rule (WindowCensusSpec). */
+  def globalWindowCount(plan: org.apache.spark.sql.execution.SparkPlan): Int =
+    windowShapes(plan).count(_.arity == 0)
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8, "audit")
     val d = "/root/testdata/sf0.001"

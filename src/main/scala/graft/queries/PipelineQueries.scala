@@ -686,28 +686,56 @@ object PipelineQueries {
     // Rank-ensemble quality filter (the DataComp/Dolma-style multi-
     // signal blend): three independent per-doc signals — integer
     // quality score, Gopher dup-bigram ppm, token length — each ranked
-    // WITHIN ITS LANGUAGE (signals aren't comparable across languages,
-    // and the per-lang window is the shardable shape: no global sort),
+    // WITHIN ITS LANGUAGE (signals aren't comparable across languages),
     // then blended by integer rank sum; top-5 per language survive.
     // Rank-blending needs no signal normalization — exactly why
     // production filters ensemble ranks, not raw scores.
+    // Ranks come from ops.ShardedRank, NOT Window.partitionBy(lang):
+    // a per-lang window caps parallelism at #languages and runs
+    // near-serially when one language dominates (every real crawl —
+    // the r10 counter finding: cpu ≈ wall on a 32-core box). The
+    // range-shard form computes the identical row_number from one
+    // balanced range shuffle + count offsets. The slim base (5 cols)
+    // is persisted once — the rank legs and the final blend re-read
+    // it instead of re-tokenizing the corpus four times.
     "q155_quality_ensemble" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.ops.{ShardedRank, TransientCache}
       val prof = ExtQueries.docProfile(s, d)
         .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
           col("quality"), col("n_tokens").cast("long").as("n_tokens"))
       val rep = TextAnalysis.repetitionProfile(
           Tables.documents(s, d), "text", "doc_id")
         .select(col("doc_id"), col("dup_ppm"))
-      def w(first: org.apache.spark.sql.Column) =
-        Window.partitionBy(col("lang")).orderBy(first, col("doc_id"))
-      prof.join(rep, "doc_id")
-        .withColumn("r_q", row_number().over(w(col("quality").desc)))
-        .withColumn("r_rep", row_number().over(w(col("dup_ppm"))))
-        .withColumn("r_len", row_number().over(w(col("n_tokens").desc)))
+      val base = TransientCache.persist(prof.join(rep, "doc_id")
+        .select(col("doc_id"), col("lang"), col("quality"),
+          col("dup_ppm"), col("n_tokens")))
+      // All three signal ranks in ONE ShardedRank pass: unpivot to
+      // (lang, sig, key, doc_id) — descending signals negate the key
+      // (tie stays doc_id asc) — and rank within (lang, sig). One rank
+      // plan instead of three structurally-identical ones: same answer,
+      // a third of the stage/codegen overhead.
+      val sigs = base.select(col("lang"), col("doc_id"),
+        explode(map(
+          lit(1), -col("quality").cast("long"),
+          lit(2), col("dup_ppm").cast("long"),
+          lit(3), -col("n_tokens").cast("long"))).as(Seq("sig", "key")))
+      val ranks = ShardedRank
+        .withRank(sigs, Seq("lang", "sig"), col("key"), col("doc_id"), "rn")
+        .groupBy(col("doc_id")).agg(
+          max(when(col("sig") === 1, col("rn"))).as("r_q"),
+          max(when(col("sig") === 2, col("rn"))).as("r_rep"),
+          max(when(col("sig") === 3, col("rn"))).as("r_len"))
+      val ranked = base.join(ranks, "doc_id")
         .withColumn("sum_rank",
           (col("r_q") + col("r_rep") + col("r_len")).cast("long"))
-        .withColumn("rank", row_number().over(w(col("sum_rank"))))
+      // The top-5 blend needs no full rank: row_number + `rank <= 5`
+      // triggers Spark's WindowGroupLimit pushdown, which keeps only 5
+      // rows per (lang, input partition) BEFORE the per-lang shuffle —
+      // the final window sorts ≤ 5·P rows per language whatever the
+      // corpus size, so the per-lang partition here is skew-safe.
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("sum_rank"), col("doc_id"))
+      ranked.withColumn("rank", row_number().over(wTop))
         .where(col("rank") <= 5)
         .select(col("lang"), col("rank"), col("doc_id"), col("quality"),
           col("dup_ppm"), col("n_tokens"), col("sum_rank"))

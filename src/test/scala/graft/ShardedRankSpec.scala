@@ -1,0 +1,89 @@
+package graft
+
+import graft.ops.ShardedRank
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ops.ShardedRank ≡ `row_number() OVER (PARTITION BY g ORDER BY k, tie)`
+  * on exactly the shapes that break naive sharding: a single dominant
+  * group (the q155 English-crawl case the range shard exists for), heavy
+  * key ties (low-cardinality scores — the range boundaries must cut
+  * through a hot key value), negative keys (negated-for-descending
+  * callers), and a group so small it fits one partition. The reference
+  * rank is Spark's own window — the semantics being replicated, fine to
+  * use AS THE ORACLE at test size. */
+class ShardedRankSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Deterministic LCG fixture: (grp, key, tie) with adjustable group
+    * skew and key cardinality. tie is unique GLOBALLY (row index). */
+  private def fixture(n: Int, groups: Int, keyCard: Int, seed: Long) = {
+    import spark.implicits._
+    var x = seed
+    def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    (0 until n).map { i =>
+      // 80% of rows in group 0 — the dominant-language shape.
+      val r = math.floorMod(nxt(), 10L)
+      val g = if (r < 8 || groups == 1) 0L else 1L + math.floorMod(nxt(), (groups - 1).toLong)
+      val k = math.floorMod(nxt(), keyCard.toLong) - keyCard / 2 // negatives too
+      (s"g$g", k, i.toLong)
+    }.toDF("grp", "key", "tie")
+  }
+
+  private def check(n: Int, groups: Int, keyCard: Int, seed: Long): Unit = {
+    val df = fixture(n, groups, keyCard, seed)
+    val w = Window.partitionBy(col("grp")).orderBy(col("key"), col("tie"))
+    val want = df.withColumn("rn", row_number().over(w).cast("long"))
+      .orderBy(col("grp"), col("rn"))
+      .select("grp", "key", "tie", "rn").collect().toSeq
+    val got = ShardedRank.withRank(df, Seq("grp"), col("key"), col("tie"), "rn")
+      .orderBy(col("grp"), col("rn"))
+      .select("grp", "key", "tie", "rn").collect().toSeq
+    graft.ops.TransientCache.releaseAll()
+    assert(got == want, s"n=$n groups=$groups keyCard=$keyCard seed=$seed")
+  }
+
+  test("matches row_number: dominant group, heavy ties (keyCard 3)") {
+    check(n = 500, groups = 4, keyCard = 3, seed = 7)
+  }
+
+  test("matches row_number: single group, moderate cardinality") {
+    check(n = 300, groups = 1, keyCard = 40, seed = 11)
+  }
+
+  test("matches row_number: many groups, near-unique keys") {
+    check(n = 400, groups = 12, keyCard = 5000, seed = 13)
+  }
+
+  test("matches row_number: constant key (all rows tie) — boundaries cut the tie run") {
+    check(n = 200, groups = 2, keyCard = 1, seed = 17)
+  }
+
+  test("descending rank via negated key matches desc window") {
+    val df = fixture(300, 3, 7, seed = 23)
+    val w = Window.partitionBy(col("grp")).orderBy(col("key").desc, col("tie"))
+    val want = df.withColumn("rn", row_number().over(w).cast("long"))
+      .orderBy(col("grp"), col("rn")).select("grp", "key", "tie", "rn")
+      .collect().toSeq
+    val got = ShardedRank.withRank(df, Seq("grp"), -col("key"), col("tie"), "rn")
+      .orderBy(col("grp"), col("rn")).select("grp", "key", "tie", "rn")
+      .collect().toSeq
+    graft.ops.TransientCache.releaseAll()
+    assert(got == want)
+  }
+
+  test("no per-group row-grain window: the only WindowExec is the bucket-grain offset table") {
+    val df = fixture(400, 2, 3, seed = 29)
+    val plan = ShardedRank.withRank(df, Seq("grp"), col("key"), col("tie"), "rn")
+      .queryExecution.executedPlan
+    val wins = PlanAudit.windowShapes(plan)
+    graft.ops.TransientCache.releaseAll()
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.arity >= 1 && w.bounded,
+        s"window $w over a non-aggregated input " +
+          "— a per-group row-grain sort snuck back in")
+    }
+  }
+}
