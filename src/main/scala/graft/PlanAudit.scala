@@ -78,21 +78,35 @@ object PlanAudit {
       : Seq[WindowShape] =
     flatten(plan).collect {
       case w: org.apache.spark.sql.execution.window.WindowExec =>
-        val bounded = flatten(w.child).exists {
-          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
-          case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec => true
-          case _: org.apache.spark.sql.execution.GlobalLimitExec => true
-          case _: org.apache.spark.sql.execution.LocalLimitExec => true
-          case _: org.apache.spark.sql.execution.CollectLimitExec => true
-          case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
-          case _ => false
-        }
         val parts = w.partitionSpec.map {
           case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
           case e => e.sql
         }
-        WindowShape(w.partitionSpec.size, bounded, parts)
+        WindowShape(w.partitionSpec.size, boundedBelow(w.child), parts)
     }
+
+  /** Does an aggregate / limit / group-limit bound the row volume on the
+    * path below `p`? Broadcast-exchange subtrees are NOT descended: the
+    * window's input cardinality follows the PROBE side of a broadcast
+    * join, and the build side is small by definition — an agg there says
+    * nothing about row volume (the q249 false positive). */
+  private def boundedBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    p match {
+      case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => false
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case _: org.apache.spark.sql.execution.CollectLimitExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case a: AdaptiveSparkPlanExec => boundedBelow(a.executedPlan)
+      case q: QueryStageExec => boundedBelow(q.plan)
+      case s: InMemoryTableScanExec => boundedBelow(s.relation.cachedPlan)
+      case _ => p.children.exists(boundedBelow)
+    }
+  }
 
   /** Count of UNPARTITIONED WindowExec nodes — each one moves its whole
     * input to a single task. The registry census pins these against the

@@ -117,43 +117,42 @@ object Sampling {
     * NTILE bins and report each bin's document count, token mass and
     * score envelope — the manifest a curriculum schedule samples from
     * (highest-quality bins early / upweighted, per the data-curriculum
-    * recipes in the public corpus papers). The window partitions BY
-    * STRATUM, never a global total order — each stratum bins
-    * independently, the shard shape that survives 100 TB. */
+    * recipes in the public corpus papers). The ntile comes from
+    * ops.ShardedRank, NOT `ntile().over(partitionBy(stratum))`: strata
+    * are low-cardinality enums, so a per-stratum window caps
+    * parallelism at the stratum count and serializes when one stratum
+    * dominates (the r10 q155 counter finding) — the range-sharded form
+    * bins identically with no per-stratum task. */
   def curriculumBins(df: DataFrame, strataCol: String, scoreCol: String,
-                     idCol: String, tokensCol: String, nBins: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(col(scoreCol).desc, col(idCol))
-    df.select(col(strataCol), col(idCol), col(scoreCol), col(tokensCol))
-      .withColumn("bin", ntile(nBins).over(w))
+                     idCol: String, tokensCol: String, nBins: Int): DataFrame =
+    graft.ops.ShardedRank.withNtile(
+        df.select(col(strataCol), col(idCol), col(scoreCol), col(tokensCol)),
+        Seq(strataCol), -col(scoreCol), col(idCol), nBins, "bin")
       .groupBy(col(strataCol), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokensCol)).as("bin_tokens"),
         min(col(scoreCol)).as("min_score"),
         max(col(scoreCol)).as("max_score"))
-  }
 
   /** Greedy token-budget selection: per stratum, take documents in
     * quality order (best first, `idCol` tiebreak) while the INCLUSIVE
     * running token sum stays within `budgetTokens` — the "best N tokens
     * per domain" selection step of a budgeted corpus build. Exact
-    * integer prefix sums; the window partitions BY STRATUM (shard
-    * shape, like [[packSequences]]). A head document alone larger than
-    * the budget is dropped with everything after it — the budget is a
-    * hard cap, not a lower bound. Returns the selected rows with their
-    * `cum_tokens` audit column. */
+    * integer prefix sums via ops.ShardedRank.runningSum — NOT a window
+    * partitioned by the low-cardinality stratum enum (the r10 q155
+    * serialization shape); the range shard computes the identical
+    * inclusive sums with no per-stratum task. A head document alone
+    * larger than the budget is dropped with everything after it — the
+    * budget is a hard cap, not a lower bound. Returns the selected rows
+    * with their `cum_tokens` audit column. */
   def budgetSelect(df: DataFrame, strataCol: String, scoreCol: String,
                    idCol: String, tokensCol: String,
-                   budgetTokens: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(col(scoreCol).desc, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(strataCol), col(idCol), col(scoreCol), col(tokensCol))
-      .withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+                   budgetTokens: Long): DataFrame =
+    graft.ops.ShardedRank.runningSum(
+        df.select(col(strataCol), col(idCol), col(scoreCol), col(tokensCol)),
+        Seq(strataCol), Seq(-col(scoreCol), col(idCol)), col(tokensCol),
+        "cum_tokens", exclusive = false)
       .where(col("cum_tokens") <= budgetTokens)
-  }
 
   /** Stratified Bernoulli sample: per-stratum rates with a default for
     * unlisted strata. Returns the input rows that survive, plus the
@@ -178,21 +177,18 @@ object Sampling {
     * overflow by up to one document's tokens), and a document larger
     * than the budget skips the ids it spans — callers sizing batches
     * must treat `budgetTokens` as a lower bound per closed sequence.
-    * Scale shape: the running sum partitions BY STRATUM (shard), never a
-    * global total order — each shard packs independently, which is
-    * exactly how production pipelines shard their packing step. Returns
-    * per-doc assignments; aggregate per (stratum, seq_id) for the
-    * manifest. */
+    * Scale shape: the exclusive prefix sum is ops.ShardedRank.runningSum
+    * — NOT a window partitioned by the low-cardinality stratum enum (the
+    * r10 q155 serialization shape); the range shard packs identically
+    * with no per-stratum task. Returns per-doc assignments; aggregate
+    * per (stratum, seq_id) for the manifest. */
   def packSequences(df: DataFrame, strataCol: String, idCol: String,
-                    tokensCol: String, budgetTokens: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val prior = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(strataCol), col(idCol), col(tokensCol))
-      .withColumn("prior_tokens",
-        coalesce(sum(col(tokensCol)).over(prior), lit(0L)))
+                    tokensCol: String, budgetTokens: Long): DataFrame =
+    graft.ops.ShardedRank.runningSum(
+        df.select(col(strataCol), col(idCol), col(tokensCol)),
+        Seq(strataCol), Seq(col(idCol)), col(tokensCol),
+        "prior_tokens", exclusive = true)
       .withColumn("seq_id", expr(s"prior_tokens div $budgetTokens"))
-  }
 
   /** Token-budget mixing plan: per (stratum, source) cell — document and
     * token counts, the cell's share of the corpus in ppm, and the

@@ -49,10 +49,13 @@ import org.apache.spark.sql.functions._
   */
 object ShardedRank {
 
+  /** Exact `row_number() OVER (PARTITION BY grp ORDER BY keyAsc, tie)`.
+    * `grp` may be EMPTY — that is the exact GLOBAL rank, where the
+    * per-partition count/offset tables are P rows and the single
+    * remaining unpartitioned window runs over that bucket-grain
+    * aggregate (the sanctioned census shape), never over the rows. */
   def withRank(df: DataFrame, grp: Seq[String], keyAsc: Column, tie: Column,
                out: String): DataFrame = {
-    require(grp.nonEmpty, "ShardedRank needs a group key; use " +
-      "ext.Layout's global-rank discipline for ungrouped ranks")
     val g = grp.map(col)
     val rangeKeys = g :+ col("__sr_key") :+ col("__sr_tie")
     val mid = TransientCache.persist(df
@@ -77,5 +80,70 @@ object ShardedRank {
         col("__sr_mid") - col("__sr_mn") + col("__sr_off") + lit(1L))
       .drop("__sr_key", "__sr_tie", "__sr_mid", "__sr_pid",
         "__sr_mn", "__sr_off")
+  }
+
+  /** Exact per-group running SUM of `x` over the total order given by
+    * `orderAsc` (all ascending; negate a column for descending; the last
+    * must break ties, or the frame is ambiguous) — the shard form of
+    * `sum(x) OVER (PARTITION BY grp ORDER BY … ROWS UNBOUNDED PRECEDING
+    * [AND -1])`. Same range-shard discipline as [[withRank]], with the
+    * local leg a window partitioned by (shuffle partition, grp) — the
+    * range boundaries split hot groups, so no task ever scans a group.
+    * An empty prefix sums to 0 (callers' `coalesce(sum(..), 0)`
+    * convention). `x` must be non-null; sums follow `x`'s type.
+    * `grp` may be empty (exact global prefix sums). */
+  def runningSum(df: DataFrame, grp: Seq[String], orderAsc: Seq[Column],
+                 x: Column, out: String, exclusive: Boolean): DataFrame = {
+    val g = grp.map(col)
+    val oNames = orderAsc.indices.map(i => s"__rs_o$i")
+    val oRefs = oNames.map(col)
+    val withO = orderAsc.zip(oNames).foldLeft(df) {
+      case (acc, (c, n)) => acc.withColumn(n, c)
+    }
+    val rangeKeys = g ++ oRefs
+    val mid = TransientCache.persist(withO
+      .withColumn("__rs_x", x)
+      .repartitionByRange(rangeKeys: _*)
+      .sortWithinPartitions(rangeKeys: _*)
+      .withColumn("__rs_pid", spark_partition_id()))
+    val frameEnd = if (exclusive) -1L else 0L
+    val wLoc = Window.partitionBy((col("__rs_pid") +: g): _*)
+      .orderBy(oRefs: _*)
+      .rowsBetween(Window.unboundedPreceding, frameEnd)
+    val loc = mid.withColumn("__rs_loc", sum(col("__rs_x")).over(wLoc))
+    val wOff = Window.partitionBy(g: _*).orderBy(col("__rs_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = mid.groupBy((col("__rs_pid") +: g): _*)
+      .agg(sum(col("__rs_x")).as("__rs_t"))
+      .withColumn("__rs_off", sum(col("__rs_t")).over(wOff))
+      .select((col("__rs_pid") +: g :+ col("__rs_off")): _*)
+    loc.join(broadcast(off), "__rs_pid" +: grp)
+      .withColumn(out, coalesce(col("__rs_loc"), lit(0L)) +
+        coalesce(col("__rs_off"), lit(0L)))
+      .drop((oNames ++ Seq("__rs_x", "__rs_pid", "__rs_loc", "__rs_off")): _*)
+  }
+
+  /** Exact `ntile(tiles) OVER (PARTITION BY grp ORDER BY keyAsc, tie)`
+    * from the sharded rank and the closed-form rank→tile map (the first
+    * n%k tiles hold n/k+1 rows, the rest n/k — Spark's own ntile rule).
+    * `grp` may be empty (global ntile — the q165 shape whose window
+    * form is the literal single-partition warning). */
+  def withNtile(df: DataFrame, grp: Seq[String], keyAsc: Column, tie: Column,
+                tiles: Int, out: String): DataFrame = {
+    val ranked = withRank(df, grp, keyAsc, tie, "__sr_rank")
+    val n =
+      if (grp.nonEmpty)
+        ranked.groupBy(grp.map(col): _*).agg(max(col("__sr_rank")).as("__sr_n"))
+      else ranked.agg(max(col("__sr_rank")).as("__sr_n"))
+    val joined =
+      if (grp.nonEmpty) ranked.join(broadcast(n), grp)
+      else ranked.crossJoin(broadcast(n))
+    joined.withColumn(out, expr(
+      s"""CASE WHEN __sr_rank <= ((__sr_n div $tiles) + 1) * (__sr_n % $tiles)
+         | THEN (__sr_rank - 1) div ((__sr_n div $tiles) + 1) + 1
+         | ELSE (__sr_n % $tiles) +
+         |   (__sr_rank - ((__sr_n div $tiles) + 1) * (__sr_n % $tiles) - 1)
+         |     div (__sr_n div $tiles) + 1 END""".stripMargin).cast("int"))
+      .drop("__sr_rank", "__sr_n")
   }
 }

@@ -126,8 +126,12 @@ object AnalyticsQueries {
     // here). At corpus scale the global ntile becomes broadcast
     // approx-quantile bin edges; the per-bin aggregate is unchanged.
     "q165_nb_calibration" -> ((s, d) => {
-      val w = Window.orderBy(col("score_q"), col("doc"))
-      nbScored(s, d).withColumn("decile", ntile(10).over(w).cast("int"))
+      // Global decile ntile via the sharded rank: an unpartitioned
+      // ntile window is the literal single-partition warning — the one
+      // plan shape that cannot survive a corpus-sized score table.
+      nbScored(s, d)
+        .transform(df => graft.ops.ShardedRank.withNtile(
+          df, Nil, col("score_q"), col("doc"), 10, "decile"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("clean"), lit(1L)).otherwise(lit(0L))).as("n_clean"),
@@ -450,11 +454,14 @@ object AnalyticsQueries {
     "q182_robust_scaling" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"))
-      val wr = Window.partitionBy(col("source")).orderBy(col("n_chars"))
-      val wn = Window.partitionBy(col("source"))
-      val stats = docs
-        .withColumn("rn", row_number().over(wr).cast("long"))
-        .withColumn("n", count(lit(1)).over(wn))
+      // Rank-crossing quantiles with the SHARDED rank (source is a
+      // ~20-value enum; a per-source window serializes — the r10 q155
+      // shape). Tie order by doc_id: any rank assignment consistent
+      // with n_chars order picks the same quantile VALUES.
+      val ranked = graft.ops.ShardedRank.withRank(
+        docs, Seq("source"), col("n_chars"), col("doc_id"), "rn")
+      val nTab = ranked.groupBy(col("source")).agg(max(col("rn")).as("n"))
+      val stats = ranked.join(broadcast(nTab), "source")
         .groupBy(col("source"))
         .agg(
           max(when(col("rn") * 4 >= col("n") &&
@@ -1538,16 +1545,18 @@ object AnalyticsQueries {
         size(split(col("text"), " ")).cast("long").as("tok"))
       val ks = docs.crossJoin(broadcast(
         s.createDataFrame(Seq(1L, 2L, 4L, 8L).map(Tuple1(_))).toDF("k")))
-      val wr = Window.partitionBy(col("k"))
-        .orderBy(col("tok"), col("doc_id"))
-      val ranked = ks
-        .withColumn("pos", row_number().over(wr).cast("long"))
+      // Per-k position via the SHARDED rank (k has 4 values; a per-k
+      // window serializes — the r10 q155 shape). The within-bucket slot
+      // needs no second window at all: bucket b's first position is
+      // ceil(b·n/k)+1 — a closed form of (pos, k, bucket, n_docs) —
+      // so slot = pos − ceil(b·n/k).
+      val ranked = graft.ops.ShardedRank.withRank(
+          ks, Seq("k"), col("tok"), col("doc_id"), "pos")
         .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
         .withColumn("bucket",
           expr("((pos - 1) * k) DIV n_docs"))
-        .withColumn("slot", row_number().over(
-          Window.partitionBy(col("k"), col("bucket"))
-            .orderBy(col("tok"), col("doc_id"))).cast("long"))
+        .withColumn("slot",
+          expr("pos - (bucket * n_docs + k - 1) DIV k"))
         .withColumn("batch", expr("(slot - 1) DIV 8"))
       ranked.groupBy(col("k"), col("bucket"), col("batch"))
         .agg(max(col("tok")).as("mx"), count(lit(1)).as("cnt"),
@@ -1932,11 +1941,17 @@ object AnalyticsQueries {
         .where(col("nxt").isNotNull)
         .select(col("event_type"),
           expr("unix_micros(nxt) - unix_micros(ts)").as("us"))
-      val wr = Window.partitionBy(col("event_type")).orderBy(col("us"))
-      val wn = Window.partitionBy(col("event_type"))
-      gaps
-        .withColumn("rn", row_number().over(wr).cast("long"))
-        .withColumn("n", count(lit(1)).over(wn))
+      // Rank-crossing quantiles with the SHARDED rank (event_type is a
+      // ~5-value enum; a per-type window serializes — the r10 q155
+      // shape). The us order has ties; any rank assignment consistent
+      // with it picks the same quantile VALUES, so a synthetic unique
+      // tie (us, row id) is fine — gaps carries no natural id after the
+      // lead pairing, so rank ties break on a fresh monotonic id.
+      val ranked = graft.ops.ShardedRank.withRank(
+        gaps.withColumn("gid", monotonically_increasing_id()),
+        Seq("event_type"), col("us"), col("gid"), "rn")
+      val nTab = ranked.groupBy(col("event_type")).agg(max(col("rn")).as("n"))
+      ranked.join(broadcast(nTab), "event_type")
         .groupBy(col("event_type"))
         .agg(max(col("n")).as("n_gaps"),
           max(when(col("rn") * 2 >= col("n") &&
@@ -2892,11 +2907,17 @@ object AnalyticsQueries {
       val prof = ExtQueries.docProfile(s, d)
         .select(col("source"), col("doc_id"),
           col("n_tokens").cast("long").as("n_tok"), col("quality"))
-      val ranked = prof
-        .withColumn("rl", row_number().over(Window.partitionBy(col("source"))
-          .orderBy(col("n_tok"), col("doc_id"))).cast("long"))
-        .withColumn("rq", row_number().over(Window.partitionBy(col("source"))
-          .orderBy(col("quality"), col("doc_id"))).cast("long"))
+      // Both signal ranks in ONE sharded rank pass over the unpivoted
+      // (source, sig) grain — source is a ~20-value enum, so per-source
+      // windows serialize (the r10 q155 shape).
+      val sigs = prof.select(col("source"), col("doc_id"),
+        explode(map(lit(1), col("n_tok"),
+          lit(2), col("quality").cast("long"))).as(Seq("sig", "key")))
+      val ranked = graft.ops.ShardedRank.withRank(
+          sigs, Seq("source", "sig"), col("key"), col("doc_id"), "rn")
+        .groupBy(col("source"), col("doc_id"))
+        .agg(max(when(col("sig") === 1, col("rn"))).as("rl"),
+          max(when(col("sig") === 2, col("rn"))).as("rq"))
       ranked.groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
           sum((col("rl") - col("rq")) * (col("rl") - col("rq"))).as("sum_d2"))
@@ -3443,10 +3464,10 @@ object AnalyticsQueries {
       val cres = calib.join(broadcast(pred), Seq("source"))
         .select(col("source"), col("n_calib"),
           abs(col("n_chars") - col("pred")).as("r"), col("doc_id"))
-      val wS = Window.partitionBy(col("source"))
-        .orderBy(col("r"), col("doc_id"))
-      val qhat = cres
-        .withColumn("rn", row_number().over(wS).cast("long"))
+      // q̂ rank-crossing via the SHARDED rank (source is a ~20-value
+      // enum; a per-source window serializes — the r10 q155 shape).
+      val qhat = graft.ops.ShardedRank.withRank(
+          cres, Seq("source"), col("r"), col("doc_id"), "rn")
         .where(col("rn") ===
           least(expr("((n_calib + 1) * 9 + 9) div 10"), col("n_calib")))
         .select(col("source"), col("n_calib"), col("r").as("qhat"))

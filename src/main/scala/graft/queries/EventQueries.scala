@@ -164,13 +164,23 @@ object EventQueries {
     // observation is the one that holds — both engines replay the
     // same lead() order.
     "q266_time_weighted_avg" -> ((s, d) => {
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("ts"), col("event_id"))
-      val iv = Tables.events(s, d)
-        .select(col("event_type"), col("ts"), col("event_id"),
-          expr("CAST(floor(value * 1000) AS BIGINT)").as("v"))
-        .withColumn("nts", lead(col("ts"), 1).over(w))
-        .where(col("nts").isNotNull)
+      // Consecutive-event pairing per type WITHOUT lead() over a
+      // partitionBy(event_type) window (a ~5-value enum — the r10 q155
+      // serialization shape): sharded rank within type, then an
+      // equi-join of rank r to rank r+1 — identical pairs, and the
+      // join shuffles on (type, rank), which no type skew can
+      // serialize. The last event per type has no successor and drops,
+      // exactly like the old nts IS NOT NULL filter.
+      val rn = graft.ops.ShardedRank.withRank(
+        Tables.events(s, d)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            expr("CAST(floor(value * 1000) AS BIGINT)").as("v")),
+        Seq("event_type"), col("ts"), col("event_id"), "rn")
+      val nxt = rn.select(col("event_type").as("et2"),
+        (col("rn") - 1).as("rn2"), col("ts").as("nts"))
+      val iv = rn.join(nxt,
+          col("event_type") === col("et2") && col("rn") === col("rn2"))
+        .drop("et2", "rn2", "rn")
       iv.withColumn("day",
           explode(sequence(date_trunc("day", col("ts")),
             date_trunc("day", col("nts")), expr("interval 1 day"))))

@@ -278,13 +278,12 @@ object PipelineQueries {
     // length; same sweep-as-predicate shape as q181/q189 — one prior-sum
     // window (q61's), each ctx level a predicate over the same rows.
     "q190_packing_efficiency" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val prof = ExtQueries.docProfile(s, d)
         .select(col("lang"), col("doc_id"), col("n_tokens"))
-      val prior = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val pt = prof.withColumn("pt",
-        coalesce(sum(col("n_tokens")).over(prior), lit(0L)))
+      // q61's prior-sum via the sharded prefix (lang is a ~5-value enum;
+      // a per-lang window serializes — the r10 q155 shape).
+      val pt = graft.ops.ShardedRank.runningSum(prof, Seq("lang"),
+        Seq(col("doc_id")), col("n_tokens"), "pt", exclusive = true)
       pt.select(col("lang"), col("n_tokens"), col("pt"),
           explode(array(lit(256L), lit(512L), lit(1024L))).as("ctx"))
         .groupBy(col("lang"), col("ctx"))
@@ -424,16 +423,16 @@ object PipelineQueries {
     }),
 
     // Quartile assignment of docs by length within language (ntile over
-    // a total order — deterministic bucket edges).
-    "q76_length_quartiles" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("n_chars"), col("doc_id"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-        .withColumn("quartile", ntile(4).over(w))
-        .orderBy(col("doc_id"))
-    }),
+    // a total order — deterministic bucket edges). Sharded ntile: lang
+    // is a ~5-value enum, so ntile().over(partitionBy(lang)) serializes
+    // (the r10 q155 shape); ops.ShardedRank bins identically.
+    "q76_length_quartiles" -> ((s, d) =>
+      graft.ops.ShardedRank.withNtile(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq("lang"), col("n_chars"), col("doc_id"), 4, "quartile")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("quartile"))
+        .orderBy(col("doc_id"))),
 
     // Integer-exact 2-sigma outliers per event type: quantized values,
     // cross-multiplied variance compare ((n*v - s)^2 > 4(n*ssq - s^2))

@@ -73,6 +73,71 @@ class ShardedRankSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("global rank (empty grp) matches unpartitioned row_number") {
+    val df = fixture(300, 3, 11, seed = 31)
+    val w = Window.orderBy(col("key"), col("tie"))
+    val want = df.withColumn("rn", row_number().over(w).cast("long"))
+      .orderBy(col("rn")).select("key", "tie", "rn").collect().toSeq
+    val got = ShardedRank.withRank(df, Nil, col("key"), col("tie"), "rn")
+      .orderBy(col("rn")).select("key", "tie", "rn").collect().toSeq
+    graft.ops.TransientCache.releaseAll()
+    assert(got == want)
+  }
+
+  test("runningSum inclusive/exclusive match window prefix sums (incl. desc keys)") {
+    val df = fixture(400, 3, 5, seed = 37).withColumn("x", (col("tie") % 7) + 1)
+    for (excl <- Seq(false, true)) {
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("key").desc, col("tie"))
+        .rowsBetween(Window.unboundedPreceding, if (excl) -1 else 0)
+      val want = df
+        .withColumn("run", coalesce(sum(col("x")).over(w), lit(0L)))
+        .orderBy(col("grp"), col("key").desc, col("tie"))
+        .select("grp", "key", "tie", "run").collect().toSeq
+      val got = ShardedRank.runningSum(df, Seq("grp"),
+          Seq(-col("key"), col("tie")), col("x"), "run", exclusive = excl)
+        .orderBy(col("grp"), col("key").desc, col("tie"))
+        .select("grp", "key", "tie", "run").collect().toSeq
+      graft.ops.TransientCache.releaseAll()
+      assert(got == want, s"exclusive=$excl")
+    }
+  }
+
+  test("global runningSum (empty grp) matches unpartitioned prefix sum") {
+    val df = fixture(250, 1, 9, seed = 41).withColumn("x", (col("tie") % 5) + 1)
+    val w = Window.orderBy(col("key"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("run", coalesce(sum(col("x")).over(w), lit(0L)))
+      .orderBy(col("key"), col("tie")).select("key", "tie", "run")
+      .collect().toSeq
+    val got = ShardedRank.runningSum(df, Nil, Seq(col("key"), col("tie")),
+        col("x"), "run", exclusive = true)
+      .orderBy(col("key"), col("tie")).select("key", "tie", "run")
+      .collect().toSeq
+    graft.ops.TransientCache.releaseAll()
+    assert(got == want)
+  }
+
+  test("withNtile matches ntile: grouped and global, uneven tile sizes") {
+    val df = fixture(347, 4, 13, seed = 43) // 347 % 4 != 0 — uneven tiles
+    val wg = Window.partitionBy(col("grp")).orderBy(col("key"), col("tie"))
+    val wantG = df.withColumn("t", ntile(4).over(wg))
+      .orderBy(col("grp"), col("key"), col("tie"))
+      .select("grp", "key", "tie", "t").collect().toSeq
+    val gotG = ShardedRank.withNtile(df, Seq("grp"), col("key"), col("tie"), 4, "t")
+      .orderBy(col("grp"), col("key"), col("tie"))
+      .select("grp", "key", "tie", "t").collect().toSeq
+    graft.ops.TransientCache.releaseAll()
+    assert(gotG == wantG)
+    val w = Window.orderBy(col("key"), col("tie"))
+    val want = df.withColumn("t", ntile(10).over(w))
+      .orderBy(col("key"), col("tie")).select("key", "tie", "t").collect().toSeq
+    val got = ShardedRank.withNtile(df, Nil, col("key"), col("tie"), 10, "t")
+      .orderBy(col("key"), col("tie")).select("key", "tie", "t").collect().toSeq
+    graft.ops.TransientCache.releaseAll()
+    assert(got == want)
+  }
+
   test("no per-group row-grain window: the only WindowExec is the bucket-grain offset table") {
     val df = fixture(400, 2, 3, seed = 29)
     val plan = ShardedRank.withRank(df, Seq("grp"), col("key"), col("tie"), "rn")

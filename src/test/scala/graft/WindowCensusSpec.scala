@@ -35,19 +35,13 @@ object WindowCensusAllowed {
 
   /** query -> (sorted partition-column signature -> count) of unbounded
     * low-card-partitioned windows still awaiting the ShardedRank
-    * treatment. */
-  val allowed: Map[String, Map[String, Int]] = Map(
-    "q130_curriculum_bins" -> Map("source" -> 1), // ntile per source
-    "q131_budget_select" -> Map("source" -> 1),   // inclusive running sum per source
-    "q175_interarrival_quantiles" -> Map("event_type" -> 2), // per-type rank-crossing quantiles
-    "q182_robust_scaling" -> Map("source" -> 2),  // per-source median/IQR rank-crossing
-    "q190_packing_efficiency" -> Map("lang" -> 1), // exclusive running sum per lang
-    "q192_spearman_quality_length" -> Map("source" -> 2), // per-source signal ranks
-    "q249_padding_sweep" -> Map("k" -> 1),        // per-candidate-ctx running sum
-    "q266_time_weighted_avg" -> Map("event_type" -> 1), // per-type lag pairing
-    "q61_pack_sequences" -> Map("lang" -> 1),     // exclusive running sum per lang
-    "q76_length_quartiles" -> Map("lang" -> 1),   // ntile per lang
-  )
+    * treatment. EMPTY since round 11: the 12 offenders the census
+    * surfaced (per-lang/source/event_type/k ranks, ntiles, running sums
+    * and lead pairings, plus q165's global ntile) all moved to
+    * ops.ShardedRank forms, each oracle-verified identical. Keep it
+    * empty — a new entry needs a written adjudication of why the
+    * partition enum can carry a corpus. */
+  val allowed: Map[String, Map[String, Int]] = Map.empty
 }
 
 class WindowCensusSpec extends AnyFunSuite {
