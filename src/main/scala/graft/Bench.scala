@@ -185,7 +185,14 @@ object Bench {
     // the plan; the larger one carries that order's neighborhood noise);
     // with >=3 observations the MEDIAN. The per-pass maps stay in
     // warm_passes for anyone who wants a specific order.
-    val warmStat = if (perIter.size >= 3) "median_warm" else "min_warm"
+    // In cold-only mode the "warm" fields carry the cold pass's times;
+    // label the statistic so downstream tooling (readme_bench.py,
+    // scaling_curve.py quote `queries` as the warm robust stat) can
+    // tell the regimes apart instead of silently reporting cold as warm.
+    val warmStat =
+      if (coldOnly) "cold_only"
+      else if (perIter.size >= 3) "median_warm"
+      else "min_warm"
     val robust: Seq[(String, Double)] = {
       val src = if (perIter.isEmpty) Seq(cold) else perIter
       src.flatMap(_.times).groupBy(_._1).toSeq.sortBy(_._1).map {

@@ -342,8 +342,15 @@ object JobService {
       // generation's claim token was burned without a RUNNING follow-up
       // (claimant died between token and append); an unclaimed PENDING
       // job is just waiting for a runner and must not be touched.
-      val stuck = j.status == Running ||
-        (j.status == Pending && claimFile(root, j.id, n).exists())
+      // ONE stat, not exists()-then-lastModified() on separate handles:
+      // if the token vanishes between the two calls (terminal-append
+      // cleanup racing the sweep), lastModified() returns 0 ⇒ instant-
+      // stale ⇒ a spurious requeue of a just-completed job (r10 verdict
+      // item 6). mtime 0 — absent either way — reads as not-stuck.
+      val tokenMtime =
+        if (j.status == Pending) claimFile(root, j.id, n).lastModified()
+        else 0L
+      val stuck = j.status == Running || tokenMtime > 0L
       val horizonMs =
         staleAfterSeconds * 1000L * (1L << math.min(n - 1, 16L).toInt)
       // Staleness anchor: RUNNING jobs age from their last transition,
@@ -354,7 +361,7 @@ object JobService {
       // updated_at would requeue (or FAIL) a job whose claimant is
       // alive inside the token-to-RUNNING window (r9 advice).
       val anchorMs =
-        if (j.status == Pending) claimFile(root, j.id, n).lastModified()
+        if (j.status == Pending) tokenMtime
         else j.updated_at.getTime
       if (!stuck || anchorMs >= now - horizonMs) None
       else if (n >= maxAttempts) {

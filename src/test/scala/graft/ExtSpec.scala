@@ -536,6 +536,33 @@ class ExtSpec extends AnyFunSuite {
     assert(plain.nonEmpty, "fixture must actually produce pairs")
   }
 
+  test("simhash dedup collapse stays lossless at the q139 PRODUCTION config (64-bit, t=8, 9 bands)") {
+    // r10 advice: after q139's 64-bit redesign the sf0.01 oracle row is
+    // empty-vs-empty, so the banded-join-vs-full-pairwise equivalence at
+    // the production parameters was only exercised by a 3-signature
+    // fixture. Run the lossless property on a DENSE 64-bit fixture —
+    // duplicate groups, ≤10-bit perturbations (spanning both sides of
+    // the t=8 cut), isolates — through the exact production call.
+    val rnd = new scala.util.Random(11)
+    val base = Vector.fill(30)(Seq.fill(64)(rnd.nextInt(2)).mkString)
+    val sigRows = (1 to 150).map { i =>
+      val s0 = base(rnd.nextInt(base.size))
+      val s = (0 until rnd.nextInt(11)).foldLeft(s0) { (acc, _) =>
+        val j = rnd.nextInt(64)
+        acc.updated(j, if (acc(j) == '0') '1' else '0')
+      }
+      (i.toLong, s)
+    }.toDF("doc", "simhash")
+    def pairSet3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val plain = pairSet3(Dedup.simhashHammingPairsFromSigs(sigRows, 8, sigBits = 64))
+    val dedup = pairSet3(Dedup.simhashHammingPairsDedupSigs(sigRows, 8, sigBits = 64))
+    assert(plain == dedup,
+      s"missing=${(plain -- dedup).take(5)} extra=${(dedup -- plain).take(5)}")
+    assert(plain.nonEmpty, "fixture must actually produce pairs at t=8")
+    assert(plain.exists(_._3 > 0), "fixture must pair beyond exact dups")
+  }
+
   test("q139 production config: 64-bit blockhash pairs a perturbed payload, not noise") {
     import graft.ext.Multimodal
     import graft.ext.Multimodal.MediaRecord

@@ -383,6 +383,31 @@ class StreamingJobRunnerSpec extends AnyFunSuite {
       .coalesce(1).write.mode("append").parquet(s"$root/job_events")
   }
 
+  test("claim-token removal mid-sweep: mtime 0 reads as not-stuck, never a spurious requeue") {
+    // r10 verdict item 6: the sweep used to call exists() then
+    // lastModified() on separate handles — a token deleted between the
+    // two (terminal-append cleanup racing the sweep) read as mtime 0 ⇒
+    // instant-stale ⇒ spurious requeue of a just-completed job. The fix
+    // reads the mtime ONCE and treats 0 (absent either way) as
+    // not-stuck. Pin the observable contract: a PENDING job whose
+    // token mtime reads 0 is untouched; a genuinely burned stale token
+    // still requeues.
+    val root = java.nio.file.Files.createTempDirectory("graft_jobs_toctou").toString
+    val mdx = "SELECT {[Measures].[sum_qty]} ON COLUMNS FROM [Sales]"
+    val id = JobService.submit(spark, root, "SALES", mdx)
+    val token = new java.io.File(s"$root/claims/$id.gen-1")
+    token.getParentFile.mkdirs()
+    assert(token.createNewFile())
+    assume(token.setLastModified(0L), "filesystem refuses epoch mtime")
+    assert(JobService.requeueStale(spark, root, 0).isEmpty,
+      "mtime 0 (token vanishing mid-sweep) must read as not-stuck")
+    assert(JobService.status(spark, root, id).get.status == JobService.Pending)
+    // The burned-token recovery path is intact: a real (positive) stale
+    // mtime still requeues exactly this job.
+    assert(token.setLastModified(System.currentTimeMillis() - 60000L))
+    assert(JobService.requeueStale(spark, root, 0) == Seq(id))
+  }
+
   test("bounded retry: a job that keeps killing its runner lands FAILED after maxAttempts, never loops") {
     import org.apache.spark.sql.functions.col
     val root = java.nio.file.Files.createTempDirectory("graft_jobs_poison").toString

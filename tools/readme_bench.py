@@ -58,8 +58,12 @@ orders = len([p for p in b.get("warm_passes", []) if p.get("times")]) or 1
 # r99), and the load sits inside the guard so one malformed BENCH file
 # degrades to "no driver note" instead of crashing (r9 advice).
 driver_note = ""
-rounds = sorted(Path(".").glob("BENCH_r*.json"),
-                key=lambda p: int(re.search(r"(\d+)", p.stem).group(1)))
+# Filter to names that actually carry a round number BEFORE sorting: a
+# stray digit-less BENCH_r*.json would crash the sort key outside the
+# try/except below, contradicting the degrade-to-no-note goal.
+rounds = sorted((p for p in Path(".").glob("BENCH_r*.json")
+                 if re.search(r"BENCH_r(\d+)", p.stem)),
+                key=lambda p: int(re.search(r"BENCH_r(\d+)", p.stem).group(1)))
 if rounds:
     latest = rounds[-1]
     try:

@@ -50,10 +50,16 @@ for k in range(N):
     if k == 0:
         parts.append(f"SELECT * FROM {docs}")
     else:
+        # n_chars must track the REWRITTEN text (r10 advice: copying it
+        # verbatim left n_chars != length(text) for (N-1)/N of the
+        # fixture, mildly distorting any query correlating n_chars with
+        # text-derived statistics).
         parts.append(
             f"SELECT doc_id + {k} * (SELECT max(doc_id) + 1 FROM {docs}), "
             f"regexp_replace(text, '([^ ]+)', 'k{k}\\1', 'g') AS text, "
-            f"lang, source, n_chars FROM {docs}")
+            f"lang, source, "
+            f"CAST(length(regexp_replace(text, '([^ ]+)', 'k{k}\\1', 'g')) "
+            f"AS BIGINT) AS n_chars FROM {docs}")
 write(" UNION ALL ".join(parts), "documents")
 
 ev = f"'{SRC}/events.parquet'"
