@@ -48,6 +48,16 @@ object CodegenCensusGolden {
     "q87_ivfpq_ann" -> 31,
     "q92_block_dedup" -> 9,
   )
+
+  /** Queries whose warm noncg count legitimately bistables with
+    * concurrent-suite artifact state (q87's IVF chain subtrees read as
+    * InMemory scans or full plans depending on WHICH suite built them
+    * first in the shared session — observed 31 isolated vs 27 under a
+    * parallel full run, no operator changing execution mode). Any
+    * listed value passes; a value outside the set is still drift. */
+  val tolerated: Map[String, Set[Int]] = Map(
+    "q87_ivfpq_ann" -> Set(27, 31),
+  )
 }
 
 class CodegenCensusSpec extends AnyFunSuite {
@@ -68,7 +78,8 @@ class CodegenCensusSpec extends AnyFunSuite {
       n -> cs
     }
     val diffs = got.filter { case (n, cs) =>
-      CodegenCensusGolden.golden(n) != cs.noncg }
+      CodegenCensusGolden.golden(n) != cs.noncg &&
+        !CodegenCensusGolden.tolerated.get(n).exists(_.contains(cs.noncg)) }
     if (diffs.nonEmpty || sys.env.contains("SPARK_GRAFT_ACCEPT_CENSUS")) {
       val literal = got.map { case (n, cs) =>
         s"""    "$n" -> ${cs.noncg}, // wscg ${cs.wscg}"""

@@ -427,12 +427,18 @@ class PlanSpec extends AnyFunSuite {
       s"metric combination planned a cartesian (must broadcast 1-row aggs):\n$p")
   }
 
-  test("q190 packing sweep: one prior-sum window, ctx sweep adds no join") {
+  test("q190 packing sweep: sharded prior-sum, ctx sweep adds no join beyond the offset attach") {
     val p = plan("q190_packing_efficiency")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"sweep planned a product:\n$p")
-    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
-      .findAllIn(p).isEmpty, s"ctx sweep must be explode+predicate, not a join:\n$p")
+    // The ONLY join is ShardedRank.runningSum's broadcast offset attach
+    // (per-(partition, lang) prefix totals); the ctx sweep itself stays
+    // explode+predicate. A shuffle-side join here would mean the sweep
+    // regressed to a join shape.
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).isEmpty,
+      s"ctx sweep must be explode+predicate, not a shuffle join:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1,
+      s"expected exactly the sharded-prefix offset broadcast:\n$p")
   }
 
   test("q191 basket lift: distinct-first self-join on the user key, no product") {
@@ -443,12 +449,17 @@ class PlanSpec extends AnyFunSuite {
       s"type-set self-join not keyed on user_id:\n$p")
   }
 
-  test("q192 Spearman: two rank windows over the profile, no self-join") {
+  test("q192 Spearman: one sharded rank pass over the unpivoted signals, no profile self-join") {
     val p = plan("q192_spearman_quality_length")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"rank correlation planned a product:\n$p")
-    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
-      .findAllIn(p).isEmpty, s"rho must come from windows, not a join:\n$p")
+    // Both signal ranks come from ONE ShardedRank pass (its broadcast
+    // offset attach is the only join); a shuffle join would mean the
+    // ranks regressed to a profile self-join.
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).isEmpty,
+      s"rho must come from the sharded rank, not a shuffle join:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1,
+      s"expected exactly the sharded-rank offset broadcast:\n$p")
   }
 
   test("q193 mixing realized: the cells-sized plan joins broadcast") {
