@@ -45,31 +45,18 @@ object Layout {
     }.reduce(_ + _)
   }
 
-  /** Exact global 1-based rank with NO single-partition window — the
-    * ops.BucketedPrefix discipline applied to ranking. `bucketSrc` is
-    * value-bucketed at a dynamic width ((max−min+B)/B, so rows equal on
-    * bucketSrc never split across buckets), bucket-count offsets come
-    * from an exclusive running sum over the ≤B-row bucket table, and
-    * the residual rank is a row_number PARTITIONED by bucket ordered by
-    * `order`. Caller contract: `order` must be a total order whose
-    * leading component is (or refines) `bucketSrc`, so bucket
-    * boundaries respect it. Appends `__rank`; leaves input columns. */
-  private def withGlobalRank(df: DataFrame, bucketSrc: Column,
-                             order: Seq[Column], buckets: Int = 4096): DataFrame = {
-    val src = df.withColumn("__bsrc", bucketSrc.cast("long"))
-    val stats = src.agg(min(col("__bsrc")).as("__mn"), max(col("__bsrc")).as("__mx"))
-    val withB = src.crossJoin(broadcast(stats))
-      .withColumn("__bkt",
-        expr(s"(__bsrc - __mn) div greatest((__mx - __mn + $buckets) div $buckets, 1)"))
-    val bcnt = withB.groupBy(col("__bkt")).agg(count(lit(1)).as("__cnt"))
-    val off = graft.ops.BucketedPrefix
-      .runningSums(bcnt, "__bkt", Seq("__cnt"), 64L)
-      .select(col("__bkt"), (col("run___cnt") - col("__cnt")).as("__off"))
-    val wB = Window.partitionBy(col("__bkt")).orderBy(order: _*)
-    withB.join(broadcast(off), Seq("__bkt"))
-      .withColumn("__rank", col("__off") + row_number().over(wB).cast("long"))
-      .drop("__bkt", "__bsrc", "__mn", "__mx", "__off")
-  }
+  /** Exact global 1-based rank with NO single-partition window — since
+    * round 11 a thin wrapper over ops.ShardedRank (range-shard + id
+    * arithmetic + partition-count offsets: one balanced shuffle, no
+    * row-grain window at all; correctness independent of where the
+    * sampled boundaries land). The previous value-bucketed
+    * BucketedPrefix form computed the same ranks but paid a bounds
+    * aggregate + bucket-count legs per call — measured slower on the
+    * audit's double-rank (two layouts, one rank each). `order` must be
+    * ascending and total (last key breaks ties). Appends `__rank`. */
+  private def withGlobalRank(df: DataFrame,
+                             order: Seq[Column]): DataFrame =
+    graft.ops.ShardedRank.withRankOrdered(df, Nil, order, "__rank")
 
   /** Zone-map skipping audit: assign every row to one of `files`
     * equal-count files under (a) the natural order given by `tieCols`
@@ -117,14 +104,14 @@ object Layout {
          |   (__rank - ((__n div $files) + 1) * (__n % $files) - 1)
          |     div (__n div $files) + 1 END""".stripMargin).cast("int")
     val nRow = base.agg(count(lit(1)).as("__n"))
-    def leg(label: String, bucketSrc: Column, order: Seq[Column]) =
-      withGlobalRank(base, bucketSrc, order)
+    def leg(label: String, order: Seq[Column]) =
+      withGlobalRank(base, order)
         .crossJoin(broadcast(nRow))
         .select(lit(label).as("layout"), tileOf.as("f"), col("x"),
           col("y"), matched.as("m"))
     val assigned =
-      leg("natural", col(tieCols.head).cast("long"), ties)
-        .unionAll(leg("zorder", col("zkey"), col("zkey") +: ties))
+      leg("natural", ties)
+        .unionAll(leg("zorder", col("zkey") +: ties))
     val zones = assigned.groupBy(col("layout"), col("f"))
       .agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
         min(col("y")).as("mny"), max(col("y")).as("mxy"),

@@ -55,17 +55,25 @@ object ShardedRank {
     * remaining unpartitioned window runs over that bucket-grain
     * aggregate (the sanctioned census shape), never over the rows. */
   def withRank(df: DataFrame, grp: Seq[String], keyAsc: Column, tie: Column,
-               out: String): DataFrame = {
+               out: String): DataFrame =
+    withRankOrdered(df, grp, Seq(keyAsc, tie), out)
+
+  /** [[withRank]] generalized to an arbitrary ascending order-key list
+    * (the last key must break ties — negate columns for descending). */
+  def withRankOrdered(df: DataFrame, grp: Seq[String], orderAsc: Seq[Column],
+                      out: String): DataFrame = {
     val g = grp.map(col)
-    val rangeKeys = g :+ col("__sr_key") :+ col("__sr_tie")
-    val mid = TransientCache.persist(df
-      .withColumn("__sr_key", keyAsc)
-      .withColumn("__sr_tie", tie)
+    val oNames = orderAsc.indices.map(i => s"__sr_o$i")
+    val withO = orderAsc.zip(oNames).foldLeft(df) {
+      case (acc, (c, n)) => acc.withColumn(n, c)
+    }
+    val rangeKeys = g ++ oNames.map(col)
+    val mid = TransientCache.persist(withO
       .repartitionByRange(rangeKeys: _*)
       .sortWithinPartitions(rangeKeys: _*)
       // Nondeterministic expressions are never reordered past the sort,
       // and ids are consecutive within a partition in row order — after
-      // the sort above, id order IS (grp, key, tie) order.
+      // the sort above, id order IS (grp, keys…) order.
       .withColumn("__sr_mid", monotonically_increasing_id())
       .withColumn("__sr_pid", spark_partition_id()))
     val cnt = mid.groupBy((col("__sr_pid") +: g): _*)
@@ -78,8 +86,7 @@ object ShardedRank {
     mid.join(broadcast(off), "__sr_pid" +: grp)
       .withColumn(out,
         col("__sr_mid") - col("__sr_mn") + col("__sr_off") + lit(1L))
-      .drop("__sr_key", "__sr_tie", "__sr_mid", "__sr_pid",
-        "__sr_mn", "__sr_off")
+      .drop((oNames ++ Seq("__sr_mid", "__sr_pid", "__sr_mn", "__sr_off")): _*)
   }
 
   /** Exact per-group running SUM of `x` over the total order given by

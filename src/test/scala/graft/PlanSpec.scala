@@ -569,29 +569,28 @@ class PlanSpec extends AnyFunSuite {
       s"scoring aggregate lost map-side partials:\n$p")
   }
 
-  test("BucketedPrefix consumers (q178/q258/q259/q269/q230): no single-partition window in any plan") {
-    // The classic KS global sort is re-expressed as histogram grain +
-    // value-bucketed two-phase prefix sums; the only windows left are
-    // PARTITIONED by bucket. An unpartitioned Window.orderBy here would
-    // be the one corpus-sized single-partition WindowExec in the repo —
-    // pin its absence structurally, not by log inspection.
-    // String-level because AQE wraps the tree (AdaptiveSparkPlanExec
-    // does not expose children to collect): a WindowExec prints as
-    // `Window [exprs], [partition], [order]` when partitioned and
-    // `Window [exprs], [order]` when global — so every Window line must
-    // carry TWO `], [` separators.
+  test("BucketedPrefix/ShardedRank consumers (q178/q258/q259/q269/q230): no corpus-sized single-partition window") {
+    // The classic global sorts are re-expressed as bucket/range-shard
+    // prefix machinery; the only windows left are either PARTITIONED
+    // (by bucket / (partition, group)) or run over a bucket-grain
+    // AGGREGATE (ShardedRank's P-row offset table — unpartitioned but
+    // bounded). An unpartitioned window over row-grain input would be
+    // the one corpus-sized single-partition WindowExec in the repo —
+    // pin its absence structurally via PlanAudit.windowShapes (which
+    // sees through AQE wrappers, cached relations, and subqueries, and
+    // ignores aggregates on broadcast build sides).
     Seq("q178_ks_drift", "q258_peak_concurrency", "q259_watermark_lateness",
         "q269_global_quantiles", "q230_zorder_skipping")
       .foreach { name =>
-        val p = plan(name)
-        val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
-        assert(winLines.nonEmpty,
-          s"$name: expected the bucket-partitioned prefix window:\n$p")
-        winLines.foreach { l =>
-          assert("\\], \\[".r.findAllIn(l).size >= 2,
-            s"single-partition WindowExec in $name plan:\n$l")
-        }
+        val shapes = PlanAudit.windowShapes(
+          SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
         graft.ops.TransientCache.releaseAll()
+        assert(shapes.nonEmpty,
+          s"$name: expected the bucket/shard prefix windows")
+        shapes.foreach { w =>
+          assert(w.arity >= 1 || w.bounded,
+            s"$name: corpus-sized single-partition window $w")
+        }
       }
   }
 
