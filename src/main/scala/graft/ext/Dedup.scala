@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB): exact dedup = one hash-partitioned groupBy on a
   * 32-byte key. MinHash-LSH shuffles only (band, key) pairs — b×32 bytes
   * per doc, never doc×doc; candidate verification joins the tiny
-  * signature table. SimHash clusters via a single groupBy on the 32-bit
+  * signature table. SimHash clusters via a single groupBy on the 64-bit
   * signature. The O(n²)-looking Jaccard join is gram-bucketed: pairs only
   * form for docs sharing a concrete shingle.
   */
@@ -260,44 +260,63 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), agree.cast("int").as("n_agree"))
   }
 
-  /** 32-bit SimHash as a '0'/'1' string: bit j is the sign of the token
-    * vote sum, where a token votes +1 iff hex digit j of its md5 has its
-    * high bit set. One md5 per token, reused across all 32 bits. */
+  /** 64-bit SimHash as a '0'/'1' string: bit j is the sign of the token
+    * vote sum, where a token votes +1 iff bit j of its md5 (the first 64
+    * of the 128 digest bits, most-significant first) is set. One md5 per
+    * token, parsed once into two unsigned-32-bit chunks, reused across
+    * all 64 bits.
+    *
+    * 64 bits (not the original 32) is a SCALE requirement, not a
+    * precision nicety: the Hamming-<=maxDist pigeonhole banding in
+    * [[simhashHammingPairsFromSigs]] keys on sigBits/(maxDist+1)-bit
+    * sub-bands, and at 32 bits / 3 bands that keyspace is ~2k cells —
+    * past ~1e5 distinct signatures every cell holds O(N/2k) docs and the
+    * candidate join is quadratic (measured: alpha 1.77 at the 70M-row
+    * fixture). At 64 bits / 5 bands the band keys are ~13 bits
+    * (~8k cells each) and keep widening with the signature, so candidate
+    * fan-out stays output-proportional. */
   def simhash(text: Column): Column = {
     val toks = TextAnalysis.tokens(TextAnalysis.normalize(text))
-    val tokHashes = transform(toks, t => md5(t.cast("binary")))
-    val bits = (1 to 32).map { j =>
-      val votes = aggregate(tokHashes, lit(0),
-        (acc, h) => acc + when(substring(h, j, 1) >= "8", 1).otherwise(-1))
+    val tokChunks = transform(toks, t => {
+      val h = md5(t.cast("binary"))
+      struct(conv(substring(h, 1, 8), 16, 10).cast("long").as("c0"),
+        conv(substring(h, 9, 8), 16, 10).cast("long").as("c1"))
+    })
+    val bits = (1 to 64).map { j =>
+      val f = if (j <= 32) "c0" else "c1"
+      val sh = 31 - ((j - 1) % 32)
+      val votes = aggregate(tokChunks, lit(0), (acc, s) =>
+        acc + when(shiftright(s.getField(f), sh).bitwiseAND(1) === 1, 1)
+          .otherwise(-1))
       when(votes >= 0, "1").otherwise("0")
     }
     // Zero-token docs: all-'0' by convention (matches the SQL-oracle form
     // where the empty vote sum is NULL -> CASE ELSE '0').
-    when(size(toks) === 0, lit("0" * 32)).otherwise(concat(bits: _*))
+    when(size(toks) === 0, lit("0" * 64)).otherwise(concat(bits: _*))
   }
 
-  /** Per-doc 32-bit SimHash signatures — explode-based twin of [[simhash]]
+  /** Per-doc 64-bit SimHash signatures — explode-based twin of [[simhash]]
     * (same bits): one codegen'd md5 per token, then INTEGER vote
-    * aggregation — the 32 hex digits parse into 4 unsigned-32-bit chunks
-    * once per token, and each bit's vote is a shift/mask sum instead of a
-    * per-row substring + string compare (~2× on the signature build,
-    * which q25 and q48 both pay).
+    * aggregation — the digest's first 16 hex digits parse into 2
+    * unsigned-32-bit chunks once per token, and each bit's vote is a
+    * shift/mask sum instead of a per-row substring + string compare
+    * (~2× on the signature build, which q25 and q48 both pay).
     *
-    * Bit equivalence with the '>= "8"' hex form: digit j's high bit is
-    * bit (7-p)*4+3 of chunk (j-1)/8 where p=(j-1)%8; the old ±1 vote sum
-    * is >= 0 iff 2·(count of set high bits) >= n. */
+    * Bit j (1-based, most-significant first) is bit 31-((j-1)%32) of
+    * chunk (j-1)/32; the ±1 vote sum is >= 0 iff 2·(count of set bits)
+    * >= n. See [[simhash]] for why the width is 64. */
   def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc"),
       explode(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))).as("t"))
       .select(col("doc"), md5(col("t").cast("binary")).as("h"))
-      .select(col("doc") +: (0 until 4).map(c =>
+      .select(col("doc") +: (0 until 2).map(c =>
         conv(substring(col("h"), c * 8 + 1, 8), 16, 10).cast("long").as(s"c$c")): _*)
-    val votes = (1 to 32).map { j =>
-      val c = (j - 1) / 8
-      val p = (j - 1) % 8
-      sum(shiftright(col(s"c$c"), (7 - p) * 4 + 3).bitwiseAND(1)).as(s"v$j")
+    val votes = (1 to 64).map { j =>
+      val c = (j - 1) / 32
+      val p = (j - 1) % 32
+      sum(shiftright(col(s"c$c"), 31 - p).bitwiseAND(1)).as(s"v$j")
     }
-    val bits = (1 to 32).map(j =>
+    val bits = (1 to 64).map(j =>
       when(lit(2) * col(s"v$j") >= col("n"), "1").otherwise("0"))
     val nonEmpty = tok.groupBy(col("doc"))
       .agg(count(lit(1)).as("n"), votes: _*)
@@ -306,7 +325,7 @@ object Dedup {
     // all-'0' convention so both Scala forms and the oracle agree.
     val empties = df
       .where(size(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))) === 0)
-      .select(col(idCol).as("doc"), lit("0" * 32).as("simhash"))
+      .select(col(idCol).as("doc"), lit("0" * 64).as("simhash"))
     nonEmpty.unionByName(empties)
   }
 
@@ -324,12 +343,14 @@ object Dedup {
 
   /** SimHash near-dup PAIRS within Hamming distance <= maxDist (the
     * standard SimHash protocol, Manku/Jain/Sarma WWW'07): pigeonhole the
-    * 32-bit signature into maxDist+1 bands — any pair within maxDist must
+    * 64-bit signature into maxDist+1 bands — any pair within maxDist must
     * agree on at least one full band — candidate via band equi-join, then
     * verify the exact bit distance. Shuffle is bounded to band keys, so
-    * the O(n²) bit comparison never materializes. */
+    * the O(n²) bit comparison never materializes. The default threshold 4
+    * of 64 is the equivalent of the old family's 2 of 32 (same relative
+    * looseness) with band keys wide enough to scale — see [[simhash]]. */
   def simhashHammingPairs(df: DataFrame, textCol: String, idCol: String,
-                          maxDist: Int = 2): DataFrame =
+                          maxDist: Int = 4): DataFrame =
     // Persisted (TransientCache: caller releases after materializing):
     // the signature aggregation feeds both self-join sides.
     simhashHammingPairsFromSigs(
@@ -338,12 +359,13 @@ object Dedup {
 
   /** Hamming-pair form over a prebuilt (doc, simhash) signature table;
     * the caller owns the table's persistence lifecycle. `sigBits` is the
-    * signature width (default the text SimHash's 32; q139's 64-block
-    * media hash passes 64 — wider bands keep the bucket key space large
-    * enough that a loose threshold doesn't collapse the corpus into a
-    * handful of buckets). */
-  def simhashHammingPairsFromSigs(sigs: DataFrame, maxDist: Int = 2,
-                                  sigBits: Int = 32): DataFrame = {
+    * signature width (default the text SimHash's 64, which q139's
+    * 64-block media hash shares; 32 remains supported for narrow
+    * externally-built signatures — wider bands keep the bucket key space
+    * large enough that a loose threshold doesn't collapse the corpus
+    * into a handful of buckets). */
+  def simhashHammingPairsFromSigs(sigs: DataFrame, maxDist: Int = 4,
+                                  sigBits: Int = 64): DataFrame = {
     require(sigBits == 32 || sigBits == 64, s"unsupported width $sigBits")
     val nBands = maxDist + 1
     val bounds = bandBounds(sigBits, nBands)
@@ -356,10 +378,18 @@ object Dedup {
     // signature composes from two 32-bit halves: conv()'s string result
     // above 2^63-1 would CAST to null, silently dropping every pair
     // whose high bit is set.
-    val sigi =
+    val sigiRaw =
       if (sigBits == 32) conv(col("simhash"), 2, 10).cast("long")
       else shiftleft(conv(substring(col("simhash"), 1, 32), 2, 10).cast("long"), 32)
         .bitwiseOR(conv(substring(col("simhash"), 33, 32), 2, 10).cast("long"))
+    // A signature narrower/wider than sigBits would parse to a silently
+    // WRONG integer (conv of a truncated/empty slice), so the width
+    // mismatch fails loudly instead (assert_true is NULL on success; the
+    // coalesce adds 0 to the hot path).
+    val sigi = sigiRaw + coalesce(
+      assert_true(length(col("simhash")) === sigBits,
+        lit(s"simhash width != sigBits=$sigBits: pass sigBits explicitly"))
+        .cast("long"), lit(0L))
     // Band b covers string positions [start, start+len) counted from the
     // MOST significant bit; as integer bits that is a right-shift of
     // (sigBits - (start-1) - len) then an len-bit mask.
@@ -413,7 +443,7 @@ object Dedup {
     * on a dup-heavy crawl, where identical media repeat endlessly, the
     * difference between corpus² and content². */
   def simhashHammingPairsDedupSigs(sigs: DataFrame, maxDist: Int,
-                                   sigBits: Int = 32): DataFrame = {
+                                   sigBits: Int = 64): DataFrame = {
     val members = graft.ops.TransientCache.persist(
       sigs.select(col("doc"), col("simhash")))
     val sigTable = graft.ops.TransientCache.persist(
@@ -451,7 +481,7 @@ object Dedup {
     * components = signature components expanded back through the
     * signature → doc mapping (a broadcast-sized join: one row per DISTINCT
     * signature). */
-  def simhashComponents(sigs: DataFrame, maxDist: Int = 2): DataFrame = {
+  def simhashComponents(sigs: DataFrame, maxDist: Int = 4): DataFrame = {
     val sigTable = graft.ops.TransientCache.persist(
       sigs.groupBy(col("simhash"))
         .agg(min(col("doc")).as("rep"), count(lit(1)).as("n_docs")))

@@ -255,13 +255,13 @@ object Multimodal {
     * mean hash (the structure of Yang, Gao & Tian 2006, "Block
     * Mean Value Based Image Perceptual Hashing" — split the payload into
     * `nBits` equal blocks, bit j = [mean of block j >= global mean];
-    * q139 uses the 32-bit default — this corpus' near-dup payloads land
-    * at Hamming 3-8 of 32, and the loose 5/32 threshold is what makes
-    * them findable. The banding fan-in that threshold implies is bounded
-    * by the 5-6-bit bucket keys (see SCALE.md: at a corpus where that
-    * bucket population explodes, WIDEN the signature — the 64-bit path
-    * in `simhashHammingPairsFromSigs` — and tighten the relative
-    * threshold rather than adding bands), emitted
+    * q139 passes 64 — this corpus' near-dup payloads land at Hamming
+    * 0-8 of 64, the unrelated ramp starts ~10, and the 9-band pigeonhole
+    * keys stay ~7 bits wide (the r10 redesign: the original 5-of-32
+    * config was measured-quadratic because random pairs collide at
+    * P(H≤5 of 32) ≈ 6e-5 — at a corpus where bucket population explodes,
+    * WIDEN the signature and tighten the relative threshold rather than
+    * adding bands), emitted
     * as a `(doc, simhash)` '0'/'1'-string table SHAPED FOR the text
     * SimHash machinery — [[Dedup.simhashHammingPairsFromSigs]] bands and
     * verifies these signatures unchanged, making media near-dup

@@ -138,7 +138,7 @@ object ExtQueries {
     graft.ops.SessionCache.getOrBuild(s, s"knn_graph:$d")(
       Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", 3, 16))
 
-  /** Shared per-session SimHash near-dup component map (Hamming ≤ 2 over
+  /** Shared per-session SimHash near-dup component map (Hamming ≤ 4 over
     * [[simhashSigs]]) — consumed by q54 (the map itself) and q67
     * (keep-best resolution over it). The iterative label-propagation
     * loop runs once per session; its persisted fixpoint is the artifact
@@ -153,7 +153,7 @@ object ExtQueries {
       // no-recompute-on-executor-loss tradeoff localCheckpoint always
       // has, documented in Components; a real cluster would use a
       // reliable checkpoint/table here).
-      Dedup.simhashComponents(simhashSigs(s, d), 2).localCheckpoint(true))
+      Dedup.simhashComponents(simhashSigs(s, d), 4).localCheckpoint(true))
 
   /** Shared per-session tokenize-once artifacts over the FULL
     * `documents` table — a pipeline materializes its token stream once
@@ -356,7 +356,7 @@ object ExtQueries {
         .orderBy(col("source"))
     }),
 
-    // 32-bit SimHash near-dup clusters (single groupBy on the signature).
+    // 64-bit SimHash near-dup clusters (single groupBy on the signature).
     // The signature table is built ONCE per session (SessionCache) and
     // shared with q48 — the production pipeline shape, where signatures
     // are a persisted artifact consumed by every dedup pass.
@@ -364,11 +364,11 @@ object ExtQueries {
       Dedup.simhashClustersFromSigs(simhashSigs(s, d))
         .orderBy("simhash")),
 
-    // SimHash near-dup PAIRS within Hamming distance 2 (pigeonhole
+    // SimHash near-dup PAIRS within Hamming distance 4 of 64 (pigeonhole
     // banding -> candidate equi-join -> exact bit-distance verify), over
     // the same shared signature table as q25.
     "q48_simhash_hamming" -> ((s, d) =>
-      Dedup.simhashHammingPairsFromSigs(simhashSigs(s, d), 2)
+      Dedup.simhashHammingPairsFromSigs(simhashSigs(s, d), 4)
         .orderBy("doc_a", "doc_b")),
 
     // Duplicate source attribution: are near-dups copies WITHIN one
@@ -971,7 +971,7 @@ object ExtQueries {
         .select(col("doc_id").cast("long").as("doc"))
       val affected = comps.join(tomb, "doc").select(col("comp")).distinct()
       val keep = comps.join(affected, Seq("comp"), "left_anti")
-      val edges = Dedup.simhashHammingPairsFromSigs(simhashSigs(s, d), 2)
+      val edges = Dedup.simhashHammingPairsFromSigs(simhashSigs(s, d), 4)
       val survEdges = edges
         .join(tomb.select(col("doc").as("doc_a")), Seq("doc_a"), "left_anti")
         .join(tomb.select(col("doc").as("doc_b")), Seq("doc_b"), "left_anti")
@@ -1001,7 +1001,7 @@ object ExtQueries {
     // of yesterday's corpus is never re-derived.
     "q214_component_arrival" -> ((s, d) => {
       val edges = graft.ops.TransientCache.persist(
-        Dedup.simhashHammingPairsFromSigs(simhashSigs(s, d), 2)
+        Dedup.simhashHammingPairsFromSigs(simhashSigs(s, d), 4)
           .select(col("doc_a"), col("doc_b")))
       def isNew(c: org.apache.spark.sql.Column) = c % 10 === 0
       val oldE = edges.where(!isNew(col("doc_a")) && !isNew(col("doc_b")))
@@ -1137,7 +1137,7 @@ object ExtQueries {
     }),
 
     // SimHash dedup quality audit — q149's confusion discipline applied
-    // to the OTHER near-dup signal: the Hamming-≤2 pair set (q48's
+    // to the OTHER near-dup signal: the Hamming-≤4 pair set (q48's
     // predicate, same session signature artifact) scored against the
     // exact bigram-Jaccard ground truth (q24's predicate) as integer
     // confusion counts + ppm recall/precision. Together with q149 this
@@ -1148,7 +1148,7 @@ object ExtQueries {
     "q194_simhash_dedup_audit" -> ((s, d) => {
       val truth = jaccardTruth(s, d)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
-      val pred = Dedup.simhashHammingPairsFromSigs(simhashSigs(s, d), 2)
+      val pred = Dedup.simhashHammingPairsFromSigs(simhashSigs(s, d), 4)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("p"))
       truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
         .agg(sum(col("t")).as("n_truth"), sum(col("p")).as("n_pred"),
@@ -2290,9 +2290,14 @@ object ExtQueries {
     * append it to a chain that already begins with the LSH-pair CTEs
     * (whose prefix is the same `tok`). */
   private[queries] def simhashSigSuffix: String = {
-    val bits = (1 to 32).map(j =>
-      s"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN substr(h,$j,1) >= '8' THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END")
-      .mkString(" || ")
+    // Bit j (1..64, most-significant first) of the md5's first 64 bits:
+    // hex digit (j-1)/4+1, mask 8 >> ((j-1)%4) — same bits as the
+    // engine's two-chunk integer form in Dedup.simhashSignatures.
+    val bits = (1 to 64).map { j =>
+      val dd = (j - 1) / 4 + 1
+      val mask = 8 >> ((j - 1) % 4)
+      s"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN ((strpos('0123456789abcdef', substr(h,$dd,1)) - 1) & $mask) <> 0 THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END"
+    }.mkString(" || ")
     s"""th AS (SELECT doc_id, list_transform(t, x -> md5(x)) th FROM tok),
        |sh AS (SELECT doc_id, $bits AS simhash FROM th)""".stripMargin
   }
@@ -2309,14 +2314,15 @@ object ExtQueries {
        |ORDER BY simhash""".stripMargin
 
   /** CTE chain ending in `hp(doc_a, doc_b, hamming)` = the verified
-    * Hamming-distance-<=2 pair set — shared by the q48 pair oracle and the
-    * q54 connected-components oracle. */
+    * Hamming-distance-<=4 pair set (5-band pigeonhole over the 64-bit
+    * signature) — shared by the q48 pair oracle and the q54
+    * connected-components oracle. */
   private[queries] def simhashHammingCtes: String = {
-    val bounds = graft.ext.Dedup.bandBounds(32, 3)
+    val bounds = graft.ext.Dedup.bandBounds(64, 5)
     val bands = bounds.zipWithIndex.map { case ((start, len), b) =>
       s"SELECT doc_id, simhash, $b band, substr(simhash, $start, $len) bkey FROM sh"
     }.mkString("\n  UNION ALL ")
-    val hamming = (1 to 32).map(j =>
+    val hamming = (1 to 64).map(j =>
       s"CASE WHEN substr(sa,$j,1) <> substr(sb,$j,1) THEN 1 ELSE 0 END").mkString(" + ")
     s"""$simhashSigCtes,
        |bands AS (
@@ -2325,7 +2331,7 @@ object ExtQueries {
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |h AS (SELECT da AS doc_a, db AS doc_b, CAST($hamming AS INT) AS hamming FROM cand),
-       |hp AS (SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 2)""".stripMargin
+       |hp AS (SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 4)""".stripMargin
   }
 
   private def simhashHammingSql: String =

@@ -522,7 +522,7 @@ object PipelineQueries {
     // neighbours (graph-shape audit over the q48 pair set; a heavy tail
     // here predicts quadratic candidate blow-ups before they happen).
     "q80_neardup_degree" -> ((s, d) => {
-      val pairs = Dedup.simhashHammingPairsFromSigs(ExtQueries.simhashSigs(s, d), 2)
+      val pairs = Dedup.simhashHammingPairsFromSigs(ExtQueries.simhashSigs(s, d), 4)
       // one pass: explode each pair into both endpoints (a self-union
       // would run the band join + Hamming verify twice)
       val edges = pairs.select(

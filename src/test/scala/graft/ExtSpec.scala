@@ -371,7 +371,7 @@ class ExtSpec extends AnyFunSuite {
   test("simhash is order-insensitive-ish: identical docs share signatures") {
     val df = Seq("alpha beta gamma", "alpha beta gamma").toDF("text")
     val sh = df.select(Dedup.simhash(col("text"))).collect().map(_.getString(0))
-    assert(sh(0) == sh(1) && sh(0).length == 32 && sh(0).forall(c => c == '0' || c == '1'))
+    assert(sh(0) == sh(1) && sh(0).length == 64 && sh(0).forall(c => c == '0' || c == '1'))
   }
 
   test("knn graph: every vector gets up to k cell-local ranked neighbours") {
@@ -504,7 +504,7 @@ class ExtSpec extends AnyFunSuite {
     assert(byDoc.keySet == Set(1L, 2L, 3L), "garbage/empty payloads must emit no signature")
     assert(byDoc(1L) == byDoc(2L), "same decoded stream => same signature across containers")
     assert(byDoc(1L) != byDoc(3L))
-    val pairs = Dedup.simhashHammingPairsFromSigs(sigs, 0).collect()
+    val pairs = Dedup.simhashHammingPairsFromSigs(sigs, 0, sigBits = 32).collect()
     assert(pairs.length == 1 &&
       pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L &&
       pairs.head.getInt(2) == 0)
@@ -529,8 +529,8 @@ class ExtSpec extends AnyFunSuite {
     }.toDF("doc", "simhash")
     def pairSet3(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val plain = pairSet3(Dedup.simhashHammingPairsFromSigs(sigRows, 2))
-    val dedup = pairSet3(Dedup.simhashHammingPairsDedupSigs(sigRows, 2))
+    val plain = pairSet3(Dedup.simhashHammingPairsFromSigs(sigRows, 2, sigBits = 32))
+    val dedup = pairSet3(Dedup.simhashHammingPairsDedupSigs(sigRows, 2, sigBits = 32))
     assert(plain == dedup,
       s"missing=${(plain -- dedup).take(5)} extra=${(dedup -- plain).take(5)}")
     assert(plain.nonEmpty, "fixture must actually produce pairs")
