@@ -104,7 +104,27 @@ object PlanAudit {
       case a: AdaptiveSparkPlanExec => boundedBelow(a.executedPlan)
       case q: QueryStageExec => boundedBelow(q.plan)
       case s: InMemoryTableScanExec => boundedBelow(s.relation.cachedPlan)
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        // A join's output volume is driven by EVERY non-broadcast side:
+        // an aggregate on one leg of a shuffle join says nothing about
+        // the corpus-sized rows the other leg streams through (the old
+        // children.exists let exactly that shape read as "bounded").
+        // Broadcast build sides are skipped — small by definition, but
+        // no bound on output volume.
+        val probe = j.children.filterNot(isBroadcastSide)
+        probe.nonEmpty && probe.forall(boundedBelow)
       case _ => p.children.exists(boundedBelow)
+    }
+  }
+
+  private def isBroadcastSide(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    p match {
+      case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => true
+      case q: QueryStageExec => isBroadcastSide(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        isBroadcastSide(r.child)
+      case _ => false
     }
   }
 

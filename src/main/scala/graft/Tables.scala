@@ -87,6 +87,17 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // WindowExec's blanket "No Partition Defined" warning fires on EVERY
+    // unpartitioned window, including the sanctioned census shape (global
+    // windows over bucket-grain aggregates — P-row offset tables in
+    // ops.ShardedRank/BucketedPrefix). The repo's real rule is enforced
+    // strictly by PlanAudit + WindowCensusSpec (zero unbounded global
+    // windows, bounded-input proof per query), and the hundreds of
+    // spurious lines drowned the driver's bench-tail capture in r11
+    // (BENCH_r11.json parsed=null). Silence this one logger, not the rule.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }

@@ -19,10 +19,10 @@ import org.apache.spark.sql.functions._
   * is not) but NOT Spark's ntile window: an unpartitioned ntile is a
   * single-partition sort of the whole fact table, the one plan shape
   * that cannot survive the audit's own 100 TB target. Instead each
-  * row's exact global rank comes from the BucketedPrefix discipline
-  * (dynamic-width value buckets + an exclusive bucket-count prefix +
-  * a bucket-PARTITIONED row_number), and the ntile group falls out of
-  * the closed-form rank→tile formula.
+  * row's exact global rank comes from ops.ShardedRank (range-shard +
+  * consecutive-id local ranks + partition-count offsets — sampled
+  * boundaries steer balance only; the counts make any split exact),
+  * and the ntile group falls out of the closed-form rank→tile formula.
   *
   * Everything is integer: keys are BIGINT, the Morton key is a sum of
   * shifted bits, zone bounds and row counts are exact.

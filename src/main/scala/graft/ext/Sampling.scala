@@ -122,7 +122,13 @@ object Sampling {
     * are low-cardinality enums, so a per-stratum window caps
     * parallelism at the stratum count and serializes when one stratum
     * dominates (the r10 q155 counter finding) — the range-sharded form
-    * bins identically with no per-stratum task. */
+    * bins identically with no per-stratum task.
+    *
+    * `scoreCol` must be numeric and non-null: descending order comes
+    * from NEGATING the score (ShardedRank's documented contract), and
+    * `-col` sorts NULL first / flips NaN where a `.desc` window sorted
+    * them last — a null score would land in the best bin instead of
+    * erroring. Pre-filter or coalesce nulls before calling. */
   def curriculumBins(df: DataFrame, strataCol: String, scoreCol: String,
                      idCol: String, tokensCol: String, nBins: Int): DataFrame =
     graft.ops.ShardedRank.withNtile(
@@ -144,7 +150,9 @@ object Sampling {
     * inclusive sums with no per-stratum task. A head document alone
     * larger than the budget is dropped with everything after it — the
     * budget is a hard cap, not a lower bound. Returns the selected rows
-    * with their `cum_tokens` audit column. */
+    * with their `cum_tokens` audit column. `scoreCol` must be numeric
+    * and non-null (descending-by-negation — see [[curriculumBins]]);
+    * a null score would be selected FIRST, not rejected. */
   def budgetSelect(df: DataFrame, strataCol: String, scoreCol: String,
                    idCol: String, tokensCol: String,
                    budgetTokens: Long): DataFrame =

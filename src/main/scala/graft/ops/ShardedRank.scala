@@ -49,6 +49,16 @@ import org.apache.spark.sql.functions._
   */
 object ShardedRank {
 
+  /** withColumn on a temp name silently REPLACES a same-named input
+    * column (and the trailing drop then deletes it) — so an input that
+    * already carries one of the operator's working names must fail
+    * loudly, not lose a column. */
+  private def requireNoReserved(df: DataFrame, reserved: Seq[String]): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input columns collide with ShardedRank temp names: ${clash.mkString(", ")}")
+  }
+
   /** Exact `row_number() OVER (PARTITION BY grp ORDER BY keyAsc, tie)`.
     * `grp` may be EMPTY — that is the exact GLOBAL rank, where the
     * per-partition count/offset tables are P rows and the single
@@ -64,6 +74,8 @@ object ShardedRank {
                       out: String): DataFrame = {
     val g = grp.map(col)
     val oNames = orderAsc.indices.map(i => s"__sr_o$i")
+    requireNoReserved(df,
+      oNames ++ Seq("__sr_mid", "__sr_pid", "__sr_mn", "__sr_off"))
     val withO = orderAsc.zip(oNames).foldLeft(df) {
       case (acc, (c, n)) => acc.withColumn(n, c)
     }
@@ -103,6 +115,8 @@ object ShardedRank {
                  x: Column, out: String, exclusive: Boolean): DataFrame = {
     val g = grp.map(col)
     val oNames = orderAsc.indices.map(i => s"__rs_o$i")
+    requireNoReserved(df,
+      oNames ++ Seq("__rs_x", "__rs_pid", "__rs_loc", "__rs_t", "__rs_off"))
     val oRefs = oNames.map(col)
     val withO = orderAsc.zip(oNames).foldLeft(df) {
       case (acc, (c, n)) => acc.withColumn(n, c)
@@ -137,6 +151,7 @@ object ShardedRank {
     * form is the literal single-partition warning). */
   def withNtile(df: DataFrame, grp: Seq[String], keyAsc: Column, tie: Column,
                 tiles: Int, out: String): DataFrame = {
+    requireNoReserved(df, Seq("__sr_rank", "__sr_n"))
     val ranked = withRank(df, grp, keyAsc, tie, "__sr_rank")
     val n =
       if (grp.nonEmpty)

@@ -260,7 +260,17 @@ object DocumentsStream {
     * re-arrival), turning exact lifetime dedup into sliding-window dedup —
     * a re-arrival AFTER eviction is treated as new content and re-emitted.
     * That is the standard state-compaction contract for an unbounded
-    * ingest; leave it None for exact dedup over a bounded backfill. */
+    * ingest; leave it None for exact dedup over a bounded backfill.
+    *
+    * Trigger caveat (applies to every stateTtl operator in this
+    * package): a processing-time timeout means the query ALWAYS has
+    * potential future work (FlatMapGroupsWithStateExec
+    * .shouldRunAnotherBatch is unconditionally true under
+    * ProcessingTimeTimeout), so a Trigger.AvailableNow run never
+    * self-terminates — it idles in no-data batches waiting for the TTL
+    * clock. TTL'd queries belong on a continuous trigger; a bounded
+    * drain must use processAllAvailable() + stop() (StreamingSpec's
+    * drainAndStop). */
   def dedupDocuments(spark: SparkSession, docs: DataFrame,
                      textCol: String = "text",
                      idCol: String = "doc_id",

@@ -10,11 +10,47 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
+  /** Drain all available data and require CLEAN termination: a query
+    * that terminated with an exception, or that is still running after
+    * the wait (an AvailableNow drain that cannot finish), is a test
+    * failure — r11 shipped a green suite over a `terminated with error`
+    * log line because the old helper discarded awaitTermination's
+    * result. */
   private def runAvailableNow(df: org.apache.spark.sql.DataFrame, name: String,
                               mode: OutputMode): Unit = {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    val terminated =
+      try q.awaitTermination(120000)
+      catch { case e: Throwable => fail(s"query $name terminated with error", e) }
+    q.exception.foreach(e => fail(s"query $name terminated with error", e))
+    assert(terminated, s"query $name did not terminate within 120s")
+  }
+
+  /** Bounded drain for queries carrying a GroupState PROCESSING-TIME
+    * timeout: under Trigger.AvailableNow such a query never
+    * self-terminates (FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+    * unconditionally true with ProcessingTimeTimeout, so the trigger
+    * loops no-data batches to fire future timeouts — awaitTermination
+    * AND processAllAvailable both block forever), and a later
+    * spark.stop() then kills it mid-plan with an INTERNAL_ERROR — the
+    * r11 `doc_dedup_ttl` log line. Poll the sink to `minRows`, stop the
+    * QUERY (clean interrupt: the stream thread's stopped flag is set
+    * before the interrupt, unlike session stop), and require the stop
+    * left no exception. */
+  private def drainAndStop(df: org.apache.spark.sql.DataFrame, name: String,
+                           mode: OutputMode, minRows: Long): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    try {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (spark.table(name).count() < minRows && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(spark.table(name).count() >= minRows,
+        s"query $name: sink never reached $minRows rows")
+    } finally q.stop()
+    q.awaitTermination(30000)
+    q.exception.foreach(e => fail(s"query $name failed during drain/stop", e))
   }
 
   test("streaming windowed stats equal the batch aggregation (complete mode)") {
@@ -223,7 +259,7 @@ class StreamingSpec extends AnyFunSuite {
     val ddTtl = DocumentsStream.dedupDocuments(spark,
       DocumentsStream.readDocuments(spark, dir.toString, Some(1)),
       stateTtl = Some(java.time.Duration.ofHours(1)))
-    runAvailableNow(ddTtl.toDF(), "doc_dedup_ttl", OutputMode.Append())
+    drainAndStop(ddTtl.toDF(), "doc_dedup_ttl", OutputMode.Append(), minRows = 3)
     val gotTtl = spark.table("doc_dedup_ttl")
       .collect().map(r => r.getLong(1)).toSet
     assert(gotTtl == Set(1L, 2L, 4L), s"TTL path diverged: $gotTtl")

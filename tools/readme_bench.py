@@ -52,30 +52,52 @@ under2 = sum(1 for t in times if t < 2.0)
 med = times[n // 2]
 orders = len([p for p in b.get("warm_passes", []) if p.get("times")]) or 1
 
-# Driver-host totals from the newest BENCH_r*.json (the round driver's
-# own run of this same Bench main on its host). "Newest" is by the
-# NUMERIC round in the name (lexicographic glob order puts r100 before
-# r99), and the load sits inside the guard so one malformed BENCH file
-# degrades to "no driver note" instead of crashing (r9 advice).
+# Driver-host totals, newest round first. Two artifact shapes per round:
+# BENCH_r<N>.json (the driver's capture — totals live in a BENCH_SUMMARY
+# line inside its "tail") and bench_driver_r<N>.json (a full Bench JSON
+# preserved by the builder when the driver's tail capture was swamped —
+# r11: hundreds of WindowExec warnings pushed BENCH_SUMMARY out of the
+# 2000-char tail, leaving parsed=null). Walk rounds newest→oldest and
+# take the first artifact that yields totals, so a single malformed
+# capture degrades to the freshest PARSEABLE driver run (with its name
+# as provenance), never to a silently dropped driver row.
 driver_note = ""
-# Filter to names that actually carry a round number BEFORE sorting: a
-# stray digit-less BENCH_r*.json would crash the sort key outside the
-# try/except below, contradicting the degrade-to-no-note goal.
-rounds = sorted((p for p in Path(".").glob("BENCH_r*.json")
-                 if re.search(r"BENCH_r(\d+)", p.stem)),
-                key=lambda p: int(re.search(r"BENCH_r(\d+)", p.stem).group(1)))
-if rounds:
-    latest = rounds[-1]
-    try:
-        tail = json.loads(latest.read_text()).get("tail", "")
-        m = re.search(r'BENCH_SUMMARY ({.*?})', tail)
+
+def _from_tail(p):
+    tail = json.loads(p.read_text()).get("tail", "")
+    m = re.search(r'BENCH_SUMMARY ({.*?})', tail)
+    if not m:
+        return None
+    d = json.loads(m.group(1))
+    return (p.name, d["n_queries"], d["total"], d["cold_total"])
+
+def _from_full(p):
+    d = json.loads(p.read_text())
+    if d.get("total") is None or d.get("cold_total") is None:
+        return None
+    return (p.name, d.get("n_queries", len(d.get("queries", {}))),
+            d["total"], d["cold_total"])
+
+_cands = {}
+for pat, kind in (("BENCH_r*.json", 0), ("bench_driver_r*.json", 1)):
+    for p in Path(".").glob(pat):
+        m = re.search(r"r(\d+)$", p.stem)
         if m:
-            d = json.loads(m.group(1))
-            driver_note = (
-                f" Driver-host ({latest.name}, {d['n_queries']} queries): "
-                f"warm {d['total']:.1f} s, cold {d['cold_total']:.1f} s.")
-    except (json.JSONDecodeError, KeyError, AttributeError, TypeError):
-        pass
+            _cands.setdefault(int(m.group(1)), []).append((kind, p))
+for rnd in sorted(_cands, reverse=True):
+    hit = None
+    for kind, p in sorted(_cands[rnd]):
+        try:
+            hit = _from_tail(p) if kind == 0 else _from_full(p)
+        except (json.JSONDecodeError, KeyError, AttributeError, TypeError):
+            hit = None
+        if hit:
+            break
+    if hit:
+        name, nq, tot, cold = hit
+        driver_note = (f" Driver-host ({name}, {nq} queries): "
+                       f"warm {tot:.1f} s, cold {cold:.1f} s.")
+        break
 
 lines = [
     f"Latest full bench (`bench.json`, **builder-host**, sf `{b['sf']}`, "
