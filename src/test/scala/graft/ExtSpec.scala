@@ -829,6 +829,43 @@ class StrategyEquivalenceSpec extends AnyFunSuite {
     assert(typed.nonEmpty && (typed sameElements cols))
   }
 
+  test("64-bit simhash bits follow the md5-bit vote definition (independent JVM recompute)") {
+    // Pins the signature DEFINITION — bit j (1..64, MSB first) is the
+    // sign of the ±1 vote sum over tokens, a token voting +1 iff bit j
+    // of md5(token) is set — against a plain-JVM MessageDigest
+    // reimplementation, independent of both the Catalyst expression
+    // tree and the DuckDB oracle CTE (which must BOTH match this).
+    import spark.implicits._
+    val docs = Seq(
+      101L -> "alpha beta gamma alpha",
+      102L -> "  Mixed CASE text,  with punct!! and 123 ",
+      103L -> "").toDF("doc_id", "text")
+    val got = Dedup.simhashSignatures(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val toks = docs.select(col("doc_id"),
+        TextAnalysis.tokens(TextAnalysis.normalize(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    def expected(tokens: Seq[String]): String =
+      if (tokens.isEmpty) "0" * 64
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val votes = new Array[Int](64)
+        tokens.foreach { t =>
+          val d = md.digest(t.getBytes("UTF-8"))
+          for (j <- 0 until 64) {
+            val bit = (d(j / 8) >> (7 - j % 8)) & 1
+            votes(j) += (if (bit == 1) 1 else -1)
+          }
+        }
+        votes.map(v => if (v >= 0) '1' else '0').mkString
+      }
+    Seq(101L, 102L, 103L).foreach { id =>
+      assert(got(id) == expected(toks(id)),
+        s"doc $id: engine ${got(id)} != definition ${expected(toks(id))}")
+    }
+    assert(got(101L).length == 64 && got(101L).contains('1'))
+  }
+
   test("simhash column form and explode-aggregate cluster form agree") {
     val docs = Tables.documents(spark, sf).limit(100)
     val perDoc = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
