@@ -364,42 +364,46 @@ object Dedup {
     * externally-built signatures — wider bands keep the bucket key space
     * large enough that a loose threshold doesn't collapse the corpus
     * into a handful of buckets). */
+  /** Integer form of a '0'/'1' signature string — computed ONCE per doc
+    * so band keys become shift+mask extractions and Hamming one
+    * bit_count(xor); no string op ever reaches a candidate row (measured
+    * 2.5× on q139). A 64-bit signature composes from two 32-bit halves:
+    * conv()'s string result above 2^63-1 would CAST to null, silently
+    * dropping every pair whose high bit is set. A signature
+    * narrower/wider than sigBits would parse to a silently WRONG integer
+    * (conv of a truncated/empty slice), so the width mismatch fails
+    * loudly instead (assert_true is NULL on success; the coalesce adds 0
+    * to the hot path). Shared by the batch band join and the streaming
+    * ingest twin. */
+  private[graft] def sigInt(sig: Column, sigBits: Int): Column = {
+    require(sigBits == 32 || sigBits == 64, s"unsupported width $sigBits")
+    val raw =
+      if (sigBits == 32) conv(sig, 2, 10).cast("long")
+      else shiftleft(conv(substring(sig, 1, 32), 2, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(sig, 33, 32), 2, 10).cast("long"))
+    raw + coalesce(
+      assert_true(length(sig) === sigBits,
+        lit(s"simhash width != sigBits=$sigBits: pass sigBits explicitly"))
+        .cast("long"), lit(0L))
+  }
+
+  /** Band b of an integer signature under `bounds` = [[bandBounds]]
+    * (1-based string positions counted from the MOST significant bit):
+    * a right-shift of (sigBits - (start-1) - len) then a len-bit mask. */
+  private[graft] def bandKeyOf(c: Column, bounds: Seq[(Int, Int)],
+                               sigBits: Int, b: Int): Column = {
+    val (start, len) = bounds(b)
+    shiftrightunsigned(c, sigBits - (start - 1) - len)
+      .bitwiseAND(lit((1L << len) - 1))
+  }
+
   def simhashHammingPairsFromSigs(sigs: DataFrame, maxDist: Int = 4,
                                   sigBits: Int = 64): DataFrame = {
     require(sigBits == 32 || sigBits == 64, s"unsupported width $sigBits")
     val nBands = maxDist + 1
     val bounds = bandBounds(sigBits, nBands)
-    // Integer form of the signature (computed ONCE per doc, before the
-    // band explode): band keys become shift+mask extractions, the
-    // leftmost-band filter becomes masked-xor tests and Hamming one
-    // bit_count(xor) — the whole pair path is integer codegen, no string
-    // op ever reaches a candidate row (measured 2.5× on q139, whose
-    // loose 5/32 threshold makes candidates the cost driver). A 64-bit
-    // signature composes from two 32-bit halves: conv()'s string result
-    // above 2^63-1 would CAST to null, silently dropping every pair
-    // whose high bit is set.
-    val sigiRaw =
-      if (sigBits == 32) conv(col("simhash"), 2, 10).cast("long")
-      else shiftleft(conv(substring(col("simhash"), 1, 32), 2, 10).cast("long"), 32)
-        .bitwiseOR(conv(substring(col("simhash"), 33, 32), 2, 10).cast("long"))
-    // A signature narrower/wider than sigBits would parse to a silently
-    // WRONG integer (conv of a truncated/empty slice), so the width
-    // mismatch fails loudly instead (assert_true is NULL on success; the
-    // coalesce adds 0 to the hot path).
-    val sigi = sigiRaw + coalesce(
-      assert_true(length(col("simhash")) === sigBits,
-        lit(s"simhash width != sigBits=$sigBits: pass sigBits explicitly"))
-        .cast("long"), lit(0L))
-    // Band b covers string positions [start, start+len) counted from the
-    // MOST significant bit; as integer bits that is a right-shift of
-    // (sigBits - (start-1) - len) then an len-bit mask.
-    def bandShift(b: Int): Int = {
-      val (start, len) = bounds(b)
-      sigBits - (start - 1) - len
-    }
-    def bandMask(b: Int): Long = (1L << bounds(b)._2) - 1
-    def bandOf(c: Column, b: Int): Column =
-      shiftrightunsigned(c, bandShift(b)).bitwiseAND(lit(bandMask(b)))
+    val sigi = sigInt(col("simhash"), sigBits)
+    def bandOf(c: Column, b: Int): Column = bandKeyOf(c, bounds, sigBits, b)
     val bandStructs = bounds.indices.map { b =>
       struct(lit(b).as("band"), bandOf(col("sigi"), b).as("bkey"))
     }

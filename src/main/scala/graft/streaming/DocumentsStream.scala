@@ -33,6 +33,16 @@ final case class BandMatch(band: Int, key: String, doc_id: Long,
 final case class CentroidState(sx: Long, n: Long)
 final case class CentroidUpdate(label: Int, pos: Int, sx: Long, n: Long)
 
+/** First claimer of a SimHash pigeonhole band bucket — doc id PLUS the
+  * full 64-bit signature, so a later collision verifies its exact
+  * Hamming distance against the claimant IN the state function (the
+  * signature is one long; LSH minhash state cannot afford its full
+  * signature, SimHash state gets verification for free). Top-level +
+  * public for Spark's state encoder codegen. */
+final case class SimhashClaim(firstDoc: Long, sig: Long)
+final case class SimhashMatch(band: Int, bkey: Long, doc_id: Long,
+                              first_doc: Long, hamming: Int)
+
 /** First claimer of a trigram (streaming first-occurrence state; one
   * long per distinct gram) and the claim event emitted the moment a
   * gram enters the corpus. Top-level + public for Spark's state encoder
@@ -475,6 +485,93 @@ object DocumentsStream {
                 state.update(BandClaim(rows.head._3))
                 rows.iterator.drop(1).map(r =>
                   BandMatch(band, key, r._3, rows.head._3))
+              }
+            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            out
+          }
+      }
+  }
+
+  /** Streaming SimHash near-dup detection at ingest — the streaming twin
+    * of the 64-bit batch family (`Dedup.simhashHammingPairsFromSigs`,
+    * q48's operator): each arriving document's 64-bit signature is
+    * computed STATELESSLY (map-side column expressions — no stream
+    * aggregation before the stateful op), pigeonholed into the same
+    * maxDist+1 bands as the batch join, and keyed state per (band,
+    * bucket) holds the FIRST claimant's doc id and full signature. Every
+    * later arrival colliding in a bucket emits a match event carrying
+    * its EXACT VERIFIED Hamming distance to the claimant — unlike the
+    * minhash ingest twin ([[lshNearDupAtIngest]], whose events are
+    * unverified candidates), the whole 64-bit signature fits in one
+    * state long, so xor+bit_count verification runs inside the state
+    * function and a `hamming <= maxDist` filter downstream is exact.
+    *
+    * Contract (the flood-detector shape, same as the LSH twin): matches
+    * are against the bucket's FIRST claimant only — a dup flood of n
+    * copies emits n−1 events against the one stored claimant with
+    * state bounded at one (long, long) per distinct non-empty (band,
+    * bucket), NEVER n² pairs or per-doc signature lists. The full
+    * near-dup PAIR set (all partners, leftmost-band dedup) stays the
+    * batch operator's job over the persisted signature table; at ingest
+    * the question is "has content like this been seen?", and the
+    * claimant answers it. Within one micro-batch "earlier" = lower doc
+    * id (the stream cannot see the future; intra-batch events all
+    * target the bucket-min doc). Events fire per colliding band — a
+    * near-identical pair collides in several bands and emits one event
+    * per band, each carrying the same verified distance (consumers
+    * keying on doc_id dedup trivially; the per-band grain is what makes
+    * intra-batch semantics deterministic without a cross-band shuffle).
+    * NULL text/id rows are dropped (no content to band; keyed state
+    * cannot group a null key), matching [[dedupDocuments]].
+    *
+    * `stateTtl` gives the same sliding-window eviction contract (and
+    * AvailableNow caveat) as [[dedupDocuments]]. */
+  def simhashNearDupAtIngest(spark: SparkSession, docs: DataFrame,
+                             textCol: String = "text",
+                             idCol: String = "doc_id",
+                             maxDist: Int = 4,
+                             stateTtl: Option[java.time.Duration] = None)
+      : Dataset[SimhashMatch] = {
+    import spark.implicits._
+    val sigBits = 64
+    val nBands = maxDist + 1
+    val bounds = graft.ext.Dedup.bandBounds(sigBits, nBands)
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val sigi = graft.ext.Dedup.sigInt(
+      graft.ext.Dedup.simhash(col(textCol)), sigBits)
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        graft.ext.Dedup.bandKeyOf(col("sigi"), bounds, sigBits, b).as("bkey"))
+    }
+    docs
+      .where(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc"), sigi.as("sigi"))
+      .select(col("doc"), col("sigi"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
+        col("doc"), col("sigi"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState[SimhashClaim, SimhashMatch](
+        OutputMode.Append(), timeoutConf) {
+        case (_, it, state: GroupState[SimhashClaim]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toArray.sortBy(_._3)
+            val (band, bkey) = (rows.head._1, rows.head._2)
+            val out =
+              if (state.exists) {
+                val c = state.get
+                rows.iterator.map(r => SimhashMatch(band, bkey, r._3,
+                  c.firstDoc, java.lang.Long.bitCount(r._4 ^ c.sig)))
+              } else {
+                val c0 = rows.head
+                state.update(SimhashClaim(c0._3, c0._4))
+                rows.iterator.drop(1).map(r => SimhashMatch(band, bkey, r._3,
+                  c0._3, java.lang.Long.bitCount(r._4 ^ c0._4)))
               }
             stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
             out

@@ -748,6 +748,114 @@ class StreamingSpec extends AnyFunSuite {
       s"expected doc 3 to match doc 1 in all bands, got $got")
   }
 
+  // JVM-side recompute of the simhash ingest contract, shared by both
+  // simhash-ingest tests: fold batches in order through a claimant map
+  // keyed on (band, bkey); intra-batch order = ascending doc id. Band
+  // arithmetic is recomputed from Dedup.bandBounds with plain Long ops —
+  // independent of the engine's Column expressions.
+  private def simhashIngestExpected(batches: Seq[Map[Long, String]])
+      : Set[(Int, Long, Long, Long, Int)] = {
+    val bounds = graft.ext.Dedup.bandBounds(64, 5)
+    def key(sig: Long, b: Int): Long = {
+      val (start, len) = bounds(b)
+      (sig >>> (64 - (start - 1) - len)) & ((1L << len) - 1)
+    }
+    val state = scala.collection.mutable.Map.empty[(Int, Long), (Long, Long)]
+    val out = Set.newBuilder[(Int, Long, Long, Long, Int)]
+    batches.foreach { batch =>
+      // group this batch's (band, bkey) arrivals, ascending doc id
+      val arrivals = for {
+        (doc, s) <- batch.toSeq
+        sig = java.lang.Long.parseUnsignedLong(s, 2)
+        b <- bounds.indices
+      } yield ((b, key(sig, b)), (doc, sig))
+      arrivals.groupBy(_._1).foreach { case (bk, rows) =>
+        val sorted = rows.map(_._2).sortBy(_._1)
+        state.get(bk) match {
+          case Some((claimDoc, claimSig)) =>
+            // bucket already claimed in an earlier batch: EVERY arrival
+            // (including this batch's min) matches the stored claimant
+            sorted.foreach { case (d, sg) =>
+              out += ((bk._1, bk._2, d, claimDoc,
+                java.lang.Long.bitCount(sg ^ claimSig)))
+            }
+          case None =>
+            val (claimDoc, claimSig) = sorted.head
+            state(bk) = (claimDoc, claimSig)
+            sorted.tail.foreach { case (d, sg) =>
+              out += ((bk._1, bk._2, d, claimDoc,
+                java.lang.Long.bitCount(sg ^ claimSig)))
+            }
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def sigsOf(rows: Seq[(Long, String)]): Map[Long, String] = {
+    import spark.implicits._
+    graft.ext.Dedup.simhashSignatures(
+        rows.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  test("streaming simhash near-dup detection: single batch equals the claimant fold (verified hamming)") {
+    import graft.streaming.DocumentsStream
+    val matches = DocumentsStream.simhashNearDupAtIngest(spark,
+      DocumentsStream.readDocuments(spark, sf))
+    runAvailableNow(matches.toDF(), "simhash_ingest_1b", OutputMode.Append())
+    val got = spark.table("simhash_ingest_1b")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    val docRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val expected = simhashIngestExpected(Seq(sigsOf(docRows).toMap))
+    assert(got.nonEmpty && got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // the verified distances must make the downstream <= 4 filter real:
+    // random 13-bit-band collisions of unrelated docs land far past the
+    // threshold, so the event stream must carry genuinely large distances
+    assert(got.forall(e => e._5 >= 0 && e._5 <= 64) && got.exists(_._5 > 4))
+  }
+
+  test("streaming simhash near-dup detection flags a cross-batch re-crawl with exact distance") {
+    import graft.streaming.DocumentsStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs_sim_2b")
+    def writeAs(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("docs_part").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different content with no overlap whatsoever here now"
+    val b1 = Seq(1L -> a, 2L -> b)
+    // batch 2: doc 3 = re-crawl of doc 1 (identical text -> identical
+    // signature -> collides in ALL 5 bands at hamming 0, partner = the
+    // ORIGINAL doc 1 held in state across the batch boundary)
+    val b2 = Seq(3L -> a)
+    writeAs("b1.parquet", 1000000L, b1)
+    writeAs("b2.parquet", 2000000L, b2)
+    val matches = DocumentsStream.simhashNearDupAtIngest(spark,
+      DocumentsStream.readDocuments(spark, dir.toString, Some(1)))
+    runAvailableNow(matches.toDF(), "simhash_ingest_2b", OutputMode.Append())
+    val got = spark.table("simhash_ingest_2b")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    val expected = simhashIngestExpected(Seq(sigsOf(b1), sigsOf(b2)))
+    assert(got == expected, s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(got.map(e => (e._1, e._3, e._4, e._5)) ==
+      (0 until 5).map(band => (band, 3L, 1L, 0)).toSet,
+      s"expected doc 3 vs doc 1 at hamming 0 in all 5 bands, got $got")
+  }
+
   test("streaming daily registers equal the batch daily grain (q171/q209 base)") {
     import graft.streaming.EventsStream
     val updates = EventsStream.dailyRegisters(
