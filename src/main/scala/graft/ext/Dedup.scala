@@ -506,6 +506,87 @@ object Dedup {
       .select(col("doc"), col("comp"))
   }
 
+  /** Multi-index-hashing chunk sweep (Norouzi, Punjani & Fleet 2012,
+    * "Fast Search in Hamming Space with Multi-Index Hashing") over the
+    * family's signature table — the serving-knob curve for THE banding
+    * choice [[simhashHammingPairsFromSigs]] hard-codes (maxDist+1 equal
+    * bands): Hamming ≤ `radius` pair retrieval banded by EXACT match on
+    * one of m equal signature chunks, swept over `chunkCounts`. The
+    * pigeonhole theorem — a pair at distance ≤ r differs in at most r
+    * chunks, so m > r chunks guarantee an agreeing one — is MEASURED,
+    * not asserted: recall_ppm is exactly 10⁶ for every lossless m >
+    * radius, drops measurably below it, and n_cand prices what each
+    * extra (narrower) chunk costs in candidate fan-out. The q198 (LSH
+    * bands) / q267 (IVF nprobe) curve idiom, drawn for Hamming space —
+    * the table an operator reads before re-banding the family.
+    *
+    * The truth leg is NOT a corpus² join: it rides the WIDEST swept
+    * banding's own losslessness (`max(chunkCounts) > radius` is
+    * required), so the audit keeps the same banded 100 TB shape as the
+    * serving path — per-cell fan-out bounded by the chunk keyspace, one
+    * xor+popcount per candidate, leftmost-chunk dedup in place of a
+    * shuffle-distinct.
+    *
+    * Output `(n_chunks, n_cand, n_verified, recall_ppm)`, one row per
+    * swept m, ordered by n_chunks. */
+  def simhashChunkSweep(sigs: DataFrame, radius: Int = 4,
+                        chunkCounts: Seq[Int] = Seq(2, 4, 8),
+                        sigBits: Int = 64): DataFrame = {
+    require(sigBits == 32 || sigBits == 64, s"unsupported width $sigBits")
+    require(chunkCounts.nonEmpty && chunkCounts.max > radius,
+      "widest banding must be lossless at the sweep radius (max(m) > radius)")
+    require(chunkCounts.forall(m => m >= 2 && sigBits % m == 0),
+      s"chunk counts must be >= 2 and divide $sigBits, got $chunkCounts")
+    val s2 = graft.ops.TransientCache.persist(
+      sigs.select(col("doc"), sigInt(col("simhash"), sigBits).as("sigi")))
+    def legFor(m: Int): DataFrame = {
+      val w = sigBits / m
+      val mask = (1L << w) - 1 // w <= 32 for m >= 2: no sign-bit wrap
+      def chunkOf(c: Column, j: Int): Column =
+        shiftrightunsigned(c, sigBits - (j + 1) * w).bitwiseAND(lit(mask))
+      val chunkStructs = (0 until m).map(j =>
+        struct(lit(j).as("j"), chunkOf(col("sigi"), j).as("ck")))
+      val ch = s2
+        .select(col("doc"), col("sigi"),
+          explode(array(chunkStructs: _*)).as("c"))
+        .select(col("doc"), col("sigi"),
+          col("c.j").as("j"), col("c.ck").as("ck"))
+      val xorCol = col("sigi_a").bitwiseXOR(col("sigi_b"))
+      // Leftmost-chunk dedup (the discipline of the band join above): a
+      // pair colliding in several chunks is kept only in its FIRST
+      // agreeing chunk — a pure filter instead of a shuffle-distinct,
+      // and n_cand therefore counts DISTINCT candidate pairs.
+      val leftmost = (0 until m).reverse.foldLeft(lit(false)) { (els, b) =>
+        val earlierDiffer = (0 until b)
+          .map(e => chunkOf(xorCol, e) =!= 0L)
+          .foldLeft(lit(true))(_ && _)
+        when(col("j") === b, earlierDiffer).otherwise(els)
+      }
+      val pairs = ch.as("a").join(ch.as("b"),
+          col("a.j") === col("b.j") && col("a.ck") === col("b.ck") &&
+            col("a.doc") < col("b.doc"))
+        .select(col("a.j").as("j"),
+          col("a.sigi").as("sigi_a"), col("b.sigi").as("sigi_b"))
+        .where(leftmost)
+        .select(bit_count(xorCol).cast("int").as("hamming"))
+      pairs
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("hamming") <= radius, 1L).otherwise(0L)).as("nv"))
+        .select(lit(m).cast("int").as("n_chunks"), col("n_cand"),
+          coalesce(col("nv"), lit(0L)).as("n_verified"))
+    }
+    val legs = graft.ops.TransientCache.persist(
+      chunkCounts.map(legFor).reduce(_ union _))
+    val truth = legs.where(col("n_chunks") === lit(chunkCounts.max))
+      .select(col("n_verified").as("truth"))
+    legs.crossJoin(broadcast(truth))
+      .select(col("n_chunks"), col("n_cand"), col("n_verified"),
+        when(col("truth") === 0, lit(1000000L))
+          .otherwise(expr("(1000000 * n_verified) div truth"))
+          .as("recall_ppm"))
+      .orderBy(col("n_chunks"))
+  }
+
   /** Split `total` bit positions into `n` contiguous (1-based start, len)
     * bands, earlier bands one longer when it doesn't divide evenly. */
   def bandBounds(total: Int, n: Int): Seq[(Int, Int)] = {

@@ -672,4 +672,81 @@ object Similarity {
       .map { case (v, i) => (i + 1, v, rels(v)) }
       .toDF("rank", "vec_id", "rel_q")
   }
+
+  // ------------------------------------------------------------ 1-bit / Hamming
+
+  /** Bits `start .. start+31` (1-based dims) of the sign signature: bit
+    * (i − start) of the half is 1 iff quantized coordinate i is ≥ 0.
+    * Pure shift/mask/sum over 32 `element_at`s — whole-stage codegen,
+    * and each half is a NON-NEGATIVE 32-bit value, so no engine's
+    * BIGINT sign bit is ever touched (the same two-half discipline the
+    * 64-bit SimHash family uses). */
+  private def packSignHalf(qv: Column, start: Int): Column =
+    (0 until 32).map(i =>
+      when(element_at(qv, start + i) >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** 1-bit (sign) binary quantization of the embedding column — the
+    * memory-extreme point of the compression ladder next to SQ8
+    * ([[sqTopK]], 1 byte/dim), PQ (sub-byte codebooks) and JL
+    * ([[jlTopK]]): ONE bit per dimension (the sign of the quantized
+    * coordinate — sign-random-projection with the identity basis,
+    * Charikar 2002), so a 64-dim vector becomes 8 bytes, a 32× cut
+    * that keeps a 100 TB embedding corpus's candidate scan in memory.
+    * Hamming distance between signatures is a monotone estimate of
+    * angle; for sub-linear Hamming retrieval over packed signatures see
+    * the multi-index chunk banding measured by
+    * [[graft.ext.Dedup.simhashChunkSweep]] (the pigeonhole discipline is
+    * signature-agnostic). Returns `(vec_id, s0, s1)` with dims 1–32
+    * packed in `s0` and 33–64 in `s1`. */
+  def binarySignatures(emb: DataFrame, idCol: String, embCol: String): DataFrame =
+    emb.select(col(idCol).cast("long").as("vec_id"),
+        quantize(col(embCol)).as("qv"))
+      .select(col("vec_id"), packSignHalf(col("qv"), 1).as("s0"),
+        packSignHalf(col("qv"), 33).as("s1"))
+
+  /** Brute-force Hamming top-k over the 1-bit signatures, with the
+    * in-pass audit every compressed-ANN operator here carries: `hit` =
+    * membership of the Hamming-ranked neighbor in the EXACT
+    * quantized-cosine top-k (the full-precision ranking q27 serves) —
+    * recall@k of 1-bit signatures is THE number that decides whether
+    * the 32× memory cut is buyable for a given corpus.
+    *
+    * 100 TB shape: signatures (8 bytes/row) broadcast-join against the
+    * partitioned scan; the serving path is two xor+popcount longs per
+    * candidate — no float, no array — and only the audit columns touch
+    * the full vectors (drop them in production and the scan reads 8
+    * bytes per row instead of 256). Sub-linear serving goes through
+    * the multi-index chunk banding ([[graft.ext.Dedup.simhashChunkSweep]]
+    * measures it) instead of this scan. */
+  def binarySignTopK(emb: DataFrame, idCol: String, embCol: String,
+                     isQuery: Column, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val base = emb.select(col(idCol).cast("long").as("vec_id"),
+        quantize(col(embCol)).as("qv"))
+      .withColumn("s0", packSignHalf(col("qv"), 1))
+      .withColumn("s1", packSignHalf(col("qv"), 33))
+    val q = base.where(isQuery)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("s0").as("t0"), col("s1").as("t1"))
+    val scored = base.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (bit_count(col("s0").bitwiseXOR(col("t0"))) +
+          bit_count(col("s1").bitwiseXOR(col("t1")))).cast("int").as("hamming"),
+        dotQ(col("qqv"), col("qv")).as("dot"),
+        normQ(col("qqv")).as("nq"), normQ(col("qv")).as("nc"))
+      .withColumn("cos",
+        col("dot").cast("double") / sqrt(col("nq").cast("double") * col("nc").cast("double")))
+    val wh = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(wh))
+      .withColumn("re", row_number().over(we))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("nbr_id"),
+        col("hamming"), when(col("re") <= k, 1).otherwise(0).cast("int").as("hit"))
+  }
+
 }

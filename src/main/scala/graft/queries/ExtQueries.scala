@@ -1910,7 +1910,32 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_shared"))
         .where(col("n_shared") >= 8)
         .orderBy("media_a", "media_b")
-    })
+    }),
+
+    // 1-bit (sign) binary embedding ANN — the memory-extreme rung of
+    // the compression ladder (q231 SQ8 = 1 byte/dim, q84 PQ = sub-byte,
+    // this = 1 BIT/dim, 32× smaller than float32): Hamming-ranked
+    // top-3 over two packed 32-bit sign halves, with the standard
+    // in-pass audit (hit = membership in the exact quantized-cosine
+    // top-3). The serving path per candidate is two xor+popcounts —
+    // no float, no array.
+    "q273_binary_sign_ann" -> ((s, d) =>
+      Similarity.binarySignTopK(Tables.embeddings(s, d), "vec_id",
+          "embedding", col("vec_id") < 10, 3)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // Multi-index-hashing chunk sweep (Norouzi et al. 2012) over the
+    // shared 64-bit SimHash table: Hamming ≤ 4 pair retrieval banded by
+    // exact match on one of m equal chunks, m ∈ {2,4,8}. The pigeonhole
+    // theorem is MEASURED, not asserted: recall_ppm = 10⁶ exactly for
+    // the lossless m=8 (> radius) row, measurably below it for the
+    // lossy m ∈ {2,4}, and n_cand prices each extra chunk — the
+    // serving-knob curve (q198 LSH bands / q267 IVF nprobe idiom) for
+    // THE banding choice q48's 5-band join hard-codes, off the same
+    // session signature artifact. The truth leg rides the widest
+    // banding's own losslessness — nothing here is corpus².
+    "q274_mih_chunk_sweep" -> ((s, d) =>
+      Dedup.simhashChunkSweep(simhashSigs(s, d), 4, Seq(2, 4, 8)))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2306,6 +2331,43 @@ object ExtQueries {
   private[queries] def simhashSigCtes: String =
     s"""$tokCte,
        |$simhashSigSuffix""".stripMargin
+
+  /** q274 oracle: the sign-bit signature string re-banded long-form —
+    * chunk j of m is substr(simhash, j·w+1, w) (w = 64/m), candidates
+    * join on (m, j, value), Hamming verifies per-position, and recall
+    * divides by the widest (provably lossless) banding's verified
+    * count. DISTINCT replaces the engine's leftmost-chunk filter — same
+    * pair set. */
+  private def mihSweepSql: String = {
+    val hamming = (1 to 64).map(j =>
+      s"CASE WHEN substr(sa,$j,1) <> substr(sb,$j,1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$simhashSigCtes,
+       |ms AS (SELECT unnest([2, 4, 8]) m),
+       |cj AS (SELECT m, doc_id, simhash, unnest(range(m)) j
+       |       FROM sh CROSS JOIN ms),
+       |ck AS (SELECT m, doc_id, simhash, j,
+       |         substr(simhash, CAST(j * (64 // m) + 1 AS INT),
+       |                CAST(64 // m AS INT)) v
+       |       FROM cj),
+       |cand AS (SELECT DISTINCT x.m, x.doc_id a, x.simhash sa,
+       |           y.doc_id b, y.simhash sb
+       |         FROM ck x JOIN ck y
+       |           ON x.m = y.m AND x.j = y.j AND x.v = y.v
+       |             AND x.doc_id < y.doc_id),
+       |cw AS (SELECT m, CASE WHEN CAST($hamming AS INT) <= 4
+       |         THEN 1 ELSE 0 END v
+       |       FROM cand),
+       |agg AS (SELECT ms.m n_chunks, count(cw.v) n_cand,
+       |          coalesce(sum(cw.v), 0) n_verified
+       |        FROM ms LEFT JOIN cw ON cw.m = ms.m GROUP BY 1),
+       |tr AS (SELECT n_verified t FROM agg WHERE n_chunks = 8)
+       |SELECT CAST(n_chunks AS INT) n_chunks, CAST(n_cand AS BIGINT) n_cand,
+       |  CAST(n_verified AS BIGINT) n_verified,
+       |  CAST(CASE WHEN t = 0 THEN 1000000
+       |       ELSE (1000000 * n_verified) // t END AS BIGINT) recall_ppm
+       |FROM agg CROSS JOIN tr ORDER BY n_chunks""".stripMargin
+  }
 
   private def simhashSql: String =
     s"""$simhashSigCtes
@@ -3823,6 +3885,44 @@ object ExtQueries {
          |                   vec_id) rank
          |      FROM sc)
          |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, neg_label, dot
-         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // q273 oracle: sign bits from the same floor(x*1000) grid
+    // (bit i = q[i] >= 0, mirroring Similarity.packSignHalf), Hamming
+    // as the per-dim sign-disagreement count (≡ the engine's packed
+    // xor+popcount), both rankings from one scored table — the q231
+    // two-window audit shape.
+    "q273_binary_sign_ann" ->
+      s"""$qeCtes,
+         |ex AS (SELECT vec_id, generate_subscripts(q, 1) i, unnest(q) x
+         |       FROM qe),
+         |bits AS (SELECT vec_id, i, CASE WHEN x >= 0 THEN 1 ELSE 0 END sbit
+         |         FROM ex),
+         |hm AS (SELECT qb.vec_id query_id, cb.vec_id vec_id,
+         |         sum(CASE WHEN qb.sbit <> cb.sbit THEN 1 ELSE 0 END) h
+         |       FROM bits qb JOIN bits cb
+         |         ON qb.i = cb.i AND cb.vec_id <> qb.vec_id
+         |       WHERE qb.vec_id < 10
+         |       GROUP BY 1, 2),
+         |sc AS (SELECT hm.query_id, hm.vec_id, hm.h,
+         |         CAST(list_dot_product(cq.q, cc.q) AS BIGINT) dot,
+         |         nq.n nq, nc.n nc
+         |       FROM hm JOIN qe cq ON cq.vec_id = hm.query_id
+         |       JOIN qe cc ON cc.vec_id = hm.vec_id
+         |       JOIN nrm nq ON nq.vec_id = hm.query_id
+         |       JOIN nrm nc ON nc.vec_id = hm.vec_id),
+         |rk AS (SELECT query_id, vec_id, h,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY h, vec_id) ra,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
+         |                    vec_id) re
+         |       FROM sc)
+         |SELECT query_id, CAST(ra AS INT) rank, vec_id nbr_id,
+         |  CAST(h AS INT) hamming,
+         |  CAST(CASE WHEN re <= 3 THEN 1 ELSE 0 END AS INT) hit
+         |FROM rk WHERE ra <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q274_mih_chunk_sweep" -> mihSweepSql
   )
 }

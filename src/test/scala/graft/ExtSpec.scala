@@ -402,6 +402,77 @@ class ExtSpec extends AnyFunSuite {
     lsh.foreach(r => assert(r.getAs[Int]("rank") <= 3))
   }
 
+  /** Plain-JVM sign signatures off the fixture — the third
+    * implementation the q273/q274 engine packing and oracle bit CTEs
+    * both answer to (the SimHash-family pin discipline). */
+  private def jvmSignSigs(): Map[Long, (Long, Long)] =
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("long"), col("embedding")).collect()
+      .map { r =>
+        val emb = r.getSeq[Float](1)
+        val bits = emb.map(x => math.floor(x.toDouble * 1000) >= 0)
+        def pack(off: Int): Long =
+          (0 until 32).map(i => if (bits(off + i)) 1L << i else 0L).sum
+        r.getLong(0) -> (pack(0), pack(32))
+      }.toMap
+
+  test("binary sign signatures match an independent JVM packing") {
+    val sigs = jvmSignSigs()
+    val got = Similarity.binarySignatures(
+        Tables.embeddings(spark, sf), "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == sigs)
+    // both halves stay inside 32 unsigned bits — no BIGINT sign-bit use
+    got.values.foreach { case (s0, s1) =>
+      assert(s0 >= 0L && s0 <= 0xFFFFFFFFL && s1 >= 0L && s1 <= 0xFFFFFFFFL)
+    }
+  }
+
+  test("binary sign top-k: k ranked rows per query, Hamming non-decreasing") {
+    val res = Similarity.binarySignTopK(Tables.embeddings(spark, sf),
+        "vec_id", "embedding", col("vec_id") < 10, 3)
+      .orderBy("query_id", "rank").collect()
+    assert(res.length == 30)
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val hams = rows.sortBy(_.getInt(1)).map(_.getInt(3))
+      assert(hams.zip(hams.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("MIH chunk sweep: pigeonhole losslessness measured at m > radius") {
+    // JVM ground truth off the engine's signature STRINGS (the bit
+    // definition itself is pinned against MessageDigest elsewhere):
+    // every pair at Hamming <= 4, counted with plain string ops.
+    val sigs = Dedup.simhashSignatures(
+        Tables.documents(spark, sf), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = sigs.keys.toSeq.sorted
+    val truth = (for {
+      ai <- ids.indices.iterator; bi <- (ai + 1) until ids.size
+      a = ids(ai); b = ids(bi)
+      h = sigs(a).zip(sigs(b)).count { case (x, y) => x != y }
+      if h <= 4
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty, "fixture lost its planted simhash near-dups")
+    val sweep = Dedup.simhashChunkSweep(
+        Dedup.simhashSignatures(Tables.documents(spark, sf), "text", "doc_id"),
+        4, Seq(2, 4, 8))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(sweep.keySet == Set(2, 4, 8))
+    // m = 8 > radius: banding is lossless — verified == truth, recall 1e6
+    val (nCand8, nVer8, ppm8) = sweep(8)
+    assert(nVer8 == truth.size.toLong, s"lossless leg missed pairs")
+    assert(ppm8 == 1000000L)
+    assert(nCand8 >= nVer8)
+    // m <= radius: lossy or equal, never more than truth
+    Seq(2, 4).foreach { m =>
+      assert(sweep(m)._2 <= truth.size.toLong)
+      assert(sweep(m)._3 <= 1000000L)
+    }
+    graft.ops.TransientCache.releaseAll()
+  }
+
   test("hyperplane weights are deterministic and balanced-ish") {
     val w1 = Similarity.hyperplaneWeights(8, 64)
     val w2 = Similarity.hyperplaneWeights(8, 64)
