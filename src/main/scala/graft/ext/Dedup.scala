@@ -520,30 +520,37 @@ object Dedup {
     * bands) / q267 (IVF nprobe) curve idiom, drawn for Hamming space —
     * the table an operator reads before re-banding the family.
     *
-    * The truth leg is NOT a corpus² join: it rides the WIDEST swept
-    * banding's own losslessness (`max(chunkCounts) > radius` is
-    * required), so the audit keeps the same banded 100 TB shape as the
-    * serving path — per-cell fan-out bounded by the chunk keyspace, one
-    * xor+popcount per candidate, leftmost-chunk dedup in place of a
-    * shuffle-distinct.
+    * The truth leg is NOT a corpus-squared join: it rides the CHEAPEST
+    * swept lossless banding (the smallest m > radius — with the default
+    * sweep that is m = 5, the very banding the serving join uses, so
+    * the audit's worst keyspace equals the serving path's). Candidate
+    * fan-out per chunk cell is bounded by that chunk's keyspace — the
+    * narrow-chunk legs (m = 8: 8-bit keys) blow up as N²/2^w by
+    * construction, and MEASURING that blow-up against the equally
+    * lossless m = 5 row is the sweep's point. One xor+popcount per
+    * candidate, leftmost-chunk dedup in place of a shuffle-distinct.
+    *
+    * Chunks are [[bandBounds]] bands (contiguous, earlier bands one bit
+    * longer when sigBits doesn't divide evenly), so any m ≥ 2 up to
+    * sigBits is sweepable — including the serving join's own m.
     *
     * Output `(n_chunks, n_cand, n_verified, recall_ppm)`, one row per
     * swept m, ordered by n_chunks. */
   def simhashChunkSweep(sigs: DataFrame, radius: Int = 4,
-                        chunkCounts: Seq[Int] = Seq(2, 4, 8),
+                        chunkCounts: Seq[Int] = Seq(2, 4, 5, 8),
                         sigBits: Int = 64): DataFrame = {
     require(sigBits == 32 || sigBits == 64, s"unsupported width $sigBits")
     require(chunkCounts.nonEmpty && chunkCounts.max > radius,
-      "widest banding must be lossless at the sweep radius (max(m) > radius)")
-    require(chunkCounts.forall(m => m >= 2 && sigBits % m == 0),
-      s"chunk counts must be >= 2 and divide $sigBits, got $chunkCounts")
+      "some banding must be lossless at the sweep radius (max(m) > radius)")
+    require(chunkCounts.forall(m => m >= 2 && m <= sigBits),
+      s"chunk counts must be in [2, $sigBits], got $chunkCounts")
+    val truthM = chunkCounts.filter(_ > radius).min
     val s2 = graft.ops.TransientCache.persist(
       sigs.select(col("doc"), sigInt(col("simhash"), sigBits).as("sigi")))
     def legFor(m: Int): DataFrame = {
-      val w = sigBits / m
-      val mask = (1L << w) - 1 // w <= 32 for m >= 2: no sign-bit wrap
+      val bounds = bandBounds(sigBits, m)
       def chunkOf(c: Column, j: Int): Column =
-        shiftrightunsigned(c, sigBits - (j + 1) * w).bitwiseAND(lit(mask))
+        bandKeyOf(c, bounds, sigBits, j)
       val chunkStructs = (0 until m).map(j =>
         struct(lit(j).as("j"), chunkOf(col("sigi"), j).as("ck")))
       val ch = s2
@@ -577,7 +584,7 @@ object Dedup {
     }
     val legs = graft.ops.TransientCache.persist(
       chunkCounts.map(legFor).reduce(_ union _))
-    val truth = legs.where(col("n_chunks") === lit(chunkCounts.max))
+    val truth = legs.where(col("n_chunks") === lit(truthM))
       .select(col("n_verified").as("truth"))
     legs.crossJoin(broadcast(truth))
       .select(col("n_chunks"), col("n_cand"), col("n_verified"),

@@ -1926,16 +1926,18 @@ object ExtQueries {
 
     // Multi-index-hashing chunk sweep (Norouzi et al. 2012) over the
     // shared 64-bit SimHash table: Hamming ≤ 4 pair retrieval banded by
-    // exact match on one of m equal chunks, m ∈ {2,4,8}. The pigeonhole
-    // theorem is MEASURED, not asserted: recall_ppm = 10⁶ exactly for
-    // the lossless m=8 (> radius) row, measurably below it for the
-    // lossy m ∈ {2,4}, and n_cand prices each extra chunk — the
-    // serving-knob curve (q198 LSH bands / q267 IVF nprobe idiom) for
-    // THE banding choice q48's 5-band join hard-codes, off the same
-    // session signature artifact. The truth leg rides the widest
-    // banding's own losslessness — nothing here is corpus².
+    // exact match on one of m bandBounds chunks, m ∈ {2,4,5,8}. The
+    // pigeonhole theorem is MEASURED, not asserted: recall_ppm = 10⁶
+    // exactly for BOTH lossless rows (m=5 — the very banding q48's
+    // serving join hard-codes — and m=8), measurably below it for the
+    // lossy m ∈ {2,4}, and n_cand prices each extra chunk (m=8's 8-bit
+    // keys blow up as N²/2^8 next to the equally lossless m=5 — the
+    // measured justification for the family's 5-band choice). The
+    // serving-knob curve idiom of q198 (LSH bands) / q267 (IVF
+    // nprobe), off the same session signature artifact; the truth leg
+    // rides the m=5 banding, the serving path's own keyspace.
     "q274_mih_chunk_sweep" -> ((s, d) =>
-      Dedup.simhashChunkSweep(simhashSigs(s, d), 4, Seq(2, 4, 8)))
+      Dedup.simhashChunkSweep(simhashSigs(s, d), 4, Seq(2, 4, 5, 8)))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2333,23 +2335,26 @@ object ExtQueries {
        |$simhashSigSuffix""".stripMargin
 
   /** q274 oracle: the sign-bit signature string re-banded long-form —
-    * chunk j of m is substr(simhash, j·w+1, w) (w = 64/m), candidates
-    * join on (m, j, value), Hamming verifies per-position, and recall
-    * divides by the widest (provably lossless) banding's verified
-    * count. DISTINCT replaces the engine's leftmost-chunk filter — same
-    * pair set. */
+    * the per-(m, j) chunk positions come from the SAME bandBounds
+    * convention as the engine (a VALUES table of (m, j, start, len)),
+    * chunk value is substr(simhash, start, len), candidates join on
+    * (m, j, value), Hamming verifies per-position, and recall divides
+    * by the m = 5 leg (the smallest lossless banding — the serving
+    * join's own). DISTINCT replaces the engine's leftmost-chunk filter
+    * — same pair set. */
   private def mihSweepSql: String = {
     val hamming = (1 to 64).map(j =>
       s"CASE WHEN substr(sa,$j,1) <> substr(sb,$j,1) THEN 1 ELSE 0 END")
       .mkString(" + ")
+    val boundRows = Seq(2, 4, 5, 8).flatMap { m =>
+      graft.ext.Dedup.bandBounds(64, m).zipWithIndex.map {
+        case ((start, len), j) => s"($m, $j, $start, $len)"
+      }
+    }.mkString(", ")
     s"""$simhashSigCtes,
-       |ms AS (SELECT unnest([2, 4, 8]) m),
-       |cj AS (SELECT m, doc_id, simhash, unnest(range(m)) j
-       |       FROM sh CROSS JOIN ms),
-       |ck AS (SELECT m, doc_id, simhash, j,
-       |         substr(simhash, CAST(j * (64 // m) + 1 AS INT),
-       |                CAST(64 // m AS INT)) v
-       |       FROM cj),
+       |bnd (m, j, st, ln) AS (SELECT * FROM (VALUES $boundRows)),
+       |ck AS (SELECT m, doc_id, simhash, j, substr(simhash, st, ln) v
+       |       FROM sh CROSS JOIN bnd),
        |cand AS (SELECT DISTINCT x.m, x.doc_id a, x.simhash sa,
        |           y.doc_id b, y.simhash sb
        |         FROM ck x JOIN ck y
@@ -2358,10 +2363,11 @@ object ExtQueries {
        |cw AS (SELECT m, CASE WHEN CAST($hamming AS INT) <= 4
        |         THEN 1 ELSE 0 END v
        |       FROM cand),
+       |ms AS (SELECT DISTINCT m FROM bnd),
        |agg AS (SELECT ms.m n_chunks, count(cw.v) n_cand,
        |          coalesce(sum(cw.v), 0) n_verified
        |        FROM ms LEFT JOIN cw ON cw.m = ms.m GROUP BY 1),
-       |tr AS (SELECT n_verified t FROM agg WHERE n_chunks = 8)
+       |tr AS (SELECT n_verified t FROM agg WHERE n_chunks = 5)
        |SELECT CAST(n_chunks AS INT) n_chunks, CAST(n_cand AS BIGINT) n_cand,
        |  CAST(n_verified AS BIGINT) n_verified,
        |  CAST(CASE WHEN t = 0 THEN 1000000

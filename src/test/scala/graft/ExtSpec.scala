@@ -456,15 +456,19 @@ class ExtSpec extends AnyFunSuite {
     assert(truth.nonEmpty, "fixture lost its planted simhash near-dups")
     val sweep = Dedup.simhashChunkSweep(
         Dedup.simhashSignatures(Tables.documents(spark, sf), "text", "doc_id"),
-        4, Seq(2, 4, 8))
+        4, Seq(2, 4, 5, 8))
       .collect().map(r => r.getInt(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(sweep.keySet == Set(2, 4, 8))
-    // m = 8 > radius: banding is lossless — verified == truth, recall 1e6
-    val (nCand8, nVer8, ppm8) = sweep(8)
-    assert(nVer8 == truth.size.toLong, s"lossless leg missed pairs")
-    assert(ppm8 == 1000000L)
-    assert(nCand8 >= nVer8)
+    assert(sweep.keySet == Set(2, 4, 5, 8))
+    // every m > radius is lossless — verified == truth, recall 1e6 —
+    // regardless of chunk widths (m=5 is the serving join's banding,
+    // m=8 the narrow-chunk one)
+    Seq(5, 8).foreach { m =>
+      val (nCand, nVer, ppm) = sweep(m)
+      assert(nVer == truth.size.toLong, s"lossless leg m=$m missed pairs")
+      assert(ppm == 1000000L)
+      assert(nCand >= nVer)
+    }
     // m <= radius: lossy or equal, never more than truth
     Seq(2, 4).foreach { m =>
       assert(sweep(m)._2 <= truth.size.toLong)
