@@ -310,6 +310,92 @@ object EventQueries {
       }.toDF("event_type", "n_events", "n_ones", "dgim_estimate",
         "n_buckets", "max_bucket_size", "buckets", "oldest_end_idx")
       folded.orderBy(col("event_type"))
+    }),
+
+    // Mergeable quantile sketch (q-digest, Shrivastava et al., SenSys
+    // 2004) — the summary the sketch family was missing: HLL answers
+    // distinct, CMS/MG answer frequency, DGIM answers windows; NONE
+    // answers "what is p95 per group?" at a state size independent of
+    // the value universe. Each event_type's value stream (micro-
+    // quantized onto the [0, 2^30) integer grid) folds into a ≤ 3k-node
+    // digest via partition-local builders + treeAggregate (driver
+    // crossing = one digest per group, never partitions × state), then
+    // a φ-grid {p25, p50, p75, p95, p99} is answered from the digests
+    // alone. Digest CONTENT is merge-tree-dependent (like every
+    // parallel-reduced summary), so the emitted row is the q226
+    // Misra–Gries discipline: order-invariant exact facts (n, target
+    // rank ⌈φn⌉, the exact quantile from the value histogram — the
+    // expensive twin the sketch replaces at scale) plus the two
+    // THEOREMS as booleans computed from the live sketch — the answer's
+    // true-rank interval intersects target ± logU·⌊n/k⌋, and the node
+    // count stays ≤ 3k. A broken compress, merge, or query flips a
+    // boolean and reddens the hash compare. The exact leg rides
+    // ops.BucketedPrefix over the (type, value) histogram — no
+    // low-cardinality window anywhere. All integer arithmetic: the one
+    // float op (value µ-quantization) is a single IEEE multiply both
+    // engines evaluate on identical operands.
+    "q275_qdigest_quantiles" -> ((s, d) => {
+      import s.implicits._
+      val logU = 30
+      val k = 2000
+      val u = 1L << logU
+      val phis = Seq(250000L, 500000L, 750000L, 950000L, 990000L)
+      val vq = least(greatest(
+        floor(col("value") * lit(1000000d)).cast("long"), lit(0L)),
+        lit(u - 1L))
+      val ev = Tables.events(s, d).select(col("event_type"), vq.as("vq"))
+      val digests =
+        graft.ext.QDigest.buildPerGroup(ev.as[(String, Long)], logU, k)
+      val est = graft.ext.QDigest.estimates(digests, phis)
+      val estDf = est.map(e => (e.group, e.phiPpm, e.n, e.targetRank,
+          e.vhat, e.errBound, e.digestNodes))
+        .toDF("event_type", "phi_ppm", "n", "target_rank", "vhat",
+          "err_bound", "digest_nodes")
+      val hist = graft.ops.TransientCache.persist(
+        ev.groupBy(col("event_type"), col("vq"))
+          .agg(count(lit(1)).as("c")))
+      // Exact rank interval of each digest answer: one broadcast of the
+      // 25 (type, φ) rows against the histogram.
+      val audit = hist
+        .join(broadcast(estDf.select(col("event_type"), col("phi_ppm"),
+          col("vhat"))), Seq("event_type"))
+        .groupBy(col("event_type"), col("phi_ppm"))
+        .agg(sum(when(col("vq") < col("vhat"), col("c")).otherwise(lit(0L)))
+            .as("cnt_lt"),
+          sum(when(col("vq") <= col("vhat"), col("c")).otherwise(lit(0L)))
+            .as("cnt_le"))
+      // Exact quantiles: global bucketed prefix sum over typeIdx·U + vq
+      // (per-type cum = global cum − the preceding types' totals, which
+      // the digests already hold driver-side).
+      val types = digests.keys.toSeq.sorted
+      val offs = types.scanLeft(0L)((acc, t) => acc + digests(t).n)
+      val idxCol = types.zipWithIndex.foldLeft(lit(-1L)) {
+        case (acc, (t, i)) =>
+          when(col("event_type") === lit(t), lit(i.toLong)).otherwise(acc)
+      }
+      val offCol = types.zipWithIndex.foldLeft(lit(0L)) {
+        case (acc, (t, i)) =>
+          when(col("event_type") === lit(t), lit(offs(i))).otherwise(acc)
+      }
+      val cum = graft.ops.BucketedPrefix
+        .runningSums(hist.withColumn("gkey", idxCol * lit(u) + col("vq")),
+          "gkey", Seq("c"), 1L << 22)
+        .withColumn("cum_type", col("run_c") - offCol)
+      val exact = cum
+        .join(broadcast(estDf.select(col("event_type"), col("phi_ppm"),
+          col("target_rank").as("t_rank"))), Seq("event_type"))
+        .where(col("cum_type") >= col("t_rank"))
+        .groupBy(col("event_type"), col("phi_ppm"))
+        .agg(min(col("vq")).as("exact_q"))
+      estDf.join(audit, Seq("event_type", "phi_ppm"))
+        .join(exact, Seq("event_type", "phi_ppm"))
+        .select(col("event_type"), col("phi_ppm"), col("n"),
+          col("target_rank"), col("exact_q"), col("err_bound"),
+          (col("cnt_lt") + lit(1L) <= col("target_rank") + col("err_bound") &&
+            col("cnt_le") >= col("target_rank") - col("err_bound"))
+            .cast("int").as("within_bound"),
+          (col("digest_nodes") <= lit(3L * k)).cast("int").as("size_le_3k"))
+        .orderBy(col("event_type"), col("phi_ppm"))
     })
   )
 
@@ -498,6 +584,44 @@ object EventQueries {
         |FROM k LEFT JOIN agg USING (event_type)
         |  LEFT JOIN bstr USING (event_type)
         |  LEFT JOIN oe USING (event_type)
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    // q275 oracle: every exact column re-derived independently (micro-
+    // quantization, ⌈φn⌉ target, histogram-cumulative quantile); the
+    // theorem columns are literals BECAUSE they are theorems — the
+    // Spark side computes them from the live digest, so a broken
+    // compress/merge/query flips a boolean and fails the hash compare.
+    "q275_qdigest_quantiles" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    least(greatest(CAST(floor(value * CAST(1000000 AS DOUBLE))
+        |      AS BIGINT), 0), 1073741823) vq
+        |  FROM events),
+        |k AS (SELECT event_type, CAST(count(*) AS BIGINT) n
+        |      FROM e GROUP BY 1),
+        |ph AS (SELECT CAST(unnest([250000, 500000, 750000, 950000,
+        |                           990000]) AS BIGINT) phi_ppm),
+        |t AS (SELECT event_type, phi_ppm, n,
+        |        greatest(CAST(1 AS BIGINT),
+        |          CAST((phi_ppm * n + 999999) // 1000000 AS BIGINT))
+        |          target_rank,
+        |        CAST(30 * (n // 2000) AS BIGINT) err_bound
+        |      FROM k CROSS JOIN ph),
+        |h AS (SELECT event_type, vq, CAST(count(*) AS BIGINT) c
+        |      FROM e GROUP BY 1, 2),
+        |hc AS (SELECT event_type, vq,
+        |         CAST(sum(c) OVER (PARTITION BY event_type
+        |           ORDER BY vq) AS BIGINT) cum
+        |       FROM h),
+        |x AS (SELECT t.event_type, t.phi_ppm, min(hc.vq) exact_q
+        |      FROM t JOIN hc ON t.event_type = hc.event_type
+        |        AND hc.cum >= t.target_rank
+        |      GROUP BY 1, 2)
+        |SELECT t.event_type, t.phi_ppm, t.n, t.target_rank, x.exact_q,
+        |  t.err_bound, CAST(1 AS INT) within_bound,
+        |  CAST(1 AS INT) size_le_3k
+        |FROM t JOIN x ON t.event_type = x.event_type
+        |  AND t.phi_ppm = x.phi_ppm
+        |ORDER BY t.event_type, t.phi_ppm""".stripMargin
   )
 }

@@ -117,4 +117,110 @@ class SketchSpec extends AnyFunSuite {
       Seq.empty[String].toDF("key"), "key", 8)
     assert(n0 == 0L && s0.isEmpty)
   }
+
+  import graft.ext.QDigest
+
+  /** Both digest invariants + the size bound, against a brute count. */
+  private def assertValidDigest(d: QDigest.Digest, xs: Seq[Long]): Unit = {
+    val thr = d.n / d.k
+    val leafBase = 1L << d.logU
+    assert(d.n == xs.size.toLong)
+    assert(d.nodes.values.sum == d.n, "counts must sum to n")
+    assert(d.nodes.values.forall(_ > 0L), "no zero-count nodes")
+    assert(d.nodes.size <= 3 * d.k,
+      s"size ${d.nodes.size} exceeds 3k=${3 * d.k}")
+    d.nodes.foreach { case (v, c) =>
+      if (v < leafBase)
+        assert(c <= thr, s"non-leaf $v count $c > thr $thr")
+      if (v > 1L) {
+        val triple = c + d.nodes.getOrElse(v ^ 1L, 0L) +
+          d.nodes.getOrElse(v >>> 1, 0L)
+        assert(triple > thr || thr == 0L,
+          s"mergeable triple survived at $v: $triple <= $thr")
+      }
+    }
+  }
+
+  /** Rank-error theorem across a φ grid, against the sorted raw data. */
+  private def assertQuantileTheorem(d: QDigest.Digest, xs: Seq[Long]): Unit = {
+    val sorted = xs.sorted
+    val bound = d.errBoundRanks
+    for (phiPpm <- Seq(10000L, 250000L, 500000L, 750000L, 950000L, 990000L)) {
+      val t = math.max(1L, (phiPpm * d.n + 999999L) / 1000000L)
+      val vhat = QDigest.quantile(d, t)
+      val cntLt = sorted.count(_ < vhat).toLong
+      val cntLe = sorted.count(_ <= vhat).toLong
+      assert(cntLt + 1 <= t + bound && cntLe >= t - bound,
+        s"phi=$phiPpm: vhat=$vhat rank interval [$cntLt+1, $cntLe] " +
+          s"misses target $t +- $bound")
+    }
+  }
+
+  // Deterministic skewed sample on [0, 256): quadratic residues pile
+  // mass unevenly, exercising both merge-heavy and exact regions.
+  private def qdFixture: Seq[Long] =
+    (0 until 5000).map(i => (i.toLong * i * 2654435761L) % 256 match {
+      case m if m < 0 => m + 256
+      case m          => m
+    })
+
+  test("qDigest: invariants, size and rank-error theorems vs brute force") {
+    val xs = qdFixture
+    for (k <- Seq(5, 20, 100)) {
+      val b = new QDigest.Builder(8, k)
+      xs.foreach(b.add)
+      val d = b.result()
+      assertValidDigest(d, xs)
+      assertQuantileTheorem(d, xs)
+    }
+    // k >= n: thr = 0, nothing merges — the digest IS the exact
+    // histogram and every quantile is exact.
+    val exact = new QDigest.Builder(8, 8192)
+    xs.foreach(exact.add)
+    val d0 = exact.result()
+    assert(d0.errBoundRanks == 0L)
+    assertQuantileTheorem(d0, xs)
+  }
+
+  test("qDigest: merge keeps validity and the bound in either order") {
+    val xs = qdFixture
+    val parts = xs.grouped(1700).toSeq
+    val ds = parts.map { p =>
+      val b = new QDigest.Builder(8, 20)
+      p.foreach(b.add)
+      b.result()
+    }
+    val ab = QDigest.merge(QDigest.merge(ds(0), ds(1)), ds(2))
+    val bc = QDigest.merge(ds(0), QDigest.merge(ds(1), ds(2)))
+    for (d <- Seq(ab, bc)) {
+      assertValidDigest(d, xs)
+      assertQuantileTheorem(d, xs)
+    }
+    intercept[IllegalArgumentException] {
+      QDigest.merge(ab, new QDigest.Builder(9, 20).result())
+    }
+  }
+
+  test("qDigest: domain clamping and distributed per-group build") {
+    import spark.implicits._
+    // Out-of-domain values clamp to the edges.
+    val b = new QDigest.Builder(4, 100)
+    Seq(-7L, -1L, 0L, 15L, 99L).foreach(b.add)
+    val d = b.result()
+    assert(QDigest.quantile(d, 1) == 0L && QDigest.quantile(d, 5) == 15L)
+    // buildPerGroup: groups are independent, n exact per group, and the
+    // theorems hold whatever partitioning fed the tree reduction.
+    val xs = qdFixture
+    val rows = xs.map(("a", _)) ++ xs.take(900).map(x => ("b", x * 3 % 256))
+    for (nPart <- Seq(1, 7)) {
+      val got = QDigest.buildPerGroup(
+        rows.toDF("g", "v").repartition(nPart).as[(String, Long)], 8, 20)
+      assert(got.keySet == Set("a", "b"))
+      assertValidDigest(got("a"), xs)
+      assertQuantileTheorem(got("a"), xs)
+      val bxs = xs.take(900).map(x => x * 3 % 256)
+      assertValidDigest(got("b"), bxs)
+      assertQuantileTheorem(got("b"), bxs)
+    }
+  }
 }
