@@ -122,6 +122,17 @@ object QDigest {
       if (m.size > cap) compressInPlace(m, n, k, logU)
     }
 
+    /** Seed a stored digest node back in (streaming-register restore:
+      * node counts are add-mergeable, so replaying a persisted digest's
+      * (node, count) pairs reconstructs an equivalent builder). */
+    def putNode(node: Long, c: Long): Unit = {
+      require(node >= 1L && node < (2L << logU), s"node $node out of tree")
+      require(c > 0L, s"non-positive node count $c")
+      m.update(node, m.getOrElse(node, 0L) + c)
+      n += c
+      if (m.size > cap) compressInPlace(m, n, k, logU)
+    }
+
     /** Fold another builder's state in (associative up to digest
       * content; both operand orders yield VALID digests). */
     def merge(o: Builder): Builder = {

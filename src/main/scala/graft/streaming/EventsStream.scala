@@ -90,6 +90,14 @@ final case class HwmUpdate(event_type: String, n_seen: Long, hwm_us: Long,
   * bucket, maintained at ingest. */
 final case class BucketCountUpdate(bucket: Long, n: Long)
 
+/** q-digest quantile register per event_type (the streaming face of
+  * q275): `packed` flattens the ≤ 3k digest nodes as (node, count,
+  * node, count, …) for the state encoder — bounded state whatever the
+  * value universe or arrival count. */
+final case class QdState(n: Long, packed: Seq[Long])
+final case class QdUpdate(event_type: String, n_seen: Long, n_nodes: Int,
+                          p50: Long, p95: Long, err_bound: Long)
+
 object EventsStream {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -411,6 +419,46 @@ object EventsStream {
           val n = state.getOption.getOrElse(0L) + it.size
           state.update(n)
           BucketCountUpdate(b, n)
+      }
+  }
+
+  /** Per-event_type q-digest quantile registers — the streaming face of
+    * q275: each arrival's micro-quantized value folds into the keyed
+    * ≤ 3k-node digest (ext.QDigest), and every micro-batch emits the
+    * register's current p50/p95 answers with the theorem error bound
+    * alongside. State restores by replaying the stored (node, count)
+    * pairs — digest node counts are add-mergeable, so the restore is
+    * exact — and stays ≤ 3k nodes at ANY arrival count or value
+    * universe: the bounded-state property that lets an ingest pipeline
+    * answer "p95 so far, per type" without storing events. Digest
+    * CONTENT depends on fold order (like the batch build's merge
+    * tree); the register contract is therefore the q275 discipline —
+    * n_seen is exact, and the answers are within ± err_bound ranks of
+    * their targets (StreamingSpec pins both against a batch replay). */
+  def qdigestRegisters(spark: SparkSession, events: DataFrame,
+                       logU: Int = 30, k: Int = 2000): Dataset[QdUpdate] = {
+    import spark.implicits._
+    val u = 1L << logU
+    events
+      .select(col("event_type"),
+        least(greatest(floor(col("value") * lit(1000000d)).cast("long"),
+          lit(0L)), lit(u - 1L)).as("vq"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[QdState, QdUpdate](GroupStateTimeout.NoTimeout()) {
+        case (typ, it, state: GroupState[QdState]) =>
+          val b = new graft.ext.QDigest.Builder(logU, k)
+          state.getOption.foreach(_.packed.grouped(2)
+            .foreach(p => b.putNode(p(0), p(1))))
+          it.foreach(r => b.add(r._2))
+          val d = b.result()
+          state.update(QdState(d.n,
+            d.nodes.toSeq.sortBy(_._1).flatMap(p => Seq(p._1, p._2))))
+          def ans(phiPpm: Long): Long =
+            graft.ext.QDigest.quantile(d,
+              math.max(1L, (phiPpm * d.n + 999999L) / 1000000L))
+          QdUpdate(typ, d.n, d.nodes.size, ans(500000L), ans(950000L),
+            d.errBoundRanks)
       }
   }
 

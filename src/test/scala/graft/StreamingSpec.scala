@@ -1425,4 +1425,73 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("streaming q-digest registers: exact n, bounded size, answers in bound") {
+    val updates = EventsStream.qdigestRegisters(
+      spark, EventsStream.readEvents(spark, sf))
+    runAvailableNow(updates.toDF(), "qd_regs", OutputMode.Update())
+    // n_seen is monotone per type; the max-n row is the final register.
+    val finals = spark.table("qd_regs").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).maxBy(_._1) }
+    // Batch truth: per-type micro-quantized histograms.
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"),
+        least(greatest(floor(col("value") * lit(1000000d)).cast("long"),
+          lit(0L)), lit((1L << 30) - 1L)).as("vq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    assert(finals.keySet == vals.keySet && finals.nonEmpty)
+    finals.foreach { case (t, (n, nNodes, p50, p95, bound)) =>
+      val xs = vals(t)
+      assert(n == xs.length.toLong, s"$t: n $n != ${xs.length}")
+      assert(nNodes <= 3 * 2000, s"$t: digest grew past 3k: $nNodes")
+      for ((phiPpm, vhat) <- Seq(500000L -> p50, 950000L -> p95)) {
+        val tgt = math.max(1L, (phiPpm * n + 999999L) / 1000000L)
+        val cntLt = xs.count(_ < vhat).toLong
+        val cntLe = xs.count(_ <= vhat).toLong
+        assert(cntLt + 1 <= tgt + bound && cntLe >= tgt - bound,
+          s"$t phi=$phiPpm: answer $vhat rank [$cntLt+1,$cntLe] " +
+            s"misses $tgt +- $bound")
+      }
+    }
+  }
+
+  test("streaming q-digest registers carry the digest across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("qd_2b")
+    def writeAs(name: String, mtime: Long,
+                rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("qd_w")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = dir.resolve(name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // Batch 1: three 1.0s — p50 register answers 1e6 at n=3.
+    writeAs("b1.parquet", 1000000L,
+      Seq((1L, t(100), 1L, "drift", 1.0), (2L, t(200), 1L, "drift", 1.0),
+        (3L, t(300), 1L, "drift", 1.0)))
+    // Batch 2: two 2.0s fold against CARRIED state — n=5, median still
+    // 1e6, p95 (target rank 5) now 2e6. thr = n/k = 0: digest exact.
+    writeAs("b2.parquet", 2000000L,
+      Seq((4L, t(400), 1L, "drift", 2.0), (5L, t(500), 1L, "drift", 2.0)))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val updates = EventsStream.qdigestRegisters(spark, stream)
+    runAvailableNow(updates.toDF(), "qd_2b", OutputMode.Update())
+    val got = spark.table("qd_2b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got.contains(("drift", 3L, 1000000L, 1000000L)),
+      s"batch-1 register wrong: $got")
+    assert(got.contains(("drift", 5L, 1000000L, 2000000L)),
+      s"cross-batch fold wrong: $got")
+  }
 }
