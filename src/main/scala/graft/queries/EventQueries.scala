@@ -396,6 +396,52 @@ object EventQueries {
             .cast("int").as("within_bound"),
           (col("digest_nodes") <= lit(3L * k)).cast("int").as("size_le_3k"))
         .orderBy(col("event_type"), col("phi_ppm"))
+    }),
+
+    // Trailing-7-day distinct users per day via HLL REGISTER-MERGE — the
+    // sliding-window face of the q81 sketch and the whole reason HLL
+    // registers (not just estimates) are the stored artifact: day-grain
+    // registers are built ONCE from the raw scan (m = 256 rows per day),
+    // and every trailing window is answered by max-merging seven
+    // register sets — never by rescanning seven days of events. The
+    // window expansion is an explode of each day-register row to the <= 7
+    // window days it serves (equi-join against the calendar-bounded day
+    // list — no range/nested-loop join anywhere), so the merge costs
+    // O(days x m), independent of event count. The exact leg (the audit
+    // twin) rides the same explode over the distinct (day, user) rows:
+    // 7x |user-days| map-side rows into one count-distinct — linear, and
+    // at 100 TB it is the fixture-affordable truth the register path
+    // replaces. n_days counts the source days each window actually saw
+    // (honest left edge: day 1's "7-day" window holds one day).
+    "q278_sliding_hll" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .where(col("user_id").isNotNull)
+        .withColumn("day", date_trunc("day", col("ts")))
+      val regs = graft.ops.TransientCache.persist(
+        graft.ext.Sketches.hllRegisters(ev, "user_id", "day", 8))
+      val days = regs.select(col("day")).distinct()
+      val winDays = sequence(col("day"),
+        col("day") + expr("interval 6 days"), expr("interval 1 day"))
+      val winRegs = regs
+        .select(col("bucket"), col("r"), explode(winDays).as("wday"))
+        .join(broadcast(days.select(col("day").as("wday"))), Seq("wday"))
+        .select(col("wday").as("day"), col("bucket"), col("r"))
+        .groupBy(col("day"), col("bucket")).agg(max(col("r")).as("r"))
+      val est = graft.ext.Sketches.hllEstimateFromRegisters(winRegs, "day", 8)
+      val nDays = days
+        .select(col("day").as("srcday"), explode(winDays).as("wday"))
+        .join(broadcast(days.select(col("day").as("wday"))), Seq("wday"))
+        .groupBy(col("wday").as("day"))
+        .agg(count(lit(1)).cast("long").as("n_days"))
+      val exact = ev.select(col("day"), col("user_id")).distinct()
+        .select(col("user_id"), explode(winDays).as("wday"))
+        .join(broadcast(days.select(col("day").as("wday"))), Seq("wday"))
+        .groupBy(col("wday").as("day"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(nDays, Seq("day")).join(exact, Seq("day"))
+        .select(col("day"), col("n_days"), col("n_exact"),
+          col("n_buckets"), col("est_milli"))
+        .orderBy(col("day"))
     })
   )
 
@@ -622,6 +668,53 @@ object EventQueries {
         |  CAST(1 AS INT) size_le_3k
         |FROM t JOIN x ON t.event_type = x.event_type
         |  AND t.phi_ppm = x.phi_ppm
-        |ORDER BY t.event_type, t.phi_ppm""".stripMargin
+        |ORDER BY t.event_type, t.phi_ppm""".stripMargin,
+
+    // q278 oracle: the q81 register/estimate SQL at day grain, window
+    // merge via the same explode-to-window-days + day-list equi-join.
+    "q278_sliding_hll" ->
+      """WITH ev AS (SELECT date_trunc('day', ts) AS day, user_id
+        |            FROM events WHERE user_id IS NOT NULL),
+        |h AS (SELECT day, md5(CAST(user_id AS VARCHAR)) h FROM ev),
+        |r0 AS (SELECT day, CAST(concat('0x', substr(h, 1, 2)) AS INT) bucket,
+        |         CAST(concat('0x', substr(h, 3, 8)) AS BIGINT) x FROM h),
+        |regs AS (SELECT day, bucket,
+        |           max(CASE WHEN x > 0 THEN 33 - length(bin(x)) ELSE 33 END) r
+        |         FROM r0 GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM regs),
+        |wx AS (SELECT bucket, r,
+        |         unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |           INTERVAL 1 DAY)) wday
+        |       FROM regs),
+        |wr AS (SELECT wx.wday AS day, wx.bucket, max(wx.r) r
+        |       FROM wx JOIN days dd ON dd.day = wx.wday GROUP BY 1, 2),
+        |s AS (SELECT day, CAST(sum(CAST(1 AS BIGINT) << (48 - r)) AS BIGINT) s_seen,
+        |        CAST(count(*) AS BIGINT) nb
+        |      FROM wr GROUP BY 1),
+        |st AS (SELECT day, nb, s_seen + (256 - nb) * 281474976710656 s_total FROM s),
+        |e1 AS (SELECT day, nb,
+        |         (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+        |           * 281474976710656.0 / CAST(s_total AS DOUBLE) raw
+        |       FROM st),
+        |e2 AS (SELECT day, nb,
+        |         CASE WHEN raw <= 640.0 AND nb < 256
+        |           THEN 256.0 * ln(256.0 / CAST(256 - nb AS DOUBLE))
+        |           ELSE raw END est
+        |       FROM e1),
+        |ndx AS (SELECT day, unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |          INTERVAL 1 DAY)) wday FROM days),
+        |ndw AS (SELECT ndx.wday AS day, CAST(count(*) AS BIGINT) n_days
+        |        FROM ndx JOIN days dd ON dd.day = ndx.wday GROUP BY 1),
+        |ux AS (SELECT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |         INTERVAL 1 DAY)) wday
+        |       FROM (SELECT DISTINCT day, user_id FROM ev)),
+        |exact AS (SELECT ux.wday AS day, CAST(count(DISTINCT ux.user_id) AS BIGINT) n_exact
+        |          FROM ux JOIN days dd ON dd.day = ux.wday GROUP BY 1)
+        |SELECT e2.day, ndw.n_days, exact.n_exact,
+        |  CAST(e2.nb AS INT) n_buckets,
+        |  CAST(floor(e2.est * 1000.0) AS BIGINT) est_milli
+        |FROM e2 JOIN ndw ON ndw.day = e2.day
+        |JOIN exact ON exact.day = e2.day
+        |ORDER BY e2.day""".stripMargin
   )
 }

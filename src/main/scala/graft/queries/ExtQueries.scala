@@ -295,6 +295,42 @@ object ExtQueries {
           expr("(1000000 * n_tp) div n_pred").as("precision_ppm"))
     }),
 
+    // ASYMMETRIC containment over the LSH candidate set — the quote /
+    // subset-inclusion signal Jaccard resemblance structurally misses
+    // (Broder 1997 distinguishes the two: a 50-gram doc fully inside a
+    // 1000-gram doc has J ~ 0.05 but containment 1.0). Per verified
+    // candidate pair: the MinHash containment ESTIMATE derived from the
+    // signature agreement (J^ = n_agree/8; I^ = J^(|A|+|B|)/(1+J^), all
+    // integer ppm arithmetic, clamped at 1e6) against the EXACT
+    // containment of the smaller shingle set in the larger — est and
+    // truth side by side, the q149/q263 in-pass-audit discipline. 100 TB
+    // shape: pairs are the capped LSH band-join artifact (never
+    // all-pairs), per-doc set sizes are one aggregate of the shingle
+    // artifact, and the exact-intersection leg is bounded to candidate
+    // pairs (each pair costs |A| posting probes, not corpus work).
+    "q277_minhash_containment" -> ((s, d) => {
+      val sh = bigramShingles(s, d)
+      val cnt = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+      val pairs = lshVerifiedPairs(s, d)
+      val inter = pairs.select(col("doc_a"), col("doc_b"))
+        .join(sh.select(col("doc").as("doc_a"), col("s")), Seq("doc_a"))
+        .join(sh.select(col("doc").as("doc_b"), col("s")), Seq("doc_b", "s"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+      pairs
+        .join(cnt.select(col("doc").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+        .join(cnt.select(col("doc").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("n_agree").cast("int").as("n_agree"),
+          col("n_a"), col("n_b"),
+          least(lit(1000000L),
+            expr("""(1000000 * CAST(n_agree AS BIGINT) * (n_a + n_b))
+                    div ((8 + CAST(n_agree AS BIGINT)) * least(n_a, n_b))"""))
+            .as("c_min_est_ppm"),
+          expr("(1000000 * coalesce(i, CAST(0 AS BIGINT))) div least(n_a, n_b)")
+            .as("c_min_exact_ppm"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // First-occurrence gram novelty: per doc, the fraction of its
     // distinct trigrams NOT seen in any lower-id document — the
     // streaming-dedup / curriculum signal ("how much of this doc is
@@ -2486,6 +2522,31 @@ object ExtQueries {
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q23_dedup_minhash_lsh" -> minhashSigSql,
+
+    // q277 oracle: the shared lshp pair CTEs, per-doc distinct-shingle
+    // sizes off the same shl list, exact intersection bounded to the
+    // candidate pairs, and the identical integer estimate/clamp.
+    "q277_minhash_containment" ->
+      s"""$lshPairCtes,
+         |cnt AS (SELECT doc_id doc, CAST(len(sl) AS BIGINT) n FROM shl),
+         |g2 AS (SELECT doc_id, unnest(sl) s FROM shl),
+         |ix AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) i
+         |       FROM lshp p
+         |       JOIN g2 a ON a.doc_id = p.doc_a
+         |       JOIN g2 b ON b.doc_id = p.doc_b AND b.s = a.s
+         |       GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b, p.n_agree, ca.n n_a, cb.n n_b,
+         |  least(CAST(1000000 AS BIGINT),
+         |    CAST((1000000 * CAST(p.n_agree AS BIGINT) * (ca.n + cb.n))
+         |      // ((8 + CAST(p.n_agree AS BIGINT)) * least(ca.n, cb.n))
+         |      AS BIGINT)) c_min_est_ppm,
+         |  CAST((1000000 * COALESCE(ix.i, 0)) // least(ca.n, cb.n)
+         |    AS BIGINT) c_min_exact_ppm
+         |FROM lshp p
+         |JOIN cnt ca ON p.doc_a = ca.doc
+         |JOIN cnt cb ON p.doc_b = cb.doc
+         |LEFT JOIN ix ON ix.doc_a = p.doc_a AND ix.doc_b = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
     "q169_dup_flow" -> dupFlowSql,
 
