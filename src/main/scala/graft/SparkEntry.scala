@@ -16,7 +16,7 @@ object SparkEntry {
     * edit silently shrinking the surface) is a red test, not a doc bug.
     * Update this constant in the same commit that adds or removes a
     * query. */
-  val registrySize: Int = 277
+  val registrySize: Int = 278
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1820,6 +1820,61 @@ object AnalyticsQueries {
     // the real FPR per size alongside the fill ratio. Deterministic in
     // any md5 engine; the number that sizes q141's semi-join filter
     // before a 100 TB run commits to it.
+    // AMS tug-of-war F2 sketch (Alon, Matias & Szegedy 1996) — the
+    // frequency moment the sketch family was missing (HLL = F0, CMS =
+    // point queries, Misra-Gries = heavy hitters, q-digest = quantiles,
+    // DGIM = windowed counts; none answers "how big is the self-join").
+    // F2 = sum over keys of c_k^2 IS the self-join size on l_partkey —
+    // the quantity a skew-aware planner needs BEFORE committing to a
+    // join (AQE's skew split, broadcast-vs-shuffle choice), and AMS
+    // answers it in one streaming pass with 125 counters and NO groupBy
+    // on the key: X_j = sum of +-1 signs per row, E[X_j^2] = F2.
+    // Signs are md5 bits (2 seeded digests -> 125 sign functions, one
+    // bit each — the registerRows/minhash slice convention), so both
+    // engines replay the randomness bit-for-bit. Median of 5 means of
+    // 25 estimators, all BIGINT (X^2 <= n^2 fits; integer div); the
+    // exact groupBy twin and the measured err_ppm ride alongside —
+    // q223's audit discipline (the estimator's ~sqrt(2/25) relative
+    // std shows up honestly against the exact leg). 100 TB shape: the
+    // sketch pass is one map-side aggregate (125 conditional sums, no
+    // shuffle on the key, constant state — mergeable across partitions
+    // and days by addition); only the audit twin pays the key shuffle.
+    "q276_ams_f2" -> ((s, d) => {
+      val nGroups = 5
+      val perGroup = 25
+      val nSigns = nGroups * perGroup
+      val li = Tables.lineitem(s, d).select(col("l_partkey").cast("long").as("k"))
+      val hashed = li
+        .withColumn("h0", md5(concat(lit("0|"), col("k").cast("string")).cast("binary")))
+        .withColumn("h1", md5(concat(lit("1|"), col("k").cast("string")).cast("binary")))
+      val chunks = hashed.select(
+        (for (t <- 0 to 1; c <- 0 to 3) yield
+          conv(substring(col(s"h$t"), c * 8 + 1, 8), 16, 10).cast("long")
+            .as(s"c${t}_$c")): _*)
+      val bitSums = (0 until nSigns).map { j =>
+        val t = j / 64; val w = j % 64; val ch = w / 32; val bp = 31 - (w % 32)
+        sum(shiftright(col(s"c${t}_$ch"), bp).bitwiseAND(1)).as(s"s$j")
+      }
+      val agg = chunks.agg(count(lit(1)).as("n"), bitSums: _*)
+      val x2 = agg.select(col("n") +: (0 until nSigns).map { j =>
+        val x = lit(2L) * col(s"s$j") - col("n")
+        (x * x).as(s"x2_$j")
+      }: _*)
+      val means = x2.select(col("n") +: (0 until nGroups).map { g =>
+        expr(s"(${(0 until perGroup).map(i => s"x2_${g * perGroup + i}")
+          .mkString(" + ")}) div $perGroup").as(s"m$g")
+      }: _*)
+      val est = means.select(col("n").as("n_rows"),
+        element_at(array_sort(array((0 until nGroups).map(g => col(s"m$g")): _*)), 3)
+          .as("f2_est"))
+      val exact = li.groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("c") * col("c")).as("f2_exact"))
+      est.crossJoin(broadcast(exact))
+        .select(col("n_rows"), col("n_keys"), col("f2_exact"), col("f2_est"),
+          expr("(1000000 * abs(f2_est - f2_exact)) div f2_exact").as("err_ppm"))
+    }),
+
     "q256_bloom_fpr_sweep" -> ((s, d) => {
       val ms = s.createDataFrame(
         Seq(4096L, 16384L, 65536L).map(Tuple1(_))).toDF("m")
@@ -5073,6 +5128,51 @@ object AnalyticsQueries {
         |  CAST(max((1000000 * ae) // (SELECT n FROM tot)) AS BIGINT)
         |    max_abs_err_ppm
         |FROM allerr GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q276 oracle: the identical two seeded digests -> 8 unsigned-32-bit
+    // chunks -> 125 sign bits, the same integer mean/median algebra
+    // (every sum cast to BIGINT — DuckDB sum() promotes to HUGEINT).
+    "q276_ams_f2" -> {
+      val nG = 5; val pG = 25
+      val chunkDefs = (for (t <- 0 to 1; c <- 0 to 3) yield
+        s"CAST(concat('0x', substr(h$t, ${c * 8 + 1}, 8)) AS BIGINT) c${t}_$c")
+        .mkString(",\n         |    ")
+      val sumDefs = (0 until nG * pG).map { j =>
+        val t = j / 64; val w = j % 64; val ch = w / 32; val bp = 31 - (w % 32)
+        s"CAST(sum((c${t}_$ch >> $bp) & 1) AS BIGINT) s$j"
+      }.mkString(",\n         |    ")
+      val x2Defs = (0 until nG * pG)
+        .map(j => s"(2 * s$j - n) * (2 * s$j - n) x2_$j")
+        .mkString(",\n         |    ")
+      val meanDefs = (0 until nG).map(g =>
+        s"CAST((${(0 until pG).map(i => s"x2_${g * pG + i}").mkString(" + ")}) // $pG AS BIGINT) m$g")
+        .mkString(",\n         |    ")
+      s"""WITH li AS (SELECT CAST(l_partkey AS BIGINT) k FROM lineitem),
+         |hh AS (SELECT md5('0|' || CAST(k AS VARCHAR)) h0,
+         |         md5('1|' || CAST(k AS VARCHAR)) h1 FROM li),
+         |ch AS (SELECT
+         |    $chunkDefs
+         |  FROM hh),
+         |sm AS (SELECT CAST(count(*) AS BIGINT) n,
+         |    $sumDefs
+         |  FROM ch),
+         |x2 AS (SELECT n,
+         |    $x2Defs
+         |  FROM sm),
+         |mg AS (SELECT n,
+         |    $meanDefs
+         |  FROM x2),
+         |est AS (SELECT n n_rows,
+         |         list_sort([m0, m1, m2, m3, m4])[3] f2_est FROM mg),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) n_keys,
+         |         CAST(sum(c * c) AS BIGINT) f2_exact
+         |       FROM (SELECT k, CAST(count(*) AS BIGINT) c FROM li GROUP BY k))
+         |SELECT est.n_rows, ex.n_keys, ex.f2_exact,
+         |  CAST(est.f2_est AS BIGINT) f2_est,
+         |  CAST((1000000 * abs(est.f2_est - ex.f2_exact)) // ex.f2_exact
+         |    AS BIGINT) err_ppm
+         |FROM est CROSS JOIN ex""".stripMargin
+    },
 
     // q256 oracle: same md5-slice positions (hex via '0x' cast), same
     // distinct-position bit array, same all-positions-present test.
