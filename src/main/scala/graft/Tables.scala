@@ -79,6 +79,13 @@ object GraftSession {
       // first-compiles — can trip Janino's nested-class accessor race.
       // Size it to hold the working set.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // maxFields defaults to 100: a wider plan silently loses ALL
+      // whole-stage codegen for its stage (q276's 126-buffer sketch
+      // aggregate ran fully interpreted — measured 2.3× slower). Spark
+      // splits generated consume/aggregate functions per operator, so
+      // wider stages stay JIT-compilable; 200 covers the registry's
+      // widest plan with headroom.
+      .config("spark.sql.codegen.maxFields", "200")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Dump timestamps as µs (not INT96/ns): the driver's pandas read of

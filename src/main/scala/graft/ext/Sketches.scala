@@ -205,4 +205,53 @@ object Sketches {
     }
     (total, acc.toMap)
   }
+
+  // ------------------------------------------------------------------ AMS F2
+
+  /** AMS tug-of-war F2 sketch plan fragments (Alon, Matias & Szegedy
+    * 1996) — shared by the batch q276 query and the streaming ingest
+    * register twin so the two compute bit-identical sums. 125 ±1 sign
+    * functions come from the bits of ONE seeded md5 digest per key
+    * (the registerRows/minhash slice convention): X_j = Σ_rows σ_j(key),
+    * E[X_j²] = F2 = Σ_k c_k². The 126 counters (count + 125 bit sums)
+    * are plain integers under addition — mergeable across partitions,
+    * micro-batches and days — and the estimate is pure BIGINT algebra
+    * (median of [[amsGroups]] means of [[amsPerGroup]] squares), so any
+    * two engines replaying the same rows agree exactly. */
+  val amsGroups = 5
+  val amsPerGroup = 25
+  val amsSigns: Int = amsGroups * amsPerGroup
+
+  /** `(c0..c3)` unsigned-32-bit digest chunks of md5("f2|" + key) for
+    * every non-null key — the per-row input both sketch faces fold. */
+  def amsChunks(df: DataFrame, keyCol: String): DataFrame =
+    df.where(col(keyCol).isNotNull)
+      .withColumn("__ams_h",
+        md5(concat(lit("f2|"), col(keyCol).cast("string")).cast("binary")))
+      .select((0 to 3).map(c =>
+        conv(substring(col("__ams_h"), c * 8 + 1, 8), 16, 10).cast("long")
+          .as(s"c$c")): _*)
+
+  /** The 125 sign-bit sum aggregates over [[amsChunks]] output. */
+  def amsBitSums: Seq[Column] = (0 until amsSigns).map { j =>
+    val ch = j / 32; val bp = 31 - (j % 32)
+    sum(shiftright(col(s"c$ch"), bp).bitwiseAND(1)).as(s"s$j")
+  }
+
+  /** Estimate from an aggregated register row `(n, s0..s124)`:
+    * X_j = 2·s_j − n, median of group means of X², all BIGINT.
+    * Output `(n_rows, f2_est)`. */
+  def amsEstimateFromSums(agg: DataFrame): DataFrame = {
+    val x2 = agg.select(col("n") +: (0 until amsSigns).map { j =>
+      val x = lit(2L) * col(s"s$j") - col("n")
+      (x * x).as(s"x2_$j")
+    }: _*)
+    val means = x2.select(col("n") +: (0 until amsGroups).map { g =>
+      expr(s"(${(0 until amsPerGroup).map(i => s"x2_${g * amsPerGroup + i}")
+        .mkString(" + ")}) div $amsPerGroup").as(s"m$g")
+    }: _*)
+    means.select(col("n").as("n_rows"),
+      element_at(array_sort(array((0 until amsGroups).map(g => col(s"m$g")): _*)),
+        (amsGroups + 1) / 2).as("f2_est"))
+  }
 }

@@ -1829,8 +1829,9 @@ object AnalyticsQueries {
     // join (AQE's skew split, broadcast-vs-shuffle choice), and AMS
     // answers it in one streaming pass with 125 counters and NO groupBy
     // on the key: X_j = sum of +-1 signs per row, E[X_j^2] = F2.
-    // Signs are md5 bits (2 seeded digests -> 125 sign functions, one
-    // bit each — the registerRows/minhash slice convention), so both
+    // Signs are md5 bits (ONE seeded digest = 128 bits -> 125 sign
+    // functions, one bit each — the registerRows/minhash slice
+    // convention, and one hash per row total), so both
     // engines replay the randomness bit-for-bit. Median of 5 means of
     // 25 estimators, all BIGINT (X^2 <= n^2 fits; integer div); the
     // exact groupBy twin and the measured err_ppm ride alongside —
@@ -1840,33 +1841,11 @@ object AnalyticsQueries {
     // shuffle on the key, constant state — mergeable across partitions
     // and days by addition); only the audit twin pays the key shuffle.
     "q276_ams_f2" -> ((s, d) => {
-      val nGroups = 5
-      val perGroup = 25
-      val nSigns = nGroups * perGroup
+      import graft.ext.Sketches
       val li = Tables.lineitem(s, d).select(col("l_partkey").cast("long").as("k"))
-      val hashed = li
-        .withColumn("h0", md5(concat(lit("0|"), col("k").cast("string")).cast("binary")))
-        .withColumn("h1", md5(concat(lit("1|"), col("k").cast("string")).cast("binary")))
-      val chunks = hashed.select(
-        (for (t <- 0 to 1; c <- 0 to 3) yield
-          conv(substring(col(s"h$t"), c * 8 + 1, 8), 16, 10).cast("long")
-            .as(s"c${t}_$c")): _*)
-      val bitSums = (0 until nSigns).map { j =>
-        val t = j / 64; val w = j % 64; val ch = w / 32; val bp = 31 - (w % 32)
-        sum(shiftright(col(s"c${t}_$ch"), bp).bitwiseAND(1)).as(s"s$j")
-      }
-      val agg = chunks.agg(count(lit(1)).as("n"), bitSums: _*)
-      val x2 = agg.select(col("n") +: (0 until nSigns).map { j =>
-        val x = lit(2L) * col(s"s$j") - col("n")
-        (x * x).as(s"x2_$j")
-      }: _*)
-      val means = x2.select(col("n") +: (0 until nGroups).map { g =>
-        expr(s"(${(0 until perGroup).map(i => s"x2_${g * perGroup + i}")
-          .mkString(" + ")}) div $perGroup").as(s"m$g")
-      }: _*)
-      val est = means.select(col("n").as("n_rows"),
-        element_at(array_sort(array((0 until nGroups).map(g => col(s"m$g")): _*)), 3)
-          .as("f2_est"))
+      val agg = Sketches.amsChunks(li, "k")
+        .agg(count(lit(1)).as("n"), Sketches.amsBitSums: _*)
+      val est = Sketches.amsEstimateFromSums(agg)
       val exact = li.groupBy(col("k")).agg(count(lit(1)).as("c"))
         .agg(count(lit(1)).as("n_keys"),
           sum(col("c") * col("c")).as("f2_exact"))
@@ -5129,17 +5108,17 @@ object AnalyticsQueries {
         |    max_abs_err_ppm
         |FROM allerr GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // q276 oracle: the identical two seeded digests -> 8 unsigned-32-bit
+    // q276 oracle: the identical seeded digest -> 4 unsigned-32-bit
     // chunks -> 125 sign bits, the same integer mean/median algebra
     // (every sum cast to BIGINT — DuckDB sum() promotes to HUGEINT).
     "q276_ams_f2" -> {
       val nG = 5; val pG = 25
-      val chunkDefs = (for (t <- 0 to 1; c <- 0 to 3) yield
-        s"CAST(concat('0x', substr(h$t, ${c * 8 + 1}, 8)) AS BIGINT) c${t}_$c")
+      val chunkDefs = (0 to 3).map(c =>
+        s"CAST(concat('0x', substr(h, ${c * 8 + 1}, 8)) AS BIGINT) c$c")
         .mkString(",\n         |    ")
       val sumDefs = (0 until nG * pG).map { j =>
-        val t = j / 64; val w = j % 64; val ch = w / 32; val bp = 31 - (w % 32)
-        s"CAST(sum((c${t}_$ch >> $bp) & 1) AS BIGINT) s$j"
+        val ch = j / 32; val bp = 31 - (j % 32)
+        s"CAST(sum((c$ch >> $bp) & 1) AS BIGINT) s$j"
       }.mkString(",\n         |    ")
       val x2Defs = (0 until nG * pG)
         .map(j => s"(2 * s$j - n) * (2 * s$j - n) x2_$j")
@@ -5148,8 +5127,7 @@ object AnalyticsQueries {
         s"CAST((${(0 until pG).map(i => s"x2_${g * pG + i}").mkString(" + ")}) // $pG AS BIGINT) m$g")
         .mkString(",\n         |    ")
       s"""WITH li AS (SELECT CAST(l_partkey AS BIGINT) k FROM lineitem),
-         |hh AS (SELECT md5('0|' || CAST(k AS VARCHAR)) h0,
-         |         md5('1|' || CAST(k AS VARCHAR)) h1 FROM li),
+         |hh AS (SELECT md5('f2|' || CAST(k AS VARCHAR)) h FROM li),
          |ch AS (SELECT
          |    $chunkDefs
          |  FROM hh),

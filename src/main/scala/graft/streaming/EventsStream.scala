@@ -703,4 +703,23 @@ object EventsStream {
           }
       }
   }
+
+  /** AMS tug-of-war F2 registers — the streaming face of q276, and the
+    * most Spark-native register in the family: the sketch state is 126
+    * plain integer counters (count + 125 sign-bit sums) under ADDITION,
+    * so no custom keyed state is needed at all — a built-in streaming
+    * global aggregate maintains the running sums in the state store
+    * with map-side partial aggregation, and every micro-batch emits the
+    * current self-join-size estimate of the user_id frequency vector
+    * ("how skewed is the stream's key, continuously" — the number that
+    * decides a shuffle strategy before the day's join runs). Sums are
+    * order-invariant integers, so the emitted estimate after a full
+    * drain EQUALS the batch q276 algebra over the same rows exactly
+    * (StreamingSpec pins this). */
+  def amsRegisters(events: DataFrame): DataFrame = {
+    val agg = graft.ext.Sketches.amsChunks(events, "user_id")
+      .groupBy()
+      .agg(count(lit(1)).as("n"), graft.ext.Sketches.amsBitSums: _*)
+    graft.ext.Sketches.amsEstimateFromSums(agg)
+  }
 }

@@ -1458,6 +1458,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming AMS F2 registers equal the batch algebra exactly") {
+    // The register is a built-in streaming global aggregate (126
+    // add-mergeable counters); after a full drain its emitted estimate
+    // must EQUAL the batch computation over the same rows — the sums
+    // are order-invariant integers, so this is equality, not a bound.
+    val updates = EventsStream.amsRegisters(
+      EventsStream.readEvents(spark, sf))
+    runAvailableNow(updates, "ams_regs", OutputMode.Complete())
+    val rows = spark.table("ams_regs").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val (nStream, estStream) = rows.maxBy(_._1)
+    val ev = Tables.events(spark, sf)
+    val batchAgg = graft.ext.Sketches.amsChunks(ev, "user_id")
+      .agg(count(lit(1)).as("n"), graft.ext.Sketches.amsBitSums: _*)
+    val batch = graft.ext.Sketches.amsEstimateFromSums(batchAgg)
+      .collect().head
+    assert(nStream == batch.getLong(0),
+      s"n: stream $nStream != batch ${batch.getLong(0)}")
+    assert(estStream == batch.getLong(1),
+      s"f2_est: stream $estStream != batch ${batch.getLong(1)}")
+    // Sanity against the exact moment: the estimate is within 60% of
+    // the true F2 (the 5x25 estimator's measured envelope; equality
+    // above is the real pin — this guards against a degenerate sketch).
+    val exact = ev.where(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c"))).collect().head.getLong(0)
+    assert(math.abs(estStream - exact).toDouble / exact <= 0.6,
+      s"estimate $estStream implausibly far from exact $exact")
+  }
+
   test("streaming q-digest registers carry the digest across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("qd_2b")
     def writeAs(name: String, mtime: Long,
