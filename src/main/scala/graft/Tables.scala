@@ -77,8 +77,12 @@ object GraftSession {
       // registry (and 40 parallel test suites) churns far past that, so
       // identical plans recompile constantly and — under concurrent
       // first-compiles — can trip Janino's nested-class accessor race.
-      // Size it to hold the working set.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Size it to hold the working set. 2000 held until maxFields=200
+      // (below) let MORE stages codegen: the 278-query registry then
+      // overflowed the cache and every bench pass recompiled every
+      // plan — a uniform +0.3-0.5 s/query tax that showed only in
+      // full-suite context (isolated queries stayed fast).
+      .config("spark.sql.codegen.cache.maxEntries", "6000")
       // maxFields defaults to 100: a wider plan silently loses ALL
       // whole-stage codegen for its stage (q276's 126-buffer sketch
       // aggregate ran fully interpreted — measured 2.3× slower). Spark
