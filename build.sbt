@@ -33,4 +33,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // at 16g, same code). The machine has 128 GiB; SPARK_DRIVER_MEM still
   // overrides.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // r12: the 278-query registry compiles thousands of generated classes
+  // (codegen cache 6000 entries × multi-method classes); the JDK-17
+  // default 240 MB ReservedCodeCacheSize can fill mid-suite, after
+  // which the JIT DISABLES ITSELF and every later query runs
+  // interpreted — observed as warm passes 2-3 running ~1.8× slower
+  // than pass 1 uniformly across unrelated queries. 512 MB holds the
+  // suite's compiled working set.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -88,8 +88,26 @@ object GraftSession {
       // aggregate ran fully interpreted — measured 2.3× slower). Spark
       // splits generated consume/aggregate functions per operator, so
       // wider stages stay JIT-compilable; 200 covers the registry's
-      // widest plan with headroom.
+      // widest plan with headroom. r12 measured the OTHER edge of this
+      // knob: raising it to 1024 (to pull q276's 252-field aggregate
+      // stage into codegen) made the FULL suite 15% slower — wide spans
+      // emit oversized generated methods that the JIT refuses to
+      // compile, and interpreted bytecode is slower than Spark's own
+      // interpreted-expression path (the reason the upstream default is
+      // 100). Wide sketch aggregates are instead decomposed into
+      // <=100-field legs at the query level (see q276).
       .config("spark.sql.codegen.maxFields", "200")
+      // Partitioning floors measured and deliberately LEFT AT DEFAULTS
+      // (r12 optimization round): (a) openCostInBytes=4MB caps the
+      // 10 MB lineitem scan at 3 splits, but every test parquet file is
+      // ONE row group, so finer splits produce empty tasks — measured
+      // no wall change at 256 KB; (b) AQE
+      // coalescePartitions.minPartitionSize=64 KB widened q258's 3 MB
+      // post-shuffle window stages from 2 to 32 tasks but each task
+      // still paid a ~850 ms near-fixed cost — 16× the CPU, no wall
+      // win. The scale lever that DOES work for an unsplittable scan
+      // is an explicit post-read fan-out before heavy per-row work
+      // (guide §2.5) — see ops.Fanout.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Dump timestamps as µs (not INT96/ns): the driver's pandas read of

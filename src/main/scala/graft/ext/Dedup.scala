@@ -48,8 +48,10 @@ object Dedup {
     // NULL ids are excluded up front: a null doc id has no identity to
     // dedup under, and the (Long, String) encoder would NPE on one. Same
     // contract in minhashSignaturesTyped.
-    df.where(col(idCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+    graft.ops.Fanout.byKey(
+      df.where(col(idCol).isNotNull)
+        .select(col(idCol).cast("long").as("doc"), col(textCol).as("text")),
+      col("doc"))
       .as[(Long, String)]
       .flatMap { case (doc, text) =>
         if (text == null) Iterator.empty
@@ -151,7 +153,7 @@ object Dedup {
       new StructType().add("doc", LongType)) { (s, p) => s.add(s"h$p", StringType) }
     val textIdx = df.schema.fieldIndex(textCol)
     val idIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { rows =>
+    graft.ops.Fanout.byKey(df, col(idCol)).mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val hexChars = "0123456789abcdef".toCharArray
       def hex(b: Array[Byte]): String = {
@@ -305,7 +307,12 @@ object Dedup {
     * Bit j (1-based, most-significant first) is bit 31-((j-1)%32) of
     * chunk (j-1)/32; the ±1 vote sum is >= 0 iff 2·(count of set bits)
     * >= n. See [[simhash]] for why the width is 64. */
-  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhashSignatures(df0: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // Fan out before the per-token md5 explode (guide §2.5: the corpus
+    // parquet is one unsplittable row group, so the explode+digest work
+    // otherwise runs in the single scan task); both branches below
+    // (votes + zero-token re-add) reuse the one exchange.
+    val df = graft.ops.Fanout.byKey(df0, col(idCol))
     val tok = df.select(col(idCol).as("doc"),
       explode(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))).as("t"))
       .select(col("doc"), md5(col("t").cast("binary")).as("h"))
@@ -733,8 +740,10 @@ object Dedup {
                      window: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.where(col(idCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+    graft.ops.Fanout.byKey(
+      df.where(col(idCol).isNotNull)
+        .select(col(idCol).cast("long").as("doc"), col(textCol).as("text")),
+      col("doc"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -1084,8 +1093,10 @@ object Dedup {
                                  gram: Int = 4, window: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.where(col(idCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+    graft.ops.Fanout.byKey(
+      df.where(col(idCol).isNotNull)
+        .select(col(idCol).cast("long").as("doc"), col(textCol).as("text")),
+      col("doc"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")

@@ -81,6 +81,12 @@ object Layout {
     // rank legs, their bucket statistics and the row count would
     // otherwise each re-scan the fact and re-derive the Morton key —
     // six scans for one audit.
+    // Deliberately a LAZY persist (r12): the two rank legs + row-count
+    // broadcast do race the cache population, but an eager count() on
+    // this corpus-sized projection was measured SLOWER (q230 3.15 →
+    // 4.78 s) — the barrier costs more than the duplicated narrow
+    // projection; the eager form only pays off for small fan-out tables
+    // (see TransientCache.materialize).
     val base = graft.ops.TransientCache.persist(df.select(
       (Seq(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"),
         zOrderKey(col(xCol), col(yCol), bits).as("zkey")) ++

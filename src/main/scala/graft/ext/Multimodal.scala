@@ -227,7 +227,9 @@ object Multimodal {
     * still formats are single-frame; invalid payloads have none. */
   def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions { it =>
+    // Fan out before the per-payload codec work (guide §2.5; see
+    // audioSampleRows). No-op on streaming/parallel input.
+    graft.ops.Fanout.byKey(media, col("media_id")).as[MediaRecord].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         val (format, w, h, body) = decodeBytes(r.payload)
@@ -279,7 +281,7 @@ object Multimodal {
   def blockhashSignatures(media: DataFrame, nBits: Int = 32): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRecord].flatMap { r =>
+    graft.ops.Fanout.byKey(media, col("media_id")).as[MediaRecord].flatMap { r =>
       val (format, _, _, body) = decodeBytes(r.payload)
       if (format == "invalid") None
       else {
@@ -407,7 +409,10 @@ object Multimodal {
   def audioSampleRows(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRecord].flatMap { r =>
+    // Fan out before the per-payload WAV parse (guide §2.5: the media
+    // parquet is one unsplittable row group; the codec work otherwise
+    // runs in the single scan task). No-op on streaming/parallel input.
+    graft.ops.Fanout.byKey(media, col("media_id")).as[MediaRecord].flatMap { r =>
       parseWav(r.payload) match {
         case None => Iterator.empty
         case Some((_, samples)) =>
@@ -513,7 +518,7 @@ object Multimodal {
   def frameSegments(media: DataFrame, frameLen: Int = 256): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRecord].flatMap { r =>
+    graft.ops.Fanout.byKey(media, col("media_id")).as[MediaRecord].flatMap { r =>
       val (format, _, _, body) = decodeBytes(r.payload)
       if (format != "gif") Iterator.empty
       else {

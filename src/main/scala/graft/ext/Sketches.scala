@@ -225,7 +225,10 @@ object Sketches {
   /** `(c0..c3)` unsigned-32-bit digest chunks of md5("f2|" + key) for
     * every non-null key — the per-row input both sketch faces fold. */
   def amsChunks(df: DataFrame, keyCol: String): DataFrame =
-    df.where(col(keyCol).isNotNull)
+    // Fan out before the per-row md5: over a single-row-group scan the
+    // digest otherwise runs in ONE task (guide §2.5; measured 1.65 s
+    // single-task stage on q276). No-op on parallel/streaming inputs.
+    graft.ops.Fanout.byKey(df.where(col(keyCol).isNotNull), col(keyCol))
       .withColumn("__ams_h",
         md5(concat(lit("f2|"), col(keyCol).cast("string")).cast("binary")))
       .select((0 to 3).map(c =>
@@ -233,7 +236,16 @@ object Sketches {
           .as(s"c$c")): _*)
 
   /** The 125 sign-bit sum aggregates over [[amsChunks]] output. */
-  def amsBitSums: Seq[Column] = (0 until amsSigns).map { j =>
+  def amsBitSums: Seq[Column] = (0 until amsSigns).map(amsBitSum)
+
+  /** One sign-bit sum `s<j>` — exposed so batch consumers can split the
+    * 125 sums into [[amsGroups]] NARROW aggregate legs: a single
+    * 126-buffer aggregate stage exceeds `spark.sql.codegen.maxFields`
+    * and runs interpreted (measured 10× per-row cost on q276), while
+    * five 25-sum legs each stay inside whole-stage codegen. The
+    * streaming register face keeps the single wide aggregate (its
+    * micro-batches are latency- not throughput-bound). */
+  def amsBitSum(j: Int): Column = {
     val ch = j / 32; val bp = 31 - (j % 32)
     sum(shiftright(col(s"c$ch"), bp).bitwiseAND(1)).as(s"s$j")
   }

@@ -560,8 +560,10 @@ object TextAnalysis {
   def tokenRows(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.where(col(idCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+    graft.ops.Fanout.byKey(
+      df.where(col(idCol).isNotNull)
+        .select(col(idCol).cast("long").as("doc"), col(textCol).as("text")),
+      col("doc"))
       .as[(Long, String)]
       .flatMap { case (doc, text) =>
         if (text == null) Iterator.empty
@@ -576,8 +578,10 @@ object TextAnalysis {
   def tokenPosRows(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.where(col(idCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc"), col(textCol).as("text"))
+    graft.ops.Fanout.byKey(
+      df.where(col(idCol).isNotNull)
+        .select(col(idCol).cast("long").as("doc"), col(textCol).as("text")),
+      col("doc"))
       .as[(Long, String)]
       .flatMap { case (doc, text) =>
         if (text == null) Iterator.empty

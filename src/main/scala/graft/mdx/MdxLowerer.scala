@@ -287,7 +287,15 @@ object MdxLowerer {
   def preAggregateSlice(spark: SparkSession, sfDir: String, cube: CubeDef,
                         pa: PreAggDef, fact: DataFrame): DataFrame =
     preAggregateAttached(cube, pa,
-      attachForPreAgg(spark, sfDir, cube, pa, fact))
+      attachForPreAgg(spark, sfDir, cube, pa,
+        // r12: fan the fact out before the star join + aggregate (guide
+        // §2.5 — the single-row-group fact scan otherwise runs the whole
+        // build in one task; ~3.5 s serial, paid per MDX query in the
+        // cold pass). Key = the fact's leading column (the high-card
+        // order key in this schema); no-op once the fact is a real
+        // partitioned table. Build path only — direct pivots keep their
+        // broadcast-join-on-scan shape.
+        graft.ops.Fanout.byKey(fact, col(fact.columns.head))))
 
   /** The dimension-attach half of [[preAggregateSlice]], exposed so a
     * caller building SEVERAL slice partials from the same fact rows

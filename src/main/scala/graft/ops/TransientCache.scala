@@ -35,6 +35,29 @@ object TransientCache {
     df
   }
 
+  /** [[persist]] + EAGER materialization (r12 optimization). A lazy
+    * persist is populated by whichever consumer stage runs first — but
+    * Spark submits independent stages (and broadcast-exchange builds)
+    * CONCURRENTLY, and concurrent consumers of a not-yet-cached plan
+    * each recompute the full upstream chain before any of them fills
+    * the cache. For an intermediate with several independent consumer
+    * branches (q258's prefix-sum table: day-close, peaks and the final
+    * join; q230's audit base: two rank legs + the row count) the chain
+    * ran 3-4× — visible as duplicated shuffle-read stages and a
+    * cpu_ms/wall ratio far above the plan's real work. The count()
+    * here pins the cache exactly once, inside the owning query's timed
+    * region, before the fan-out. MEASURED TRADE-OFF (r12): flipping
+    * every persist to eager made the 10-query probe 57% SLOWER
+    * (21.5 s → 33.7 s) — the count() barrier also destroys the
+    * cross-subtree stage overlap the scheduler exploits — so this is
+    * strictly a targeted tool for sites where duplicated upstream
+    * compute is measured to dominate, never a default. */
+  def materialize(df: DataFrame): DataFrame = {
+    val p = persist(df)
+    p.count()
+    p
+  }
+
   /** Track an already-materialized cached Dataset (e.g. a localCheckpoint)
     * for this thread's next [[releaseAll]] without re-persisting it. */
   def track(df: DataFrame): DataFrame = {

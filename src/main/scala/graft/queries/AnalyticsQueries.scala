@@ -1843,8 +1843,22 @@ object AnalyticsQueries {
     "q276_ams_f2" -> ((s, d) => {
       import graft.ext.Sketches
       val li = Tables.lineitem(s, d).select(col("l_partkey").cast("long").as("k"))
-      val agg = Sketches.amsChunks(li, "k")
-        .agg(count(lit(1)).as("n"), Sketches.amsBitSums: _*)
+      // r12: the single 126-buffer aggregate exceeded codegen maxFields
+      // and ran interpreted (25 µs/row measured). Decomposed: chunk
+      // digests computed ONCE (fanned out inside amsChunks, then
+      // MATERIALIZED — six aggregate branches would otherwise race the
+      // lazy cache and recompute the md5 pass each), then count + five
+      // 25-sum legs, each narrow enough for whole-stage codegen, glued
+      // by one-row crossJoins. Bit-identical sums, same estimate.
+      val chunks = graft.ops.TransientCache.materialize(
+        Sketches.amsChunks(li, "k"))
+      val legs = (0 until Sketches.amsGroups).map { g =>
+        val cs = (g * Sketches.amsPerGroup until (g + 1) * Sketches.amsPerGroup)
+          .map(Sketches.amsBitSum)
+        chunks.agg(cs.head, cs.tail: _*)
+      }
+      val agg = legs.foldLeft(chunks.agg(count(lit(1)).as("n")))(
+        (acc, l) => acc.crossJoin(l))
       val est = Sketches.amsEstimateFromSums(agg)
       val exact = li.groupBy(col("k")).agg(count(lit(1)).as("c"))
         .agg(count(lit(1)).as("n_keys"),

@@ -11,12 +11,21 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   * the streaming forms are asserted equivalent in StreamingSpec). */
 object EventQueries {
 
-  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // Gap-based sessionization (30 min): the batch twin of
-    // EventsStream.sessionize, via lag + running sum of session starts.
-    "q45_events_sessionize" -> ((s, d) => {
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+  /** Session-lifetime 30-min-gap session table — q45's construction,
+    * factored into a shared artifact because THREE queries re-derived
+    * it independently (q45, q258, q270; r12 optimization, guide §2.4
+    * "remove shuffles outright"): the window+rollup chain is the
+    * expensive half of each consumer at sf0.1 — and q258's union even
+    * recomputed it twice inside one plan before the explode rewrite
+    * below. Same lifecycle as the signature artifacts: built once per
+    * session (priced by Bench's cold pass and the first-pass build
+    * ledger), a materialized table at cluster scale.
+    * Columns: user_id, session_id, n_events, session_start,
+    * session_end, total_value. */
+  private def sessionTable(s: SparkSession, d: String): DataFrame =
+    graft.ops.SessionCache.getOrBuild(s, s"sessions:$d") {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
       val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
@@ -30,9 +39,19 @@ object EventQueries {
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"),
           sum(col("value").cast("decimal(18,6)")).as("total_value"))
-        .orderBy(col("user_id"), col("session_id"))
-        
-    }),
+    }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gap-based sessionization (30 min): the batch twin of
+    // EventsStream.sessionize, via lag + running sum of session starts.
+    // Output unchanged since r1; the construction now reads the shared
+    // session artifact.
+    "q45_events_sessionize" -> ((s, d) =>
+      sessionTable(s, d)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("session_start"), col("session_end"), col("total_value"))
+        .orderBy(col("user_id"), col("session_id"))),
 
     // Peak concurrent sessions per day — the capacity number a serving
     // or ingest planner reads off the session table. Sessions (q45's
@@ -56,23 +75,25 @@ object EventQueries {
     // instants. 100 TB: deltas are session-bounded (2 rows/session),
     // the scan is bucket-parallel, the day rollup calendar-bounded.
     "q258_peak_concurrency" -> ((s, d) => {
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sess = Tables.events(s, d)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn("is_new", when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
-          .otherwise(0))
-        .withColumn("session_id", sum(col("is_new")).over(run))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
-      val deltas = sess
-        .select(unix_micros(col("st")).as("us"), lit(1L).as("dlt"))
-        .unionByName(sess
-          .select(unix_micros(col("en")).as("us"), lit(-1L).as("dlt")))
+      // Boundary deltas in ONE pass over the shared session artifact:
+      // the previous union-of-two-selects re-ran the whole sessionize
+      // window chain once PER BRANCH (two full window passes in one
+      // plan — measured as two ~850 ms shuffle-read stages at sf0.1);
+      // explode(±1 struct) emits both boundaries from a single read
+      // (guide §2.4). Same multiset of (us, dlt) rows, so the grouped
+      // sums are unchanged.
+      val deltas = sessionTable(s, d)
+        .select(explode(array(
+          struct(unix_micros(col("session_start")).as("us"),
+            lit(1L).as("dlt")),
+          struct(unix_micros(col("session_end")).as("us"),
+            lit(-1L).as("dlt")))).as("b"))
+        .select(col("b.us").as("us"), col("b.dlt").as("dlt"))
         .groupBy(col("us")).agg(sum(col("dlt")).as("delta"))
-      val cum = graft.ops.TransientCache.persist(
+      // materialize (r12): three independent consumer branches (day
+      // close, peaks, final join) raced the lazy cache and re-ran the
+      // prefix chain each — see TransientCache.materialize.
+      val cum = graft.ops.TransientCache.materialize(
         graft.ops.BucketedPrefix
           .runningSums(deltas, "us", Seq("delta"), 3600000000L)
           .select(col("us"), col("run_delta").as("conc"))
@@ -128,7 +149,9 @@ object EventQueries {
         .withColumn("h", md5(col("event_id").cast("string").cast("binary")))
         .withColumn("arrival",
           col("blk") * 64 + row_number().over(wBlk).cast("long") - 1)
-      val lat = graft.ops.TransientCache.persist(
+      // materialize (r12): two consumer branches (totals + the sweep
+      // join) raced the lazy cache.
+      val lat = graft.ops.TransientCache.materialize(
         graft.ops.BucketedPrefix
           .runningMaxExclusive(arr, "arrival", Seq("us"), 4096L)
           .select(col("us"),
@@ -224,18 +247,12 @@ object EventQueries {
     // bounded, never sessions².
     "q270_session_overlap" -> ((s, d) => {
       val hour = 3600000000L
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sess = Tables.events(s, d)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn("is_new", when(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
-          .otherwise(0))
-        .withColumn("session_id", sum(col("is_new")).over(run))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(unix_micros(min(col("ts"))).as("st"),
-          unix_micros(max(col("ts"))).as("en"))
+      // Shared session artifact (r12): same 30-min-gap construction,
+      // built once per session instead of per consumer.
+      val sess = sessionTable(s, d)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("st"),
+          unix_micros(col("session_end")).as("en"))
       val b = sess.withColumn("bkt",
         explode(sequence(expr(s"st div $hour"), expr(s"en div $hour"))))
       b.as("a").join(b.as("b"),
@@ -351,7 +368,9 @@ object EventQueries {
           e.vhat, e.errBound, e.digestNodes))
         .toDF("event_type", "phi_ppm", "n", "target_rank", "vhat",
           "err_bound", "digest_nodes")
-      val hist = graft.ops.TransientCache.persist(
+      // materialize (r12): audit + exact-quantile branches raced the
+      // lazy cache and re-ran the events histogram each.
+      val hist = graft.ops.TransientCache.materialize(
         ev.groupBy(col("event_type"), col("vq"))
           .agg(count(lit(1)).as("c")))
       // Exact rank interval of each digest answer: one broadcast of the
@@ -417,7 +436,9 @@ object EventQueries {
       val ev = Tables.events(s, d)
         .where(col("user_id").isNotNull)
         .withColumn("day", date_trunc("day", col("ts")))
-      val regs = graft.ops.TransientCache.persist(
+      // materialize (r12): day-list + window-merge branches raced the
+      // lazy cache and re-built the registers each.
+      val regs = graft.ops.TransientCache.materialize(
         graft.ext.Sketches.hllRegisters(ev, "user_id", "day", 8))
       val days = regs.select(col("day")).distinct()
       val winDays = sequence(col("day"),

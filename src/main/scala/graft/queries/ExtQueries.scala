@@ -164,7 +164,13 @@ object ExtQueries {
     * rows instead of re-tokenizing the corpus. */
   private[queries] def docProfile(s: SparkSession, d: String): DataFrame =
     graft.ops.SessionCache.getOrBuild(s, s"tok_profile:$d")(
-      TextAnalysis.withTokenProfile(Tables.documents(s, d), "text"))
+      // Fanned out before the per-doc profile loop (guide §2.5: the
+      // single-row-group scan otherwise runs the whole tokenize pass in
+      // one task). Done here, not inside withTokenProfile — the inline
+      // map-side consumers (sampling's zero-shuffle path) keep their
+      // shape.
+      TextAnalysis.withTokenProfile(
+        graft.ops.Fanout.byKey(Tables.documents(s, d), col("doc_id")), "text"))
 
   /** Shared per-session POSITIONAL postings `(doc, pos, token)` — the
     * phrase/proximity index under q146/q156 and the relevance legs of

@@ -212,9 +212,12 @@ class AnalyticsPropertySpec extends AnyFunSuite {
       i <- 0 to n
     } yield (u.toLong * 1000 + i, t0.plusSeconds(i * 20L * 60), u.toLong)
     val dir = java.nio.file.Files.createTempDirectory("peak_conc").toString
+    // `value` is part of the production events schema (TESTDATA.md) and
+    // the shared session artifact (r12) aggregates it; the fixture
+    // carries a constant so the artifact analyzes — q258 never reads it.
     rows.map { case (eid, ts, uid) =>
-      (eid, java.sql.Timestamp.from(ts), uid)
-    }.toDF("event_id", "ts", "user_id")
+      (eid, java.sql.Timestamp.from(ts), uid, 1.0d)
+    }.toDF("event_id", "ts", "user_id", "value")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = SparkEntry.queries("q258_peak_concurrency")(spark, dir)
       .collect().map(r => (r.getTimestamp(0).toInstant, r.getLong(1),

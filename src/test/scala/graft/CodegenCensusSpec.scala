@@ -31,21 +31,25 @@ object CodegenCensusGolden {
   /** name -> non-codegen operator count, sf0.001, warm state, shared
     * 4-thread test session. */
   val golden: Map[String, Int] = Map(
+    // r12 optimization round: the large drops (q198 122 -> 9, q23
+    // 41 -> 10, q202 27 -> 8, q258 34 -> 14) are the shared-artifact +
+    // fan-out rewrites — warm plans now read cached artifacts
+    // (InMemoryTableScan) instead of re-deriving interpreted chains.
     "q01_pricing_summary" -> 3,
     "q03_filter_members" -> 14,
     "q164_join_size_estimate" -> 13,
     "q178_ks_drift" -> 5,
-    "q198_lsh_band_sweep" -> 122,
-    "q202_prefix_filter_join" -> 27,
-    "q225_winnow_density" -> 17,
-    "q228_ppjoin_positional" -> 20,
-    "q23_dedup_minhash_lsh" -> 41,
-    "q258_peak_concurrency" -> 34,
+    "q198_lsh_band_sweep" -> 9,
+    "q202_prefix_filter_join" -> 8,
+    "q225_winnow_density" -> 9,
+    "q228_ppjoin_positional" -> 15,
+    "q23_dedup_minhash_lsh" -> 10,
+    "q258_peak_concurrency" -> 14,
     "q259_watermark_lateness" -> 22,
     "q26_embed_neardup" -> 11,
     "q60_chunk_windows" -> 4,
     "q66_pii_redaction" -> 2,
-    "q87_ivfpq_ann" -> 31,
+    "q87_ivfpq_ann" -> 27,
     "q92_block_dedup" -> 9,
   )
 
