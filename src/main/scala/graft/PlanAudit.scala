@@ -62,6 +62,71 @@ object PlanAudit {
     p +: (kids ++ p.subqueries).flatMap(flatten)
   }
 
+  /** Plan facts of session artifacts whose lineage a localCheckpoint
+    * truncated (SessionCache builds, r13), keyed by the checkpointed
+    * RDD id: (bounded-below-ness, window shapes) of the BUILD plan.
+    * The census used to read both straight off the cached artifact's
+    * lineage (`InMemoryTableScanExec → relation.cachedPlan`); with the
+    * checkpoint that subtree is a bare RDD scan, so the facts are
+    * recorded once at build time instead — exactly what a table
+    * catalog persists about a stored table's grain. Both census
+    * traversals below consult the registry at RDD-scan leaves, so a
+    * serial window INSIDE an artifact build still fails the census of
+    * every consumer, and an aggregate-grain artifact still counts as
+    * a bounded input. */
+  private val pendingArtifacts =
+    scala.collection.concurrent.TrieMap.empty[Int, org.apache.spark.sql.execution.SparkPlan]
+  private val artifactFacts =
+    scala.collection.concurrent.TrieMap.empty[Int, (Boolean, Seq[WindowShape], String)]
+
+  /** LAZY registration: the facts (bounded-ness, window shapes, plan
+    * text) are computed on first census ACCESS, not at build time —
+    * computing them eagerly walked + stringified the multi-thousand-node
+    * build plan inside the first consumer query's timed wall (measured
+    * as part of a ~27 s pass-1 inflation on the full bench). Only the
+    * structural specs ever ask; bench/verify runs never pay. */
+  def registerArtifact(rddId: Int,
+                       buildPlan: org.apache.spark.sql.execution.SparkPlan): Unit =
+    pendingArtifacts.put(rddId, buildPlan)
+
+  private def factsFor(rddId: Int): Option[(Boolean, Seq[WindowShape], String)] =
+    artifactFacts.get(rddId).orElse(pendingArtifacts.remove(rddId).map { plan =>
+      val f = (boundedBelow(plan), windowShapes(plan), planText(plan))
+      artifactFacts.putIfAbsent(rddId, f).getOrElse(f)
+    })
+
+  /** Drop a dead artifact's registration (SessionCache.clear calls this
+    * per evicted entry) — a cold bench pass rebuilds every artifact per
+    * query, and the pending plan objects would otherwise accumulate for
+    * the session. */
+  def unregisterArtifact(rddId: Int): Unit = {
+    pendingArtifacts.remove(rddId)
+    artifactFacts.remove(rddId)
+  }
+
+  /** `plan.toString` plus the registered BUILD plans of every truncated
+    * artifact the plan reads (distinct RDD ids; nested artifacts are
+    * pre-spliced at registration). The text the plan-shape specs assert
+    * against: a structural pin on something that lives inside an
+    * artifact build (the BM25 TakeOrdered, a dimension broadcast, the
+    * absence of a cartesian) keeps seeing it after the checkpoint
+    * truncates the consumer's lineage to a bare RDD scan. */
+  def planText(plan: org.apache.spark.sql.execution.SparkPlan): String = {
+    val ids = flatten(plan).flatMap(rddScanId).distinct
+    val arts = ids.flatMap(id => factsFor(id).map(f =>
+      s"\n== artifact build plan (rdd $id) ==\n" + f._3))
+    plan.toString + arts.mkString
+  }
+
+  /** The RDD id under an `RDDScanExec` (private[sql] — reflective), or
+    * None for any other node. */
+  private def rddScanId(p: org.apache.spark.sql.execution.SparkPlan): Option[Int] =
+    if (p.getClass.getSimpleName != "RDDScanExec") None
+    else
+      try Some(p.getClass.getMethod("rdd").invoke(p)
+        .asInstanceOf[org.apache.spark.rdd.RDD[_]].id)
+      catch { case _: Throwable => None }
+
   /** One WindowExec's census coordinates: partition-spec arity, whether
     * its input is BOUNDED below — by an aggregate (bucket-grain offset
     * tables), a WindowGroupLimit (rank-limit pushdown keeps ≤ k rows per
@@ -75,8 +140,9 @@ object PlanAudit {
                                parts: Seq[String])
 
   def windowShapes(plan: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[WindowShape] =
-    flatten(plan).collect {
+      : Seq[WindowShape] = {
+    val nodes = flatten(plan)
+    val direct = nodes.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec =>
         val parts = w.partitionSpec.map {
           case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
@@ -84,6 +150,13 @@ object PlanAudit {
         }
         WindowShape(w.partitionSpec.size, boundedBelow(w.child), parts)
     }
+    // Windows INSIDE truncated artifact builds, one contribution per
+    // artifact read — the same multiplicity the cached-lineage descent
+    // used to produce.
+    val fromArtifacts = nodes.flatMap(rddScanId)
+      .flatMap(id => factsFor(id).map(_._2).getOrElse(Nil))
+    direct ++ fromArtifacts
+  }
 
   /** Does an aggregate / limit / group-limit bound the row volume on the
     * path below `p`? Broadcast-exchange subtrees are NOT descended: the
@@ -95,6 +168,8 @@ object PlanAudit {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     p match {
       case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => false
+      case r if rddScanId(r).isDefined =>
+        factsFor(rddScanId(r).get).exists(_._1)
       case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
       case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec => true
       case _: org.apache.spark.sql.execution.GlobalLimitExec => true

@@ -45,19 +45,6 @@ object Layout {
     }.reduce(_ + _)
   }
 
-  /** Exact global 1-based rank with NO single-partition window — since
-    * round 11 a thin wrapper over ops.ShardedRank (range-shard + id
-    * arithmetic + partition-count offsets: one balanced shuffle, no
-    * row-grain window at all; correctness independent of where the
-    * sampled boundaries land). The previous value-bucketed
-    * BucketedPrefix form computed the same ranks but paid a bounds
-    * aggregate + bucket-count legs per call — measured slower on the
-    * audit's double-rank (two layouts, one rank each). `order` must be
-    * ascending and total (last key breaks ties). Appends `__rank`. */
-  private def withGlobalRank(df: DataFrame,
-                             order: Seq[Column]): DataFrame =
-    graft.ops.ShardedRank.withRankOrdered(df, Nil, order, "__rank")
-
   /** Zone-map skipping audit: assign every row to one of `files`
     * equal-count files under (a) the natural order given by `tieCols`
     * and (b) Z-order on (`xCol`, `yCol`), collect per-file min/max
@@ -110,18 +97,36 @@ object Layout {
          |   (__rank - ((__n div $files) + 1) * (__n % $files) - 1)
          |     div (__n div $files) + 1 END""".stripMargin).cast("int")
     val nRow = base.agg(count(lit(1)).as("__n"))
-    def leg(label: String, order: Seq[Column]) =
-      withGlobalRank(base, order)
-        .crossJoin(broadcast(nRow))
-        .select(lit(label).as("layout"), tileOf.as("f"), col("x"),
-          col("y"), matched.as("m"))
-    val assigned =
-      leg("natural", ties)
-        .unionAll(leg("zorder", col("zkey") +: ties))
-    val zones = assigned.groupBy(col("layout"), col("f"))
+    // ONE grouped rank pass over both layouts (r13; previously one full
+    // ShardedRank leg per layout — each with its own range-boundary
+    // sampling job, shuffle, sort, count aggregate and broadcast join,
+    // measured as the suite's slowest query). Each row becomes a
+    // (lid 0 = natural, lid 1 = zorder) twin whose primary order key is
+    // layout-local: constant 0 under natural (ties alone give the
+    // natural order — exactly the old leg's order), zkey under zorder.
+    // Per-layout ranks from ShardedRank.withRankOrdered(grp = lid) are
+    // then identical to the two global ranks by construction, and both
+    // layouts ride one range shuffle of 2× slim rows instead of two
+    // full passes. Both legs share __n = count(base): each layout holds
+    // every base row once. The group key is an INT id, not the layout
+    // label: an all-numeric (lid, __zo, ties…) sort key keeps the
+    // shard sort radix-friendly and the shuffled rows slim — the
+    // string label joins back at zone grain (≤ 2·files rows).
+    val both = base
+      .withColumn("lid", explode(array(lit(0), lit(1))))
+      .withColumn("__zo",
+        when(col("lid") === 1, col("zkey")).otherwise(lit(0L)))
+    val assigned = graft.ops.ShardedRank.withRankOrdered(
+        both, Seq("lid"), col("__zo") +: ties, "__rank")
+      .crossJoin(broadcast(nRow))
+      .select(col("lid"), tileOf.as("f"), col("x"),
+        col("y"), matched.as("m"))
+    val zones = assigned.groupBy(col("lid"), col("f"))
       .agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
         min(col("y")).as("mny"), max(col("y")).as("mxy"),
         count(lit(1)).as("rows_f"), sum(col("m")).as("m"))
+      .withColumn("layout",
+        when(col("lid") === 1, lit("zorder")).otherwise(lit("natural")))
     val overlap = col("mxx") >= xLo && col("mnx") <= xHi &&
       col("mxy") >= yLo && col("mny") <= yHi
     zones.groupBy(col("layout"))

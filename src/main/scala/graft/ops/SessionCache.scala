@@ -36,32 +36,85 @@ object SessionCache {
   def drainBuildLog(spark: SparkSession): Map[String, Double] =
     buildLog.remove(spark).map(_.toMap).getOrElse(Map.empty)
 
+  /** The materialized row blocks behind each artifact, so [[clear]] can
+    * free them deterministically: `Dataset.unpersist` is a no-op on a
+    * localCheckpoint'd Dataset (its blocks belong to the checkpointed
+    * RDD, not the CacheManager), and waiting for the ContextCleaner to
+    * GC them would let a 278-query cold pass (clear per query, rebuild
+    * per query) pile up dead block sets. */
+  private val blocks =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.rdd.RDD[_]]
+
+  /** The checkpointed InternalRow RDD under a localCheckpoint'd Dataset
+    * (its analyzed plan is one `LogicalRDD(rdd)` leaf). Reflective read
+    * because LogicalRDD is private[sql]; best-effort — a None just means
+    * [[clear]] leaves the blocks to the ContextCleaner. */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectLeaves().headOption.flatMap { leaf =>
+      try Some(leaf.getClass.getMethod("rdd").invoke(leaf)
+        .asInstanceOf[org.apache.spark.rdd.RDD[_]])
+      catch { case _: Throwable => None }
+    }
+
   def getOrBuild(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
     cache.get((spark, key)) match {
       case Some(df) => df
       case None =>
         // Not getOrElseUpdate: TrieMap may evaluate the builder in two
-        // racing threads and only store one. The loser must NOT
-        // unpersist its build: Spark's CacheManager registers cache
-        // entries by logical-plan equality, so unpersisting the loser's
-        // (identical) plan would evict the WINNER's entry and the
-        // "cached" table would silently recompute forever after. The
-        // loser's persist was a no-op on the already-cached plan, so
-        // dropping the reference leaks nothing.
+        // racing threads and only store one. A race loser's build is
+        // self-contained (its own checkpoint blocks), so dropping the
+        // reference leaks nothing beyond blocks the ContextCleaner
+        // reclaims on GC.
+        //
+        // Eager localCheckpoint, not persist+count (r13 optimization,
+        // guide §5 "localCheckpoint is a cheaper way to cut lineage"):
+        // the artifact is a session-lifetime TABLE, and a persisted
+        // plan drags its full build lineage into every consumer — each
+        // consumer re-analyzes the multi-thousand-node build tree
+        // (q206: 3.8k plan lines) and every consumer STAGE ships the
+        // build plan inside its task binary (the bench tail's recurring
+        // "Broadcasting large task binary with size 2 MiB"; ~30-90 ms
+        // of measured fixed CPU per task on 32-task artifact-scan
+        // stages with KB-sized inputs). The checkpoint truncates the
+        // plan to one LogicalRDD leaf — small analysis trees, small
+        // task binaries — and skips the columnar encode/decode of
+        // InMemoryRelation (measured: artifact first-pass ledger
+        // 34.3 → 26.1 s, subset cold 59.8 → 47.3 s, warm −8%).
+        // Statistics and output partitioning survive: LogicalRDD
+        // .fromDataset propagates originStats/originConstraints, so
+        // broadcast-join decisions on artifact consumers are unchanged.
         val t0 = System.nanoTime()
-        val built = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val src = build
+        // BUILD exactly as before r13 (persist + count: the cache build
+        // preserves the plan's final partitioning and AQE-coalesces its
+        // INTERMEDIATE stages), then checkpoint FROM the cache — one
+        // cheap extra pass over MB-scale rows — and drop the columnar
+        // copy. Two checkpoint-the-plan-directly variants were measured
+        // WORSE before landing here: with AQE coalescing on, MB-scale
+        // artifacts materialize at 1-5 partitions and every
+        // artifact-over-artifact build's map side goes near-serial
+        // (full-suite ledger 40 → 52 s: nb_scored 2.1→5.8,
+        // ppjoin_verified 2.0→4.6, lsh_pairs 1.8→3.6); with coalescing
+        // disabled for the build, long chains pay full-width
+        // intermediate stages instead (NB-family cold A/B: 15.7 → 19.1 s
+        // ledger). Cache-then-checkpoint keeps the measured build cost
+        // AND the truncated consumer lineage; originStats come from the
+        // cache's ACTUAL materialized size, the best estimate available.
+        val cached = src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached.count()
+        val built = cached.localCheckpoint(true)
+        cached.unpersist(blocking = false)
         val winner = cache.putIfAbsent((spark, key), built).getOrElse(built)
         if (winner eq built) {
-          // Materialize eagerly so the full build cost lands inside this
-          // timed window instead of leaking into whichever consumer
-          // query's action happens to touch the artifact first. The
-          // first consumer would have paid exactly this cost anyway
-          // (these are session artifacts, fully consumed downstream);
-          // eager count() just pins the attribution. Race losers skip:
-          // the winner's entry is the one the session will read.
-          built.count()
           recordBuild(spark, key, (System.nanoTime() - t0) / 1e9)
+          checkpointRdd(built).foreach { r =>
+            blocks.put((spark, key), r)
+            // Record the build plan's census facts before the lineage
+            // is out of reach (PlanAudit scaladoc) — the executed plan
+            // is final here, the checkpoint already ran it.
+            graft.PlanAudit.registerArtifact(r.id, src.queryExecution.executedPlan)
+          }
         }
         winner
     }
@@ -114,6 +167,13 @@ object SessionCache {
   def clear(spark: SparkSession): Unit = {
     cache.keys.filter(_._1 eq spark).foreach { k =>
       cache.remove(k).foreach(_.unpersist(blocking = false))
+      // Free the checkpoint blocks too (unpersist above is a no-op on
+      // a localCheckpoint'd Dataset — see [[blocks]]), and drop the
+      // census registration with them.
+      blocks.remove(k).foreach { r =>
+        try r.unpersist(blocking = false) catch { case _: Throwable => () }
+        graft.PlanAudit.unregisterArtifact(r.id)
+      }
     }
     values.keys.filter(_._1 eq spark).foreach(values.remove)
   }

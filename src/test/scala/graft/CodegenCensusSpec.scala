@@ -35,16 +35,27 @@ object CodegenCensusGolden {
     // 41 -> 10, q202 27 -> 8, q258 34 -> 14) are the shared-artifact +
     // fan-out rewrites — warm plans now read cached artifacts
     // (InMemoryTableScan) instead of re-deriving interpreted chains.
+    // r13: session artifacts are localCheckpoint'd, so consumer plans
+    // read bare RDD scans. Two effects, both accepted here after the
+    // full-suite bench measured the change faster: artifact-heavy
+    // consumers lose the residual cached-lineage operator lines
+    // (q03 14 -> 1, q23 10 -> 1, q228 15 -> 3, q225 9 -> 5), and each
+    // distinct artifact READ now counts one row-based `Scan
+    // ExistingRDD` line where the columnar InMemoryTableScan counted
+    // zero (q198 9 -> 18: the band sweep reads many per-band artifact
+    // legs; q258 14 -> 17, q202 8 -> 9 same shape). The artifact
+    // builds' own codegen posture is unchanged (they run once, at
+    // build time).
     "q01_pricing_summary" -> 3,
-    "q03_filter_members" -> 14,
+    "q03_filter_members" -> 1,
     "q164_join_size_estimate" -> 13,
     "q178_ks_drift" -> 5,
-    "q198_lsh_band_sweep" -> 9,
-    "q202_prefix_filter_join" -> 8,
-    "q225_winnow_density" -> 9,
-    "q228_ppjoin_positional" -> 15,
-    "q23_dedup_minhash_lsh" -> 10,
-    "q258_peak_concurrency" -> 14,
+    "q198_lsh_band_sweep" -> 18,
+    "q202_prefix_filter_join" -> 9,
+    "q225_winnow_density" -> 5,
+    "q228_ppjoin_positional" -> 3,
+    "q23_dedup_minhash_lsh" -> 1,
+    "q258_peak_concurrency" -> 17,
     "q259_watermark_lateness" -> 22,
     "q26_embed_neardup" -> 11,
     "q60_chunk_windows" -> 4,
@@ -61,6 +72,12 @@ object CodegenCensusGolden {
     * listed value passes; a value outside the set is still drift. */
   val tolerated: Map[String, Set[Int]] = Map(
     "q87_ivfpq_ann" -> Set(27, 31),
+    // r13: one of the band sweep's per-band artifact reads flips
+    // between a reused and a fresh RDD-scan line depending on which
+    // concurrent suite built the signature artifacts first (17 under
+    // the full parallel run, 18 isolated) — same operators, same
+    // execution mode either way.
+    "q198_lsh_band_sweep" -> Set(17, 18),
   )
 }
 

@@ -11,8 +11,22 @@ class PlanSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  // planText, not executedPlan.toString: session artifacts are
+  // localCheckpoint'd (r13), so a consumer's own plan reads them as
+  // bare RDD scans — the registered build plans are spliced back in so
+  // every structural pin still audits the full construction.
+  private def plan(name: String): String = {
+    val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+    PlanAudit.planText(qe.executedPlan)
+  }
+
+  /** Does the plan read a session-materialized artifact? Before r13 the
+    * marker was the persisted InMemoryRelation; checkpointed artifacts
+    * read as RDD scans whose registered build plan planText splices in
+    * under an "== artifact build plan" header. */
+  private def readsArtifact(p: String): Boolean =
+    p.contains("== artifact build plan") ||
+      p.contains("InMemoryRelation") || p.contains("InMemoryTableScan")
 
   test("q01: shipdate filter is pushed to the parquet scan") {
     val p = plan("q01_pricing_summary")
@@ -25,7 +39,7 @@ class PlanSpec extends AnyFunSuite {
     // The covering-aggregate rewrite routes the SQL-shaped pivot through
     // the same session-materialized base grain the MDX navigator uses —
     // the plan reads the cached table, not the fact star join.
-    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+    assert(readsArtifact(p),
       s"q02 not served from the pre-aggregate:\n$p")
     assert(p.contains("partial_"), s"no partial (map-side) aggregation:\n$p")
     assert(!p.contains("CartesianProduct"))
@@ -41,7 +55,7 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q30_mdx_nation_revenue")
     // Aggregate navigation: the plan reads the cached base-grain table
     // (InMemoryRelation) and re-aggregates — partial agg still map-side.
-    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+    assert(readsArtifact(p),
       s"q30 not served from the pre-aggregate:\n$p")
     assert(p.contains("partial_"), s"no partial (map-side) aggregation:\n$p")
     assert(!p.contains("CartesianProduct"))
@@ -52,7 +66,7 @@ class PlanSpec extends AnyFunSuite {
     // "suppgeo", |supp nations|×|months| grain) — the pivot reads the
     // cached table and re-aggregates instead of re-scanning lineitem.
     val p = plan("q37_mdx_supplier_nation")
-    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+    assert(readsArtifact(p),
       s"q37 not served from the suppgeo pre-aggregate:\n$p")
     assert(p.contains("partial_"), s"no partial (map-side) aggregation:\n$p")
     assert(!p.contains("CartesianProduct"))
@@ -63,7 +77,7 @@ class PlanSpec extends AnyFunSuite {
     // only the custgeo/orders units' scans, dims broadcast, no
     // unreferenced tables (part, supplier).
     val p = plan("q38_mdx_oldcube")
-    assert(!p.contains("InMemoryRelation") && !p.contains("InMemoryTableScan"),
+    assert(!readsArtifact(p),
       s"oldCube has no pre-aggregate to navigate to:\n$p")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("partial_"), s"no partial (map-side) aggregation:\n$p")
@@ -327,7 +341,8 @@ class PlanSpec extends AnyFunSuite {
     // printed inside the InMemoryRelation node); the pin guards the
     // QUERY above the cached artifact, so assert on the truncated plan.
     val p = plan("q89_gopher_rules")
-    val aboveArtifact = p.split("InMemoryRelation", 2)(0)
+    val aboveArtifact =
+      p.split("== artifact build plan", 2)(0).split("InMemoryRelation", 2)(0)
     assert(!aboveArtifact.contains("Exchange hashpartitioning"),
       s"quality flags should not shuffle:\n$p")
   }
@@ -384,7 +399,7 @@ class PlanSpec extends AnyFunSuite {
     // plan reads InMemoryRelation, not three rebuilds of the sample
     // stream (the raw exchange count in the printed tree is misleading:
     // each InMemoryRelation re-prints its build lineage)
-    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+    assert(readsArtifact(p),
       s"landmark table not materialized for reuse:\n$p")
   }
 
@@ -623,7 +638,7 @@ class PlanSpec extends AnyFunSuite {
     // distinct's partial grouping — kept this green).
     assert(p.contains("partial_max"),
       s"pair aggregate lost its map-side partial max:\n$p")
-    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+    assert(readsArtifact(p),
       s"pair table should be the persisted artifact:\n$p")
   }
 

@@ -6,7 +6,21 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 
 object SparkTestSession {
-  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
+  lazy val spark: SparkSession = {
+    val s = GraftSession.local(4, "graft-test")
+    // Audit the AT-SCALE plan shape: ShardedRank's small-input dispatch
+    // (r13) picks the plain-window form whenever the whole input is
+    // estimated under one sort-task — which on the KB-sized test
+    // fixtures would be EVERY call, so the census and the PlanSpec
+    // shape pins would only ever see the toy path. Disabling the
+    // dispatch here makes every structural test assert the sharded
+    // 100 TB shape; the dispatch itself (both the flip and the
+    // window-path equivalence) is pinned in ShardedRankSpec on a
+    // private newSession, and the window path's end-to-end outputs are
+    // what Verify checks against the DuckDB oracle (default conf).
+    s.conf.set(graft.ops.ShardedRank.smallInputKey, "0")
+    s
+  }
 }
 
 class RelationalSpec extends AnyFunSuite {
@@ -29,8 +43,10 @@ class RelationalSpec extends AnyFunSuite {
       if (!emptyOnTinySf.contains(name))
         assert(n > 0, s"$name returned 0 rows")
       // Global census: no query may plan a CartesianProduct — new
-      // registry entries get pinned automatically.
-      val plan = df.queryExecution.executedPlan.toString
+      // registry entries get pinned automatically. planText splices in
+      // the build plans of checkpointed session artifacts (r13), so a
+      // cartesian inside an artifact build still fails here.
+      val plan = PlanAudit.planText(df.queryExecution.executedPlan)
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct")
       graft.ops.TransientCache.releaseAll()

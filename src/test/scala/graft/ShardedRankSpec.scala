@@ -138,6 +138,50 @@ class ShardedRankSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("small-input dispatch: window form under the threshold, sharded form at scale, identical ranks") {
+    // Private session: the shared test session pins the threshold to 0
+    // (plan-shape tests must audit the sharded path), and suites run in
+    // parallel against it — conf flips must stay session-local.
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val df = (0 until 300).map(i => (s"g${i % 3}", (i * 7919) % 13, i.toLong))
+      .toDF("grp", "key", "tie")
+
+    def rangeExchanges(p: String): Int =
+      "rangepartitioning".r.findAllIn(p.toLowerCase).size
+
+    // Default threshold (64 MiB): a 300-row input dispatches to the
+    // plain window — no range shuffle, no broadcast offset join.
+    val small = ShardedRank.withRank(df, Seq("grp"), col("key"), col("tie"), "rn")
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(rangeExchanges(smallPlan) == 0 && !smallPlan.contains("BroadcastHashJoin"),
+      s"small input must take the window form:\n$smallPlan")
+    assert(PlanAudit.windowShapes(small.queryExecution.executedPlan).nonEmpty)
+
+    // Threshold 0 (the at-scale posture): the same input shards.
+    s2.conf.set(ShardedRank.smallInputKey, "0")
+    val sharded = ShardedRank.withRank(df, Seq("grp"), col("key"), col("tie"), "rn")
+    val shardedPlan = sharded.queryExecution.executedPlan.toString
+    assert(rangeExchanges(shardedPlan) >= 1,
+      s"threshold 0 must force the range-shard form:\n$shardedPlan")
+
+    // Both paths produce identical ranks (and runningSums).
+    val key = Seq("grp", "key", "tie")
+    assert(sharded.orderBy(key.map(col): _*).collect().toSeq ==
+      small.orderBy(key.map(col): _*).collect().toSeq)
+    val x = col("tie") % 5 + 1
+    val sumSharded = ShardedRank.runningSum(df.withColumn("x", x), Seq("grp"),
+      Seq(col("key"), col("tie")), col("x"), "run", exclusive = true)
+    s2.conf.set(ShardedRank.smallInputKey, ShardedRank.smallInputDefaultBytes.toString)
+    val sumSmall = ShardedRank.runningSum(df.withColumn("x", x), Seq("grp"),
+      Seq(col("key"), col("tie")), col("x"), "run", exclusive = true)
+    graft.ops.TransientCache.releaseAll()
+    assert(sumSharded.orderBy(key.map(col): _*).collect().toSeq ==
+      sumSmall.orderBy(key.map(col): _*).collect().toSeq)
+    assert(sumSharded.schema == sumSmall.schema,
+      "dispatch paths must agree on output schema")
+  }
+
   test("no per-group row-grain window: the only WindowExec is the bucket-grain offset table") {
     val df = fixture(400, 2, 3, seed = 29)
     val plan = ShardedRank.withRank(df, Seq("grp"), col("key"), col("tie"), "rn")
